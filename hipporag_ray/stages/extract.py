@@ -1,0 +1,97 @@
+"""Mention extraction: transcripts -> mentions (SURVEY.md §7.1).
+
+One stateless zero-copy-Arrow ``map_batches`` transform, no shuffle.
+The extractor is the engine's plug-point analogous to the reference's
+OpenIE stage (/root/reference/src/hipporag/information_extraction/
+openie_openai.py:135-210): the reference asks an LLM for entities per
+chunk; we extract the per-turn *sorted distinct* normalized tokens
+(np.unique semantics of misc_utils.py:61-95), optionally adding the
+``role`` and ``tool`` column values as entities (the canonical
+hub-entity skew drivers per FIXTURES.md).
+
+Per-turn text equality invariant: ``conv_id``/``turn_idx`` are carried
+through and ``chunk_key = "chunk-" + md5(text)`` binds each mention row
+to the exact input text bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.hashing import entity_key, md5_hex
+from ..functions.text import distinct_tokens_per_row, text_processing
+
+
+class ExtractMentions:
+    """Callable batch transform: transcripts batch -> mentions batch.
+
+    Plain function semantics (stateless); written as a class so the
+    min_len / include_role_tool config binds once, and so callers can
+    run it in an actor pool if they layer model-based extraction on top.
+    """
+
+    def __init__(self, min_token_len: int = 3, include_role_tool: bool = True):
+        self.min_token_len = min_token_len
+        self.include_role_tool = include_role_tool
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        norm = text_processing(text)
+        toks = distinct_tokens_per_row(norm, min_len=self.min_token_len)
+
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offsets)
+        entities = toks.flatten().to_numpy(zero_copy_only=False)
+
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+        tidx = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        ckey = md5_hex(text, prefix="chunk-").to_numpy(zero_copy_only=False)
+
+        rep = np.repeat(np.arange(len(batch)), counts)
+        out_conv = conv[rep]
+        out_tidx = tidx[rep]
+        out_ckey = ckey[rep]
+        out_ent = entities
+
+        if self.include_role_tool:
+            # role is always present; tool only when non-empty.  These are
+            # normalized through the same rule so downstream treats them
+            # uniformly.  They are the intentional hub entities.
+            role = text_processing(batch["role"]).to_numpy(zero_copy_only=False)
+            tool = text_processing(batch["tool"]).to_numpy(zero_copy_only=False)
+            tool_mask = np.array([t != "" for t in tool])
+            extra_ent = np.concatenate([role, tool[tool_mask]])
+            extra_rows = np.concatenate([np.arange(len(batch)), np.nonzero(tool_mask)[0]])
+            out_conv = np.concatenate([out_conv, conv[extra_rows]])
+            out_tidx = np.concatenate([out_tidx, tidx[extra_rows]])
+            out_ckey = np.concatenate([out_ckey, ckey[extra_rows]])
+            out_ent = np.concatenate([out_ent, extra_ent])
+
+        node_key = entity_key(out_ent)
+        return pa.table(
+            {
+                "conv_id": pa.array(out_conv, type=pa.string()),
+                "turn_idx": pa.array(out_tidx, type=pa.int32()),
+                "chunk_key": pa.array(out_ckey, type=pa.string()),
+                "entity": pa.array(out_ent, type=pa.string()),
+                "node_key": node_key,
+            }
+        )
+
+
+def extract_mentions(
+    transcripts: "ray.data.Dataset",
+    min_token_len: int = 3,
+    include_role_tool: bool = True,
+    batch_size: int | None = None,
+) -> "ray.data.Dataset":
+    """transcripts Dataset -> mentions Dataset (stateless tasks)."""
+    return transcripts.map_batches(
+        ExtractMentions(min_token_len, include_role_tool),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,104 @@
+"""Deterministic synthetic transcript generator (FIXTURES.md §1).
+
+Input shape is fixed by BASELINE.json ``input_hint``:
+``conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp[us]``.
+
+Entities are drawn from a closed vocabulary ``ent00000..`` with a
+Zipf-like frequency distribution so a few hub entities appear in a
+large fraction of turns (the skew source salting must handle).  Text is
+exactly the space-joined entity sample, so extraction is deterministic
+and checkable.  Everything derives from one integer seed.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROLES = np.array(["user", "assistant", "system", "tool"])
+TOOLS = np.array(["", "", "", "", "search", "browser", "python", "bash"])
+
+
+def make_transcripts_table(
+    n_convs: int,
+    turns_per_conv: int,
+    vocab: int = 500,
+    entities_per_turn: int = 8,
+    zipf_a: float = 1.3,
+    seed: int = 42,
+    conv_offset: int = 0,
+) -> pa.Table:
+    """Build one Arrow table of ``n_convs * turns_per_conv`` turns."""
+    rng = np.random.default_rng(seed + 1_000_003 * conv_offset)
+    n = n_convs * turns_per_conv
+
+    conv_nums = np.repeat(np.arange(conv_offset, conv_offset + n_convs), turns_per_conv)
+    turn_idx = np.tile(np.arange(turns_per_conv, dtype=np.int32), n_convs)
+
+    # Zipf-like entity ids in [0, vocab)
+    raw = rng.zipf(zipf_a, size=(n, entities_per_turn))
+    ent_ids = (raw - 1) % vocab
+
+    ent_names = np.array([f"ent{i:05d}" for i in range(vocab)])
+    words = ent_names[ent_ids]
+    text = np.array([" ".join(row) for row in words], dtype=object)
+
+    roles = ROLES[rng.integers(0, len(ROLES), size=n)]
+    tools = TOOLS[rng.integers(0, len(TOOLS), size=n)]
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    # monotonically increasing within a conversation
+    step = rng.integers(1, 60_000_000, size=n).cumsum()
+    ts = base + step.astype("timedelta64[us]")
+
+    conv_id = np.array([f"conv-{c:08d}" for c in conv_nums], dtype=object)
+
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_id, type=pa.string()),
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
+            "role": pa.array(roles, type=pa.string()),
+            "text": pa.array(text, type=pa.string()),
+            "tool": pa.array(tools, type=pa.string()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+
+
+def write_transcripts(
+    out_dir: str,
+    n_convs: int,
+    turns_per_conv: int,
+    vocab: int = 500,
+    entities_per_turn: int = 8,
+    zipf_a: float = 1.3,
+    seed: int = 42,
+    shards: int = 4,
+) -> str:
+    """Write sharded transcript parquet under ``out_dir`` (idempotent:
+    skipped when a matching ``_SYNTH_OK`` marker exists)."""
+    marker = os.path.join(out_dir, "_SYNTH_OK")
+    sig = f"{n_convs}/{turns_per_conv}/{vocab}/{entities_per_turn}/{zipf_a}/{seed}/{shards}"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == sig:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    per_shard = max(1, n_convs // shards)
+    off = 0
+    shard_i = 0
+    while off < n_convs:
+        cnt = min(per_shard, n_convs - off)
+        tbl = make_transcripts_table(
+            cnt, turns_per_conv, vocab, entities_per_turn, zipf_a, seed, conv_offset=off
+        )
+        pq.write_table(tbl, os.path.join(out_dir, f"part-{shard_i:05d}.parquet"))
+        off += cnt
+        shard_i += 1
+    with open(marker, "w") as f:
+        f.write(sig)
+    return out_dir

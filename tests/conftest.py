@@ -1,0 +1,45 @@
+"""Session-scoped Ray fixture — Ray is initialised ONCE per pytest session."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_transcripts(tmp_path_factory):
+    """C=20, T=10 transcripts (~200 turns) — unit-test scale per FIXTURES.md."""
+    from hipporag_ray.synth import write_transcripts
+
+    d = tmp_path_factory.mktemp("transcripts_small")
+    return write_transcripts(str(d), n_convs=20, turns_per_conv=10, vocab=60, seed=42)
+
+
+@pytest.fixture(scope="session")
+def medium_transcripts(tmp_path_factory):
+    """C=200, T=25 (~5k turns) — correctness scale per FIXTURES.md."""
+    from hipporag_ray.synth import write_transcripts
+
+    d = tmp_path_factory.mktemp("transcripts_med")
+    return write_transcripts(str(d), n_convs=200, turns_per_conv=25, vocab=300, seed=42)

@@ -1,0 +1,93 @@
+"""Extraction stage tests: normalization rule parity, per-turn text
+equality invariant, determinism."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import ray.data as rd
+
+from hipporag_ray.functions.text import (
+    min_max_normalize,
+    normalize_answer,
+    text_processing,
+)
+from hipporag_ray.stages.extract import extract_mentions
+
+
+def ref_text_processing(text: str) -> str:
+    """The reference rule verbatim (misc_utils.py:54-59)."""
+    return re.sub("[^A-Za-z0-9 ]", " ", text.lower()).strip()
+
+
+def test_text_processing_matches_reference():
+    cases = [
+        "Hello, World!",
+        "  spaced   out  ",
+        "Ünïcode-mix 42",
+        "UPPER_case.with;punct",
+        "",
+        "already clean",
+        "tabs\tand\nnewlines",
+    ]
+    got = text_processing(pa.array(cases)).to_pylist()
+    assert got == [ref_text_processing(c) for c in cases]
+
+
+def test_normalize_answer():
+    got = normalize_answer(pa.array(["The  Quick, Brown Fox!", "an apple a day"]))
+    assert got.to_pylist() == ["quick brown fox", "apple day"]
+
+
+def test_min_max_normalize():
+    import numpy as np
+
+    x = np.array([2.0, 4.0, 6.0])
+    assert np.allclose(min_max_normalize(x), [0, 0.5, 1])
+    assert (min_max_normalize(np.array([3.0, 3.0])) == 1).all()
+
+
+def test_extract_mentions_shape_and_keys(small_transcripts):
+    ds = rd.read_parquet(small_transcripts)
+    mentions = extract_mentions(ds).materialize()
+    t = mentions.to_arrow_refs()
+    tbl = pa.concat_tables([pa.Table.from_batches(x.to_batches()) for x in __import__("ray").get(t)])
+    assert set(tbl.column_names) == {"conv_id", "turn_idx", "chunk_key", "entity", "node_key"}
+    # node_key = "entity-" + md5(entity)
+    for ent, nk in zip(tbl["entity"].to_pylist()[:50], tbl["node_key"].to_pylist()[:50]):
+        assert nk == "entity-" + hashlib.md5(ent.encode()).hexdigest()
+    # per-turn sorted-distinct: within one (conv_id, turn_idx), text-token
+    # entities are unique
+    df = tbl.to_pandas()
+    text_rows = df[~df.entity.isin(["user", "assistant", "system", "tool"])]
+    dup = text_rows.groupby(["conv_id", "turn_idx", "entity"]).size()
+    assert (dup <= 1).all()
+
+
+def test_per_turn_text_equality(small_transcripts):
+    """chunk_key binds mentions to exact input text bytes, keyed by
+    (conv_id, turn_idx) — the per-row invariant from input_hint."""
+    ds = rd.read_parquet(small_transcripts)
+    src = ds.to_pandas()
+    src["expect_key"] = [
+        "chunk-" + hashlib.md5(t.encode()).hexdigest() for t in src["text"]
+    ]
+    mentions = extract_mentions(rd.read_parquet(small_transcripts)).to_pandas()
+    merged = mentions.merge(
+        src[["conv_id", "turn_idx", "expect_key"]], on=["conv_id", "turn_idx"]
+    )
+    assert (merged["chunk_key"] == merged["expect_key"]).all()
+
+
+def test_extract_deterministic(small_transcripts):
+    a = extract_mentions(rd.read_parquet(small_transcripts)).to_pandas()
+    b = extract_mentions(rd.read_parquet(small_transcripts)).to_pandas()
+    key = ["conv_id", "turn_idx", "entity"]
+    pa_a = a.sort_values(key).reset_index(drop=True)
+    pa_b = b.sort_values(key).reset_index(drop=True)
+    assert pa_a.equals(pa_b)
