@@ -1,0 +1,346 @@
+"""Driver loops for the iterative link-graph algorithms on a
+ShardedGraph actor pool.
+
+Semantics contracts:
+
+* ``personalized_pagerank`` — exact twin of the reference's native
+  power iteration (SimpleGraph.kt:130-182 / igraph prpack call at
+  HippoRAG.py:1599-1606): damping 0.5 default, L1 tol 1e-6, max 100
+  iterations, dangling mass redistributed through the normalized reset
+  vector.  Runs B reset vectors concurrently (the reference loops
+  queries sequentially, HippoRAG.py:409; we batch them, SURVEY.md §7.4)
+  and freezes each column the iteration its own L1 delta drops below
+  tol, so each column equals an independent run.
+* ``pagerank`` — PPR with a uniform reset.
+* ``connected_components`` — iterated min-label propagation with self
+  label; exact (component id = min member vid).
+* ``label_propagation`` — synchronous weighted max-vote, tie-break
+  smallest label, capped iterations.
+
+Checkpoint/resume: with ``checkpoint_dir`` set, every
+``checkpoint_every`` iterations each shard writes its state partition
+(atomic tmp+rename) and the driver appends a lineage entry to
+``manifest.json``; ``resume=True`` restarts from the latest complete
+iteration (per-partition lineage — a shard file missing ⇒ that
+iteration is ignored).  Per-iteration metrics (L1 delta, active
+queries, edges scanned, wall seconds) land in ``metrics.jsonl``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+import ray
+
+from ..state.csr import ShardedGraph
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _scatter_refs(bound_method, n_shards: int, *args):
+    """Invoke an actor scatter method returning one value per dst shard."""
+    if n_shards == 1:
+        return [bound_method.remote(*args)]  # ref to a 1-tuple; gather unwraps
+    return list(bound_method.options(num_returns=n_shards).remote(*args))
+
+
+def _shard_slices(sg: ShardedGraph, dense: np.ndarray):
+    for i in range(sg.n_shards):
+        lo = i * sg.shard_size
+        hi = min(lo + sg.shard_size, sg.n_vertices)
+        yield dense[lo:hi]
+
+
+def _resets_to_dense(sg: ShardedGraph, resets, n_queries: int) -> np.ndarray | None:
+    """Accept None (uniform), a dense (n, B) matrix, or a list of sparse
+    (vids, weights) pairs per query."""
+    if resets is None:
+        return None
+    if isinstance(resets, np.ndarray):
+        if resets.ndim == 1:
+            resets = resets[:, None]
+        assert resets.shape == (sg.n_vertices, n_queries)
+        return resets.astype(np.float64)
+    dense = np.zeros((sg.n_vertices, n_queries))
+    for b, (vids, weights) in enumerate(resets):
+        dense[np.asarray(vids, dtype=np.int64), b] = np.asarray(weights, dtype=np.float64)
+    return dense
+
+
+class _Checkpointer:
+    def __init__(self, sg: ShardedGraph, ckpt_dir: str | None, algo: str, meta: dict):
+        self.sg = sg
+        self.dir = ckpt_dir
+        if ckpt_dir:
+            os.makedirs(ckpt_dir, exist_ok=True)
+            self.manifest_path = os.path.join(ckpt_dir, "manifest.json")
+            self.metrics_path = os.path.join(ckpt_dir, "metrics.jsonl")
+            self.manifest = {
+                "algo": algo,
+                "n_vertices": sg.n_vertices,
+                "n_shards": sg.n_shards,
+                "shard_size": sg.shard_size,
+                "adj_path": sg.adj_path,
+                "edge_records": sg.edge_count,
+                **meta,
+                "iters": [],
+            }
+
+    def shard_path(self, it: int, shard: int) -> str:
+        return os.path.join(self.dir, "state", f"iter={it:04d}", f"shard-{shard:05d}.parquet")
+
+    def save(self, it: int, extra: dict) -> None:
+        if not self.dir:
+            return
+        ray.get(
+            [
+                a.save_state.remote(self.shard_path(it, i))
+                for i, a in enumerate(self.sg.actors)
+            ]
+        )
+        self.manifest["iters"].append({"iter": it, **extra})
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f)
+        os.replace(tmp, self.manifest_path)
+
+    def metric(self, rec: dict) -> None:
+        if not self.dir:
+            return
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def latest_complete(self) -> dict | None:
+        """Latest manifest iteration whose every shard partition exists."""
+        if not self.dir or not os.path.exists(self.manifest_path):
+            return None
+        with open(self.manifest_path) as f:
+            manifest = json.load(f)
+        if (
+            manifest.get("n_shards") != self.sg.n_shards
+            or manifest.get("n_vertices") != self.sg.n_vertices
+            or manifest.get("adj_path") != self.sg.adj_path
+        ):
+            return None  # lineage mismatch: different input or partitioning
+        for entry in reversed(manifest["iters"]):
+            it = entry["iter"]
+            if all(
+                os.path.exists(self.shard_path(it, i)) for i in range(self.sg.n_shards)
+            ):
+                return entry
+        return None
+
+
+# ---------------------------------------------------------------------------
+# PPR / PageRank
+# ---------------------------------------------------------------------------
+
+
+def personalized_pagerank(
+    sg: ShardedGraph,
+    resets=None,
+    n_queries: int = 1,
+    damping: float = 0.5,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+) -> tuple[np.ndarray, list[dict]]:
+    """Run batched PPR; returns (scores (n, B) float64, per-iter metrics)."""
+    P = sg.n_shards
+    dense = _resets_to_dense(sg, resets, n_queries)
+
+    ck = _Checkpointer(
+        sg,
+        checkpoint_dir,
+        "ppr",
+        {"n_queries": n_queries, "damping": damping, "tol": tol, "max_iter": max_iter},
+    )
+
+    start_iter = 0
+    active = np.arange(n_queries)
+    resumed = ck.latest_complete() if resume else None
+
+    if dense is None:
+        sums = ray.get([a.ppr_init.remote(None, n_queries) for a in sg.actors])
+    else:
+        sums = ray.get(
+            [
+                a.ppr_init.remote(sl, n_queries)
+                for a, sl in zip(sg.actors, _shard_slices(sg, dense))
+            ]
+        )
+    totals = np.sum(sums, axis=0)
+    ray.get([a.ppr_normalize_reset.remote(totals) for a in sg.actors])
+
+    if resumed is not None:
+        start_iter = resumed["iter"]
+        active = np.array(resumed["active"], dtype=np.int64)
+        ray.get(
+            [
+                a.load_state.remote(ck.shard_path(start_iter, i), n_queries)
+                for i, a in enumerate(sg.actors)
+            ]
+        )
+
+    metrics: list[dict] = []
+    for it in range(start_iter, max_iter):
+        if len(active) == 0:
+            break
+        t0 = time.perf_counter()
+        dang = np.sum(ray.get([a.dangling_sum.remote(active) for a in sg.actors]), axis=0)
+        parts = [_scatter_refs(a.ppr_scatter, P, damping, active) for a in sg.actors]
+        deltas = ray.get(
+            [
+                sg.actors[t].ppr_gather.remote(
+                    damping, dang, active, *[parts[i][t] for i in range(P)]
+                )
+                for t in range(P)
+            ]
+        )
+        delta = np.sum(deltas, axis=0)
+        wall = time.perf_counter() - t0
+        rec = {
+            "iter": it + 1,
+            "algo": "ppr",
+            "l1_delta": float(delta.sum()),
+            "active_queries": int(len(active)),
+            "edge_records_scanned": sg.edge_count,
+            "wall_s": wall,
+            "edges_per_sec": sg.edge_count / wall if wall > 0 else None,
+        }
+        metrics.append(rec)
+        ck.metric(rec)
+        active = active[delta >= tol]
+        if checkpoint_dir and checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ck.save(it + 1, {"active": active.tolist(), "delta": float(delta.sum())})
+
+    scores = np.vstack(ray.get([a.scores_matrix.remote() for a in sg.actors]))
+    return scores, metrics
+
+
+def pagerank(sg: ShardedGraph, **kw) -> tuple[np.ndarray, list[dict]]:
+    """Power-iteration PageRank = PPR with uniform reset (SURVEY.md §7.2)."""
+    return personalized_pagerank(sg, resets=None, n_queries=1, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Connected components / label propagation
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    sg: ShardedGraph,
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+) -> tuple[np.ndarray, list[dict]]:
+    """Min-label propagation to fixpoint; exact (component = min vid).
+
+    Rounds needed = graph diameter; for path-like graphs a
+    large-star/small-star variant would shrink that — the substrate
+    (scatter min / gather min) stays the same.
+    """
+    P = sg.n_shards
+    ck = _Checkpointer(sg, checkpoint_dir, "cc", {"max_iter": max_iter})
+    start_iter = 0
+    resumed = ck.latest_complete() if resume else None
+    ray.get([a.cc_init.remote() for a in sg.actors])
+    if resumed is not None:
+        start_iter = resumed["iter"]
+        ray.get(
+            [
+                a.load_state.remote(ck.shard_path(start_iter, i), 0)
+                for i, a in enumerate(sg.actors)
+            ]
+        )
+    metrics: list[dict] = []
+    for it in range(start_iter, max_iter):
+        t0 = time.perf_counter()
+        parts = [_scatter_refs(a.cc_scatter, P) for a in sg.actors]
+        changed = sum(
+            ray.get(
+                [
+                    sg.actors[t].cc_gather.remote(*[parts[i][t] for i in range(P)])
+                    for t in range(P)
+                ]
+            )
+        )
+        wall = time.perf_counter() - t0
+        rec = {
+            "iter": it + 1,
+            "algo": "cc",
+            "changed": int(changed),
+            "edge_records_scanned": sg.edge_count,
+            "wall_s": wall,
+        }
+        metrics.append(rec)
+        ck.metric(rec)
+        if checkpoint_dir and checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ck.save(it + 1, {"changed": int(changed)})
+        if changed == 0:
+            break
+    tables = ray.get([a.labels_table.remote("component") for a in sg.actors])
+    labels = np.concatenate([t["component"].to_numpy() for t in tables])
+    return labels, metrics
+
+
+def label_propagation(
+    sg: ShardedGraph,
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+) -> tuple[np.ndarray, list[dict]]:
+    """Synchronous weighted label propagation (deterministic tie-break)."""
+    P = sg.n_shards
+    ck = _Checkpointer(sg, checkpoint_dir, "lp", {"max_iter": max_iter})
+    start_iter = 0
+    resumed = ck.latest_complete() if resume else None
+    ray.get([a.lp_init.remote() for a in sg.actors])
+    if resumed is not None:
+        start_iter = resumed["iter"]
+        ray.get(
+            [
+                a.load_state.remote(ck.shard_path(start_iter, i), 0)
+                for i, a in enumerate(sg.actors)
+            ]
+        )
+    metrics: list[dict] = []
+    for it in range(start_iter, max_iter):
+        t0 = time.perf_counter()
+        parts = [_scatter_refs(a.lp_scatter, P) for a in sg.actors]
+        changed = sum(
+            ray.get(
+                [
+                    sg.actors[t].lp_gather.remote(*[parts[i][t] for i in range(P)])
+                    for t in range(P)
+                ]
+            )
+        )
+        wall = time.perf_counter() - t0
+        rec = {
+            "iter": it + 1,
+            "algo": "lp",
+            "changed": int(changed),
+            "edge_records_scanned": sg.edge_count,
+            "wall_s": wall,
+        }
+        metrics.append(rec)
+        ck.metric(rec)
+        if checkpoint_dir and checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ck.save(it + 1, {"changed": int(changed)})
+        if changed == 0:
+            break
+    tables = ray.get([a.labels_table.remote("label") for a in sg.actors])
+    labels = np.concatenate([t["label"].to_numpy() for t in tables])
+    return labels, metrics

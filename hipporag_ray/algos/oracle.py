@@ -1,0 +1,153 @@
+"""Single-process reference oracles for the link-graph algorithms.
+
+``ppr_oracle`` is a line-for-line numpy twin of the reference's native
+power iteration (/root/reference/kotlin/src/main/kotlin/hipporag/graph/
+SimpleGraph.kt:130-182): reset normalized to sum 1 (uniform when the
+sum is zero), undirected walk of every edge record, per-iteration
+dangling mass redistributed through the reset vector, damping applied
+to both the walk and the dangling term, L1 tolerance 1e-6, max 100
+iterations.  The other oracles define the engine's exact-agreement
+semantics for components / labels / triangles (FIXTURES.md §3).
+
+These run on small test graphs only — they exist to verify the
+distributed implementations, not to compute anything at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def ppr_oracle(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    reset: np.ndarray | None = None,
+    damping: float = 0.5,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    directed: bool = False,
+) -> np.ndarray:
+    """Personalized PageRank over edge records (SimpleGraph.kt:130-182)."""
+    if n == 0:
+        return np.zeros(0)
+    if reset is None:
+        reset = np.ones(n)
+    reset = np.asarray(reset, dtype=np.float64)
+    rsum = reset.sum()
+    reset_prob = reset / rsum if rsum > 0 else np.full(n, 1.0 / n)
+
+    # undirected: walk each record both ways (parallel records stack)
+    if directed:
+        s, d, w = src, dst, weight
+    else:
+        s = np.concatenate([src, dst])
+        d = np.concatenate([dst, src])
+        w = np.concatenate([weight, weight])
+    s = np.asarray(s, dtype=np.int64)
+    d = np.asarray(d, dtype=np.int64)
+    w = np.asarray(w, dtype=np.float64)
+
+    out_weight = np.bincount(s, weights=w, minlength=n)
+    scores = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        dangling = scores[out_weight == 0.0].sum()
+        nxt = (1.0 - damping) * reset_prob + damping * dangling * reset_prob
+        contrib = np.zeros(n)
+        nz = out_weight > 0.0
+        contrib[nz] = damping * scores[nz] / out_weight[nz]
+        np.add.at(nxt, d, contrib[s] * w)
+        delta = np.abs(nxt - scores).sum()
+        scores = nxt
+        if delta < tol:
+            break
+    return scores
+
+
+def pagerank_oracle(n, src, dst, weight, **kw) -> np.ndarray:
+    """PageRank = PPR with a uniform reset vector."""
+    return ppr_oracle(n, src, dst, weight, reset=np.ones(n), **kw)
+
+
+def cc_oracle(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Connected components; component id = min vid of the member set."""
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(src, dst):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return np.array([find(i) for i in range(n)], dtype=np.int64)
+
+
+def lp_oracle(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    max_iter: int = 50,
+) -> np.ndarray:
+    """Synchronous weighted label propagation, deterministic.
+
+    Init label = vid.  Each round every vertex adopts the label with the
+    highest summed incident edge weight among its neighbors' current
+    labels; ties break to the smallest label; isolated vertices keep
+    their label.  Undirected (records walked both ways).  Stops at
+    fixpoint or ``max_iter``.
+    """
+    s = np.concatenate([src, dst]).astype(np.int64)
+    d = np.concatenate([dst, src]).astype(np.int64)
+    w = np.concatenate([weight, weight]).astype(np.float64)
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(max_iter):
+        nxt = labels.copy()
+        # per destination vertex: sum weight per neighbor label
+        votes: list[dict[int, float]] = [dict() for _ in range(n)]
+        for a, b, ww in zip(s, d, w):
+            lab = int(labels[a])
+            votes[b][lab] = votes[b].get(lab, 0.0) + ww
+        for v in range(n):
+            if votes[v]:
+                best = max(votes[v].items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[v] = best[0]
+        if np.array_equal(nxt, labels):
+            break
+        labels = nxt
+    return labels
+
+
+def triangles_oracle(n: int, src: np.ndarray, dst: np.ndarray):
+    """Exact triangle count on the simple undirected graph induced by
+    the edge records (multiplicities and self-loops ignored).
+
+    Returns (total, per_vertex int64[n]).
+    """
+    nbrs = [set() for _ in range(n)]
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    per = np.zeros(n, dtype=np.int64)
+    total = 0
+    for u in range(n):
+        for v in nbrs[u]:
+            if v > u:
+                common = nbrs[u] & nbrs[v]
+                for x in common:
+                    if x > v:
+                        total += 1
+                        per[u] += 1
+                        per[v] += 1
+                        per[x] += 1
+    return total, per

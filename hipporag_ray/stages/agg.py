@@ -1,0 +1,52 @@
+"""Aggregation helpers: salted two-phase groupby-sum (SURVEY.md §4.2).
+
+A bare ``groupby(vertex).sum()`` funnels every row of a hub vertex
+(a Zipf-head entity can appear in a large fraction of turns) through a
+single reducer.  ``salted_sum`` splits each group into ``salt`` salted
+sub-groups aggregated in a first (well-balanced) shuffle, then combines
+the per-salt partials in a second, tiny shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _add_salt(salt: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        # deterministic pseudo-salt from row position within batch; only
+        # load distribution matters, not the values
+        s = (np.arange(n, dtype=np.int64) % salt).astype(np.int64)
+        return batch.append_column("_salt", pa.array(s, type=pa.int64()))
+
+    return fn
+
+
+def salted_sum(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value: str,
+    alias: str | None = None,
+    salt: int = 16,
+) -> "ray.data.Dataset":
+    """groupby(keys).sum(value) with hot-key salting.
+
+    Phase 1 aggregates (keys + salt) — hub keys split across ``salt``
+    reducers; phase 2 aggregates the at-most-``salt`` partials per key.
+    """
+    alias = alias or value
+    phase1 = (
+        ds.map_batches(_add_salt(salt), batch_format="pyarrow")
+        .groupby(keys + ["_salt"])
+        .aggregate(Sum(value, alias_name=alias))
+    )
+    return (
+        phase1.drop_columns(["_salt"])
+        .groupby(keys)
+        .aggregate(Sum(alias, alias_name=alias))
+    )

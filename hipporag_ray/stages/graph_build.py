@@ -1,0 +1,357 @@
+"""Graph construction: transcripts -> vertices / edges / adjacency.
+
+Re-expresses the reference's indexing graph semantics
+(/root/reference/src/hipporag/HippoRAG.py:742-817, 1009-1086) as a Ray
+Data plan:
+
+* chunk (passage) nodes are *content-deduplicated* turns:
+  ``chunk_key = "chunk-" + md5(text)`` (embedding_store.py:44-61) — a
+  duplicated turn text contributes its co-occurrences exactly once
+  (the reference skips chunks already in the graph, HippoRAG.py:756).
+* fact edges: entity-entity co-occurrence within a chunk, inserted
+  symmetrically in both directions with weight = count of co-occurring
+  chunks (HippoRAG.py:763-769 increments both (a,b) and (b,a)).
+* passage edges: chunk -> entity, weight 1.0 (HippoRAG.py:809-817).
+* no self-loops (HippoRAG.py:1064).
+* vertex ids: dense int64 assigned by global sort of node_key —
+  deterministic across runs.
+
+The *adjacency* table is the directed expansion of the edge records
+(each record also reversed), sorted by ``src`` and written as
+partitioned parquet so CSR shard actors can load their vid range with
+row-group pruning.  Walking the expansion once per direction is exactly
+the reference's undirected traversal of edge records
+(SimpleGraph.kt:141-147).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+from ..functions.hashing import entity_key, md5_hex
+from ..functions.text import distinct_tokens_per_row, text_processing
+
+
+# ---------------------------------------------------------------------------
+# batch transforms
+# ---------------------------------------------------------------------------
+
+
+def _to_chunk_rows(batch: pa.Table) -> pa.Table:
+    """transcripts batch -> (chunk_key, text): project early, key by content."""
+    text = batch["text"]
+    return pa.table({"chunk_key": md5_hex(text, prefix="chunk-"), "text": text})
+
+
+class ChunkToEntities:
+    """Deduped chunk batch -> per-chunk distinct entity rows
+    (chunk_key, node_key, entity)."""
+
+    def __init__(self, min_token_len: int = 3):
+        self.min_token_len = min_token_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        norm = text_processing(batch["text"])
+        toks = distinct_tokens_per_row(norm, min_len=self.min_token_len)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offsets)
+        ents = toks.flatten().to_numpy(zero_copy_only=False)
+        ckeys = batch["chunk_key"].to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(len(batch)), counts)
+        return pa.table(
+            {
+                "chunk_key": pa.array(ckeys[rep], type=pa.string()),
+                "node_key": entity_key(ents),
+                "entity": pa.array(ents, type=pa.string()),
+            }
+        )
+
+
+class ChunkToEdgePartials:
+    """Deduped chunk batch -> locally pre-aggregated edge partial rows
+    (src_key, dst_key, weight, etype).
+
+    Emits, per chunk: passage records (chunk -> entity, 1.0) and both
+    orientations of every entity pair (weight = within-batch partial
+    co-occurrence count, combined by the downstream groupby-sum).
+    Local pre-aggregation (np.unique over encoded pairs) shrinks the
+    shuffle: Zipf-head pairs repeat heavily within a batch.
+    """
+
+    def __init__(self, min_token_len: int = 3):
+        self.min_token_len = min_token_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        norm = text_processing(batch["text"])
+        toks = distinct_tokens_per_row(norm, min_len=self.min_token_len)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ents = toks.flatten().to_numpy(zero_copy_only=False)
+        ckeys = batch["chunk_key"].to_numpy(zero_copy_only=False)
+        ekeys = entity_key(ents).to_numpy(zero_copy_only=False)
+
+        # --- passage records (already distinct per chunk) ---
+        counts = np.diff(offsets)
+        rep = np.repeat(np.arange(len(batch)), counts)
+        p_src = ckeys[rep]
+        p_dst = ekeys
+
+        # --- entity-pair records, both directions ---
+        # local integer coding of entity keys for vectorized counting
+        uniq, inv = np.unique(ekeys, return_inverse=True)
+        n_local = len(uniq)
+        pair_codes: list[np.ndarray] = []
+        for i in range(len(batch)):
+            ids = inv[offsets[i] : offsets[i + 1]]
+            k = len(ids)
+            if k < 2:
+                continue
+            a = np.repeat(ids, k)
+            b = np.tile(ids, k)
+            keep = a != b  # both directions, no self loops
+            pair_codes.append(a[keep].astype(np.int64) * n_local + b[keep])
+        if pair_codes:
+            codes = np.concatenate(pair_codes)
+            code_u, code_n = np.unique(codes, return_counts=True)
+            f_src = uniq[code_u // n_local]
+            f_dst = uniq[code_u % n_local]
+            f_w = code_n.astype(np.float64)
+        else:
+            f_src = np.array([], dtype=object)
+            f_dst = np.array([], dtype=object)
+            f_w = np.array([], dtype=np.float64)
+
+        src = np.concatenate([p_src, f_src])
+        dst = np.concatenate([p_dst, f_dst])
+        w = np.concatenate([np.ones(len(p_src)), f_w])
+        etype = np.concatenate(
+            [np.full(len(p_src), "passage", dtype=object), np.full(len(f_src), "fact", dtype=object)]
+        )
+        return pa.table(
+            {
+                "src_key": pa.array(src, type=pa.string()),
+                "dst_key": pa.array(dst, type=pa.string()),
+                "weight": pa.array(w, type=pa.float64()),
+                "etype": pa.array(etype, type=pa.string()),
+            }
+        )
+
+
+class ChunkToVertexRows:
+    """Deduped chunk batch -> vertex candidate rows (node_key, kind, content)."""
+
+    def __init__(self, min_token_len: int = 3):
+        self.min_token_len = min_token_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        norm = text_processing(batch["text"])
+        toks = distinct_tokens_per_row(norm, min_len=self.min_token_len)
+        ents = np.unique(toks.flatten().to_numpy(zero_copy_only=False))
+        node_key = np.concatenate(
+            [
+                batch["chunk_key"].to_numpy(zero_copy_only=False),
+                entity_key(ents).to_numpy(zero_copy_only=False),
+            ]
+        )
+        kind = np.concatenate(
+            [np.full(len(batch), "chunk", dtype=object), np.full(len(ents), "entity", dtype=object)]
+        )
+        content = np.concatenate([batch["text"].to_numpy(zero_copy_only=False), ents])
+        return pa.table(
+            {
+                "node_key": pa.array(node_key, type=pa.string()),
+                "kind": pa.array(kind, type=pa.string()),
+                "content": pa.array(content, type=pa.string()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# dense id assignment (sort + per-block offsets)
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _block_len(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote
+def _with_ids(tbl: pa.Table, offset: int, col: str) -> pa.Table:
+    ids = np.arange(offset, offset + tbl.num_rows, dtype=np.int64)
+    return tbl.append_column(col, pa.array(ids, type=pa.int64()))
+
+
+def assign_dense_ids(ds: "rd.Dataset", key: str, id_col: str = "vid") -> "rd.Dataset":
+    """Sort by ``key`` and append a dense, globally-contiguous int64 id.
+
+    The sort is a shuffle; id assignment is then per-block with a small
+    metadata pass for offsets (no driver materialization of rows).
+    """
+    sorted_ds = ds.sort(key).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    counts = ray.get([_block_len.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    out_refs = [
+        _with_ids.remote(r, int(off), id_col) for r, off in zip(refs, offsets)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class GraphTables:
+    out_dir: str
+    n_vertices: int
+    n_edges: int  # canonical edge records (fact both-direction + passage one-direction)
+
+    @property
+    def vertices_path(self) -> str:
+        return os.path.join(self.out_dir, "vertices")
+
+    @property
+    def edges_path(self) -> str:
+        return os.path.join(self.out_dir, "edges")
+
+    @property
+    def adj_path(self) -> str:
+        return os.path.join(self.out_dir, "adj")
+
+    def vertices(self) -> "rd.Dataset":
+        return rd.read_parquet(self.vertices_path)
+
+    def edges(self) -> "rd.Dataset":
+        return rd.read_parquet(self.edges_path)
+
+    def adj(self) -> "rd.Dataset":
+        return rd.read_parquet(self.adj_path)
+
+
+def dedup_chunks(transcripts: "rd.Dataset") -> "rd.Dataset":
+    """transcripts -> distinct (chunk_key, text).
+
+    groupby + Min(text) is an exact first-wins dedup (rows in a group
+    are byte-identical since the key is md5(text)) — the A10 operator
+    (embedding_store.py:63-90)."""
+    chunks = transcripts.map_batches(_to_chunk_rows, batch_format="pyarrow")
+    return chunks.groupby("chunk_key").aggregate(Min("text", alias_name="text"))
+
+
+def build_graph(
+    transcripts: "rd.Dataset",
+    out_dir: str,
+    min_token_len: int = 3,
+) -> GraphTables:
+    """Full graph build; writes vertices/, edges/, adj/ + manifest.json."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    chunks = dedup_chunks(transcripts).materialize()
+    if chunks.count() == 0:
+        from .. import schema as _schema
+
+        for name, sch in (
+            ("vertices", _schema.VERTICES),
+            ("edges", _schema.EDGES),
+            ("adj", _schema.EDGES),
+        ):
+            d = os.path.join(out_dir, name)
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(sch.empty_table(), os.path.join(d, "part-0.parquet"))
+        with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+            json.dump({"n_vertices": 0, "n_edges": 0, "min_token_len": min_token_len}, f)
+        return GraphTables(out_dir=out_dir, n_vertices=0, n_edges=0)
+
+    # --- edge records ---
+    partials = chunks.map_batches(
+        ChunkToEdgePartials(min_token_len), batch_format="pyarrow"
+    )
+    edges_keyed = (
+        partials.groupby(["src_key", "dst_key", "etype"])
+        .aggregate(Sum("weight", alias_name="weight"))
+        .materialize()
+    )
+
+    # --- vertex dictionary ---
+    vrows = chunks.map_batches(ChunkToVertexRows(min_token_len), batch_format="pyarrow")
+    vdistinct = vrows.groupby("node_key").aggregate(
+        Min("kind", alias_name="kind"), Min("content", alias_name="content")
+    )
+    vertices = assign_dense_ids(vdistinct, "node_key", "vid").materialize()
+    n_vertices = vertices.count()
+    vertices.write_parquet(os.path.join(out_dir, "vertices"))
+
+    # --- vid remap (broadcast hash join; vertex dictionary is the small
+    # side relative to edges — for vertex tables beyond driver memory
+    # switch to the bucketed hash join in stages/joins.py) ---
+    vmap_df = vertices.select_columns(["node_key", "vid"]).to_pandas()
+    vmap_ref = ray.put(vmap_df)
+
+    class RemapVids:
+        def __init__(self):
+            self.vmap = ray.get(vmap_ref).set_index("node_key")["vid"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            src = df["src_key"].map(self.vmap).to_numpy(dtype=np.int64)
+            dst = df["dst_key"].map(self.vmap).to_numpy(dtype=np.int64)
+            return pa.table(
+                {
+                    "src": pa.array(src, type=pa.int64()),
+                    "dst": pa.array(dst, type=pa.int64()),
+                    "weight": batch["weight"],
+                    "etype": batch["etype"],
+                }
+            )
+
+    edges = edges_keyed.map_batches(
+        RemapVids, batch_format="pyarrow", concurrency=(1, 8)
+    ).materialize()
+    n_edges = edges.count()
+    edges.write_parquet(os.path.join(out_dir, "edges"))
+
+    # --- adjacency: directed expansion, sorted by src for row-group
+    # pruning by CSR shard actors (SimpleGraph.kt:141-147 undirected walk) ---
+    def expand(batch: pa.Table) -> pa.Table:
+        rev = pa.table(
+            {
+                "src": batch["dst"],
+                "dst": batch["src"],
+                "weight": batch["weight"],
+                "etype": batch["etype"],
+            }
+        )
+        return pa.concat_tables([batch, rev])
+
+    adj = edges.map_batches(expand, batch_format="pyarrow").sort("src")
+    adj.write_parquet(os.path.join(out_dir, "adj"))
+
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(
+            {
+                "n_vertices": int(n_vertices),
+                "n_edges": int(n_edges),
+                "min_token_len": min_token_len,
+            },
+            f,
+        )
+    return GraphTables(out_dir=out_dir, n_vertices=int(n_vertices), n_edges=int(n_edges))
+
+
+def load_graph(out_dir: str) -> GraphTables:
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        m = json.load(f)
+    return GraphTables(out_dir=out_dir, n_vertices=m["n_vertices"], n_edges=m["n_edges"])

@@ -1,0 +1,338 @@
+"""Partitioned CSR graph shards held by a pool of Ray actors.
+
+The adjacency table (directed expansion of the undirected edge records,
+sorted by ``src`` — stages/graph_build.py) is range-partitioned into P
+vid shards.  Shard actor *i* owns vids ``[i*S, (i+1)*S)``: it loads its
+adjacency slice from parquet with row-group pruning (the file is sorted
+by src, so each actor reads only its row groups), pre-groups the edges
+by destination shard, and holds the rank / label state for its vid
+range.  Actors are *caches over the checkpointed parquet partitions* —
+restart-safe by construction (SURVEY.md §4.2): a rebuilt actor reloads
+the same slice and the latest rank checkpoint.
+
+One iteration of an algorithm is a scatter/gather all-to-all between
+the shards: each actor emits one partial dense array (PPR: weighted
+sums via bincount; CC: mins via sorted reduceat) or one sparse partial
+(LP: (dst, label, weight) triples) per destination shard, then each
+actor reduces the P partials addressed to it.  Only rank-vector-sized
+data moves per iteration; the edge set never leaves the actors.
+
+This is the one place the engine drops below the Dataset API: an
+iterative fixpoint over shared mutable shard state is not expressible
+as a streaming Dataset plan without re-shuffling the edge set every
+iteration (the reference holds the whole igraph in one process instead,
+HippoRAG.py:1205-1208).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray
+
+_I64_MAX = np.iinfo(np.int64).max
+
+
+class GraphShard:
+    """Plain-python shard state (actor-wrapped below; also used directly
+    in unit tests)."""
+
+    def __init__(
+        self,
+        adj_path: str,
+        shard_id: int,
+        shard_size: int,
+        n_shards: int,
+        n_vertices: int,
+    ):
+        self.shard_id = shard_id
+        self.shard_size = shard_size
+        self.n_shards = n_shards
+        self.n_vertices = n_vertices
+        self.lo = shard_id * shard_size
+        self.hi = min((shard_id + 1) * shard_size, n_vertices)
+        self.local_n = max(0, self.hi - self.lo)
+
+        dset = pads.dataset(adj_path)
+        tbl = dset.to_table(
+            columns=["src", "dst", "weight"],
+            filter=(pads.field("src") >= self.lo) & (pads.field("src") < self.hi),
+        )
+        src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64) - self.lo
+        dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = tbl["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+
+        # out-weight over the directed expansion == undirected incident
+        # weight sum (SimpleGraph.kt:149-152)
+        self.out_weight = np.bincount(src, weights=w, minlength=self.local_n)
+
+        # group by destination shard; within each, sort by dst for
+        # reduceat-style reductions
+        t = dst // shard_size
+        order = np.lexsort((dst, t))
+        src, dst, w, t = src[order], dst[order], w[order], t[order]
+        bounds = np.searchsorted(t, np.arange(n_shards + 1))
+        self.by_dst_shard: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+        for ti in range(n_shards):
+            a, b = bounds[ti], bounds[ti + 1]
+            d_local = dst[a:b] - ti * shard_size
+            s_slice = src[a:b]
+            w_slice = w[a:b]
+            # reduceat starts for unique dsts (sorted within shard slice)
+            if b > a:
+                starts = np.concatenate([[0], np.nonzero(np.diff(d_local))[0] + 1])
+                uniq_dst = d_local[starts]
+            else:
+                starts = np.zeros(0, dtype=np.int64)
+                uniq_dst = np.zeros(0, dtype=np.int64)
+            self.by_dst_shard.append((s_slice, d_local, w_slice, starts.astype(np.int64)))
+        self._uniq_dst = [
+            (d[st] if len(st) else np.zeros(0, dtype=np.int64))
+            for (_, d, _, st) in self.by_dst_shard
+        ]
+        self.edge_count = len(src)
+
+        # mutable per-algorithm state
+        self.scores: np.ndarray | None = None  # (local_n, B) float64
+        self.reset: np.ndarray | None = None  # (local_n, B) float64, normalized
+        self.labels: np.ndarray | None = None  # (local_n,) int64
+
+    # ------------------------------------------------------------------
+    # PPR / PageRank
+    # ------------------------------------------------------------------
+
+    def ppr_init(self, reset_shard: np.ndarray | None, n_queries: int) -> np.ndarray:
+        """Set unnormalized reset slice ((local_n, B) or None=uniform);
+        returns local reset column sums for global normalization."""
+        b = n_queries
+        if reset_shard is None:
+            self.reset = np.ones((self.local_n, b), dtype=np.float64)
+        else:
+            self.reset = np.asarray(reset_shard, dtype=np.float64).reshape(self.local_n, b)
+        self.scores = np.full((self.local_n, b), 1.0 / max(self.n_vertices, 1))
+        return self.reset.sum(axis=0)
+
+    def ppr_normalize_reset(self, totals: np.ndarray) -> None:
+        """Normalize reset by global sums; all-zero columns -> uniform
+        (SimpleGraph.kt:139)."""
+        totals = np.asarray(totals, dtype=np.float64)
+        out = np.empty_like(self.reset)
+        nz = totals > 0
+        out[:, nz] = self.reset[:, nz] / totals[nz]
+        out[:, ~nz] = 1.0 / max(self.n_vertices, 1)
+        self.reset = out
+
+    def dangling_sum(self, active: np.ndarray) -> np.ndarray:
+        """Sum of scores of zero-out-weight vertices, per active column."""
+        mask = self.out_weight == 0.0
+        return self.scores[np.ix_(mask, active)].sum(axis=0)
+
+    def ppr_scatter(self, damping: float, active: np.ndarray):
+        """Per destination shard: dense (S_t, B_active) partial
+        contribution arrays (damping * score / out_weight * w)."""
+        contrib = np.zeros((self.local_n, len(active)))
+        nzm = self.out_weight > 0.0
+        contrib[nzm] = (
+            damping * self.scores[np.ix_(nzm, active)] / self.out_weight[nzm, None]
+        )
+        outs = []
+        for ti in range(self.n_shards):
+            s_slice, d_local, w_slice, _ = self.by_dst_shard[ti]
+            size = min(self.shard_size, self.n_vertices - ti * self.shard_size)
+            part = np.zeros((size, len(active)))
+            if len(s_slice):
+                vals = contrib[s_slice] * w_slice[:, None]
+                for c in range(len(active)):
+                    part[:, c] = np.bincount(d_local, weights=vals[:, c], minlength=size)
+            outs.append(part)
+        return tuple(outs) if self.n_shards > 1 else (outs[0],)
+
+    def ppr_gather(
+        self,
+        damping: float,
+        dangling: np.ndarray,
+        active: np.ndarray,
+        *partials: np.ndarray,
+    ) -> np.ndarray:
+        """next = (1-d)*reset + d*dangling*reset + sum(partials); update
+        active columns in place; return per-column L1 delta."""
+        reset = self.reset[:, active]
+        nxt = (1.0 - damping) * reset + damping * dangling[None, :] * reset
+        for p in partials:
+            if isinstance(p, tuple):  # n_shards == 1: scatter ref is a 1-tuple
+                p = p[0]
+            nxt += p
+        old = self.scores[:, active]
+        delta = np.abs(nxt - old).sum(axis=0)
+        self.scores[:, active] = nxt
+        return delta
+
+    def scores_table(self, query_idx: int = 0) -> pa.Table:
+        vids = np.arange(self.lo, self.hi, dtype=np.int64)
+        return pa.table(
+            {"vid": vids, "score": self.scores[:, query_idx].astype(np.float64)}
+        )
+
+    def scores_matrix(self) -> np.ndarray:
+        return self.scores.copy()
+
+    # ------------------------------------------------------------------
+    # Connected components (min-label propagation w/ self label)
+    # ------------------------------------------------------------------
+
+    def cc_init(self) -> None:
+        self.labels = np.arange(self.lo, self.hi, dtype=np.int64)
+
+    def cc_scatter(self):
+        outs = []
+        for ti in range(self.n_shards):
+            s_slice, d_local, _, starts = self.by_dst_shard[ti]
+            size = min(self.shard_size, self.n_vertices - ti * self.shard_size)
+            part = np.full(size, _I64_MAX, dtype=np.int64)
+            if len(s_slice):
+                mins = np.minimum.reduceat(self.labels[s_slice], starts)
+                part[self._uniq_dst[ti]] = mins
+            outs.append(part)
+        return tuple(outs) if self.n_shards > 1 else (outs[0],)
+
+    def cc_gather(self, *partials: np.ndarray) -> int:
+        nxt = self.labels.copy()
+        for p in partials:
+            if isinstance(p, tuple) and len(p) == 1:
+                p = p[0]
+            np.minimum(nxt, p, out=nxt)
+        changed = int((nxt != self.labels).sum())
+        self.labels = nxt
+        return changed
+
+    def labels_table(self, col: str = "component") -> pa.Table:
+        vids = np.arange(self.lo, self.hi, dtype=np.int64)
+        return pa.table({"vid": vids, col: self.labels.copy()})
+
+    # ------------------------------------------------------------------
+    # Label propagation (synchronous, weighted max-vote, min tie-break)
+    # ------------------------------------------------------------------
+
+    def lp_init(self) -> None:
+        self.labels = np.arange(self.lo, self.hi, dtype=np.int64)
+
+    def lp_scatter(self):
+        """Per destination shard: locally combined sparse votes
+        (dst_local, label, wsum)."""
+        outs = []
+        for ti in range(self.n_shards):
+            s_slice, d_local, w_slice, _ = self.by_dst_shard[ti]
+            if len(s_slice) == 0:
+                outs.append(
+                    (
+                        np.zeros(0, dtype=np.int64),
+                        np.zeros(0, dtype=np.int64),
+                        np.zeros(0, dtype=np.float64),
+                    )
+                )
+                continue
+            labs = self.labels[s_slice]
+            order = np.lexsort((labs, d_local))
+            d2, l2, w2 = d_local[order], labs[order], w_slice[order]
+            new_group = np.concatenate([[True], (np.diff(d2) != 0) | (np.diff(l2) != 0)])
+            starts = np.nonzero(new_group)[0]
+            wsum = np.add.reduceat(w2, starts)
+            outs.append((d2[starts], l2[starts], wsum))
+        return tuple(outs) if self.n_shards > 1 else (outs[0],)
+
+    def lp_gather(self, *partials) -> int:
+        # n_shards == 1: each partial ref is a 1-tuple around the triple
+        partials = [p[0] if (isinstance(p, tuple) and len(p) == 1 and isinstance(p[0], tuple)) else p for p in partials]
+        ds = np.concatenate([p[0] for p in partials])
+        ls = np.concatenate([p[1] for p in partials])
+        ws = np.concatenate([p[2] for p in partials])
+        nxt = self.labels.copy()
+        if len(ds):
+            order = np.lexsort((ls, ds))
+            d2, l2, w2 = ds[order], ls[order], ws[order]
+            new_group = np.concatenate([[True], (np.diff(d2) != 0) | (np.diff(l2) != 0)])
+            starts = np.nonzero(new_group)[0]
+            wsum = np.add.reduceat(w2, starts)
+            d3, l3 = d2[starts], l2[starts]
+            # winner per dst: max wsum, tie -> smallest label.  Sort by
+            # (dst asc, wsum desc, label asc), pick first per dst.
+            order2 = np.lexsort((l3, -wsum, d3))
+            d4 = d3[order2]
+            first = np.concatenate([[True], np.diff(d4) != 0])
+            nxt[d4[first]] = l3[order2][first]
+        changed = int((nxt != self.labels).sum())
+        self.labels = nxt
+        return changed
+
+    def get_edge_count(self) -> int:
+        return int(self.edge_count)
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+
+    def save_state(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        cols: dict[str, pa.Array] = {
+            "vid": pa.array(np.arange(self.lo, self.hi, dtype=np.int64))
+        }
+        if self.scores is not None:
+            for b in range(self.scores.shape[1]):
+                cols[f"score_{b}"] = pa.array(self.scores[:, b])
+        if self.labels is not None:
+            cols["label"] = pa.array(self.labels)
+        tmp = path + ".tmp"
+        pq.write_table(pa.table(cols), tmp)
+        os.replace(tmp, path)
+
+    def load_state(self, path: str, n_queries: int = 0) -> None:
+        tbl = pq.read_table(path)
+        if n_queries:
+            self.scores = np.stack(
+                [tbl[f"score_{b}"].to_numpy() for b in range(n_queries)], axis=1
+            ).astype(np.float64)
+        if "label" in tbl.column_names:
+            self.labels = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+GraphShardActor = ray.remote(GraphShard)
+
+
+class ShardedGraph:
+    """Pool of GraphShard actors covering the full vid range."""
+
+    def __init__(
+        self,
+        adj_path: str,
+        n_vertices: int,
+        n_shards: int | None = None,
+        min_shard_size: int = 1024,
+    ):
+        if n_shards is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            n_shards = max(1, min(cpus, -(-n_vertices // min_shard_size)))
+        shard_size = -(-n_vertices // n_shards)  # ceil
+        n_shards = max(1, -(-n_vertices // shard_size))
+        self.n_vertices = n_vertices
+        self.n_shards = n_shards
+        self.shard_size = shard_size
+        self.adj_path = adj_path
+        self.actors = [
+            GraphShardActor.options(num_cpus=1).remote(
+                adj_path, i, shard_size, n_shards, n_vertices
+            )
+            for i in range(n_shards)
+        ]
+        # block until all shards loaded; also the total directed edge
+        # record count (the per-iteration edge-scan volume)
+        self.edge_count = sum(ray.get([a.get_edge_count.remote() for a in self.actors]))
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -1,0 +1,171 @@
+"""Distributed algorithms vs single-process oracles (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from hipporag_ray.algos.iterate import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    personalized_pagerank,
+)
+from hipporag_ray.algos.oracle import (
+    cc_oracle,
+    lp_oracle,
+    pagerank_oracle,
+    ppr_oracle,
+)
+from hipporag_ray.stages.graph_build import build_graph
+from hipporag_ray.state.csr import ShardedGraph
+
+
+@pytest.fixture(scope="module")
+def graph(small_transcripts, tmp_path_factory):
+    out = tmp_path_factory.mktemp("graph_algo")
+    g = build_graph(rd.read_parquet(small_transcripts), str(out))
+    e = g.edges().to_pandas()
+    return g, e
+
+
+def _edge_arrays(e):
+    return (
+        e["src"].to_numpy(np.int64),
+        e["dst"].to_numpy(np.int64),
+        e["weight"].to_numpy(np.float64),
+    )
+
+
+@pytest.mark.parametrize("n_shards", [1, 4])
+def test_pagerank_matches_oracle(graph, n_shards):
+    g, e = graph
+    src, dst, w = _edge_arrays(e)
+    want = pagerank_oracle(g.n_vertices, src, dst, w)
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=n_shards)
+    try:
+        got, metrics = pagerank(sg)
+        assert got.shape == (g.n_vertices, 1)
+        np.testing.assert_allclose(got[:, 0], want, atol=1e-6)
+        assert metrics[-1]["l1_delta"] < 1e-6 or len(metrics) == 100
+        # scores sum ~1
+        assert abs(got.sum() - 1.0) < 1e-6
+    finally:
+        sg.shutdown()
+
+
+def test_ppr_sparse_reset_multi_query(graph):
+    g, e = graph
+    src, dst, w = _edge_arrays(e)
+    rng = np.random.default_rng(0)
+    queries = []
+    for _ in range(3):
+        vids = rng.choice(g.n_vertices, size=5, replace=False)
+        weights = rng.random(5)
+        queries.append((vids, weights))
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=3)
+    try:
+        got, _ = personalized_pagerank(sg, resets=queries, n_queries=3)
+        for b, (vids, weights) in enumerate(queries):
+            reset = np.zeros(g.n_vertices)
+            reset[vids] = weights
+            want = ppr_oracle(g.n_vertices, src, dst, w, reset=reset)
+            np.testing.assert_allclose(got[:, b], want, atol=1e-6)
+    finally:
+        sg.shutdown()
+
+
+def test_ppr_all_zero_reset_uniform_fallback(graph):
+    g, e = graph
+    src, dst, w = _edge_arrays(e)
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=2)
+    try:
+        got, _ = personalized_pagerank(
+            sg, resets=np.zeros((g.n_vertices, 1)), n_queries=1
+        )
+        want = ppr_oracle(g.n_vertices, src, dst, w, reset=np.zeros(g.n_vertices))
+        np.testing.assert_allclose(got[:, 0], want, atol=1e-6)
+    finally:
+        sg.shutdown()
+
+
+def test_cc_and_lp_match_oracle(graph):
+    g, e = graph
+    src, dst, w = _edge_arrays(e)
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=4)
+    try:
+        comp, _ = connected_components(sg)
+        np.testing.assert_array_equal(comp, cc_oracle(g.n_vertices, src, dst))
+        labels, _ = label_propagation(sg, max_iter=5)
+        np.testing.assert_array_equal(labels, lp_oracle(g.n_vertices, src, dst, w, max_iter=5))
+    finally:
+        sg.shutdown()
+
+
+def test_dangling_and_isolated_vertices(tmp_path):
+    """Hand-built graph: path 0-1-2, isolated 3 and 4 (dangling: no
+    out-weight -> their mass redistributes through reset,
+    SimpleGraph.kt:158-166)."""
+    src = np.array([0, 1], dtype=np.int64)
+    dst = np.array([1, 2], dtype=np.int64)
+    w = np.array([1.0, 2.0])
+    n = 5
+    adj = pa.table(
+        {
+            "src": np.concatenate([src, dst]),
+            "dst": np.concatenate([dst, src]),
+            "weight": np.concatenate([w, w]),
+            "etype": ["fact"] * 4,
+        }
+    )
+    adj = adj.sort_by("src")
+    adj_dir = tmp_path / "adj"
+    os.makedirs(adj_dir)
+    pq.write_table(adj, str(adj_dir / "part-0.parquet"))
+
+    sg = ShardedGraph(str(adj_dir), n, n_shards=2)
+    try:
+        got, _ = pagerank(sg)
+        want = pagerank_oracle(n, src, dst, w)
+        np.testing.assert_allclose(got[:, 0], want, atol=1e-6)
+        comp, _ = connected_components(sg)
+        np.testing.assert_array_equal(comp, cc_oracle(n, src, dst))
+    finally:
+        sg.shutdown()
+
+
+def test_ppr_resume_bit_identical(graph, tmp_path):
+    """Kill after iteration K, resume from checkpoint, compare final
+    scores vs uninterrupted — bit-identical (FIXTURES.md §3)."""
+    g, e = graph
+    ck1 = str(tmp_path / "ck_full")
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=3)
+    try:
+        full, _ = personalized_pagerank(sg, n_queries=1, checkpoint_dir=ck1, checkpoint_every=2)
+    finally:
+        sg.shutdown()
+
+    ck2 = str(tmp_path / "ck_resume")
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=3)
+    try:
+        personalized_pagerank(
+            sg, n_queries=1, max_iter=4, checkpoint_dir=ck2, checkpoint_every=2
+        )
+    finally:
+        sg.shutdown()
+    # fresh pool resumes from iter 4
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=3)
+    try:
+        resumed, metrics = personalized_pagerank(
+            sg, n_queries=1, checkpoint_dir=ck2, checkpoint_every=2, resume=True
+        )
+        assert metrics[0]["iter"] == 5  # continued, not restarted
+        np.testing.assert_array_equal(resumed, full)
+    finally:
+        sg.shutdown()

@@ -1,0 +1,115 @@
+"""Graph build tests: edge weights and vertices vs a brute-force
+python reconstruction of the reference semantics."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from hipporag_ray.stages.graph_build import build_graph, load_graph
+
+
+def brute_force_graph(transcripts_dir: str, min_token_len: int = 3):
+    """Pure-python twin of the build: content-dedup chunks, per-chunk
+    distinct tokens, symmetric pair counts, passage edges."""
+    import glob
+
+    import pandas as pd
+
+    df = pd.concat(
+        [pq.read_table(p).to_pandas() for p in sorted(glob.glob(f"{transcripts_dir}/*.parquet"))]
+    )
+    chunks = {}
+    for t in df["text"]:
+        ck = "chunk-" + hashlib.md5(t.encode()).hexdigest()
+        if ck not in chunks:
+            norm = re.sub("[^A-Za-z0-9 ]", " ", t.lower()).strip()
+            toks = sorted({w for w in norm.split() if len(w) >= min_token_len})
+            chunks[ck] = toks
+    fact = Counter()
+    passage = set()
+    vkeys = {}
+    for ck, toks in chunks.items():
+        vkeys[ck] = "chunk"
+        keys = ["entity-" + hashlib.md5(t.encode()).hexdigest() for t in toks]
+        for k in keys:
+            vkeys[k] = "entity"
+            passage.add((ck, k))
+        for a, b in itertools.permutations(keys, 2):
+            fact[(a, b)] += 1
+    return chunks, fact, passage, vkeys
+
+
+@pytest.fixture(scope="module")
+def built(small_transcripts, tmp_path_factory):
+    out = tmp_path_factory.mktemp("graph_small")
+    g = build_graph(rd.read_parquet(small_transcripts), str(out))
+    return small_transcripts, g
+
+
+def test_vertices_dense_sorted(built):
+    _, g = built
+    v = g.vertices().to_pandas().sort_values("vid")
+    assert list(v["vid"]) == list(range(len(v)))
+    assert list(v["node_key"]) == sorted(v["node_key"])
+    assert g.n_vertices == len(v)
+
+
+def test_edges_match_brute_force(built):
+    tdir, g = built
+    chunks, fact, passage, vkeys = brute_force_graph(tdir)
+
+    v = g.vertices().to_pandas()
+    key_of = dict(zip(v["vid"], v["node_key"]))
+    e = g.edges().to_pandas()
+    got_fact = {
+        (key_of[r.src], key_of[r.dst]): r.weight
+        for r in e[e.etype == "fact"].itertuples()
+    }
+    got_passage = {
+        (key_of[r.src], key_of[r.dst]) for r in e[e.etype == "passage"].itertuples()
+    }
+    assert got_fact == {k: float(w) for k, w in fact.items()}
+    assert got_passage == passage
+    # symmetric insertion (HippoRAG.py:763-769)
+    for (a, b), w in got_fact.items():
+        assert got_fact[(b, a)] == w
+    # no self loops (HippoRAG.py:1064)
+    assert (e.src != e.dst).all()
+    # vertex kinds
+    kinds = dict(zip(v["node_key"], v["kind"]))
+    assert kinds == vkeys
+
+
+def test_adjacency_expansion(built):
+    _, g = built
+    e = g.edges().to_pandas()
+    adj = g.adj().to_pandas()
+    assert len(adj) == 2 * len(e)
+    # out-weight in adj doubles fact weights relative to record weights
+    # (both orientations present as records, each expanded)
+    want = Counter()
+    for r in e.itertuples():
+        want[(r.src, r.dst)] += r.weight
+        want[(r.dst, r.src)] += r.weight
+    got = Counter()
+    for r in adj.itertuples():
+        got[(r.src, r.dst)] += r.weight
+    assert got == want
+    # sorted by src (row-group pruning contract)
+    assert (np.diff(adj["src"].to_numpy()) >= 0).all()
+
+
+def test_manifest_roundtrip(built):
+    _, g = built
+    g2 = load_graph(g.out_dir)
+    assert g2.n_vertices == g.n_vertices
+    assert g2.n_edges == g.n_edges
