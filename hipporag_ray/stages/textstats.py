@@ -1,0 +1,156 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All are single-pass ``map_batches`` transforms (vectorized pyarrow /
+numpy; the per-row work is numpy over short token lists).  The
+normalization rule is the reference's ``text_processing``
+(misc_utils.py:54-59) so results compose with the graph stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions.hashing import md5_hex
+from ..functions.text import text_processing, tokenize
+
+_STOPWORDS = {
+    "en": {"the", "a", "an", "and", "of", "to", "in", "is", "it", "that"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "que", "dans"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "que", "en"},
+    "it": {"il", "la", "gli", "e", "un", "una", "di", "che", "per", "non"},
+}
+
+
+def token_count(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
+    """(id, n_tokens): whitespace tokens of normalized text."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = tokenize(text_processing(batch[text_col]))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        words = toks.flatten()
+        # splitting '' yields [''] — count only non-empty tokens
+        nonempty = (pc.utf8_length(words).to_numpy(zero_copy_only=False) > 0).astype(np.int64)
+        counts = (
+            np.add.reduceat(nonempty, offs[:-1])
+            if len(words)
+            else np.zeros(len(offs) - 1, dtype=np.int64)
+        )
+        counts[np.diff(offs) == 0] = 0
+        return pa.table({id_col: batch[id_col], "n_tokens": pa.array(counts)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_score(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
+    """(id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+    alnum_ratio): cheap quality heuristics (length / punctuation /
+    stopword-density family)."""
+    stop_en = _STOPWORDS["en"]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        norm = text_processing(text)
+        toks = tokenize(norm)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        words = toks.flatten().to_numpy(zero_copy_only=False)
+        # whole-array token stats, then segment-reduce per row; splitting
+        # '' yields [''] so count only non-empty tokens
+        wlen = np.array([len(w) for w in words], dtype=np.float64)
+        nonempty = (wlen > 0).astype(np.int64)
+        counts = (
+            np.add.reduceat(nonempty, offs[:-1])
+            if len(words)
+            else np.zeros(len(offs) - 1, dtype=np.int64)
+        )
+        isstop = np.array([w in stop_en for w in words], dtype=np.float64)
+        starts = offs[:-1]
+        tot_len = np.add.reduceat(wlen, starts) if len(words) else np.zeros(len(counts))
+        tot_stop = np.add.reduceat(isstop, starts) if len(words) else np.zeros(len(counts))
+        tot_len[counts == 0] = 0
+        tot_stop[counts == 0] = 0
+        denom = np.maximum(counts, 1).astype(np.float64)
+        # alnum ratio on the raw text
+        alnum = pc.utf8_length(pc.replace_substring_regex(text, pattern="[^A-Za-z0-9]", replacement=""))
+        alnum_ratio = np.divide(
+            alnum.to_numpy(zero_copy_only=False).astype(np.float64),
+            np.maximum(n_chars.to_numpy(zero_copy_only=False), 1),
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_chars": n_chars,
+                "n_tokens": pa.array(counts.astype(np.int64)),
+                "avg_token_len": pa.array(tot_len / denom),
+                "stopword_ratio": pa.array(tot_stop / denom),
+                "alnum_ratio": pa.array(alnum_ratio),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class LangId:
+    """Actor-pool stage: stopword-hit language ID (deterministic
+    heuristic; ties break alphabetically, 'und' when no hits)."""
+
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col, self.id_col = text_col, id_col
+        self.langs = sorted(_STOPWORDS)
+        self.tables = [_STOPWORDS[l] for l in self.langs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        norm = text_processing(batch[self.text_col]).to_pylist()
+        preds = []
+        for t in norm:
+            toks = t.split()
+            hits = [sum(w in tab for w in toks) for tab in self.tables]
+            best = max(hits)
+            preds.append(self.langs[hits.index(best)] if best > 0 else "und")
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "lang_pred": pa.array(preds, type=pa.string()),
+            }
+        )
+
+
+def lang_id(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
+    return ds.map_batches(
+        LangId,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def fingerprint(
+    ds: "rd.Dataset", text_col: str, id_col: str, n: int = 5
+) -> "rd.Dataset":
+    """(id, fp): document fingerprint = lexicographic min of md5 over
+    word n-gram shingles of the normalized text ('' when shorter than
+    n tokens).  SQL-expressible, so it carries a DuckDB oracle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        norm = text_processing(batch[text_col]).to_pylist()
+        fps = []
+        for t in norm:
+            toks = t.split()
+            if len(toks) < n:
+                fps.append("")
+                continue
+            shingles = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            fps.append(min(md5_hex(np.array(shingles, dtype=object)).to_pylist()))
+        return pa.table({id_col: batch[id_col], "fp": pa.array(fps, type=pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

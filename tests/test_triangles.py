@@ -1,0 +1,71 @@
+"""Triangle counting vs brute-force oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from hipporag_ray.algos.oracle import triangles_oracle
+from hipporag_ray.algos.triangles import triangle_count
+from hipporag_ray.stages.graph_build import build_graph
+
+
+def _edges_ds(src, dst):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+                "weight": pa.array(np.ones(len(src))),
+                "etype": pa.array(["fact"] * len(src)),
+            }
+        )
+    )
+
+
+def test_triangle_small_known():
+    # K4 has 4 triangles, each vertex in 3
+    src, dst = [], []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            src.append(i)
+            dst.append(j)
+    total, per = triangle_count(_edges_ds(src, dst), 4)
+    assert total == 4
+    assert per.tolist() == [3, 3, 3, 3]
+
+
+def test_triangle_with_parallel_and_self_edges():
+    # duplicates/self-loops/both orientations must not change the count
+    src = [0, 1, 0, 2, 1, 0, 3, 3]
+    dst = [1, 0, 2, 0, 2, 0, 3, 0]
+    total, per = triangle_count(_edges_ds(src, dst), 4)
+    want_total, want_per = triangles_oracle(4, np.array(src), np.array(dst))
+    assert total == want_total == 1
+    np.testing.assert_array_equal(per, want_per)
+
+
+def test_triangle_random_vs_oracle():
+    rng = np.random.default_rng(3)
+    n = 60
+    m = 400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    total, per = triangle_count(_edges_ds(src, dst), n)
+    want_total, want_per = triangles_oracle(n, src, dst)
+    assert total == want_total
+    np.testing.assert_array_equal(per, want_per)
+
+
+def test_triangle_on_built_graph(small_transcripts, tmp_path):
+    g = build_graph(rd.read_parquet(small_transcripts), str(tmp_path / "g"))
+    e = g.edges().to_pandas()
+    total, per = triangle_count(g.edges(), g.n_vertices)
+    want_total, want_per = triangles_oracle(
+        g.n_vertices, e["src"].to_numpy(), e["dst"].to_numpy()
+    )
+    assert total == want_total
+    np.testing.assert_array_equal(per, want_per)

@@ -1,0 +1,109 @@
+"""Driver-mimicking correctness harness: run every queries() entry and
+compare SQL-checked ones against DuckDB (row count + column names +
+order-insensitive value hash).  Usage:
+
+    python tools/check_queries.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    payload = df.to_csv(index=False, float_format="%.9g").encode()
+    return hashlib.md5(payload).hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            mine = to_pandas(fn(sf_dir))
+        except Exception as ex:
+            print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        took = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows={len(mine)} ({took:.1f}s) [rows-only]")
+            n_pass += 1
+            continue
+        try:
+            want = con.sql(oracles[name]).df()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle SQL raised {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(mine) != len(want):
+            problems.append(f"rows {len(mine)} != {len(want)}")
+        if sorted(mine.columns) != sorted(want.columns):
+            problems.append(f"cols {sorted(mine.columns)} != {sorted(want.columns)}")
+        if not problems and value_hash(mine) != value_hash(want):
+            problems.append("value hash mismatch")
+            a = mine.reindex(sorted(mine.columns), axis=1).sort_values(sorted(mine.columns)).reset_index(drop=True)
+            b = want.reindex(sorted(want.columns), axis=1).sort_values(sorted(want.columns)).reset_index(drop=True)
+            neq = (a != b) & ~(a.isna() & b.isna())
+            bad = neq.any(axis=1)
+            print(a[bad].head(3))
+            print(b[bad].head(3))
+            if bad.sum() == 0:
+                problems[-1] = "hash mismatch but frames equal (dtype/format diff)"
+                print("dtypes mine:", dict(a.dtypes), "oracle:", dict(b.dtypes))
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)} ({took:.1f}s)")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: rows={len(mine)} ({took:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    ray.shutdown()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
