@@ -1,0 +1,220 @@
+"""Benchmark harness (driver contract, SURVEY.md §7.2 step 12).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) at ``$RAY_GRAFT_CPUS`` CPUs (default 32) and
+prints ONE JSON line.  The headline metric is the BASELINE.json north
+star: PPR edge-traversals/sec per iteration to 1e-6 convergence on the
+transcript-derived entity graph.
+
+``--scaling`` runs the same input at two parallelism levels (8 and 32
+CPUs) in fresh processes and reports both throughputs plus the scaling
+efficiency (sandbox substitute for N vs 4N nodes per the driver
+instruction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def bench_transcripts_for(sf_dir: str) -> str:
+    """Dense transcripts (16 entities/turn) — the PPR iteration must be
+    compute-dominated for the throughput metric to mean anything."""
+    from hipporag_ray.pipelines.queries import sf_of
+    from hipporag_ray.synth import write_transcripts
+
+    sf = sf_of(sf_dir)
+    return write_transcripts(
+        f"/tmp/hipporag_ray/btx_sf{sf}",
+        n_convs=max(50, int(100_000 * sf)),
+        turns_per_conv=10,
+        vocab=max(100, int(20_000 * sf)),
+        entities_per_turn=16,
+        seed=42,
+        shards=32,
+    )
+
+
+def run_bench(sf_dir: str, ncpu: int) -> dict:
+    # honest parallelism for the scaling comparison: Ray's num_cpus is
+    # scheduler bookkeeping, not pinning — restrict the process tree's
+    # affinity so an "8 CPU" level cannot borrow the other 24 cores
+    aff = os.environ.get("GRAFT_AFFINITY")
+    if aff:
+        os.sched_setaffinity(0, set(range(int(aff))))
+
+    import ray
+    import ray.data as rd
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from hipporag_ray.algos.iterate import (
+        connected_components,
+        pagerank,
+        personalized_pagerank,
+    )
+    from hipporag_ray.pipelines.queries import q_events_hourly, q_lineitem_pricing, sf_of
+    from hipporag_ray.stages.graph_build import build_graph
+    from hipporag_ray.state.csr import ShardedGraph
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    sf = sf_of(sf_dir)
+
+    # --- input (same transcripts at every parallelism level; synth cached) ---
+    tx_dir = bench_transcripts_for(sf_dir)
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    rd.read_parquet(tx_dir).count()
+
+    # --- 1. graph ETL: read -> extract -> aggregate -> write ---
+    out_dir = f"/tmp/hipporag_ray/bench_graph_sf{sf}_cpu{ncpu}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    g = build_graph(rd.read_parquet(tx_dir), out_dir)
+    timings["graph_build"] = time.perf_counter() - t0
+    extra["n_vertices"] = g.n_vertices
+    extra["n_edge_records"] = g.n_edges
+
+    # fresh session for the iteration phase: the build leaves ~n_cpus idle
+    # Dataset workers + fragmented plasma behind, which measured up to
+    # 40% throughput noise on the actor all-to-all
+    ray.shutdown()
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+
+    # --- 2. shard load ---
+    t0 = time.perf_counter()
+    sg = ShardedGraph(g.adj_path, g.n_vertices)
+    timings["shard_load"] = time.perf_counter() - t0
+    extra["adj_records"] = sg.edge_count
+    extra["n_shards"] = sg.n_shards
+
+    try:
+        # --- 3. PageRank to 1e-6 convergence ---
+        t0 = time.perf_counter()
+        _, m = pagerank(sg)
+        timings["pagerank"] = time.perf_counter() - t0
+        extra["pagerank_iters"] = len(m)
+
+        # --- 4. headline: batched PPR, 64 sparse resets, median of 3 reps ---
+        rng = np.random.default_rng(42)
+        B = 64
+        resets = [
+            (rng.choice(g.n_vertices, size=8, replace=False), np.ones(8)) for _ in range(B)
+        ]
+        personalized_pagerank(sg, resets=resets, n_queries=B)  # untimed warmup
+        reps = []
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _, m = personalized_pagerank(sg, resets=resets, n_queries=B)
+            traversals = sum(r["edge_records_scanned"] for r in m)
+            wall = sum(r["wall_s"] for r in m)
+            reps.append(traversals / wall if wall else 0.0)
+        timings["ppr_batch64_x3"] = time.perf_counter() - t0
+        extra["ppr_iters"] = len(m)
+        extra["ppr_edge_traversals"] = traversals
+        extra["ppr_edges_per_sec"] = float(np.median(reps))
+        extra["ppr_edges_per_sec_reps"] = [round(r / 1e6, 1) for r in reps]
+
+        # --- 5. connected components ---
+        t0 = time.perf_counter()
+        connected_components(sg)
+        timings["connected_components"] = time.perf_counter() - t0
+    finally:
+        sg.shutdown()
+
+    # --- 6. relational pipelines on the real sf tables ---
+    t0 = time.perf_counter()
+    q_lineitem_pricing(sf_dir)
+    timings["lineitem_pricing"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    q_events_hourly(sf_dir).count()
+    timings["events_hourly"] = time.perf_counter() - t0
+
+    ray.shutdown()
+    return {
+        "metric": "flagship transcript-graph pipeline wall time (build + pagerank + "
+        "16-query PPR + CC); ppr_edges_per_sec is the north-star throughput",
+        "value": round(
+            timings["graph_build"]
+            + timings["shard_load"]
+            + timings["pagerank"]
+            + timings["ppr_batch64_x3"]
+            + timings["connected_components"],
+            3,
+        ),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "num_cpus": ncpu,
+        **{k: (round(v, 1) if isinstance(v, float) else v) for k, v in extra.items()},
+    }
+
+
+def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
+    results = {}
+    for ncpu in levels:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=sf_dir,
+            GRAFT_AFFINITY=str(ncpu),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    lo, hi = levels
+    eps_lo = results[lo]["ppr_edges_per_sec"]
+    eps_hi = results[hi]["ppr_edges_per_sec"]
+    t_lo = results[lo]["value"]
+    t_hi = results[hi]["value"]
+    return {
+        "metric": "throughput scaling efficiency, PPR edge-traversals/sec, "
+        f"{lo} vs {hi} CPUs (fresh processes, same input)",
+        "levels": {
+            str(lo): {"sec": t_lo, "ppr_edges_per_sec": eps_lo},
+            str(hi): {"sec": t_hi, "ppr_edges_per_sec": eps_hi},
+        },
+        "ppr_scaling_efficiency": round((eps_hi / eps_lo) / (hi / lo), 3),
+        "wall_scaling_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+        "sf": results[hi]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, ncpu)))

@@ -44,18 +44,9 @@ from ..state.csr import ShardedGraph
 # ---------------------------------------------------------------------------
 
 
-def _scatter_refs(bound_method, n_shards: int, *args):
-    """Invoke an actor scatter method returning one value per dst shard."""
-    if n_shards == 1:
-        return [bound_method.remote(*args)]  # ref to a 1-tuple; gather unwraps
-    return list(bound_method.options(num_returns=n_shards).remote(*args))
-
-
 def _shard_slices(sg: ShardedGraph, dense: np.ndarray):
     for i in range(sg.n_shards):
-        lo = i * sg.shard_size
-        hi = min(lo + sg.shard_size, sg.n_vertices)
-        yield dense[lo:hi]
+        yield dense[sg.bounds[i] : sg.bounds[i + 1]]
 
 
 def _resets_to_dense(sg: ShardedGraph, resets, n_queries: int) -> np.ndarray | None:
@@ -86,7 +77,7 @@ class _Checkpointer:
                 "algo": algo,
                 "n_vertices": sg.n_vertices,
                 "n_shards": sg.n_shards,
-                "shard_size": sg.shard_size,
+                "bounds": sg.bounds.tolist(),
                 "adj_path": sg.adj_path,
                 "edge_records": sg.edge_count,
                 **meta,
@@ -127,6 +118,7 @@ class _Checkpointer:
             manifest.get("n_shards") != self.sg.n_shards
             or manifest.get("n_vertices") != self.sg.n_vertices
             or manifest.get("adj_path") != self.sg.adj_path
+            or manifest.get("bounds") != self.sg.bounds.tolist()
         ):
             return None  # lineage mismatch: different input or partitioning
         for entry in reversed(manifest["iters"]):
@@ -196,26 +188,23 @@ def personalized_pagerank(
         if len(active) == 0:
             break
         t0 = time.perf_counter()
-        dang = np.sum(ray.get([a.dangling_sum.remote(active) for a in sg.actors]), axis=0)
-        parts = [_scatter_refs(a.ppr_scatter, P, damping, active) for a in sg.actors]
+        # pull model: one (contrib, dangling) message per shard, then every
+        # owner segment-reduces its incoming edges against the broadcast
+        contrib_refs = [a.ppr_contrib.remote(damping, active) for a in sg.actors]
         deltas = ray.get(
-            [
-                sg.actors[t].ppr_gather.remote(
-                    damping, dang, active, *[parts[i][t] for i in range(P)]
-                )
-                for t in range(P)
-            ]
+            [a.ppr_pull.remote(damping, active, contrib_refs) for a in sg.actors]
         )
         delta = np.sum(deltas, axis=0)
         wall = time.perf_counter() - t0
+        scanned = sg.edge_count * len(active)  # traversals = records x active query columns
         rec = {
             "iter": it + 1,
             "algo": "ppr",
             "l1_delta": float(delta.sum()),
             "active_queries": int(len(active)),
-            "edge_records_scanned": sg.edge_count,
+            "edge_records_scanned": scanned,
             "wall_s": wall,
-            "edges_per_sec": sg.edge_count / wall if wall > 0 else None,
+            "edges_per_sec": scanned / wall if wall > 0 else None,
         }
         metrics.append(rec)
         ck.metric(rec)
@@ -266,15 +255,8 @@ def connected_components(
     metrics: list[dict] = []
     for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
-        parts = [_scatter_refs(a.cc_scatter, P) for a in sg.actors]
-        changed = sum(
-            ray.get(
-                [
-                    sg.actors[t].cc_gather.remote(*[parts[i][t] for i in range(P)])
-                    for t in range(P)
-                ]
-            )
-        )
+        label_refs = [a.labels_msg.remote() for a in sg.actors]
+        changed = sum(ray.get([a.cc_pull.remote(label_refs) for a in sg.actors]))
         wall = time.perf_counter() - t0
         rec = {
             "iter": it + 1,
@@ -318,15 +300,8 @@ def label_propagation(
     metrics: list[dict] = []
     for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
-        parts = [_scatter_refs(a.lp_scatter, P) for a in sg.actors]
-        changed = sum(
-            ray.get(
-                [
-                    sg.actors[t].lp_gather.remote(*[parts[i][t] for i in range(P)])
-                    for t in range(P)
-                ]
-            )
-        )
+        label_refs = [a.labels_msg.remote() for a in sg.actors]
+        changed = sum(ray.get([a.lp_pull.remote(label_refs) for a in sg.actors]))
         wall = time.perf_counter() - t0
         rec = {
             "iter": it + 1,

@@ -1,0 +1,250 @@
+"""HippoRAG-style retrieval engine on the Ray-Data graph substrate.
+
+Mirrors the reference lifecycle (HippoRAG.index / retrieve / delete,
+/root/reference/src/hipporag/HippoRAG.py:218-449 and the smoke-test
+flow tests_openai.py:28-103):
+
+* ``index(transcripts)`` — append to the corpus, upsert the chunk /
+  entity embedding stores (idempotent anti-join inserts), rebuild the
+  co-occurrence graph (vertices/edges/adj parquet).  The reference's
+  OpenIE triple extraction is replaced by the deterministic
+  co-occurrence extractor; its embedding models by the seeded
+  HashEmbedder.
+* ``retrieve(queries)`` — entity linking via the dense top-k
+  similarity join (J1, embed_utils.py:6-94), per-phrase weights damped
+  by 1/|chunks(entity)| (HippoRAG.py:1463-1464, A5), DPR passage
+  weights scaled by ``passage_node_weight`` 0.05
+  (HippoRAG.py:1488-1498), reset = phrase + passage weights
+  (HippoRAG.py:1501), batched PPR (damping 0.5, prpack semantics,
+  HippoRAG.py:1593-1606), passages ranked by PPR score (K3), top-k
+  content lookup last (J2, HippoRAG.py:428-430).  All queries run as
+  ONE batched PPR — the reference loops queries sequentially
+  (HippoRAG.py:409); we must not (SURVEY.md §7.4).
+* ``delete(texts)`` — group-wise anti-join semantics
+  (HippoRAG.py:280-361): an entity (and its edges) survives iff some
+  surviving chunk references it; realized here by store deletion +
+  graph rebuild from the surviving corpus, which is exactly that
+  fixpoint.
+
+Persistence layout under ``working_dir``: ``corpus/`` (turn parquet
+parts), ``vdb_chunk/`` / ``vdb_entity/`` (embedding stores),
+``graph/`` (vertices/edges/adj + manifest).  A fresh engine object on
+the same directory reloads everything (tests_openai.py:52-60 parity).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from ..functions.hashing import md5_hex
+from ..functions.text import min_max_normalize, text_processing
+from ..algos.iterate import personalized_pagerank
+from ..stages.extract import ExtractMentions
+from ..stages.graph_build import build_graph, load_graph
+from ..state.csr import ShardedGraph
+from ..state.embedding_store import EmbeddingStore, HashEmbedder
+
+
+class HippoRagEngine:
+    def __init__(
+        self,
+        working_dir: str,
+        dim: int = 64,
+        min_token_len: int = 3,
+        link_top_k: int = 5,
+        passage_node_weight: float = 0.05,
+        damping: float = 0.5,
+    ):
+        self.working_dir = working_dir
+        self.corpus_dir = os.path.join(working_dir, "corpus")
+        self.graph_dir = os.path.join(working_dir, "graph")
+        os.makedirs(self.corpus_dir, exist_ok=True)
+        self.chunk_store = EmbeddingStore(working_dir, "chunk", dim)
+        self.entity_store = EmbeddingStore(working_dir, "entity", dim)
+        self.dim = dim
+        self.min_token_len = min_token_len
+        self.link_top_k = link_top_k
+        self.passage_node_weight = passage_node_weight
+        self.damping = damping
+        self.embedder = HashEmbedder(dim=dim)
+        self._sg: ShardedGraph | None = None
+
+    # ------------------------------------------------------------------
+    # indexing
+    # ------------------------------------------------------------------
+
+    def _corpus_parts(self) -> list[str]:
+        return sorted(
+            os.path.join(self.corpus_dir, f)
+            for f in os.listdir(self.corpus_dir)
+            if f.endswith(".parquet")
+        )
+
+    def corpus(self) -> "rd.Dataset":
+        return rd.read_parquet(self._corpus_parts())
+
+    def index(self, transcripts: "rd.Dataset") -> dict:
+        """Append new turns and rebuild stores + graph (idempotent)."""
+        part = os.path.join(
+            self.corpus_dir, f"part-{len(self._corpus_parts()):05d}.parquet"
+        )
+        tables = [
+            pa.Table.from_batches(t.to_batches())
+            for t in ray.get(transcripts.to_arrow_refs())
+        ]
+        pq.write_table(pa.concat_tables(tables), part)
+        return self._reindex()
+
+    def _reindex(self) -> dict:
+        corpus = self.corpus()
+        # chunk store: turn texts (content-hash dedup on insert)
+        n_chunks = self.chunk_store.insert_strings(
+            corpus.map_batches(
+                lambda b: pa.table({"content": b["text"]}), batch_format="pyarrow"
+            )
+        )
+        # entity store: normalized mention phrases
+        mentions = corpus.map_batches(
+            ExtractMentions(self.min_token_len, include_role_tool=False),
+            batch_format="pyarrow",
+        )
+        n_entities = self.entity_store.insert_strings(
+            mentions.map_batches(
+                lambda b: pa.table({"content": b["entity"]}), batch_format="pyarrow"
+            )
+        )
+        if self._sg is not None:
+            self._sg.shutdown()
+            self._sg = None
+        shutil.rmtree(self.graph_dir, ignore_errors=True)
+        g = build_graph(self.corpus(), self.graph_dir, self.min_token_len)
+        return {"new_chunks": n_chunks, "new_entities": n_entities, "n_vertices": g.n_vertices, "n_edges": g.n_edges}
+
+    def delete(self, texts: list[str]) -> dict:
+        """Delete turns by exact text (HippoRAG.delete semantics)."""
+        del_chunk_ids = set(
+            md5_hex(np.array(texts, dtype=object), prefix="chunk-").to_pylist()
+        )
+        # drop matching turns from the corpus part files
+        for p in self._corpus_parts():
+            t = pq.read_table(p)
+            keys = md5_hex(t["text"], prefix="chunk-").to_pylist()
+            mask = np.array([k not in del_chunk_ids for k in keys])
+            if not mask.all():
+                tmp = p + ".tmp"
+                pq.write_table(t.filter(pa.array(mask)), tmp)
+                os.replace(tmp, p)
+        self.chunk_store.delete(del_chunk_ids)
+        stats = self._reindex()
+        # entity rows whose every referencing chunk was deleted no longer
+        # appear in the rebuilt graph; drop them from the store too
+        # (group-wise anti join, HippoRAG.py:302-345)
+        g = self.graph()
+        live = set(
+            g.vertices().to_pandas().query("kind == 'entity'")["node_key"]
+        )
+        stale = self.entity_store.existing_ids() - live
+        self.entity_store.delete(stale)
+        return stats
+
+    # ------------------------------------------------------------------
+    # retrieval
+    # ------------------------------------------------------------------
+
+    def graph(self):
+        return load_graph(self.graph_dir)
+
+    def _sharded(self) -> ShardedGraph:
+        if self._sg is None:
+            g = self.graph()
+            self._sg = ShardedGraph(g.adj_path, g.n_vertices)
+        return self._sg
+
+    def retrieve(self, queries: list[str], top_k: int = 10) -> list[dict]:
+        g = self.graph()
+        v = g.vertices().to_pandas()
+        ent = v[v["kind"] == "entity"]
+        chunk = v[v["kind"] == "chunk"]
+
+        # |chunks(entity)| damping factors from the passage edges (J4)
+        passage = (
+            g.edges()
+            .filter(lambda r: r["etype"] == "passage")
+            .groupby("dst")
+            .aggregate(Count(alias_name="n_chunks"))
+            .to_pandas()
+        )
+        ent_chunk_count = dict(zip(passage["dst"], passage["n_chunks"]))
+
+        # embeddings aligned to vids via hash_id == node_key
+        ent_emb = self.entity_store.dataset().to_pandas()
+        ent_join = ent.merge(ent_emb, left_on="node_key", right_on="hash_id")
+        ent_vids = ent_join["vid"].to_numpy()
+        ent_mat = np.stack(ent_join["embedding"].to_numpy()).astype(np.float64)
+        chunk_emb = self.chunk_store.dataset().to_pandas()
+        chunk_join = chunk.merge(chunk_emb, left_on="node_key", right_on="hash_id")
+        chunk_vids = chunk_join["vid"].to_numpy()
+        chunk_mat = np.stack(chunk_join["embedding"].to_numpy()).astype(np.float64)
+
+        q_norm = text_processing(pa.array(queries)).to_pylist()
+        q_mat = self.embedder.embed(q_norm).astype(np.float64)
+
+        resets = []
+        dpr_scores = []
+        for qi in range(len(queries)):
+            qv = q_mat[qi]
+            # entity linking (J1 dense top-k) with 1/|chunks| damping (A5)
+            sims = ent_mat @ qv
+            k = min(self.link_top_k, len(sims))
+            top = np.argsort(-sims)[:k]
+            reset_vids = []
+            reset_w = []
+            for idx in top:
+                vid = int(ent_vids[idx])
+                w = float(sims[idx]) / max(ent_chunk_count.get(vid, 1), 1)
+                reset_vids.append(vid)
+                reset_w.append(max(w, 0.0))
+            # DPR passage weights x passage_node_weight (HippoRAG.py:1488-1498)
+            psims = chunk_mat @ qv
+            pw = min_max_normalize(psims) * self.passage_node_weight
+            dpr_scores.append(psims)
+            resets.append(
+                (
+                    np.concatenate([np.array(reset_vids, dtype=np.int64), chunk_vids]),
+                    np.concatenate([np.array(reset_w), pw]),
+                )
+            )
+
+        sg = self._sharded()
+        scores, _ = personalized_pagerank(
+            sg, resets=resets, n_queries=len(queries), damping=self.damping
+        )
+
+        content = dict(zip(chunk["vid"], chunk["content"]))
+        results = []
+        for qi in range(len(queries)):
+            s = scores[chunk_vids, qi]
+            order = np.argsort(-s)[:top_k]
+            results.append(
+                {
+                    "question": queries[qi],
+                    "docs": [content[int(chunk_vids[i])] for i in order],
+                    "doc_scores": s[order].tolist(),
+                }
+            )
+        return results
+
+    def close(self):
+        if self._sg is not None:
+            self._sg.shutdown()
+            self._sg = None

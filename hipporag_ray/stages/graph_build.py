@@ -54,43 +54,35 @@ def _to_chunk_rows(batch: pa.Table) -> pa.Table:
     return pa.table({"chunk_key": md5_hex(text, prefix="chunk-"), "text": text})
 
 
-class ChunkToEntities:
-    """Deduped chunk batch -> per-chunk distinct entity rows
-    (chunk_key, node_key, entity)."""
+class ChunkToIntEdgePartials:
+    """Deduped chunk batch -> locally pre-aggregated *vid-coded* edge
+    partial rows.
 
-    def __init__(self, min_token_len: int = 3):
-        self.min_token_len = min_token_len
+    The vertex dictionary is built before edges and broadcast once
+    (``ray.put``), so pair aggregation shuffles int64 codes instead of
+    39-char md5 key strings — the difference between a string sort
+    shuffle over the pair table and an int one is the dominant cost of
+    the whole build.  Emits per chunk:
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        norm = text_processing(batch["text"])
-        toks = distinct_tokens_per_row(norm, min_len=self.min_token_len)
-        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        counts = np.diff(offsets)
-        ents = toks.flatten().to_numpy(zero_copy_only=False)
-        ckeys = batch["chunk_key"].to_numpy(zero_copy_only=False)
-        rep = np.repeat(np.arange(len(batch)), counts)
-        return pa.table(
-            {
-                "chunk_key": pa.array(ckeys[rep], type=pa.string()),
-                "node_key": entity_key(ents),
-                "entity": pa.array(ents, type=pa.string()),
-            }
-        )
-
-
-class ChunkToEdgePartials:
-    """Deduped chunk batch -> locally pre-aggregated edge partial rows
-    (src_key, dst_key, weight, etype).
-
-    Emits, per chunk: passage records (chunk -> entity, 1.0) and both
-    orientations of every entity pair (weight = within-batch partial
-    co-occurrence count, combined by the downstream groupby-sum).
-    Local pre-aggregation (np.unique over encoded pairs) shrinks the
-    shuffle: Zipf-head pairs repeat heavily within a batch.
+    * passage rows ``(src=chunk_vid, dst=entity_vid, weight=1.0)`` —
+      globally unique already (chunks are deduped), so they bypass the
+      aggregation shuffle entirely;
+    * fact partial rows coded ``src_vid * n_vertices + dst_vid``
+      (both orientations, no self-loops, per-batch pre-summed with
+      np.unique) — requires ``n_vertices**2 < 2**63``; beyond that the
+      code column becomes the (src, dst) pair itself.
     """
 
-    def __init__(self, min_token_len: int = 3):
+    def __init__(self, vmap_ref, n_vertices: int, min_token_len: int = 3):
+        self.vmap_ref = vmap_ref
+        self.n = n_vertices
         self.min_token_len = min_token_len
+        self._vmap = None
+
+    def _lookup(self, keys: np.ndarray) -> np.ndarray:
+        if self._vmap is None:
+            self._vmap = ray.get(self.vmap_ref)
+        return self._vmap.loc[keys].to_numpy(dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         norm = text_processing(batch["text"])
@@ -98,51 +90,42 @@ class ChunkToEdgePartials:
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         ents = toks.flatten().to_numpy(zero_copy_only=False)
         ckeys = batch["chunk_key"].to_numpy(zero_copy_only=False)
-        ekeys = entity_key(ents).to_numpy(zero_copy_only=False)
 
-        # --- passage records (already distinct per chunk) ---
+        ent_vids = self._lookup(entity_key(ents).to_numpy(zero_copy_only=False))
+        chunk_vids = self._lookup(ckeys)
+
+        # --- passage rows (unique by construction) ---
         counts = np.diff(offsets)
         rep = np.repeat(np.arange(len(batch)), counts)
-        p_src = ckeys[rep]
-        p_dst = ekeys
+        p_code = chunk_vids[rep] * self.n + ent_vids
 
-        # --- entity-pair records, both directions ---
-        # local integer coding of entity keys for vectorized counting
-        uniq, inv = np.unique(ekeys, return_inverse=True)
-        n_local = len(uniq)
+        # --- fact pair partials, both orientations ---
         pair_codes: list[np.ndarray] = []
         for i in range(len(batch)):
-            ids = inv[offsets[i] : offsets[i + 1]]
+            ids = ent_vids[offsets[i] : offsets[i + 1]]
             k = len(ids)
             if k < 2:
                 continue
-            a = np.repeat(ids, k)
-            b = np.tile(ids, k)
-            keep = a != b  # both directions, no self loops
-            pair_codes.append(a[keep].astype(np.int64) * n_local + b[keep])
+            A = np.repeat(ids, k)
+            B = np.tile(ids, k)
+            keep = A != B  # both directions, no self loops
+            pair_codes.append(A[keep] * self.n + B[keep])
         if pair_codes:
             codes = np.concatenate(pair_codes)
             code_u, code_n = np.unique(codes, return_counts=True)
-            f_src = uniq[code_u // n_local]
-            f_dst = uniq[code_u % n_local]
-            f_w = code_n.astype(np.float64)
         else:
-            f_src = np.array([], dtype=object)
-            f_dst = np.array([], dtype=object)
-            f_w = np.array([], dtype=np.float64)
+            code_u = np.zeros(0, dtype=np.int64)
+            code_n = np.zeros(0, dtype=np.int64)
 
-        src = np.concatenate([p_src, f_src])
-        dst = np.concatenate([p_dst, f_dst])
-        w = np.concatenate([np.ones(len(p_src)), f_w])
-        etype = np.concatenate(
-            [np.full(len(p_src), "passage", dtype=object), np.full(len(f_src), "fact", dtype=object)]
-        )
+        # single int64 shuffle key: (src*n + dst) * 2 + is_fact
+        # (requires 2*n^2 < 2^63, i.e. n < 2.1e9; beyond that the key
+        # becomes a (src, dst, etype) struct in the same shuffle)
+        code2 = np.concatenate([p_code * 2, code_u * 2 + 1])
+        w = np.concatenate([np.ones(len(p_code)), code_n.astype(np.float64)])
         return pa.table(
             {
-                "src_key": pa.array(src, type=pa.string()),
-                "dst_key": pa.array(dst, type=pa.string()),
+                "code2": pa.array(code2, type=pa.int64()),
                 "weight": pa.array(w, type=pa.float64()),
-                "etype": pa.array(etype, type=pa.string()),
             }
         )
 
@@ -275,17 +258,8 @@ def build_graph(
             json.dump({"n_vertices": 0, "n_edges": 0, "min_token_len": min_token_len}, f)
         return GraphTables(out_dir=out_dir, n_vertices=0, n_edges=0)
 
-    # --- edge records ---
-    partials = chunks.map_batches(
-        ChunkToEdgePartials(min_token_len), batch_format="pyarrow"
-    )
-    edges_keyed = (
-        partials.groupby(["src_key", "dst_key", "etype"])
-        .aggregate(Sum("weight", alias_name="weight"))
-        .materialize()
-    )
-
-    # --- vertex dictionary ---
+    # --- vertex dictionary first (the small distinct set), so the big
+    # pair shuffle runs over int64 codes, not md5 key strings ---
     vrows = chunks.map_batches(ChunkToVertexRows(min_token_len), batch_format="pyarrow")
     vdistinct = vrows.groupby("node_key").aggregate(
         Min("kind", alias_name="kind"), Min("content", alias_name="content")
@@ -294,32 +268,49 @@ def build_graph(
     n_vertices = vertices.count()
     vertices.write_parquet(os.path.join(out_dir, "vertices"))
 
-    # --- vid remap (broadcast hash join; vertex dictionary is the small
-    # side relative to edges — for vertex tables beyond driver memory
-    # switch to the bucketed hash join in stages/joins.py) ---
-    vmap_df = vertices.select_columns(["node_key", "vid"]).to_pandas()
-    vmap_ref = ray.put(vmap_df)
+    # broadcast node_key -> vid once (ray.put); for vertex dictionaries
+    # beyond single-node memory this becomes a bucketed hash join of the
+    # partial table against the vertex table (same downstream plan)
+    vmap = vertices.select_columns(["node_key", "vid"]).to_pandas().set_index("node_key")[
+        "vid"
+    ]
+    vmap_ref = ray.put(vmap)
 
-    class RemapVids:
-        def __init__(self):
-            self.vmap = ray.get(vmap_ref).set_index("node_key")["vid"]
+    # --- edge records: per-batch pre-aggregated int codes -> custom
+    # int-key sum shuffle (Dataset.groupby measured 25x slower here,
+    # see stages/shuffle.py) ---
+    partials = chunks.map_batches(
+        ChunkToIntEdgePartials,
+        fn_constructor_kwargs={
+            "vmap_ref": vmap_ref,
+            "n_vertices": int(n_vertices),
+            "min_token_len": min_token_len,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    from .shuffle import int_key_sum
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            src = df["src_key"].map(self.vmap).to_numpy(dtype=np.int64)
-            dst = df["dst_key"].map(self.vmap).to_numpy(dtype=np.int64)
-            return pa.table(
-                {
-                    "src": pa.array(src, type=pa.int64()),
-                    "dst": pa.array(dst, type=pa.int64()),
-                    "weight": batch["weight"],
-                    "etype": batch["etype"],
-                }
-            )
+    agg = int_key_sum(partials.materialize(), "code2", "weight")
 
-    edges = edges_keyed.map_batches(
-        RemapVids, batch_format="pyarrow", concurrency=(1, 8)
-    ).materialize()
+    n = int(n_vertices)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        code2 = batch["code2"].to_numpy(zero_copy_only=False)
+        code = code2 >> 1
+        is_fact = (code2 & 1).astype(bool)
+        return pa.table(
+            {
+                "src": pa.array(code // n, type=pa.int64()),
+                "dst": pa.array(code % n, type=pa.int64()),
+                "weight": batch["weight"],
+                "etype": pa.array(
+                    np.where(is_fact, "fact", "passage"), type=pa.string()
+                ),
+            }
+        )
+
+    edges = agg.map_batches(decode, batch_format="pyarrow").materialize()
     n_edges = edges.count()
     edges.write_parquet(os.path.join(out_dir, "edges"))
 

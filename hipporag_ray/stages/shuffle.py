@@ -1,0 +1,101 @@
+"""Custom high-throughput integer-key sum shuffle.
+
+``Dataset.groupby().aggregate(Sum)`` measured ~100k rows/s on int-key
+sums at 32 CPUs (both sort- and hash-shuffle strategies — the per-key
+combiner work is Python-level), which made edge aggregation 80% of the
+whole graph build.  This operator is the same logical map-reduce
+exchange expressed as raw Ray tasks with numpy segment sums:
+
+  map:   per input block — local pre-aggregate (np.unique + reduceat),
+         then split by ``hash(key) % K`` into K partition shards
+         (num_returns=K; Ray moves each shard to its reducer directly)
+  reduce: per partition — concat shards, segment-sum again
+
+The multiplicative hash decorrelates partition assignment from key
+structure (our edge codes are ``src*n + dst`` — plain modulo would
+alias src ranges).  Hot KEYS are already collapsed by the map-side
+pre-aggregation: a key occurs at most once per input block, so a
+reducer sees at most num_blocks rows per key — the classic combiner
+bound, no salting needed.
+
+Scale note: K should be ~total_rows / 4M so each reducer holds a few
+hundred MB; both map and reduce stream through the object store and
+spill under pressure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _partial_sum(codes: np.ndarray, weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if len(codes) == 0:
+        return codes, weights
+    order = np.argsort(codes, kind="stable")
+    c = codes[order]
+    w = weights[order]
+    starts = np.concatenate([[0], np.nonzero(np.diff(c))[0] + 1]).astype(np.int64)
+    return c[starts], np.add.reduceat(w, starts)
+
+
+@ray.remote
+def _map_split(tbl: pa.Table, key_col: str, weight_col: str, k: int):
+    codes = tbl[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    weights = tbl[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    codes, weights = _partial_sum(codes, weights)
+    h = ((codes.astype(np.uint64) * _MIX) >> np.uint64(33)).astype(np.int64) % k
+    order = np.argsort(h, kind="stable")
+    c, w, hs = codes[order], weights[order], h[order]
+    bounds = np.searchsorted(hs, np.arange(k + 1))
+    outs = []
+    for t in range(k):
+        a, b = bounds[t], bounds[t + 1]
+        outs.append((c[a:b], w[a:b]))
+    return tuple(outs) if k > 1 else (outs[0],)
+
+
+@ray.remote
+def _reduce(key_col: str, weight_col: str, *shards) -> pa.Table:
+    # k == 1: each map shard ref is a 1-tuple around the (codes, weights) pair
+    shards = [
+        s[0] if (isinstance(s, tuple) and len(s) == 1 and isinstance(s[0], tuple)) else s
+        for s in shards
+    ]
+    codes = np.concatenate([s[0] for s in shards]) if shards else np.zeros(0, np.int64)
+    weights = np.concatenate([s[1] for s in shards]) if shards else np.zeros(0)
+    c, w = _partial_sum(codes, weights)
+    return pa.table({key_col: pa.array(c, type=pa.int64()), weight_col: pa.array(w)})
+
+
+def int_key_sum(
+    ds: "rd.Dataset",
+    key_col: str,
+    weight_col: str,
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """groupby(key_col).sum(weight_col) for an int64 key column; returns
+    a Dataset with columns (key_col, weight_col)."""
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(1, min(len(refs), cpus))
+    k = num_partitions
+    split_refs = []
+    for r in refs:
+        if k > 1:
+            split_refs.append(_map_split.options(num_returns=k).remote(r, key_col, weight_col, k))
+        else:
+            split_refs.append([_map_split.remote(r, key_col, weight_col, k)])
+    out_refs = [
+        _reduce.remote(key_col, weight_col, *[split_refs[i][t] for i in range(len(refs))])
+        for t in range(k)
+    ]
+    return rd.from_arrow_refs(out_refs)

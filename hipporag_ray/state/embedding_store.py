@@ -1,0 +1,177 @@
+"""EmbeddingStore: namespaced (hash_id, content, embedding) parquet
+tables with idempotent insert.
+
+Re-expression of the reference's EmbeddingStore
+(/root/reference/src/hipporag/embedding_store.py):
+
+* rows keyed ``prefix + md5(content)`` (embedding_store.py:44-61),
+* ``insert_strings`` embeds only keys not yet present — a left anti
+  join on hash_id (embedding_store.py:63-90, J3) — and is therefore
+  idempotent and incremental,
+* storage is parquet with ``embedding: list<float32>``
+  (embedding_store.py:109-115).
+
+Differences by design: instead of rewriting one parquet file per
+upsert, each insert appends a new part file (resumable layout —
+``write_parquet`` directory semantics); reads stream as a Ray Dataset
+rather than materializing aligned lists + four dicts
+(embedding_store.py:92-107) — point lookups become joins or broadcast
+dict reads at the call site.
+
+The default embedder is :class:`HashEmbedder` — a deterministic
+content-hash embedding (seeded Gaussian per token, mean-pooled,
+L2-normalized) standing in for the reference's model zoo (T1,
+embedding_model/*.py); it keeps every similarity operator exercisable
+and bit-reproducible without model weights.  Real model classes slot
+into the same actor-pool ``map_batches`` stage.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..functions.hashing import md5_hex, stable_hash64
+from ..functions.text import text_processing
+
+
+class HashEmbedder:
+    """Deterministic per-token hash embedding, mean-pooled + L2-normalized.
+
+    Stateful stage (T1 analog): the projection setup happens once per
+    actor in ``__init__``; ``__call__`` embeds a batch.  Synonymous
+    normalized strings embed identically, so synonymy-edge semantics
+    (HippoRAG.py:859-882) are exercised end-to-end.
+    """
+
+    def __init__(self, dim: int = 64, seed: int = 17, text_col: str = "content"):
+        self.dim = dim
+        self.seed = seed
+        self.text_col = text_col
+
+    def _token_vec(self, tok: str) -> np.ndarray:
+        h = int(stable_hash64(np.array([tok], dtype=object))[0])
+        rng = np.random.default_rng((h ^ self.seed) & 0xFFFFFFFFFFFFFFFF)
+        return rng.standard_normal(self.dim)
+
+    def embed(self, texts) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            toks = t.split() or [t]
+            v = np.sum([self._token_vec(tok) for tok in toks], axis=0)
+            n = np.linalg.norm(v)
+            out[i] = (v / n if n > 0 else v).astype(np.float32)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = text_processing(batch[self.text_col]).to_pylist()
+        emb = self.embed(texts)
+        return batch.append_column(
+            "embedding", pa.array(list(emb), type=pa.list_(pa.float32()))
+        )
+
+
+class EmbeddingStore:
+    """One namespace ('chunk' | 'entity' | 'fact') of embedded rows."""
+
+    def __init__(self, working_dir: str, namespace: str, dim: int = 64):
+        self.dir = os.path.join(working_dir, f"vdb_{namespace}")
+        self.namespace = namespace
+        self.prefix = f"{namespace}-"
+        self.dim = dim
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _parts(self) -> list[str]:
+        return sorted(
+            os.path.join(self.dir, f)
+            for f in os.listdir(self.dir)
+            if f.endswith(".parquet")
+        )
+
+    def count(self) -> int:
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in self._parts())
+
+    def dataset(self) -> "rd.Dataset":
+        parts = self._parts()
+        if not parts:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "hash_id": pa.array([], pa.string()),
+                        "content": pa.array([], pa.string()),
+                        "embedding": pa.array([], pa.list_(pa.float32())),
+                    }
+                )
+            )
+        return rd.read_parquet(parts)
+
+    def existing_ids(self) -> set[str]:
+        ids: set[str] = set()
+        for p in self._parts():
+            ids.update(pq.read_table(p, columns=["hash_id"])["hash_id"].to_pylist())
+        return ids
+
+    def insert_strings(self, ds: "rd.Dataset", content_col: str = "content") -> int:
+        """Embed & persist rows whose md5 key is not yet stored (anti
+        join on hash_id; first-wins exact dedup within the batch too).
+        Returns the number of new rows written."""
+        import ray
+
+        existing_ref = ray.put(self.existing_ids())
+        prefix = self.prefix
+
+        def keyed(batch: pa.Table) -> pa.Table:
+            content = batch[content_col]
+            return pa.table(
+                {"hash_id": md5_hex(content, prefix=prefix), "content": content}
+            )
+
+        def anti(batch: pa.Table) -> pa.Table:
+            seen = ray.get(existing_ref)
+            ids = batch["hash_id"].to_numpy(zero_copy_only=False)
+            mask = np.array([h not in seen for h in ids], dtype=bool)
+            return batch.filter(pa.array(mask))
+
+        from ray.data.aggregate import Min
+
+        new_rows = (
+            ds.map_batches(keyed, batch_format="pyarrow")
+            .map_batches(anti, batch_format="pyarrow")
+            .groupby("hash_id")
+            .aggregate(Min("content", alias_name="content"))
+        )
+        embedded = new_rows.map_batches(
+            HashEmbedder,
+            fn_constructor_kwargs={"dim": self.dim, "text_col": "content"},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        tables = [t for t in ray.get(embedded.to_arrow_refs()) if t.num_rows]
+        if not tables:
+            return 0
+        out = pa.concat_tables(tables)
+        part_idx = len(self._parts())
+        tmp = os.path.join(self.dir, f".part-{part_idx:05d}.parquet.tmp")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(self.dir, f"part-{part_idx:05d}.parquet"))
+        return out.num_rows
+
+    def delete(self, hash_ids: set[str]) -> int:
+        """Remove rows by key (rewrites only the part files that contain
+        them — the per-partition analog of embedding_store delete)."""
+        removed = 0
+        for p in self._parts():
+            t = pq.read_table(p)
+            mask = np.array([h not in hash_ids for h in t["hash_id"].to_pylist()])
+            if mask.all():
+                continue
+            removed += int((~mask).sum())
+            tmp = p + ".tmp"
+            pq.write_table(t.filter(pa.array(mask)), tmp)
+            os.replace(tmp, p)
+        return removed

@@ -1,0 +1,110 @@
+"""Lifecycle test mirroring the reference smoke flow
+(tests_openai.py:28-103): index -> retrieve -> reload -> incremental
+index -> delete -> results match the original index (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from hipporag_ray.pipelines.retrieval import HippoRagEngine
+from hipporag_ray.state.embedding_store import EmbeddingStore, HashEmbedder
+
+
+def _tx(rows):
+    n = len(rows)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array(["user"] * n, pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+                "tool": pa.array([""] * n, pa.string()),
+                "ts": pa.array(
+                    np.arange(n, dtype="int64").astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+
+
+CORPUS_A = [
+    ("c0", 0, "alpha beta gamma"),
+    ("c0", 1, "alpha delta epsilon"),
+    ("c1", 0, "zeta beta gamma"),
+    ("c1", 1, "theta iota kappa"),
+    ("c2", 0, "kappa lambda theta"),
+    ("c2", 1, "gamma alpha beta"),
+    ("c3", 0, "sigma tau upsilon"),
+    ("c3", 1, "upsilon sigma phi"),
+    ("c4", 0, "omega psi chi"),
+]
+
+CORPUS_B = [
+    ("d0", 0, "newword alpha brandnew"),
+    ("d0", 1, "brandnew onlyinb"),
+]
+
+
+def test_embedding_store_idempotent(tmp_path):
+    store = EmbeddingStore(str(tmp_path), "chunk", dim=16)
+    ds = rd.from_items([{"content": "hello world"}, {"content": "foo bar"}, {"content": "hello world"}])
+    assert store.insert_strings(ds) == 2  # exact dedup (A10)
+    assert store.insert_strings(ds) == 0  # anti-join: nothing new (J3)
+    assert store.count() == 2
+    # deterministic embeddings
+    e1 = HashEmbedder(dim=16).embed(["hello world"])
+    e2 = HashEmbedder(dim=16).embed(["hello world"])
+    np.testing.assert_array_equal(e1, e2)
+    assert abs(np.linalg.norm(e1[0]) - 1.0) < 1e-5
+
+
+def test_lifecycle_index_reload_incremental_delete(tmp_path):
+    wd = str(tmp_path / "engine")
+    eng = HippoRagEngine(wd, dim=32)
+    stats = eng.index(_tx(CORPUS_A))
+    assert stats["new_chunks"] == len(CORPUS_A)
+
+    r1 = eng.retrieve(["alpha beta"], top_k=3)
+    assert len(r1[0]["docs"]) == 3
+    # turns mentioning alpha/beta outrank unrelated ones
+    assert any("alpha" in d or "beta" in d for d in r1[0]["docs"][:2])
+    eng.close()
+
+    # reload into a fresh engine -> identical results (persistence path)
+    eng2 = HippoRagEngine(wd, dim=32)
+    r2 = eng2.retrieve(["alpha beta"], top_k=3)
+    assert r2[0]["docs"] == r1[0]["docs"]
+    np.testing.assert_allclose(r2[0]["doc_scores"], r1[0]["doc_scores"], atol=1e-9)
+
+    # incremental index of corpus B, then retrieve hits the new doc
+    eng2.index(_tx(CORPUS_B))
+    r3 = eng2.retrieve(["brandnew onlyinb"], top_k=2)
+    assert any("brandnew" in d for d in r3[0]["docs"])
+
+    # delete corpus B -> results match the original A-only index
+    eng2.delete([t for _, _, t in CORPUS_B])
+    r4 = eng2.retrieve(["alpha beta"], top_k=3)
+    assert r4[0]["docs"] == r1[0]["docs"]
+    np.testing.assert_allclose(r4[0]["doc_scores"], r1[0]["doc_scores"], atol=1e-9)
+    # entity present only in B is gone from the entity store (J6 group-
+    # wise anti join); shared entity 'alpha' survives
+    ids = eng2.entity_store.dataset().to_pandas()
+    assert not ids["content"].eq("onlyinb").any()
+    assert ids["content"].eq("alpha").any()
+    eng2.close()
+
+
+def test_batched_multi_query_retrieval(tmp_path):
+    eng = HippoRagEngine(str(tmp_path / "e2"), dim=32)
+    eng.index(_tx(CORPUS_A))
+    rs = eng.retrieve(["alpha beta", "sigma tau", "omega psi"], top_k=2)
+    assert len(rs) == 3
+    assert any("sigma" in d for d in rs[1]["docs"])
+    assert any("omega" in d for d in rs[2]["docs"])
+    eng.close()
