@@ -379,6 +379,104 @@ def q_emb_neardup(sf_dir: str):
     return out[["a", "b"]]
 
 
+def q_doc_merge_by_first_token(sf_dir: str):
+    """M14 merge_elements_with_same_first_line analog: group docs by
+    their first token, concatenate bodies in doc_id order."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        first = pc.list_element(pc.split_pattern(batch["text"], " "), 0)
+        return pa.table({"first_tok": first, "doc_id": batch["doc_id"], "text": batch["text"]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        return pd.DataFrame(
+            {
+                "first_tok": [g["first_tok"].iloc[0]],
+                "merged": ["\n".join(g["text"])],
+                "n_docs": [len(g)],
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("first_tok")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def q_events_asof_join(sf_dir: str):
+    """As-of join: for each purchase, the latest signup of the same
+    user at or before it (pd.merge_asof per user group; ties on ts
+    break to the larger event_id)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        p = g[g["event_type"] == "purchase"]
+        s = g[g["event_type"] == "signup"]
+        if p.empty or s.empty:
+            return pd.DataFrame({"event_id": [], "signup_event_id": []})
+        out = pd.merge_asof(
+            p[["ts", "event_id"]],
+            s[["ts", "event_id"]].rename(columns={"event_id": "signup_event_id"}),
+            on="ts",
+            direction="backward",
+        ).dropna()
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].astype("int64"),
+                "signup_event_id": out["signup_event_id"].astype("int64"),
+            }
+        )
+
+    out = (
+        _events(sf_dir)
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "signup_event_id": pd.Series([], dtype="int64"),
+            }
+        )
+    return out
+
+
+def q_events_sessions(sf_dir: str):
+    """Sessionization (gap > 30 min starts a new session) — the
+    streaming-shaped window pattern: partition by key, sort by ts
+    within the group, scan."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().to_numpy()
+        gaps = np.diff(ts) > np.timedelta64(30, "m")
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]}
+        )
+
+    return (
+        _events(sf_dir).groupby("user_id").map_groups(per_user, batch_format="pandas")
+    )
+
+
+def q_events_user_value_salted(sf_dir: str):
+    """Two-phase salted groupby-sum (stages/agg.py) over a vertex-like
+    key — the explicit hot-key aggregation pattern."""
+    from ..stages.agg import salted_sum
+
+    out = salted_sum(
+        _events(sf_dir).select_columns(["user_id", "value"]),
+        ["user_id"],
+        "value",
+        alias="sum_value",
+        salt=8,
+    ).to_pandas()
+    return _round(out, {"sum_value": 2})
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no SQL equivalent; verified by pytest oracles)
 # ---------------------------------------------------------------------------
@@ -403,6 +501,20 @@ def q_emb_ann_lsh(sf_dir: str):
     qv = np.stack(q["embedding"].to_numpy())[0]
     out = sim.lsh_ann_topk(embs, qv[None, :], k=10, exclude_ids={0})
     return out[["vec_id", "score"]].pipe(_round, {"score": 6})
+
+
+def q_media_decode(sf_dir: str):
+    """Multimodal plumbing: synthetic binary media -> actor-pool decode
+    (deterministic fake codec) -> resize metadata.  Row count scales
+    with sf; payloads are opaque binary columns."""
+    from ..stages.multimodal import ResizeImage, decode_pipeline, make_fake_media
+
+    n = max(100, int(20_000 * sf_of(sf_dir)))
+    media = rd.from_arrow(make_fake_media(n))
+    decoded = decode_pipeline(media, batch_size=128, fake=True)
+    return decoded.map_batches(ResizeImage(max_side=32), batch_format="pyarrow").select_columns(
+        ["media_id", "phash", "width", "height"]
+    )
 
 
 def q_tx_pagerank(sf_dir: str):
@@ -504,6 +616,10 @@ QUERIES = {
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
     "doc_langid": q_doc_langid,
+    "doc_merge_by_first_token": q_doc_merge_by_first_token,
+    "events_asof_join": q_events_asof_join,
+    "events_sessions": q_events_sessions,
+    "events_user_value_salted": q_events_user_value_salted,
     "events_by_type": q_events_by_type,
     "events_minmax": q_events_minmax,
     "events_topk": q_events_topk,
@@ -514,6 +630,7 @@ QUERIES = {
     "emb_knn": q_emb_knn,
     "emb_neardup": q_emb_neardup,
     "emb_ann_lsh": q_emb_ann_lsh,
+    "media_decode": q_media_decode,
     "tx_extract": q_tx_extract,
     "tx_pagerank": q_tx_pagerank,
     "tx_ppr": q_tx_ppr,
@@ -606,6 +723,36 @@ ORACLE_SQL = {
                round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
         FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
         WHERE i.i / (sa.n + sb.n - i.i) >= 0.2
+    """,
+    "doc_merge_by_first_token": """
+        SELECT split_part(text, ' ', 1) AS first_tok,
+               string_agg(text, chr(10) ORDER BY doc_id) AS merged,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
+    "events_asof_join": """
+        SELECT p.event_id, s.event_id AS signup_event_id
+        FROM events p
+        JOIN events s
+          ON p.user_id = s.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+        QUALIFY row_number() OVER (
+            PARTITION BY p.event_id ORDER BY s.ts DESC, s.event_id DESC) = 1
+    """,
+    "events_sessions": """
+        WITH x AS (
+          SELECT user_id,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL 30 MINUTE
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+        )
+        SELECT user_id, sum(new_s) AS n_sessions FROM x GROUP BY user_id
+    """,
+    "events_user_value_salted": """
+        SELECT user_id, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY user_id
     """,
     "events_by_type": """
         SELECT event_type, count(*) AS n,

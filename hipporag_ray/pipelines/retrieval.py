@@ -64,6 +64,8 @@ class HippoRagEngine:
         link_top_k: int = 5,
         passage_node_weight: float = 0.05,
         damping: float = 0.5,
+        synonymy: bool = False,
+        synonymy_threshold: float = 0.8,
     ):
         self.working_dir = working_dir
         self.corpus_dir = os.path.join(working_dir, "corpus")
@@ -76,6 +78,8 @@ class HippoRagEngine:
         self.link_top_k = link_top_k
         self.passage_node_weight = passage_node_weight
         self.damping = damping
+        self.synonymy = synonymy
+        self.synonymy_threshold = synonymy_threshold
         self.embedder = HashEmbedder(dim=dim)
         self._sg: ShardedGraph | None = None
 
@@ -128,7 +132,59 @@ class HippoRagEngine:
             self._sg = None
         shutil.rmtree(self.graph_dir, ignore_errors=True)
         g = build_graph(self.corpus(), self.graph_dir, self.min_token_len)
-        return {"new_chunks": n_chunks, "new_entities": n_entities, "n_vertices": g.n_vertices, "n_edges": g.n_edges}
+        n_syn = self._add_synonymy_edges(g) if self.synonymy else 0
+        return {
+            "new_chunks": n_chunks,
+            "new_entities": n_entities,
+            "n_vertices": g.n_vertices,
+            "n_edges": g.n_edges,
+            "n_syn_edges": n_syn,
+        }
+
+    def _add_synonymy_edges(self, g) -> int:
+        """KNN similarity link (HippoRAG.py:821-882): append syn edge
+        records + their adjacency expansion as extra parquet parts
+        (each part carries its own row-group stats, so shard pruning
+        still works)."""
+        import json
+
+        from ..stages.synonymy import synonymy_edges
+
+        v = g.vertices().to_pandas()
+        ent = v[v["kind"] == "entity"]
+        emb = self.entity_store.dataset().to_pandas()
+        joined = ent.merge(emb, left_on="node_key", right_on="hash_id")
+        if len(joined) == 0:
+            return 0
+        syn = synonymy_edges(
+            joined["vid"].to_numpy(np.int64),
+            joined["content_x"].to_numpy()
+            if "content_x" in joined
+            else joined["content"].to_numpy(),
+            np.stack(joined["embedding"].to_numpy()),
+            threshold=self.synonymy_threshold,
+        )
+        if syn.num_rows == 0:
+            return 0
+        pq.write_table(syn, os.path.join(self.graph_dir, "edges", "syn-0.parquet"))
+        rev = pa.table(
+            {
+                "src": syn["dst"],
+                "dst": syn["src"],
+                "weight": syn["weight"],
+                "etype": syn["etype"],
+            }
+        )
+        adj_syn = pa.concat_tables([syn, rev]).sort_by("src")
+        pq.write_table(adj_syn, os.path.join(self.graph_dir, "adj", "syn-0.parquet"))
+        man_path = os.path.join(self.graph_dir, "manifest.json")
+        with open(man_path) as f:
+            man = json.load(f)
+        man["n_edges"] += syn.num_rows
+        man["n_syn_edges"] = syn.num_rows
+        with open(man_path, "w") as f:
+            json.dump(man, f)
+        return syn.num_rows
 
     def delete(self, texts: list[str]) -> dict:
         """Delete turns by exact text (HippoRAG.delete semantics)."""

@@ -1,0 +1,84 @@
+"""Evaluation operators (SURVEY.md A7/A8/M12).
+
+* ``recall_at_k`` — per-example |topk ∩ gold| / |gold|, mean-pooled
+  over examples for each k (retrieval_eval.py:24-74).
+* ``qa_exact_match`` / ``qa_f1`` — normalized exact match and token-
+  overlap F1, max over gold answers (qa_eval.py:19-96); answer
+  normalization follows eval_utils.py:4-31 (lower, strip punctuation,
+  drop articles, collapse whitespace).
+
+Inputs are Datasets with list columns (predicted ids / gold ids /
+answers); computation is a vectorized ``map_batches`` per-row pass plus
+a global mean — no driver-side loops over rows.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Mean
+
+from ..functions.text import normalize_answer
+
+
+def recall_at_k(
+    ds: "rd.Dataset", pred_col: str = "pred", gold_col: str = "gold", ks=(1, 5, 10)
+) -> dict[str, float]:
+    ks = tuple(ks)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        preds = batch[pred_col].to_pylist()
+        golds = batch[gold_col].to_pylist()
+        cols = {}
+        for k in ks:
+            vals = []
+            for p, g in zip(preds, golds):
+                gs = set(g)
+                vals.append(len(set(p[:k]) & gs) / len(gs) if gs else 0.0)
+            cols[f"recall_{k}"] = pa.array(vals, type=pa.float64())
+        return pa.table(cols)
+
+    out = ds.map_batches(fn, batch_format="pyarrow").aggregate(
+        *[Mean(f"recall_{k}", alias_name=f"recall_{k}") for k in ks]
+    )
+    return {k: float(v) for k, v in out.items()}
+
+
+def _f1(pred_tokens: list[str], gold_tokens: list[str]) -> float:
+    common = Counter(pred_tokens) & Counter(gold_tokens)
+    n_common = sum(common.values())
+    if n_common == 0:
+        return 0.0
+    precision = n_common / len(pred_tokens)
+    recall = n_common / len(gold_tokens)
+    return 2 * precision * recall / (precision + recall)
+
+
+def qa_scores(
+    ds: "rd.Dataset", pred_col: str = "answer", gold_col: str = "gold_answers"
+) -> dict[str, float]:
+    """Returns {"em": mean exact match, "f1": mean max-F1}."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        preds = normalize_answer(batch[pred_col]).to_pylist()
+        golds_raw = batch[gold_col].to_pylist()
+        em, f1 = [], []
+        for p, golds in zip(preds, golds_raw):
+            gnorm = normalize_answer(pa.array(golds)).to_pylist() if golds else []
+            em.append(float(any(p == g for g in gnorm)))
+            pt = p.split()
+            f1.append(
+                max((_f1(pt, g.split()) for g in gnorm), default=0.0) if pt else 0.0
+            )
+        return pa.table(
+            {"em": pa.array(em, type=pa.float64()), "f1": pa.array(f1, type=pa.float64())}
+        )
+
+    out = ds.map_batches(fn, batch_format="pyarrow").aggregate(
+        Mean("em", alias_name="em"), Mean("f1", alias_name="f1")
+    )
+    return {"em": float(out["em"]), "f1": float(out["f1"])}

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images / audio / video ride through the engine as ``binary`` columns
+with metadata columns (``mime``, ``width``, ``height``, ``duration_ms``
+...).  The Ray-side mechanics — schema, actor-pool stages, batch
+sizing, output layout — are real and tested; the actual codec work is
+stubbed because no image/audio library ships in this container:
+
+* ``DecodeImage`` raises ``NotImplementedError`` unless
+  ``fake=True``, in which case it produces a deterministic fake decode
+  (seeded by the payload hash) with the declared dimensions — enough
+  to exercise the full pipeline shape end-to-end.
+
+Batch-size note: binary payloads dominate block size; callers should
+pass ``batch_size`` small (e.g. 32-256) so
+``batch_size x concurrency x payload`` fits worker heaps, and rely on
+`DataContext.target_max_block_size` for block splitting.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+
+def make_fake_media(n: int, seed: int = 3) -> pa.Table:
+    """Deterministic synthetic media table for tests/benches."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.bytes(int(rng.integers(64, 4096))) for _ in range(n)]
+    w = rng.integers(8, 64, n).astype(np.int32)
+    h = rng.integers(8, 64, n).astype(np.int32)
+    return pa.table(
+        {
+            "media_id": pa.array([f"m{i:06d}" for i in range(n)]),
+            "mime": pa.array(["image/png"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array(w),
+            "height": pa.array(h),
+        }
+    )
+
+
+class DecodeImage:
+    """Actor-pool stage: payload -> decoded pixel features.
+
+    Real decode needs an imaging library (PIL / cv2 / ffmpeg) absent
+    from this container; with ``fake=True`` each payload decodes to a
+    deterministic pseudo-image derived from its content hash, so
+    downstream stages (resize, feature-extract, dedup-by-phash) run
+    for real.
+    """
+
+    def __init__(self, fake: bool = False, feature_dim: int = 16):
+        self.fake = fake
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "image decode requires an imaging library not present in "
+                "this environment; construct DecodeImage(fake=True) for the "
+                "deterministic test decoder"
+            )
+        payloads = batch["payload"].to_pylist()
+        feats = np.zeros((len(payloads), self.feature_dim), dtype=np.float32)
+        phash = np.zeros(len(payloads), dtype=np.int64)
+        for i, p in enumerate(payloads):
+            digest = hashlib.md5(p).digest()
+            rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+            feats[i] = rng.standard_normal(self.feature_dim).astype(np.float32)
+            phash[i] = int.from_bytes(digest[8:16], "little", signed=True)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "phash": pa.array(phash),
+                "features": pa.array(list(feats), type=pa.list_(pa.float32())),
+            }
+        )
+
+
+class ResizeImage:
+    """Actor-pool stage: clamp dimensions to a max side (metadata-level
+    in fake mode; a real implementation rewrites the payload)."""
+
+    def __init__(self, max_side: int = 32):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        out = batch.drop_columns(["width", "height"])
+        out = out.append_column("width", pa.array((w * scale).astype(np.int32)))
+        out = out.append_column("height", pa.array((h * scale).astype(np.int32)))
+        return out
+
+
+def decode_pipeline(
+    media: "rd.Dataset", batch_size: int = 128, concurrency=(1, 4), fake: bool = True
+) -> "rd.Dataset":
+    """media table -> decoded features (actor pool, small batches)."""
+    return media.map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -46,8 +46,12 @@ def _partial_sum(codes: np.ndarray, weights: np.ndarray) -> tuple[np.ndarray, np
 
 @ray.remote
 def _map_split(tbl: pa.Table, key_col: str, weight_col: str, k: int):
-    codes = tbl[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    weights = tbl[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    if key_col not in tbl.column_names:  # schema-less empty block
+        codes = np.zeros(0, dtype=np.int64)
+        weights = np.zeros(0, dtype=np.float64)
+    else:
+        codes = tbl[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        weights = tbl[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
     codes, weights = _partial_sum(codes, weights)
     h = ((codes.astype(np.uint64) * _MIX) >> np.uint64(33)).astype(np.int64) % k
     order = np.argsort(h, kind="stable")

@@ -1,0 +1,115 @@
+"""Synonymy edges: the reference's KNN similarity link (J1 + A3).
+
+Per HippoRAG.add_synonymy_edges (/root/reference/src/hipporag/
+HippoRAG.py:821-882) + retrieve_knn (utils/embed_utils.py:6-94):
+
+* every entity queries the entity embedding matrix (blocked dense
+  top-k join — here the key matrix is broadcast once and each query
+  batch computes one tile, the Ray-Data re-expression of the torch
+  1000x10000 tiling),
+* a neighbor becomes a synonymy edge iff cosine >= threshold (0.8,
+  config_utils.py:160-163), it is not the entity itself, and the
+  entity has > 2 alphanumeric characters (HippoRAG.py:864),
+* at most ``max_accepted`` neighbors per entity (100,
+  HippoRAG.py:866-880); edge weight = the cosine score (A3).
+
+Returns canonical edge records (src, dst, weight, etype='syn'); like
+fact edges they are emitted in both orientations so the undirected
+walk matches the reference graph.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def synonymy_edges(
+    entity_vids: np.ndarray,
+    entity_names: np.ndarray,
+    emb_matrix: np.ndarray,
+    threshold: float = 0.8,
+    knn_k: int = 2047,
+    max_accepted: int = 100,
+    batch_size: int = 1000,
+) -> pa.Table:
+    """Compute synonymy edge records from aligned (vid, name, embedding)."""
+    alnum_len = np.array([sum(ch.isalnum() for ch in s) for s in entity_names])
+    eligible = alnum_len > 2
+    m = emb_matrix.astype(np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    key_ref = ray.put((entity_vids, m, eligible))
+
+    n = len(entity_vids)
+    src_out: list[np.ndarray] = []
+    dst_out: list[np.ndarray] = []
+    w_out: list[np.ndarray] = []
+
+    @ray.remote
+    def tile(lo: int, hi: int):
+        vids, keys, elig = ray.get(key_ref)
+        q = keys[lo:hi]
+        sims = q @ keys.T
+        rows = []
+        for i in range(hi - lo):
+            gi = lo + i
+            if not elig[gi]:
+                continue
+            s = sims[i]
+            k = min(knn_k, len(s))
+            cand = np.argpartition(-s, k - 1)[:k] if k < len(s) else np.arange(len(s))
+            cand = cand[np.argsort(-s[cand], kind="stable")]
+            acc_src, acc_dst, acc_w = [], [], []
+            num = 0
+            for j in cand:
+                if j == gi or not elig[j]:
+                    continue
+                sc = s[j]
+                if sc < threshold:
+                    break
+                acc_src.append(vids[gi])
+                acc_dst.append(vids[j])
+                acc_w.append(sc)
+                num += 1
+                if num >= max_accepted:
+                    break
+            if acc_src:
+                rows.append(
+                    (
+                        np.array(acc_src, dtype=np.int64),
+                        np.array(acc_dst, dtype=np.int64),
+                        np.array(acc_w),
+                    )
+                )
+        if not rows:
+            return (
+                np.zeros(0, dtype=np.int64),
+                np.zeros(0, dtype=np.int64),
+                np.zeros(0),
+            )
+        return (
+            np.concatenate([r[0] for r in rows]),
+            np.concatenate([r[1] for r in rows]),
+            np.concatenate([r[2] for r in rows]),
+        )
+
+    refs = [tile.remote(lo, min(lo + batch_size, n)) for lo in range(0, n, batch_size)]
+    for s, d, w in ray.get(refs):
+        src_out.append(s)
+        dst_out.append(d)
+        w_out.append(w)
+    src = np.concatenate(src_out) if src_out else np.zeros(0, dtype=np.int64)
+    dst = np.concatenate(dst_out) if dst_out else np.zeros(0, dtype=np.int64)
+    w = np.concatenate(w_out) if w_out else np.zeros(0)
+    return pa.table(
+        {
+            "src": pa.array(src, type=pa.int64()),
+            "dst": pa.array(dst, type=pa.int64()),
+            "weight": pa.array(w, type=pa.float64()),
+            "etype": pa.array(["syn"] * len(src), type=pa.string()),
+        }
+    )

@@ -104,8 +104,14 @@ def test_adjacency_expansion(built):
     for r in adj.itertuples():
         got[(r.src, r.dst)] += r.weight
     assert got == want
-    # sorted by src (row-group pruning contract)
-    assert (np.diff(adj["src"].to_numpy()) >= 0).all()
+    # pruning contract: every adjacency part file is internally sorted
+    # by src (row-group stats stay tight); Ray may list/return the part
+    # files themselves in any order
+    import glob
+
+    for p in glob.glob(f"{g.adj_path}/*.parquet"):
+        src = pq.read_table(p, columns=["src"])["src"].to_numpy()
+        assert (np.diff(src) >= 0).all()
 
 
 def test_manifest_roundtrip(built):

@@ -1,0 +1,143 @@
+"""Unit tests for the training-data-pipeline stages: dedup family,
+similarity search, text stats, multimodal plumbing, eval operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from hipporag_ray.stages import dedup as dd
+from hipporag_ray.stages import evalops
+from hipporag_ray.stages import similarity as sim
+from hipporag_ray.stages import textstats as ts
+from hipporag_ray.stages.multimodal import DecodeImage, ResizeImage, decode_pipeline, make_fake_media
+
+
+DOCS = [
+    {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog again and again"},
+    {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and once"},
+    {"doc_id": 2, "text": "completely different content about graph engines and rays"},
+    {"doc_id": 3, "text": "the quick brown fox jumps over the lazy dog again and again"},
+    {"doc_id": 4, "text": "der hund und die katze sind ein team mit der maus"},
+]
+
+
+def _docs():
+    return rd.from_items(DOCS)
+
+
+def test_exact_dedup_first_wins():
+    out = dd.exact_dedup_keys(_docs(), "text", "doc_id").to_pandas()
+    # docs 0 and 3 share text -> keep 0
+    assert len(out) == 4
+    assert 0 in set(out["keep_id"]) and 3 not in set(out["keep_id"])
+
+
+def test_minhash_matches_exact_jaccard():
+    exact = dd.ngram_jaccard_pairs(_docs(), "text", "doc_id", n=3, threshold=0.4)
+    lsh = dd.minhash_lsh_pairs(_docs(), "text", "doc_id", n=3, threshold=0.4)
+    assert set(map(tuple, exact[["a", "b"]].to_numpy())) == set(
+        map(tuple, lsh[["a", "b"]].to_numpy())
+    )
+    # verified jaccards agree
+    m = exact.merge(lsh, on=["a", "b"])
+    np.testing.assert_allclose(m["jaccard_x"], m["jaccard_y"])
+    # identical docs 0/3 have jaccard 1.0
+    assert ((exact["a"] == 0) & (exact["b"] == 3)).any()
+
+
+def test_simhash_identical_and_near():
+    out = dd.simhash(_docs(), "text", "doc_id").to_pandas().set_index("doc_id")
+    assert out.loc[0, "simhash"] == out.loc[3, "simhash"]  # identical text
+    ham = bin(int(out.loc[0, "simhash"]) ^ int(out.loc[1, "simhash"])).count("1")
+    ham_far = bin(int(out.loc[0, "simhash"]) ^ int(out.loc[2, "simhash"])).count("1")
+    assert ham < ham_far  # near-dup closer than unrelated
+
+
+def test_knn_vs_lsh_ann():
+    rng = np.random.default_rng(0)
+    mat = rng.standard_normal((200, 16)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(200), type=pa.int64()),
+                "embedding": pa.array(list(mat), type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    q = mat[7]
+    exact = sim.knn_topk(ds, q[None, :], k=5, exclude_ids={7})
+    assert len(exact) == 5
+    assert 7 not in set(exact["vec_id"])
+    # self-query: nearest is itself
+    self_hit = sim.knn_topk(ds, q[None, :], k=1)
+    assert self_hit["vec_id"].iloc[0] == 7
+    ann = sim.lsh_ann_topk(ds, q[None, :], k=5)
+    assert ann["vec_id"].iloc[0] == 7  # same bucket as itself, exact rerank
+
+
+def test_quality_and_langid_and_fingerprint():
+    q = ts.quality_score(_docs(), "text", "doc_id").to_pandas().set_index("doc_id")
+    assert q.loc[0, "n_tokens"] == 12
+    assert q.loc[0, "stopword_ratio"] > q.loc[4, "stopword_ratio"]  # en stopwords
+    lang = ts.lang_id(_docs(), "text", "doc_id").to_pandas().set_index("doc_id")
+    assert lang.loc[0, "lang_pred"] == "en"
+    assert lang.loc[4, "lang_pred"] == "de"
+    fp = ts.fingerprint(_docs(), "text", "doc_id", n=5).to_pandas().set_index("doc_id")
+    assert fp.loc[0, "fp"] == fp.loc[3, "fp"]  # identical docs -> same fingerprint
+    assert fp.loc[0, "fp"] != fp.loc[2, "fp"]
+
+
+def test_token_count_edge_cases():
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": ""},
+            {"doc_id": 1, "text": "!!! ???"},
+            {"doc_id": 2, "text": "one two  three"},
+        ]
+    )
+    out = ts.token_count(ds, "text", "doc_id").to_pandas().set_index("doc_id")
+    assert out["n_tokens"].tolist() == [0, 0, 3]
+
+
+def test_multimodal_plumbing():
+    media = rd.from_arrow(make_fake_media(50))
+    decoded = decode_pipeline(media, batch_size=16, fake=True)
+    df = decoded.to_pandas()
+    assert len(df) == 50
+    assert len(df["features"].iloc[0]) == 16
+    # deterministic: same payload -> same phash/features
+    df2 = decode_pipeline(rd.from_arrow(make_fake_media(50)), fake=True).to_pandas()
+    assert df.sort_values("media_id")["phash"].tolist() == df2.sort_values("media_id")["phash"].tolist()
+    # real decoder is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)(make_fake_media(2))
+    resized = rd.from_arrow(make_fake_media(20)).map_batches(
+        ResizeImage(max_side=16), batch_format="pyarrow"
+    ).to_pandas()
+    assert resized[["width", "height"]].max().max() <= 16
+
+
+def test_recall_and_qa_scores():
+    ds = rd.from_items(
+        [
+            {"pred": [1, 2, 3], "gold": [1, 9]},
+            {"pred": [5, 6, 7], "gold": [7]},
+        ]
+    )
+    r = evalops.recall_at_k(ds, ks=(1, 3))
+    assert r["recall_1"] == pytest.approx(0.25)  # (1/2 + 0) / 2
+    assert r["recall_3"] == pytest.approx(0.75)  # (1/2 + 1) / 2
+    qa = rd.from_items(
+        [
+            {"answer": "The Eiffel Tower!", "gold_answers": ["eiffel tower", "paris"]},
+            {"answer": "london bridge", "gold_answers": ["tower bridge"]},
+        ]
+    )
+    s = evalops.qa_scores(qa)
+    assert s["em"] == pytest.approx(0.5)
+    assert 0.0 < s["f1"] < 1.0

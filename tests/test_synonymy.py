@@ -1,0 +1,41 @@
+"""Synonymy-edge KNN join semantics (HippoRAG.py:821-882 parity)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from hipporag_ray.stages.synonymy import synonymy_edges
+
+
+def test_synonymy_threshold_self_and_eligibility():
+    # 4 entities: 0 and 1 nearly identical, 2 orthogonal, 3 too short ('ab')
+    base = np.zeros((4, 8))
+    base[0, 0] = 1.0
+    base[1, 0] = 0.99
+    base[1, 1] = 0.14
+    base[2, 3] = 1.0
+    base[3, 0] = 1.0  # would match 0/1 but name has only 2 alnum chars
+    vids = np.array([10, 11, 12, 13], dtype=np.int64)
+    names = np.array(["alpha", "alphabetic", "other", "ab"], dtype=object)
+    out = synonymy_edges(vids, names, base, threshold=0.8).to_pandas()
+    pairs = set(zip(out["src"], out["dst"]))
+    assert (10, 11) in pairs and (11, 10) in pairs  # both orientations
+    assert all(s != d for s, d in pairs)  # no self loops
+    assert not any(13 in p for p in pairs)  # short-name filter
+    assert not any(12 in p for p in pairs)  # below threshold
+    assert (out["etype"] == "syn").all()
+    assert (out["weight"] >= 0.8).all()
+
+
+def test_synonymy_max_accepted_cap():
+    # one hub similar to 150 others; cap at 100 accepted
+    n = 151
+    m = np.zeros((n, 4))
+    m[:, 0] = 1.0
+    m[1:, 1] = np.linspace(0, 0.1, n - 1)  # tiny variations, all ~similar
+    vids = np.arange(n, dtype=np.int64)
+    names = np.array([f"ent{i:04d}" for i in range(n)], dtype=object)
+    out = synonymy_edges(vids, names, m, threshold=0.8, max_accepted=100).to_pandas()
+    per_src = out.groupby("src").size()
+    assert per_src.max() <= 100
