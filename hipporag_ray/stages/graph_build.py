@@ -178,10 +178,13 @@ def _with_ids(tbl: pa.Table, offset: int, col: str) -> pa.Table:
 def assign_dense_ids(ds: "rd.Dataset", key: str, id_col: str = "vid") -> "rd.Dataset":
     """Sort by ``key`` and append a dense, globally-contiguous int64 id.
 
-    The sort is a shuffle; id assignment is then per-block with a small
-    metadata pass for offsets (no driver materialization of rows).
+    The sort is a shuffle (custom range sort); id assignment is then
+    per-block with a small metadata pass for offsets (no driver
+    materialization of rows).
     """
-    sorted_ds = ds.sort(key).materialize()
+    from .shuffle import range_sort
+
+    sorted_ds = range_sort(ds, key).materialize()
     refs = sorted_ds.to_arrow_refs()
     counts = ray.get([_block_len.remote(r) for r in refs])
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
@@ -225,13 +228,14 @@ class GraphTables:
 
 
 def dedup_chunks(transcripts: "rd.Dataset") -> "rd.Dataset":
-    """transcripts -> distinct (chunk_key, text).
+    """transcripts -> distinct (chunk_key, text): exact first-wins
+    dedup on the content hash (rows in a group are byte-identical since
+    the key is md5(text)) — the A10 operator (embedding_store.py:63-90),
+    via the custom hash-exchange distinct."""
+    from .shuffle import hash_distinct
 
-    groupby + Min(text) is an exact first-wins dedup (rows in a group
-    are byte-identical since the key is md5(text)) — the A10 operator
-    (embedding_store.py:63-90)."""
     chunks = transcripts.map_batches(_to_chunk_rows, batch_format="pyarrow")
-    return chunks.groupby("chunk_key").aggregate(Min("text", alias_name="text"))
+    return hash_distinct(chunks.materialize(), "chunk_key")
 
 
 def build_graph(
@@ -260,10 +264,10 @@ def build_graph(
 
     # --- vertex dictionary first (the small distinct set), so the big
     # pair shuffle runs over int64 codes, not md5 key strings ---
+    from .shuffle import hash_distinct, range_sort
+
     vrows = chunks.map_batches(ChunkToVertexRows(min_token_len), batch_format="pyarrow")
-    vdistinct = vrows.groupby("node_key").aggregate(
-        Min("kind", alias_name="kind"), Min("content", alias_name="content")
-    )
+    vdistinct = hash_distinct(vrows.materialize(), "node_key")
     vertices = assign_dense_ids(vdistinct, "node_key", "vid").materialize()
     n_vertices = vertices.count()
     vertices.write_parquet(os.path.join(out_dir, "vertices"))
@@ -327,7 +331,7 @@ def build_graph(
         )
         return pa.concat_tables([batch, rev])
 
-    adj = edges.map_batches(expand, batch_format="pyarrow").sort("src")
+    adj = range_sort(edges.map_batches(expand, batch_format="pyarrow").materialize(), "src")
     adj.write_parquet(os.path.join(out_dir, "adj"))
 
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:

@@ -77,6 +77,160 @@ def _reduce(key_col: str, weight_col: str, *shards) -> pa.Table:
     return pa.table({key_col: pa.array(c, type=pa.int64()), weight_col: pa.array(w)})
 
 
+def _hash_codes(tbl: pa.Table, key_col: str) -> np.ndarray:
+    """Vectorized stable 64-bit hash of a key column (int via
+    multiplicative mix; strings via polars' native hash — no Python
+    per-row loop)."""
+    col = tbl[key_col]
+    if pa.types.is_integer(col.type):
+        codes = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (codes * _MIX) >> np.uint64(13)
+    import polars as pl
+
+    return (
+        pl.from_arrow(tbl.select([key_col]))
+        .select(pl.col(key_col).hash(seed=7))
+        .to_series()
+        .to_numpy()
+        .astype(np.uint64)
+    )
+
+
+def _first_per_key(tbl: pa.Table, key_col: str) -> pa.Table:
+    """Deterministic representative row per key (min sort order)."""
+    if tbl.num_rows == 0:
+        return tbl
+    keys = tbl[key_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    starts = np.concatenate([[0], np.nonzero(sk[1:] != sk[:-1])[0] + 1])
+    return tbl.take(pa.array(order[starts]))
+
+
+@ray.remote
+def _distinct_split(tbl: pa.Table, key_col: str, k: int):
+    tbl = _first_per_key(tbl, key_col)
+    if tbl.num_rows == 0 or key_col not in tbl.column_names:
+        return tuple([tbl] * k) if k > 1 else (tbl,)
+    h = (_hash_codes(tbl, key_col) % np.uint64(k)).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    bounds = np.searchsorted(hs, np.arange(k + 1))
+    outs = [tbl.take(pa.array(order[bounds[t] : bounds[t + 1]])) for t in range(k)]
+    return tuple(outs) if k > 1 else (outs[0],)
+
+
+@ray.remote
+def _distinct_reduce(key_col: str, *shards) -> pa.Table:
+    shards = [
+        s[0] if isinstance(s, tuple) and len(s) == 1 else s for s in shards
+    ]
+    shards = [s for s in shards if s.num_rows]
+    if not shards:
+        return _EMPTY_SENTINEL
+    return _first_per_key(pa.concat_tables(shards).combine_chunks(), key_col)
+
+
+_EMPTY_SENTINEL = pa.table({})
+
+
+def hash_distinct(
+    ds: "rd.Dataset", key_col: str, num_partitions: int | None = None
+) -> "rd.Dataset":
+    """Exact first-wins dedup by key (A10): per-block pre-dedup ->
+    hash exchange -> per-partition dedup.  Deterministic representative
+    = min row in key sort order.  Replaces ``groupby(key).aggregate``
+    (measured order-of-magnitude slower for this shape)."""
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(1, min(len(refs), cpus))
+    k = num_partitions
+    splits = []
+    for r in refs:
+        if k > 1:
+            splits.append(_distinct_split.options(num_returns=k).remote(r, key_col, k))
+        else:
+            splits.append([_distinct_split.remote(r, key_col, k)])
+    outs = [
+        _distinct_reduce.remote(key_col, *[splits[i][t] for i in range(len(refs))])
+        for t in range(k)
+    ]
+    tables = [t for t in ray.get(outs) if t.num_rows]
+    if not tables:
+        return rd.from_arrow(_EMPTY_SENTINEL)
+    return rd.from_arrow_refs([ray.put(t) for t in tables])
+
+
+@ray.remote
+def _sample_keys(tbl: pa.Table, key_col: str, every: int) -> np.ndarray:
+    if tbl.num_rows == 0 or key_col not in tbl.column_names:
+        return np.zeros(0, dtype=object)
+    keys = tbl[key_col].to_numpy(zero_copy_only=False)
+    return keys[:: max(1, every)]
+
+
+@ray.remote
+def _range_split(tbl: pa.Table, key_col: str, cuts: np.ndarray, k: int):
+    if tbl.num_rows == 0 or key_col not in tbl.column_names:
+        return tuple([tbl] * k) if k > 1 else (tbl,)
+    keys = tbl[key_col].to_numpy(zero_copy_only=False)
+    part = np.searchsorted(cuts, keys, side="right")
+    order = np.argsort(part, kind="stable")
+    ps = part[order]
+    bounds = np.searchsorted(ps, np.arange(k + 1))
+    outs = [tbl.take(pa.array(order[bounds[t] : bounds[t + 1]])) for t in range(k)]
+    return tuple(outs) if k > 1 else (outs[0],)
+
+
+@ray.remote
+def _range_reduce(key_col: str, *shards) -> pa.Table:
+    shards = [s[0] if isinstance(s, tuple) and len(s) == 1 else s for s in shards]
+    shards = [s for s in shards if s.num_rows]
+    if not shards:
+        return _EMPTY_SENTINEL
+    tbl = pa.concat_tables(shards).combine_chunks()
+    keys = tbl[key_col].to_numpy(zero_copy_only=False)
+    return tbl.take(pa.array(np.argsort(keys, kind="stable")))
+
+
+def range_sort(
+    ds: "rd.Dataset", key_col: str, num_partitions: int | None = None
+) -> "rd.Dataset":
+    """Global sort by one key column: deterministic sample -> range cut
+    values -> range exchange -> per-partition sort; output blocks are
+    globally ordered (block i's keys <= block i+1's).  Replaces
+    ``Dataset.sort`` for the adjacency/vertex layout passes."""
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(1, min(len(refs) * 2, cpus))
+    k = num_partitions
+    samples = np.concatenate(
+        ray.get([_sample_keys.remote(r, key_col, 97) for r in refs])
+    )
+    if len(samples) == 0:
+        return ds
+    samples = np.sort(samples, kind="stable")
+    cut_idx = (np.arange(1, k) * len(samples)) // k
+    cuts = samples[cut_idx]
+    splits = []
+    for r in refs:
+        if k > 1:
+            splits.append(_range_split.options(num_returns=k).remote(r, key_col, cuts, k))
+        else:
+            splits.append([_range_split.remote(r, key_col, cuts, k)])
+    outs = [
+        _range_reduce.remote(key_col, *[splits[i][t] for i in range(len(refs))])
+        for t in range(k)
+    ]
+    return rd.from_arrow_refs(outs)
+
+
 def int_key_sum(
     ds: "rd.Dataset",
     key_col: str,

@@ -1,0 +1,84 @@
+"""Checkpoint/resume for CC and the custom shuffle primitives."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from hipporag_ray.algos.iterate import connected_components
+from hipporag_ray.algos.oracle import cc_oracle
+from hipporag_ray.stages.graph_build import build_graph
+from hipporag_ray.stages.shuffle import hash_distinct, int_key_sum, range_sort
+from hipporag_ray.state.csr import ShardedGraph
+
+
+def test_cc_resume(small_transcripts, tmp_path):
+    g = build_graph(rd.read_parquet(small_transcripts), str(tmp_path / "g"))
+    e = g.edges().to_pandas()
+    want = cc_oracle(g.n_vertices, e["src"].to_numpy(), e["dst"].to_numpy())
+
+    ck = str(tmp_path / "ck")
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=3)
+    try:
+        connected_components(sg, max_iter=2, checkpoint_dir=ck, checkpoint_every=1)
+    finally:
+        sg.shutdown()
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=3)
+    try:
+        comp, metrics = connected_components(
+            sg, checkpoint_dir=ck, checkpoint_every=1, resume=True
+        )
+        assert metrics[0]["iter"] == 3  # resumed, not restarted
+        np.testing.assert_array_equal(comp, want)
+    finally:
+        sg.shutdown()
+
+
+def test_int_key_sum_matches_pandas():
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 500, 20000)
+    w = rng.random(20000)
+    ds = rd.from_arrow(
+        pa.table({"code": pa.array(codes, type=pa.int64()), "w": pa.array(w)})
+    ).repartition(7)
+    out = int_key_sum(ds.materialize(), "code", "w").to_pandas()
+    import pandas as pd
+
+    want = pd.DataFrame({"code": codes, "w": w}).groupby("code", as_index=False).sum()
+    merged = out.sort_values("code").reset_index(drop=True)
+    want = want.sort_values("code").reset_index(drop=True)
+    np.testing.assert_array_equal(merged["code"], want["code"])
+    np.testing.assert_allclose(merged["w"], want["w"], rtol=1e-12)
+
+
+def test_hash_distinct_and_range_sort():
+    rng = np.random.default_rng(2)
+    keys = [f"k{int(x):04d}" for x in rng.integers(0, 300, 5000)]
+    vals = [f"v-{k}" for k in keys]  # value determined by key
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(5)
+    out = hash_distinct(ds.materialize(), "k").to_pandas()
+    assert len(out) == len(set(keys))
+    assert (out["v"] == "v-" + out["k"]).all()
+
+    ints = rng.integers(0, 10_000, 30000)
+    ds2 = rd.from_arrow(pa.table({"x": pa.array(ints, type=pa.int64())})).repartition(6)
+    sorted_ds = range_sort(ds2.materialize(), "x")
+    tables = list(sorted_ds.iter_batches(batch_size=None, batch_format="pandas"))
+    # each block sorted within; block key ranges disjoint (streaming
+    # iteration may hand blocks back in any order)
+    spans = []
+    total = 0
+    for t in tables:
+        xs = t["x"].to_numpy()
+        if len(xs) == 0:
+            continue
+        assert (np.diff(xs) >= 0).all()
+        spans.append((xs[0], xs[-1]))
+        total += len(xs)
+    assert total == 30000
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert lo >= hi
