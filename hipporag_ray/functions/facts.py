@@ -1,0 +1,85 @@
+"""Triple/fact helpers (SURVEY.md M4 / M7 / M11 / A9).
+
+The engine's default extractor is co-occurrence-based, but pipelines
+that carry OpenIE-style triples (``list<list<string>>`` columns) get
+the reference's exact filtering/flattening semantics here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def filter_invalid_triples(triples: list[list]) -> list[list[str]]:
+    """Keep only 3-element triples, exact-dedup preserving first-seen
+    order, cast elements to str (llm_utils.py:222-255)."""
+    seen = set()
+    out = []
+    for t in triples:
+        if len(t) != 3:
+            continue
+        st = tuple(str(x) for x in t)
+        if st in seen:
+            continue
+        seen.add(st)
+        out.append(list(st))
+    return out
+
+
+def filter_invalid_triples_batch(batch: pa.Table, col: str = "triples") -> pa.Table:
+    """Vectorized-over-rows batch wrapper for the triple filter."""
+    rows = batch[col].to_pylist()
+    cleaned = [filter_invalid_triples(r or []) for r in rows]
+    return batch.set_column(
+        batch.column_names.index(col),
+        col,
+        pa.array(cleaned, type=pa.list_(pa.list_(pa.string()))),
+    )
+
+
+def flatten_facts(chunk_triples: list[list[list[str]]]) -> list[tuple]:
+    """Global exact dedup of triples across chunks.  The reference uses
+    ``list(set(...))`` (misc_utils.py:97-102) — order-nondeterministic;
+    we sort the output so runs are reproducible (SURVEY.md §7.4)."""
+    return sorted({tuple(t) for triples in chunk_triples for t in triples})
+
+
+def extract_entity_nodes(chunk_triples: list[list[list[str]]]):
+    """Per-chunk entity sets + global sorted distinct (misc_utils.py:84-95)."""
+    chunk_entities = []
+    for triples in chunk_triples:
+        ents = set()
+        for t in triples:
+            if len(t) == 3:
+                ents.update([t[0], t[2]])
+        chunk_entities.append(sorted(ents))
+    graph_nodes = sorted({e for ents in chunk_entities for e in ents})
+    return graph_nodes, chunk_entities
+
+
+def extract_answer(response: str) -> str:
+    """QA answer extractor: text after 'Answer:' with whole-response
+    fallback (HippoRAG.py:716-724)."""
+    if "Answer:" in response:
+        return response.split("Answer:")[1].strip()
+    return response.strip()
+
+
+def graph_info(graph_tables) -> dict:
+    """Node/edge counts by class (A9, HippoRAG.py:1095-1148)."""
+    v = graph_tables.vertices().to_pandas()
+    e = graph_tables.edges().to_pandas()
+    info = {
+        "n_vertices": len(v),
+        "n_edge_records": len(e),
+        "nodes_by_kind": v.groupby("kind").size().to_dict(),
+        "edges_by_etype": e.groupby("etype").size().to_dict(),
+        "total_weight_by_etype": e.groupby("etype")["weight"].sum().to_dict(),
+        "n_isolated": int(
+            len(set(v["vid"]) - set(np.concatenate([e["src"].to_numpy(), e["dst"].to_numpy()])))
+            if len(e)
+            else len(v)
+        ),
+    }
+    return info

@@ -503,6 +503,36 @@ def q_emb_ann_lsh(sf_dir: str):
     return out[["vec_id", "score"]].pipe(_round, {"score": 6})
 
 
+def q_doc_sample(sf_dir: str):
+    """Deterministic systematic sample (every 10th doc) with the
+    predicate pushed into the parquet read."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    return ds.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 7), 0)),
+        batch_format="pyarrow",
+    )
+
+
+def q_tx_graph_info(sf_dir: str):
+    """A9 graph info: node/edge counts by class on the transcript graph."""
+    from ..functions.facts import graph_info
+
+    info = graph_info(graph_for(sf_dir))
+    flat = {
+        "n_vertices": [info["n_vertices"]],
+        "n_edge_records": [info["n_edge_records"]],
+        "n_chunks": [info["nodes_by_kind"].get("chunk", 0)],
+        "n_entities": [info["nodes_by_kind"].get("entity", 0)],
+        "n_fact_records": [info["edges_by_etype"].get("fact", 0)],
+        "n_passage_records": [info["edges_by_etype"].get("passage", 0)],
+    }
+    return pd.DataFrame(flat)
+
+
 def q_media_decode(sf_dir: str):
     """Multimodal plumbing: synthetic binary media -> actor-pool decode
     (deterministic fake codec) -> resize metadata.  Row count scales
@@ -630,6 +660,8 @@ QUERIES = {
     "emb_knn": q_emb_knn,
     "emb_neardup": q_emb_neardup,
     "emb_ann_lsh": q_emb_ann_lsh,
+    "doc_sample": q_doc_sample,
+    "tx_graph_info": q_tx_graph_info,
     "media_decode": q_media_decode,
     "tx_extract": q_tx_extract,
     "tx_pagerank": q_tx_pagerank,
@@ -666,6 +698,9 @@ ORACLE_SQL = {
         SELECT a.entity AS src, b.entity AS dst, count(*) AS weight
         FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity
         GROUP BY 1, 2
+    """,
+    "doc_sample": """
+        SELECT doc_id, n_chars FROM documents WHERE doc_id % 8 = 0
     """,
     "doc_exact_dedup": """
         SELECT md5(text) AS hash_id, min(doc_id) AS keep_id

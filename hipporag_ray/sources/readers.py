@@ -1,0 +1,138 @@
+"""Sources: transcript / corpus / QA-sample readers (SURVEY.md §2.1).
+
+* ``read_transcripts`` — schema-validated parquet read of the primary
+  input shape (BASELINE.json input_hint), with column pruning pushed to
+  the read.
+* ``read_corpus_json`` — the reference corpus reader (S1,
+  main.py:92-96): ``[{title, text, idx}]`` -> docs formatted
+  ``f"{title}\\n{text}"`` (M16).
+* ``read_samples_jsonl`` — line-delimited QA samples with ``limit``
+  (S8, kotlin MusiqueCli.kt:12-21).
+* ``get_gold_docs`` / ``get_gold_answers`` — the reference's gold
+  extractors (S2, main.py:17-67) covering the three dataset shapes
+  (supporting_facts / contexts / paragraphs) and the alias-union answer
+  sets.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from .. import schema as _schema
+
+
+def read_transcripts(path: str, columns: list[str] | None = None) -> "rd.Dataset":
+    """Parquet transcripts with schema validation + column pruning."""
+    if columns:
+        unknown = set(columns) - set(_schema.TRANSCRIPTS.names)
+        if unknown:
+            raise ValueError(f"unknown transcript columns: {sorted(unknown)}")
+    ds = rd.read_parquet(path, columns=columns)
+    got = ds.schema()
+    want = _schema.TRANSCRIPTS
+    names = set(columns) if columns else set(want.names)
+    for name, typ in zip(got.names, got.types):
+        if name in names and name in want.names:
+            expect = want.field(name).type
+            if typ != expect:
+                raise TypeError(
+                    f"transcripts column {name!r}: expected {expect}, got {typ}"
+                )
+    missing = names - set(got.names)
+    if missing:
+        raise ValueError(f"transcripts missing columns: {sorted(missing)}")
+    return ds
+
+
+def read_corpus_json(path: str) -> "rd.Dataset":
+    """Corpus JSON -> Dataset of (idx, title, text, doc) rows; ``doc`` =
+    title + newline + text (main.py:92-96)."""
+    with open(path) as f:
+        items = json.load(f)
+    rows = {
+        "idx": list(range(len(items))),
+        "title": [it.get("title", "") for it in items],
+        "text": [it.get("text", "") for it in items],
+    }
+    rows["doc"] = [f"{t}\n{x}" for t, x in zip(rows["title"], rows["text"])]
+    return rd.from_arrow(pa.table(rows))
+
+
+def read_samples_jsonl(path: str, limit: int | None = None) -> list[dict]:
+    """Line-delimited JSON samples, optionally truncated (S8)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            out.append(json.loads(line))
+            if limit is not None and len(out) >= limit:
+                break
+    return out
+
+
+def get_gold_docs(samples: list[dict], dataset_name: str = "") -> list[list[str]]:
+    """Gold supporting docs per sample — the three shapes of
+    main.py:17-42 (dedup via set, as the reference does)."""
+    gold_docs = []
+    for sample in samples:
+        if "supporting_facts" in sample:  # hotpotqa / 2wiki
+            gold_title = {item[0] for item in sample["supporting_facts"]}
+            picked = [item for item in sample["context"] if item[0] in gold_title]
+            if dataset_name.startswith("hotpotqa"):
+                gold = [item[0] + "\n" + "".join(item[1]) for item in picked]
+            else:
+                gold = [item[0] + "\n" + " ".join(item[1]) for item in picked]
+        elif "contexts" in sample:
+            gold = [
+                item["title"] + "\n" + item["text"]
+                for item in sample["contexts"]
+                if item.get("is_supporting")
+            ]
+        else:
+            if "paragraphs" not in sample:
+                raise ValueError("sample has no supporting_facts/contexts/paragraphs")
+            paras = [
+                p
+                for p in sample["paragraphs"]
+                if p.get("is_supporting", True) is not False
+            ]
+            gold = [
+                p["title"] + "\n" + (p["text"] if "text" in p else p["paragraph_text"])
+                for p in paras
+            ]
+        gold_docs.append(sorted(set(gold)))  # deterministic order (ref uses set)
+    return gold_docs
+
+
+def get_gold_answers(samples: list[dict]) -> list[set[str]]:
+    """Gold answer alias sets per sample (main.py:45-67)."""
+    gold_answers = []
+    for sample in samples:
+        if "answer" in sample or "gold_ans" in sample:
+            gold = sample.get("answer", sample.get("gold_ans"))
+        elif "reference" in sample:
+            gold = sample["reference"]
+        elif "obj" in sample:
+            gold = list(
+                {
+                    sample["obj"],
+                    sample["possible_answers"],
+                    sample["o_wiki_title"],
+                    sample["o_aliases"],
+                }
+            )
+        else:
+            raise ValueError("sample has no answer field")
+        if isinstance(gold, str):
+            gold = [gold]
+        gold = set(gold)
+        if "answer_aliases" in sample:
+            gold.update(sample["answer_aliases"])
+        gold_answers.append(gold)
+    return gold_answers

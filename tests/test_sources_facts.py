@@ -1,0 +1,116 @@
+"""Sources readers + fact helpers: parity with the reference functions."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import ray.data as rd
+
+from hipporag_ray.functions.facts import (
+    extract_answer,
+    extract_entity_nodes,
+    filter_invalid_triples,
+    flatten_facts,
+    graph_info,
+)
+from hipporag_ray.sources.readers import (
+    get_gold_answers,
+    get_gold_docs,
+    read_corpus_json,
+    read_samples_jsonl,
+    read_transcripts,
+)
+
+
+def test_filter_invalid_triples_semantics():
+    triples = [
+        ["a", "rel", "b"],
+        ["a", "rel"],  # wrong arity
+        ["a", "rel", "b"],  # dup, first-seen kept
+        [1, 2, 3],  # cast to str
+        ["x", "y", "z", "w"],  # wrong arity
+        ["c", "r", "d"],
+    ]
+    out = filter_invalid_triples(triples)
+    assert out == [["a", "rel", "b"], ["1", "2", "3"], ["c", "r", "d"]]
+
+
+def test_flatten_and_entities():
+    chunks = [[["a", "r", "b"], ["b", "r", "c"]], [["a", "r", "b"]]]
+    assert flatten_facts(chunks) == [("a", "r", "b"), ("b", "r", "c")]
+    nodes, per_chunk = extract_entity_nodes(chunks)
+    assert nodes == ["a", "b", "c"]
+    assert per_chunk == [["a", "b", "c"], ["a", "b"]]
+
+
+def test_extract_answer():
+    assert extract_answer("Thought: blah\nAnswer: 42 ") == "42"
+    assert extract_answer("no marker here") == "no marker here"
+
+
+def test_corpus_and_jsonl_readers(tmp_path):
+    corpus = [{"title": "T1", "text": "body one"}, {"title": "T2", "text": "body two"}]
+    p = tmp_path / "corpus.json"
+    p.write_text(json.dumps(corpus))
+    ds = read_corpus_json(str(p))
+    docs = ds.to_pandas()
+    assert docs["doc"].tolist() == ["T1\nbody one", "T2\nbody two"]
+
+    jl = tmp_path / "samples.jsonl"
+    jl.write_text("\n".join(json.dumps({"question": f"q{i}", "answer": f"a{i}"}) for i in range(5)))
+    assert len(read_samples_jsonl(str(jl))) == 5
+    assert len(read_samples_jsonl(str(jl), limit=2)) == 2
+
+
+def test_gold_extractors():
+    samples = [
+        {  # hotpotqa shape
+            "supporting_facts": [["T1", 0]],
+            "context": [["T1", ["s1 ", "s2"]], ["T2", ["x"]]],
+            "answer": "ans",
+        },
+        {  # musique shape
+            "paragraphs": [
+                {"title": "A", "paragraph_text": "pa", "is_supporting": True},
+                {"title": "B", "paragraph_text": "pb", "is_supporting": False},
+            ],
+            "answer": "a1",
+            "answer_aliases": ["a2"],
+        },
+        {  # contexts shape
+            "contexts": [
+                {"title": "C", "text": "tc", "is_supporting": True},
+                {"title": "D", "text": "td", "is_supporting": False},
+            ],
+            "reference": "r",
+        },
+    ]
+    docs = get_gold_docs(samples, "hotpotqa")
+    assert docs[0] == ["T1\ns1 s2"]
+    assert docs[1] == ["A\npa"]
+    assert docs[2] == ["C\ntc"]
+    answers = get_gold_answers(samples)
+    assert answers[0] == {"ans"}
+    assert answers[1] == {"a1", "a2"}
+    assert answers[2] == {"r"}
+
+
+def test_read_transcripts_validation(small_transcripts):
+    ds = read_transcripts(small_transcripts)
+    assert ds.count() == 200
+    ds2 = read_transcripts(small_transcripts, columns=["conv_id", "text"])
+    assert set(ds2.schema().names) == {"conv_id", "text"}
+    with pytest.raises(ValueError):
+        read_transcripts(small_transcripts, columns=["conv_id", "nope"])
+
+
+def test_graph_info(small_transcripts, tmp_path):
+    from hipporag_ray.stages.graph_build import build_graph
+
+    g = build_graph(rd.read_parquet(small_transcripts), str(tmp_path / "g"))
+    info = graph_info(g)
+    assert info["n_vertices"] == g.n_vertices
+    assert set(info["edges_by_etype"]) == {"fact", "passage"}
+    assert info["nodes_by_kind"]["chunk"] + info["nodes_by_kind"]["entity"] == g.n_vertices
