@@ -98,7 +98,9 @@ class HippoRagEngine:
         return rd.read_parquet(self._corpus_parts())
 
     def index(self, transcripts: "rd.Dataset") -> dict:
-        """Append new turns and rebuild stores + graph (idempotent)."""
+        """Append new turns; store inserts are anti-join incremental and
+        the graph merges incrementally when one already exists
+        (build_graph_incremental) — old turns are never re-extracted."""
         part = os.path.join(
             self.corpus_dir, f"part-{len(self._corpus_parts()):05d}.parquet"
         )
@@ -107,18 +109,39 @@ class HippoRagEngine:
             for t in ray.get(transcripts.to_arrow_refs())
         ]
         pq.write_table(pa.concat_tables(tables), part)
-        return self._reindex()
+        new_ds = rd.read_parquet(part)
+        n_chunks, n_entities = self._insert_stores(new_ds)
+        if self._sg is not None:
+            self._sg.shutdown()
+            self._sg = None
+        manifest = os.path.join(self.graph_dir, "manifest.json")
+        if os.path.exists(manifest) and not self.synonymy:
+            from ..stages.graph_build import build_graph_incremental, load_graph
 
-    def _reindex(self) -> dict:
-        corpus = self.corpus()
-        # chunk store: turn texts (content-hash dedup on insert)
+            g = build_graph_incremental(
+                new_ds, load_graph(self.graph_dir), self.graph_dir, self.min_token_len
+            )
+            n_syn = 0
+        else:
+            # synonymy edges depend on the full entity set; rebuild
+            shutil.rmtree(self.graph_dir, ignore_errors=True)
+            g = build_graph(self.corpus(), self.graph_dir, self.min_token_len)
+            n_syn = self._add_synonymy_edges(g) if self.synonymy else 0
+        return {
+            "new_chunks": n_chunks,
+            "new_entities": n_entities,
+            "n_vertices": g.n_vertices,
+            "n_edges": g.n_edges,
+            "n_syn_edges": n_syn,
+        }
+
+    def _insert_stores(self, ds: "rd.Dataset") -> tuple[int, int]:
         n_chunks = self.chunk_store.insert_strings(
-            corpus.map_batches(
+            ds.map_batches(
                 lambda b: pa.table({"content": b["text"]}), batch_format="pyarrow"
             )
         )
-        # entity store: normalized mention phrases
-        mentions = corpus.map_batches(
+        mentions = ds.map_batches(
             ExtractMentions(self.min_token_len, include_role_tool=False),
             batch_format="pyarrow",
         )
@@ -127,6 +150,10 @@ class HippoRagEngine:
                 lambda b: pa.table({"content": b["entity"]}), batch_format="pyarrow"
             )
         )
+        return n_chunks, n_entities
+
+    def _reindex(self) -> dict:
+        n_chunks, n_entities = self._insert_stores(self.corpus())
         if self._sg is not None:
             self._sg.shutdown()
             self._sg = None

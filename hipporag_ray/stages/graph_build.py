@@ -350,3 +350,154 @@ def load_graph(out_dir: str) -> GraphTables:
     with open(os.path.join(out_dir, "manifest.json")) as f:
         m = json.load(f)
     return GraphTables(out_dir=out_dir, n_vertices=m["n_vertices"], n_edges=m["n_edges"])
+
+
+def build_graph_incremental(
+    new_transcripts: "rd.Dataset",
+    graph: GraphTables,
+    out_dir: str,
+    min_token_len: int = 3,
+) -> GraphTables:
+    """Merge new turns into an existing graph without re-extracting the
+    old corpus (the reference's incremental indexing: insert-time
+    anti-joins, HippoRAG.py:218-278 + embedding_store.py:63-90).
+
+    * chunks already present (by content hash) are skipped — their
+      co-occurrences were counted once and stay counted once;
+    * existing vids are stable; new vertices get vids
+      ``[n_old, n_old+k)`` assigned by sort among themselves (a full
+      rebuild instead sorts globally — same graph up to vid
+      permutation, verified in tests);
+    * edge state merges at the edge-table level: the old decoded edge
+      table is re-encoded with the new vertex count and summed with the
+      new chunks' partials through the same int-key shuffle; the
+      adjacency is re-expanded and re-sorted.
+
+    At scale this touches edge-table-sized data only — the raw old
+    transcripts are never re-read.
+    """
+    from .shuffle import hash_distinct, int_key_sum, range_sort
+
+    os.makedirs(out_dir, exist_ok=True)
+    old_vertices = graph.vertices().materialize()
+    old_keys_ref = ray.put(set(old_vertices.select_columns(["node_key"]).to_pandas()["node_key"]))
+    old_chunk_keys = {
+        k for k in ray.get(old_keys_ref) if k.startswith("chunk-")
+    }
+    old_chunks_ref = ray.put(old_chunk_keys)
+
+    # --- new, unseen chunks only (anti join on content hash) ---
+    def anti(batch: pa.Table) -> pa.Table:
+        seen = ray.get(old_chunks_ref)
+        keys = batch["chunk_key"].to_numpy(zero_copy_only=False)
+        mask = np.array([k not in seen for k in keys], dtype=bool)
+        return batch.filter(pa.array(mask))
+
+    chunks_new = (
+        dedup_chunks(new_transcripts)
+        .map_batches(anti, batch_format="pyarrow")
+        .materialize()
+    )
+    if chunks_new.count() == 0:
+        # nothing new: copy-through (same directory contract)
+        if os.path.abspath(out_dir) != os.path.abspath(graph.out_dir):
+            import shutil as _sh
+
+            for sub in ("vertices", "edges", "adj", "manifest.json"):
+                src = os.path.join(graph.out_dir, sub)
+                dst = os.path.join(out_dir, sub)
+                (_sh.copytree if os.path.isdir(src) else _sh.copy)(src, dst)
+        return load_graph(out_dir)
+
+    # --- new vertices appended after the existing id range ---
+    vrows = chunks_new.map_batches(ChunkToVertexRows(min_token_len), batch_format="pyarrow")
+
+    def anti_v(batch: pa.Table) -> pa.Table:
+        seen = ray.get(old_keys_ref)
+        keys = batch["node_key"].to_numpy(zero_copy_only=False)
+        mask = np.array([k not in seen for k in keys], dtype=bool)
+        return batch.filter(pa.array(mask))
+
+    n_old = graph.n_vertices
+    vnew = hash_distinct(vrows.map_batches(anti_v, batch_format="pyarrow").materialize(), "node_key")
+    vnew_ids = assign_dense_ids(vnew, "node_key", "vid").map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("vid"),
+            "vid",
+            pa.array(b["vid"].to_numpy(zero_copy_only=False) + n_old, type=pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    vertices = old_vertices.union(vnew_ids.select_columns(old_vertices.schema().names)).materialize()
+    n_vertices = vertices.count()
+    vdir = os.path.join(out_dir, "vertices")
+    if os.path.abspath(out_dir) == os.path.abspath(graph.out_dir):
+        import shutil as _sh
+
+        _sh.rmtree(vdir, ignore_errors=True)
+    vertices.write_parquet(vdir)
+
+    vmap = vertices.select_columns(["node_key", "vid"]).to_pandas().set_index("node_key")["vid"]
+    vmap_ref = ray.put(vmap)
+
+    # --- new partials + re-encoded old edges, one merged sum ---
+    n = int(n_vertices)
+    partials_new = chunks_new.map_batches(
+        ChunkToIntEdgePartials,
+        fn_constructor_kwargs={
+            "vmap_ref": vmap_ref,
+            "n_vertices": n,
+            "min_token_len": min_token_len,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def reencode(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        et = batch["etype"].to_numpy(zero_copy_only=False)
+        code2 = (src * n + dst) * 2 + (et == "fact").astype(np.int64)
+        return pa.table({"code2": pa.array(code2, type=pa.int64()), "weight": batch["weight"]})
+
+    merged = partials_new.materialize().union(
+        graph.edges().map_batches(reencode, batch_format="pyarrow").materialize()
+    )
+    agg = int_key_sum(merged.materialize(), "code2", "weight")
+
+    def decode(batch: pa.Table) -> pa.Table:
+        code2 = batch["code2"].to_numpy(zero_copy_only=False)
+        code = code2 >> 1
+        is_fact = (code2 & 1).astype(bool)
+        return pa.table(
+            {
+                "src": pa.array(code // n, type=pa.int64()),
+                "dst": pa.array(code % n, type=pa.int64()),
+                "weight": batch["weight"],
+                "etype": pa.array(np.where(is_fact, "fact", "passage"), type=pa.string()),
+            }
+        )
+
+    edges = agg.map_batches(decode, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    for sub in ("edges", "adj"):
+        d = os.path.join(out_dir, sub)
+        import shutil as _sh
+
+        _sh.rmtree(d, ignore_errors=True)
+    edges.write_parquet(os.path.join(out_dir, "edges"))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        rev = pa.table(
+            {"src": batch["dst"], "dst": batch["src"], "weight": batch["weight"], "etype": batch["etype"]}
+        )
+        return pa.concat_tables([batch, rev])
+
+    adj = range_sort(edges.map_batches(expand, batch_format="pyarrow").materialize(), "src")
+    adj.write_parquet(os.path.join(out_dir, "adj"))
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(
+            {"n_vertices": int(n_vertices), "n_edges": int(n_edges), "min_token_len": min_token_len},
+            f,
+        )
+    return GraphTables(out_dir=out_dir, n_vertices=int(n_vertices), n_edges=int(n_edges))

@@ -137,13 +137,13 @@ class EmbeddingStore:
             mask = np.array([h not in seen for h in ids], dtype=bool)
             return batch.filter(pa.array(mask))
 
-        from ray.data.aggregate import Min
+        from ..stages.shuffle import hash_distinct
 
-        new_rows = (
+        new_rows = hash_distinct(
             ds.map_batches(keyed, batch_format="pyarrow")
             .map_batches(anti, batch_format="pyarrow")
-            .groupby("hash_id")
-            .aggregate(Min("content", alias_name="content"))
+            .materialize(),
+            "hash_id",
         )
         embedded = new_rows.map_batches(
             HashEmbedder,

@@ -1,0 +1,73 @@
+"""Incremental graph build == full rebuild up to vid permutation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from hipporag_ray.algos.iterate import pagerank
+from hipporag_ray.stages.graph_build import build_graph, build_graph_incremental
+from hipporag_ray.state.csr import ShardedGraph
+from hipporag_ray.synth import write_transcripts
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    d = tmp_path_factory.mktemp("inc")
+    a = write_transcripts(str(d / "a"), n_convs=15, turns_per_conv=8, vocab=50, seed=42)
+    b = write_transcripts(str(d / "b"), n_convs=6, turns_per_conv=8, vocab=70, seed=43)
+    return str(d), a, b
+
+
+def _edge_map(g):
+    v = g.vertices().to_pandas()
+    key_of = dict(zip(v["vid"], v["node_key"]))
+    e = g.edges().to_pandas()
+    return {
+        (key_of[r.src], key_of[r.dst], r.etype): r.weight for r in e.itertuples()
+    }
+
+
+def test_incremental_matches_full_rebuild(corpora):
+    base, a, b = corpora
+    g_a = build_graph(rd.read_parquet(a), f"{base}/graph_a")
+    g_inc = build_graph_incremental(
+        rd.read_parquet(b), g_a, f"{base}/graph_inc"
+    )
+    import glob
+
+    both = sorted(glob.glob(f"{a}/*.parquet")) + sorted(glob.glob(f"{b}/*.parquet"))
+    g_full = build_graph(rd.read_parquet(both), f"{base}/graph_full")
+
+    assert g_inc.n_vertices == g_full.n_vertices
+    assert _edge_map(g_inc) == _edge_map(g_full)
+
+    # old vids stable
+    va = g_a.vertices().to_pandas().set_index("node_key")["vid"]
+    vi = g_inc.vertices().to_pandas().set_index("node_key")["vid"]
+    assert (vi.loc[va.index] == va).all()
+
+    # PageRank agrees per node_key (vid permutation-invariant)
+    def scores_by_key(g):
+        sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=2)
+        try:
+            s, _ = pagerank(sg)
+        finally:
+            sg.shutdown()
+        v = g.vertices().to_pandas().sort_values("node_key")
+        return v["node_key"].to_numpy(), s[v["vid"].to_numpy(), 0]
+
+    k1, s1 = scores_by_key(g_inc)
+    k2, s2 = scores_by_key(g_full)
+    np.testing.assert_array_equal(k1, k2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_incremental_noop_when_duplicate(corpora):
+    base, a, _ = corpora
+    g_a = build_graph(rd.read_parquet(a), f"{base}/graph_a2")
+    g2 = build_graph_incremental(rd.read_parquet(a), g_a, f"{base}/graph_a2_inc")
+    assert g2.n_vertices == g_a.n_vertices
+    assert g2.n_edges == g_a.n_edges
