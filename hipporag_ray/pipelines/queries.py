@@ -94,7 +94,7 @@ def graph_for(sf_dir: str):
     marker = os.path.join(out, "manifest.json")
     if os.path.exists(marker):
         return load_graph(out)
-    return build_graph(rd.read_parquet(tx), out)
+    return build_graph(rd.read_parquet(tx, columns=["text"]), out)
 
 
 # ---------------------------------------------------------------------------
@@ -342,21 +342,28 @@ def q_lineitem_pricing(sf_dir: str):
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def rev(batch: pa.Table) -> pa.Table:
-        r = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        return batch.append_column("revenue", r)
-
-    out = (
-        li.map_batches(rev, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("revenue", alias_name="sum_revenue"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="n"),
+    def partial(batch: pa.Table) -> pa.Table:
+        # map-side combine: one row per (flag, status) per batch — the
+        # final exchange moves O(groups x blocks) rows, not O(rows)
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_revenue=("revenue", "sum"),
+            sum_disc=("l_discount", "sum"),
+            n=("l_discount", "size"),
         )
-        .to_pandas()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        sum_qty=("sum_qty", "sum"),
+        sum_revenue=("sum_revenue", "sum"),
+        sum_disc=("sum_disc", "sum"),
+        n=("n", "sum"),
     )
+    out["avg_disc"] = out["sum_disc"] / out["n"]
+    out = out.drop(columns=["sum_disc"])
     return _round(out, {"sum_qty": 2, "sum_revenue": 1, "avg_disc": 5})
 
 
