@@ -300,7 +300,7 @@ def label_propagation(
     metrics: list[dict] = []
     for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
-        label_refs = [a.labels_msg.remote() for a in sg.actors]
+        label_refs = [a.lp_msg.remote() for a in sg.actors]
         changed = sum(ray.get([a.lp_pull.remote(label_refs) for a in sg.actors]))
         wall = time.perf_counter() - t0
         rec = {

@@ -57,6 +57,7 @@ class GraphShard:
         shard_id: int,
         bounds: np.ndarray,
         n_vertices: int,
+        hubs: np.ndarray | None = None,
     ):
         """``bounds`` is the shared (P+1,) vid boundary array: shard t
         owns vids [bounds[t], bounds[t+1]).  Boundaries are chosen by
@@ -70,7 +71,19 @@ class GraphShard:
         path for degree >> E/P hubs (a tool entity at 10^12 turns) is
         row-range sharding that splits a hub's edge list across actors
         plus a boundary-vertex partial combine — same pull protocol,
-        noted in SURVEY.md §4.2."""
+        noted in SURVEY.md §4.2.
+
+        ``hubs`` (sorted vid array) is the iteration-level hub salting:
+        a hub's incoming reduction would otherwise be one giant segment
+        on its owner.  Because the adjacency is symmetric, the
+        contribution u->h can be computed at *u's* owner (which holds
+        contrib[u] locally) from its row (own=u, other=h).  So every
+        actor accumulates a tiny dense (|H|, B) hub-push block during
+        the contrib phase — attached to the message it already
+        publishes — and owners sum the P blocks in the pull phase.
+        The hub's own-side rows are dropped from the segment groups
+        (after out-weight computation); each undirected hub edge is
+        counted exactly once.  No extra communication rounds."""
         bounds = np.asarray(bounds, dtype=np.int64)
         self.shard_id = shard_id
         self.bounds = bounds
@@ -91,8 +104,42 @@ class GraphShard:
 
         # out-weight over the directed expansion == undirected incident
         # weight sum (SimpleGraph.kt:149-152); symmetric, so the "own"
-        # endpoint's incident sum is computable locally
+        # endpoint's incident sum is computable locally — computed over
+        # ALL rows, before any hub-row exclusion
         self.out_weight = np.bincount(own, weights=w, minlength=self.local_n)
+
+        self.hubs = np.asarray(hubs, dtype=np.int64) if hubs is not None else np.zeros(0, np.int64)
+        self._hub_local = None  # local indices of hubs owned by this shard
+        if len(self.hubs):
+            owned = (self.hubs >= self.lo) & (self.hubs < self.hi)
+            self._hub_owned_idx = np.nonzero(owned)[0]
+            self._hub_local = self.hubs[owned] - self.lo
+            # push side: rows whose OTHER endpoint is a hub, grouped by
+            # hub index, sorted for reduceat
+            hub_pos = np.searchsorted(self.hubs, other)
+            hub_pos[hub_pos >= len(self.hubs)] = len(self.hubs) - 1
+            is_push = self.hubs[hub_pos] == other
+            p_own = own[is_push]
+            p_hub = hub_pos[is_push]
+            p_w = w[is_push]
+            po = np.argsort(p_hub, kind="stable")
+            self._push = (p_own[po], p_hub[po], p_w[po])
+            ps = self._push[1]
+            self._push_starts = np.concatenate(
+                [[0], np.nonzero(np.diff(ps))[0] + 1]
+            ).astype(np.int64) if len(ps) else np.zeros(0, np.int64)
+            self._push_uniq = ps[self._push_starts] if len(ps) else np.zeros(0, np.int64)
+            # drop hub own-side rows from the segment groups: their
+            # incoming reduction arrives via the push blocks instead
+            hub_own_pos = np.searchsorted(self.hubs, own + self.lo)
+            hub_own_pos[hub_own_pos >= len(self.hubs)] = len(self.hubs) - 1
+            keep = self.hubs[hub_own_pos] != (own + self.lo)
+            own, other, w = own[keep], other[keep], w[keep]
+        else:
+            self._hub_owned_idx = np.zeros(0, np.int64)
+            self._push = (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0))
+            self._push_starts = np.zeros(0, np.int64)
+            self._push_uniq = np.zeros(0, np.int64)
 
         # incoming edges grouped by the neighbor's shard, sorted by own
         # vid within each group for reduceat segment reduction
@@ -119,7 +166,8 @@ class GraphShard:
             self.groups.append((own_s, other_local, w_s, starts))
             self._w32.append(w_s.astype(np.float32)[:, None])
             self._uniq_own.append(uniq)
-        self.edge_count = len(own)
+        # rows scanned per iteration: segment-group rows + hub-push rows
+        self.edge_count = len(own) + len(self._push[0])
 
         # mutable per-algorithm state
         self.scores: np.ndarray | None = None  # (local_n, B) float64
@@ -163,12 +211,21 @@ class GraphShard:
             damping * self.scores[np.ix_(nzm, active)] / self.out_weight[nzm, None]
         )
         dangling = self.scores[np.ix_(~nzm, active)].sum(axis=0)
+        # hub push: contributions from my vertices into hub vertices,
+        # computed here (local contrib, float64) and summed by hub
+        # owners in the pull phase — the iteration-level salting of
+        # hub-entity skew
+        hub_push = np.zeros((len(self.hubs), len(active)))
+        p_own, _p_hub, p_w = self._push
+        if len(p_own):
+            vals = contrib[p_own] * p_w[:, None]
+            hub_push[self._push_uniq] = np.add.reduceat(vals, self._push_starts, axis=0)
         # float32 message: halves the gather traffic of the edge scan
         # (the iteration is DRAM-bandwidth-bound); the induced error
         # (~6e-8 relative, contracted each iteration by damping) is two
-        # orders below the 1e-6 convergence tolerance.  Dangling stays
-        # float64 — it feeds every vertex directly.
-        return contrib.astype(np.float32), dangling
+        # orders below the 1e-6 convergence tolerance.  Dangling and the
+        # hub blocks stay float64.
+        return contrib.astype(np.float32), dangling, hub_push
 
     _PULL_CHUNK = 32768  # edges per segment-sum block (bounds temp size)
 
@@ -184,6 +241,9 @@ class GraphShard:
         dangling = np.sum([m[1] for m in msgs], axis=0)
         reset = self.reset[:, active]
         nxt = (1.0 - damping) * reset + damping * dangling[None, :] * reset
+        if len(self._hub_owned_idx):
+            hub_total = np.sum([m[2] for m in msgs], axis=0)
+            nxt[self._hub_local] += hub_total[self._hub_owned_idx]
         B = len(active)
         if getattr(self, "_buf", None) is None or self._buf.shape[1] != B:
             self._buf = np.empty((self._PULL_CHUNK + 1024, max(B, 1)), dtype=np.float32)
@@ -235,8 +295,15 @@ class GraphShard:
     def cc_init(self) -> None:
         self.labels = np.arange(self.lo, self.hi, dtype=np.int64)
 
-    def labels_msg(self) -> np.ndarray:
-        return self.labels
+    def labels_msg(self):
+        """(labels, hub_mins): min neighbor label per hub from my rows."""
+        hub_mins = np.full(len(self.hubs), _I64_MAX, dtype=np.int64)
+        p_own, _p_hub, _p_w = self._push
+        if len(p_own):
+            hub_mins[self._push_uniq] = np.minimum.reduceat(
+                self.labels[p_own], self._push_starts
+            )
+        return self.labels, hub_mins
 
     def cc_pull(self, label_refs: list) -> int:
         msgs = ray.get(list(label_refs))
@@ -245,9 +312,13 @@ class GraphShard:
             own_s, other_local, _w, starts = self.groups[ti]
             if len(own_s) == 0:
                 continue
-            mins = np.minimum.reduceat(msgs[ti][other_local], starts)
+            mins = np.minimum.reduceat(msgs[ti][0][other_local], starts)
             uniq = self._uniq_own[ti]
             nxt[uniq] = np.minimum(nxt[uniq], mins)
+        if len(self._hub_owned_idx):
+            hub_total = np.min([m[1] for m in msgs], axis=0)
+            hl = self._hub_local
+            nxt[hl] = np.minimum(nxt[hl], hub_total[self._hub_owned_idx])
         changed = int((nxt != self.labels).sum())
         self.labels = nxt
         return changed
@@ -263,6 +334,21 @@ class GraphShard:
     def lp_init(self) -> None:
         self.labels = np.arange(self.lo, self.hi, dtype=np.int64)
 
+    def lp_msg(self):
+        """(labels, hub_votes (hub_idx, label, wsum)): per-hub label
+        vote partials from my push rows."""
+        p_own, p_hub, p_w = self._push
+        if len(p_own):
+            labs = self.labels[p_own]
+            order = np.lexsort((labs, p_hub))
+            h2, l2, w2 = p_hub[order], labs[order], p_w[order]
+            new_group = np.concatenate([[True], (np.diff(h2) != 0) | (np.diff(l2) != 0)])
+            starts = np.nonzero(new_group)[0]
+            votes = (h2[starts], l2[starts], np.add.reduceat(w2, starts))
+        else:
+            votes = (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0))
+        return self.labels, votes
+
     def lp_pull(self, label_refs: list) -> int:
         msgs = ray.get(list(label_refs))
         all_own, all_lab, all_w = [], [], []
@@ -271,8 +357,18 @@ class GraphShard:
             if len(own_s) == 0:
                 continue
             all_own.append(own_s)
-            all_lab.append(msgs[ti][other_local])
+            all_lab.append(msgs[ti][0][other_local])
             all_w.append(w_s)
+        if len(self._hub_owned_idx):
+            for m in msgs:
+                h_idx, labs, ws = m[1]
+                if len(h_idx) == 0:
+                    continue
+                keep = np.isin(h_idx, self._hub_owned_idx)
+                if keep.any():
+                    all_own.append(self.hubs[h_idx[keep]] - self.lo)
+                    all_lab.append(labs[keep])
+                    all_w.append(ws[keep])
         nxt = self.labels.copy()
         if all_own:
             own_c = np.concatenate(all_own)
@@ -324,9 +420,18 @@ class GraphShard:
 GraphShardActor = ray.remote(GraphShard)
 
 
-def edge_balanced_bounds(adj_path: str, n_vertices: int, n_shards: int) -> np.ndarray:
+def edge_balanced_bounds(
+    adj_path: str,
+    n_vertices: int,
+    n_shards: int,
+    hub_min_degree: int | None = None,
+    max_hubs: int = 1024,
+) -> tuple[np.ndarray, np.ndarray]:
     """Shard boundaries at edge-count quantiles of the src-sorted
-    adjacency (snapped to vertex boundaries).
+    adjacency (snapped to vertex boundaries), plus the hub-vertex list
+    (degree above the threshold — default max(4096, 2·E/P), or the
+    explicit ``hub_min_degree``; top ``max_hubs``) whose incoming
+    reductions are salted across all shards.
 
     Reads only the ``src`` column (int64); at cluster scale this pass
     is replaced by the parquet row-group statistics of the src-sorted
@@ -335,12 +440,33 @@ def edge_balanced_bounds(adj_path: str, n_vertices: int, n_shards: int) -> np.nd
     src = pads.dataset(adj_path).to_table(columns=["src"])["src"].to_numpy(
         zero_copy_only=False
     )
-    if len(src) == 0 or n_shards <= 1:
-        return np.array([0, n_vertices], dtype=np.int64)
-    pos = (np.arange(1, n_shards, dtype=np.int64) * len(src)) // n_shards
-    cuts = np.unique(src[pos].astype(np.int64))
+    if len(src) == 0:
+        return np.array([0, n_vertices], dtype=np.int64), np.zeros(0, np.int64)
+    deg = np.bincount(src.astype(np.int64), minlength=n_vertices)
+    cap = (
+        hub_min_degree
+        if hub_min_degree is not None
+        else max(4096, (2 * len(src)) // max(n_shards, 1))
+    )
+    hub_ids = np.nonzero(deg > cap)[0]
+    if len(hub_ids) > max_hubs:
+        hub_ids = hub_ids[np.argsort(-deg[hub_ids], kind="stable")[:max_hubs]]
+    hubs = np.sort(hub_ids).astype(np.int64)
+    if n_shards <= 1:
+        return np.array([0, n_vertices], dtype=np.int64), hubs
+    # quantiles over NON-hub rows: hub segments no longer live on their
+    # owner, so they should not skew the boundary placement
+    if len(hubs):
+        pos_mask = ~np.isin(src, hubs)
+        src_bal = src[pos_mask]
+    else:
+        src_bal = src
+    if len(src_bal) == 0:
+        src_bal = src
+    pos = (np.arange(1, n_shards, dtype=np.int64) * len(src_bal)) // n_shards
+    cuts = np.unique(src_bal[pos].astype(np.int64))
     cuts = cuts[(cuts > 0) & (cuts < n_vertices)]
-    return np.concatenate([[0], cuts, [n_vertices]]).astype(np.int64)
+    return np.concatenate([[0], cuts, [n_vertices]]).astype(np.int64), hubs
 
 
 class ShardedGraph:
@@ -352,6 +478,8 @@ class ShardedGraph:
         n_vertices: int,
         n_shards: int | None = None,
         min_shard_size: int = 1024,
+        hub_min_degree: int | None = None,
+        max_hubs: int = 1024,
     ):
         if n_shards is None:
             # 2x oversharding: smaller shards keep the broadcast message
@@ -360,7 +488,9 @@ class ShardedGraph:
             # oversharding regresses — message count wins out)
             cpus = int(ray.cluster_resources().get("CPU", 8))
             n_shards = max(1, min(2 * cpus, -(-n_vertices // min_shard_size)))
-        self.bounds = edge_balanced_bounds(adj_path, n_vertices, n_shards)
+        self.bounds, self.hubs = edge_balanced_bounds(
+            adj_path, n_vertices, n_shards, hub_min_degree, max_hubs
+        )
         n_shards = len(self.bounds) - 1
         self.n_vertices = n_vertices
         self.n_shards = n_shards
@@ -372,7 +502,7 @@ class ShardedGraph:
         cpu_per_actor = 1 if n_shards <= cpus else max(cpus / n_shards, 0.1)
         self.actors = [
             GraphShardActor.options(num_cpus=cpu_per_actor).remote(
-                adj_path, i, self.bounds, n_vertices
+                adj_path, i, self.bounds, n_vertices, self.hubs
             )
             for i in range(n_shards)
         ]

@@ -1,0 +1,136 @@
+"""Iteration-level hub salting: correctness on extreme-skew graphs and
+balance improvement."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+
+from hipporag_ray.algos.iterate import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    personalized_pagerank,
+)
+from hipporag_ray.algos.oracle import cc_oracle, lp_oracle, pagerank_oracle, ppr_oracle
+from hipporag_ray.state.csr import ShardedGraph
+
+
+@pytest.fixture(scope="module")
+def skew_graph(tmp_path_factory):
+    """One hub connected to 60% of vertices + sparse random edges."""
+    rng = np.random.default_rng(5)
+    n = 2000
+    hub = 700  # deliberately mid-range vid
+    spoke = rng.choice(np.delete(np.arange(n), hub), size=1200, replace=False)
+    src = np.concatenate([np.full(1200, hub), rng.integers(0, n, 1500)])
+    dst = np.concatenate([spoke, rng.integers(0, n, 1500)])
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.random(len(src)) + 0.1
+    adj = pa.table(
+        {
+            "src": np.concatenate([src, dst]),
+            "dst": np.concatenate([dst, src]),
+            "weight": np.concatenate([w, w]),
+            "etype": ["fact"] * (2 * len(src)),
+        }
+    ).sort_by("src")
+    d = tmp_path_factory.mktemp("skew") / "adj"
+    os.makedirs(d)
+    pq.write_table(adj, str(d / "part-0.parquet"))
+    return str(d), n, src, dst, w, hub
+
+
+def _sharded(path, n, **kw):
+    return ShardedGraph(path, n, n_shards=4, **kw)
+
+
+def test_hub_detected_and_excluded_from_groups(skew_graph):
+    path, n, src, dst, w, hub = skew_graph
+    sg = _sharded(path, n, hub_min_degree=256)
+    try:
+        assert hub in sg.hubs.tolist()
+        # total scanned rows conserved: groups + push == all records
+        assert sg.edge_count == 2 * len(src)
+    finally:
+        sg.shutdown()
+
+
+@pytest.mark.parametrize("hub_min_degree", [256, 10**9])
+def test_pagerank_ppr_with_hub_salting(skew_graph, hub_min_degree):
+    """Same scores with and without hub salting, matching the oracle."""
+    path, n, src, dst, w, hub = skew_graph
+    want = pagerank_oracle(n, src, dst, w)
+    sg = _sharded(path, n, hub_min_degree=hub_min_degree)
+    try:
+        if hub_min_degree == 256:
+            assert len(sg.hubs) > 0
+        got, _ = pagerank(sg)
+        np.testing.assert_allclose(got[:, 0], want, atol=1e-6)
+
+        rng = np.random.default_rng(0)
+        vids = rng.choice(n, size=6, replace=False)
+        vids[0] = hub  # reset mass on the hub itself
+        weights = rng.random(6)
+        reset = np.zeros(n)
+        reset[vids] = weights
+        want_ppr = ppr_oracle(n, src, dst, w, reset=reset)
+        got_ppr, _ = personalized_pagerank(sg, resets=[(vids, weights)], n_queries=1)
+        np.testing.assert_allclose(got_ppr[:, 0], want_ppr, atol=1e-6)
+    finally:
+        sg.shutdown()
+
+
+def test_cc_lp_with_hub_salting(skew_graph):
+    path, n, src, dst, w, hub = skew_graph
+    sg = _sharded(path, n, hub_min_degree=256)
+    try:
+        comp, _ = connected_components(sg)
+        np.testing.assert_array_equal(comp, cc_oracle(n, src, dst))
+        labels, _ = label_propagation(sg, max_iter=5)
+        np.testing.assert_array_equal(labels, lp_oracle(n, src, dst, w, max_iter=5))
+    finally:
+        sg.shutdown()
+
+
+def test_hub_salting_balances_shards(skew_graph):
+    """With salting on, no shard's segment-group row count is dominated
+    by the hub's degree."""
+    path, n, src, dst, w, hub = skew_graph
+
+    def group_rows(sg):
+        def rows(a):
+            return a.get_group_rows.remote()
+
+        import ray as _ray
+
+        return _ray.get([rows(a) for a in sg.actors])
+
+    # expose group sizes via a tiny helper on the actor
+    from hipporag_ray.state import csr as csr_mod
+
+    if not hasattr(csr_mod.GraphShard, "get_group_rows"):
+        def get_group_rows(self):
+            return int(sum(len(g[0]) for g in self.groups))
+
+        csr_mod.GraphShard.get_group_rows = get_group_rows
+        csr_mod.GraphShardActor = ray.remote(csr_mod.GraphShard)
+
+    sg_off = ShardedGraph(path, n, n_shards=4, hub_min_degree=10**9)
+    try:
+        off = group_rows(sg_off)
+    finally:
+        sg_off.shutdown()
+    sg_on = ShardedGraph(path, n, n_shards=4, hub_min_degree=256)
+    try:
+        on = group_rows(sg_on)
+    finally:
+        sg_on.shutdown()
+    assert max(on) < max(off)  # hub segment no longer concentrates on one shard
