@@ -629,6 +629,46 @@ def q_tx_triangles(sf_dir: str):
     return pd.DataFrame({"n_triangles": [total]})
 
 
+def q_tx_eval_recall(sf_dir: str):
+    """End-to-end retrieval evaluation (A7): for 8 seed entities, gold
+    = chunks containing the entity (passage edges); prediction = PPR
+    top-k chunks from that entity; report recall@k."""
+    from ..algos.iterate import personalized_pagerank
+    from ..stages.evalops import recall_at_k
+    from ..state.csr import ShardedGraph
+
+    g = graph_for(sf_dir)
+    v = g.vertices().to_pandas()
+    passage = g.edges().filter(lambda r: r["etype"] == "passage").to_pandas()
+    # chunks per entity (gold); pick 8 mid-frequency entities
+    by_ent = passage.groupby("dst")["src"].agg(list)
+    sizes = by_ent.map(len)
+    seeds = sizes[(sizes >= 3) & (sizes <= 50)].index.to_numpy()[:8]
+    if len(seeds) == 0:
+        seeds = sizes.index.to_numpy()[:8]
+    sg = ShardedGraph(g.adj_path, g.n_vertices)
+    try:
+        scores, _ = personalized_pagerank(
+            sg,
+            resets=[(np.array([s]), np.ones(1)) for s in seeds],
+            n_queries=len(seeds),
+        )
+    finally:
+        sg.shutdown()
+    chunk_vids = v[v["kind"] == "chunk"]["vid"].to_numpy()
+    rows = []
+    for qi, s in enumerate(seeds):
+        cs = scores[chunk_vids, qi]
+        order = np.argsort(-cs)
+        rows.append({"pred": chunk_vids[order][:50].tolist(), "gold": by_ent[s]})
+    out = recall_at_k(rd.from_items(rows), ks=(1, 10, 50))
+    return pd.DataFrame({k: [_round_half(v)] for k, v in out.items()})
+
+
+def _round_half(v: float, nd: int = 6) -> float:
+    return float(np.floor(abs(v) * 10**nd + 0.5) / 10**nd * (1 if v >= 0 else -1))
+
+
 def q_tx_extract(sf_dir: str):
     """Extraction with per-turn text-equality lineage columns."""
     tx = synth_transcripts_for(sf_dir)
@@ -676,6 +716,7 @@ QUERIES = {
     "tx_cc": q_tx_cc,
     "tx_lp": q_tx_lp,
     "tx_triangles": q_tx_triangles,
+    "tx_eval_recall": q_tx_eval_recall,
 }
 
 
