@@ -79,26 +79,43 @@ def triangle_count(
     indptr = np.zeros(n_vertices + 1, dtype=np.int64)
     np.add.at(indptr, u + 1, 1)
     indptr = np.cumsum(indptr)
-    csr_ref = ray.put((indptr, v))
+    # sorted edge codes for O(log m) membership of (u, w) pairs
+    codes = u.astype(np.int64) * n_vertices + v
+    csr_ref = ray.put((indptr, v, np.sort(codes)))
 
     oriented = rd.from_arrow(
         pa.table({"u": pa.array(u, type=pa.int64()), "v": pa.array(v, type=pa.int64())})
     )
 
     def count_batch(batch: pa.Table) -> pa.Table:
-        indptr_l, adj = ray.get(csr_ref)  # zero-copy from object store
+        """Fully vectorized wedge check: for each oriented edge (u, v),
+        expand v's forward neighborhood w ∈ N+(v) and test (u, w)
+        membership against the sorted global edge codes — one
+        searchsorted over the whole batch's wedges, then bincounts per
+        triangle corner."""
+        indptr_l, adj, sorted_codes = ray.get(csr_ref)  # zero-copy
         bu = batch["u"].to_numpy(zero_copy_only=False)
         bv = batch["v"].to_numpy(zero_copy_only=False)
-        acc = np.zeros(len(indptr_l) - 1, dtype=np.int64)
-        for uu, vv in zip(bu, bv):
-            nu = adj[indptr_l[uu] : indptr_l[uu + 1]]
-            nv = adj[indptr_l[vv] : indptr_l[vv + 1]]
-            common = np.intersect1d(nu, nv, assume_unique=True)
-            k = len(common)
-            if k:
-                acc[uu] += k
-                acc[vv] += k
-                acc[common] += 1
+        n = len(indptr_l) - 1
+        deg_v = indptr_l[bv + 1] - indptr_l[bv]
+        if deg_v.sum() == 0:
+            return pa.table({"vid": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
+        # expand wedges: edge i contributes deg_v[i] (u, w) candidates
+        edge_rep = np.repeat(np.arange(len(bu)), deg_v)
+        # gather w = adj[indptr[v] + offset] with per-edge offsets
+        starts = indptr_l[bv]
+        offs = np.arange(len(edge_rep)) - np.repeat(
+            np.concatenate([[0], np.cumsum(deg_v)[:-1]]), deg_v
+        )
+        w_arr = adj[starts[edge_rep] + offs]
+        cand = bu[edge_rep].astype(np.int64) * n + w_arr
+        pos = np.searchsorted(sorted_codes, cand)
+        pos[pos >= len(sorted_codes)] = len(sorted_codes) - 1
+        hit = sorted_codes[pos] == cand
+        # triangle corners: u and v of the wedge edge, and w
+        acc = np.bincount(bu[edge_rep[hit]], minlength=n).astype(np.int64)
+        acc += np.bincount(bv[edge_rep[hit]], minlength=n)
+        acc += np.bincount(w_arr[hit], minlength=n)
         nz = np.nonzero(acc)[0]
         return pa.table(
             {
