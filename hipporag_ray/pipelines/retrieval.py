@@ -254,6 +254,12 @@ class HippoRagEngine:
         return self._sg
 
     def retrieve(self, queries: list[str], top_k: int = 10) -> list[dict]:
+        """Batched retrieval; also fills ``self.timers`` with the
+        reference's accumulators (HippoRAG.py:160-162, 432-439):
+        ``ppr_time``, ``linking_time``, ``all_retrieval_time``."""
+        import time as _time
+
+        t_all = _time.perf_counter()
         g = self.graph()
         v = g.vertices().to_pandas()
         ent = v[v["kind"] == "entity"]
@@ -308,10 +314,13 @@ class HippoRagEngine:
                 )
             )
 
+        t_link = _time.perf_counter() - t_all
+        t0 = _time.perf_counter()
         sg = self._sharded()
         scores, _ = personalized_pagerank(
             sg, resets=resets, n_queries=len(queries), damping=self.damping
         )
+        t_ppr = _time.perf_counter() - t0
 
         content = dict(zip(chunk["vid"], chunk["content"]))
         results = []
@@ -325,6 +334,11 @@ class HippoRagEngine:
                     "doc_scores": s[order].tolist(),
                 }
             )
+        self.timers = {
+            "linking_time": t_link,
+            "ppr_time": t_ppr,
+            "all_retrieval_time": _time.perf_counter() - t_all,
+        }
         return results
 
     def close(self):

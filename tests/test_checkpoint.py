@@ -37,6 +37,29 @@ def test_cc_resume(small_transcripts, tmp_path):
         sg.shutdown()
 
 
+def test_resume_rejects_lineage_mismatch(small_transcripts, tmp_path):
+    """A checkpoint taken under a different partitioning is ignored —
+    the run restarts from iteration 0 instead of loading bad shards."""
+    from hipporag_ray.algos.iterate import personalized_pagerank
+
+    g = build_graph(rd.read_parquet(small_transcripts), str(tmp_path / "g"))
+    ck = str(tmp_path / "ck")
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=3)
+    try:
+        personalized_pagerank(sg, max_iter=4, checkpoint_dir=ck, checkpoint_every=2)
+    finally:
+        sg.shutdown()
+    # different shard count -> bounds mismatch -> resume starts fresh
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=2)
+    try:
+        _, metrics = personalized_pagerank(
+            sg, checkpoint_dir=ck, checkpoint_every=2, resume=True
+        )
+        assert metrics[0]["iter"] == 1
+    finally:
+        sg.shutdown()
+
+
 def test_int_key_sum_matches_pandas():
     rng = np.random.default_rng(1)
     codes = rng.integers(0, 500, 20000)
