@@ -510,6 +510,71 @@ def q_emb_ann_lsh(sf_dir: str):
     return out[["vec_id", "score"]].pipe(_round, {"score": 6})
 
 
+def q_doc_triangles(sf_dir: str):
+    """Distributed triangle count over the document token co-occurrence
+    graph — SQL-verifiable end-to-end (extraction -> graph -> count)."""
+    from ..algos.triangles import triangle_count
+    from ..stages.graph_build import assign_dense_ids
+
+    m = q_doc_mentions(sf_dir)
+    distinct = m.groupby("entity").aggregate(Count(alias_name="_n")).select_columns(["entity"])
+    verts = assign_dense_ids(distinct, "entity", "vid").to_pandas()
+    vmap = dict(zip(verts["entity"], verts["vid"]))
+    co = q_doc_cooccur(sf_dir).to_pandas()
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([vmap[e] for e in co["src"]], type=pa.int64()),
+                "dst": pa.array([vmap[e] for e in co["dst"]], type=pa.int64()),
+                "weight": pa.array(co["weight"].astype("float64")),
+                "etype": pa.array(["fact"] * len(co)),
+            }
+        )
+    )
+    total, _ = triangle_count(edges, len(verts))
+    return pd.DataFrame({"n_triangles": [int(total)]})
+
+
+def q_doc_cc(sf_dir: str):
+    """Distributed connected components over the document token graph,
+    labeled by the lexicographically smallest member entity —
+    SQL-verifiable via a recursive reachability closure."""
+    import os as _os
+
+    from ..algos.iterate import connected_components
+    from ..stages.graph_build import assign_dense_ids
+    from ..state.csr import ShardedGraph
+
+    m = q_doc_mentions(sf_dir)
+    distinct = m.groupby("entity").aggregate(Count(alias_name="_n")).select_columns(["entity"])
+    verts = assign_dense_ids(distinct, "entity", "vid").to_pandas().sort_values("vid")
+    vmap = dict(zip(verts["entity"], verts["vid"]))
+    ent_of = verts["entity"].to_numpy()
+    co = q_doc_cooccur(sf_dir).to_pandas()
+    src = np.array([vmap[e] for e in co["src"]], dtype=np.int64)
+    dst = np.array([vmap[e] for e in co["dst"]], dtype=np.int64)
+    adj = pa.table(
+        {
+            "src": np.concatenate([src, dst]),
+            "dst": np.concatenate([dst, src]),
+            "weight": np.ones(2 * len(src)),
+            "etype": pa.array(["fact"] * (2 * len(src))),
+        }
+    ).sort_by("src")
+    import pyarrow.parquet as _pq
+
+    d = f"/tmp/hipporag_ray/doc_cc_{sf_of(sf_dir)}"
+    _os.makedirs(d, exist_ok=True)
+    _pq.write_table(adj, _os.path.join(d, "part-0.parquet"))
+    sg = ShardedGraph(d, len(verts))
+    try:
+        comp, _ = connected_components(sg)
+    finally:
+        sg.shutdown()
+    # vid order == sorted(entity), so min member vid == lexicographic min
+    return pd.DataFrame({"entity": ent_of, "component": ent_of[comp]})
+
+
 def q_doc_sample(sf_dir: str):
     """Deterministic systematic sample (every 10th doc) with the
     predicate pushed into the parquet read."""
@@ -707,6 +772,8 @@ QUERIES = {
     "emb_knn": q_emb_knn,
     "emb_neardup": q_emb_neardup,
     "emb_ann_lsh": q_emb_ann_lsh,
+    "doc_triangles": q_doc_triangles,
+    "doc_cc": q_doc_cc,
     "doc_sample": q_doc_sample,
     "tx_graph_info": q_tx_graph_info,
     "media_decode": q_media_decode,
@@ -749,6 +816,36 @@ ORACLE_SQL = {
     """,
     "doc_sample": """
         SELECT doc_id, n_chars FROM documents WHERE doc_id % 8 = 0
+    """,
+    "doc_triangles": f"""
+        {_TOK_CTE}, m AS (
+          SELECT DISTINCT doc_id, tok AS entity FROM tok WHERE length(tok) >= 3
+        ), e AS (
+          SELECT DISTINCT a.entity AS src, b.entity AS dst
+          FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity
+        )
+        SELECT count(*) AS n_triangles
+        FROM e ab JOIN e bc ON ab.dst = bc.src JOIN e ac
+          ON ac.src = ab.src AND ac.dst = bc.dst
+    """,
+    "doc_cc": f"""
+        WITH RECURSIVE norm AS (
+          SELECT doc_id, {_NORM_SQL} AS t FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(t, ' +')) AS tok FROM norm WHERE t <> ''
+        ), m AS (
+          SELECT DISTINCT doc_id, tok AS entity FROM tok WHERE length(tok) >= 3
+        ), e AS (
+          SELECT DISTINCT a.entity AS src, b.entity AS dst
+          FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity <> b.entity
+        ), verts AS (
+          SELECT DISTINCT entity FROM m
+        ), reach AS (
+          SELECT entity AS a, entity AS b FROM verts
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+        )
+        SELECT a AS entity, min(b) AS component FROM reach GROUP BY a
     """,
     "doc_exact_dedup": """
         SELECT md5(text) AS hash_id, min(doc_id) AS keep_id
