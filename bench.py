@@ -199,14 +199,17 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
     eps_hi = results[hi]["ppr_edges_per_sec"]
     t_lo = results[lo]["value"]
     t_hi = results[hi]["value"]
+    b_lo = results[lo]["queries"]["graph_build"]
+    b_hi = results[hi]["queries"]["graph_build"]
     return {
         "metric": "throughput scaling efficiency, PPR edge-traversals/sec, "
         f"{lo} vs {hi} CPUs (fresh processes, same input)",
         "levels": {
-            str(lo): {"sec": t_lo, "ppr_edges_per_sec": eps_lo},
-            str(hi): {"sec": t_hi, "ppr_edges_per_sec": eps_hi},
+            str(lo): {"sec": t_lo, "ppr_edges_per_sec": eps_lo, "graph_build_sec": b_lo},
+            str(hi): {"sec": t_hi, "ppr_edges_per_sec": eps_hi, "graph_build_sec": b_hi},
         },
         "ppr_scaling_efficiency": round((eps_hi / eps_lo) / (hi / lo), 3),
+        "build_scaling_efficiency": round((b_lo / b_hi) / (hi / lo), 3),
         "wall_scaling_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
         "sf": results[hi]["sf"],
     }

@@ -1,0 +1,64 @@
+"""Property-based tests (hypothesis): normalization parity with the
+reference regex on arbitrary strings, PPR oracle invariants on random
+graphs, shuffle-sum exactness."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from hipporag_ray.algos.oracle import cc_oracle, ppr_oracle
+from hipporag_ray.functions.text import text_processing
+
+
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_text_processing_matches_reference_regex(texts):
+    got = text_processing(pa.array(texts, type=pa.string())).to_pylist()
+    want = [re.sub("[^A-Za-z0-9 ]", " ", t.lower()).strip() for t in texts]
+    assert got == want
+
+
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=0, max_value=80),
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppr_oracle_invariants(n, m, seed):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.random(m) + 0.01
+    reset = rng.random(n) * (rng.random(n) > 0.5)
+    scores = ppr_oracle(n, src, dst, w, reset=reset)
+    # probability distribution: non-negative, sums to ~1
+    assert (scores >= 0).all()
+    assert abs(scores.sum() - 1.0) < 1e-6
+    # vertex relabeling equivariance
+    perm = rng.permutation(n)
+    inv = np.argsort(perm)
+    scores_p = ppr_oracle(n, perm[src], perm[dst], w, reset=reset[inv])
+    np.testing.assert_allclose(scores_p[perm], scores, atol=1e-9)
+
+
+@given(
+    st.integers(min_value=1, max_value=25),
+    st.integers(min_value=0, max_value=60),
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_cc_oracle_is_equivalence(n, m, seed):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    comp = cc_oracle(n, src, dst)
+    # component id is the min member and a fixpoint
+    for a, b in zip(src, dst):
+        assert comp[a] == comp[b]
+    for v in range(n):
+        assert comp[comp[v]] == comp[v]
+        assert comp[v] <= v
