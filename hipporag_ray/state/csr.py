@@ -319,6 +319,15 @@ class GraphShard:
             hub_total = np.min([m[1] for m in msgs], axis=0)
             hl = self._hub_local
             nxt[hl] = np.minimum(nxt[hl], hub_total[self._hub_owned_idx])
+        # pointer jumping: the fetched shard slices concatenate (bounds
+        # are an ordered partition of [0, n)) into the full label-by-vid
+        # vector, so shortcutting label -> label(label) is free here and
+        # turns O(diameter) convergence into O(log diameter) — plain
+        # min-label propagation would never converge on a long path
+        # within max_iter
+        global_lab = np.concatenate([m[0] for m in msgs])
+        for _ in range(2):
+            nxt = np.minimum(nxt, global_lab[nxt])
         changed = int((nxt != self.labels).sum())
         self.labels = nxt
         return changed

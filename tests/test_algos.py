@@ -140,6 +140,33 @@ def test_dangling_and_isolated_vertices(tmp_path):
         sg.shutdown()
 
 
+def test_cc_long_path_converges(tmp_path):
+    """A 3000-vertex path: plain min-label needs 3000 rounds; pointer
+    jumping must converge well inside max_iter=60."""
+    n = 3000
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    w = np.ones(n - 1)
+    adj = pa.table(
+        {
+            "src": np.concatenate([src, dst]),
+            "dst": np.concatenate([dst, src]),
+            "weight": np.concatenate([w, w]),
+            "etype": ["fact"] * (2 * (n - 1)),
+        }
+    ).sort_by("src")
+    d = tmp_path / "adj"
+    os.makedirs(d)
+    pq.write_table(adj, str(d / "p.parquet"))
+    sg = ShardedGraph(str(d), n, n_shards=4)
+    try:
+        comp, metrics = connected_components(sg, max_iter=60)
+        assert metrics[-1]["changed"] == 0  # actually converged
+        np.testing.assert_array_equal(comp, np.zeros(n, dtype=np.int64))
+    finally:
+        sg.shutdown()
+
+
 def test_ppr_resume_bit_identical(graph, tmp_path):
     """Kill after iteration K, resume from checkpoint, compare final
     scores vs uninterrupted — bit-identical (FIXTURES.md §3)."""
