@@ -65,6 +65,38 @@ def _resets_to_dense(sg: ShardedGraph, resets, n_queries: int) -> np.ndarray | N
     return dense
 
 
+@ray.remote
+def _route_reset_block(tbl, bounds: np.ndarray, k: int):
+    """Split one (vid, query_idx, weight) block into per-shard triples."""
+    vids = tbl["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qidx = tbl["query_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = tbl["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+    shard = np.searchsorted(bounds, vids, side="right") - 1
+    order = np.argsort(shard, kind="stable")
+    vids, qidx, w, shard = vids[order], qidx[order], w[order], shard[order]
+    gb = np.searchsorted(shard, np.arange(k + 1))
+    outs = [
+        (vids[gb[t] : gb[t + 1]], qidx[gb[t] : gb[t + 1]], w[gb[t] : gb[t + 1]])
+        for t in range(k)
+    ]
+    return tuple(outs) if k > 1 else (outs[0],)
+
+
+def route_reset_dataset(sg: ShardedGraph, reset_ds) -> list[list]:
+    """Shard-route a (vid, query_idx, weight) Dataset; returns, per
+    shard, the list of its triple refs (never materialized on the
+    driver)."""
+    refs = reset_ds.to_arrow_refs()
+    P = sg.n_shards
+    per_block = []
+    for r in refs:
+        if P > 1:
+            per_block.append(list(_route_reset_block.options(num_returns=P).remote(r, sg.bounds, P)))
+        else:
+            per_block.append([_route_reset_block.remote(r, sg.bounds, P)])
+    return [[per_block[i][t] for i in range(len(refs))] for t in range(P)]
+
+
 class _Checkpointer:
     def __init__(self, sg: ShardedGraph, ckpt_dir: str | None, algo: str, meta: dict):
         self.sg = sg
@@ -145,8 +177,16 @@ def personalized_pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     resume: bool = False,
-) -> tuple[np.ndarray, list[dict]]:
-    """Run batched PPR; returns (scores (n, B) float64, per-iter metrics)."""
+    reset_dataset=None,
+    collect: bool = True,
+) -> tuple[np.ndarray | None, list[dict]]:
+    """Run batched PPR; returns (scores (n, B) float64, per-iter metrics).
+
+    ``reset_dataset``: a (vid, query_idx, weight) Dataset routed to the
+    shards without driver materialization (the streaming reset path).
+    ``collect=False`` skips assembling the dense score matrix on the
+    driver — consume results via the actors' ``topk_chunk_scores`` /
+    ``scores_table`` instead."""
     P = sg.n_shards
     dense = _resets_to_dense(sg, resets, n_queries)
 
@@ -161,7 +201,15 @@ def personalized_pagerank(
     active = np.arange(n_queries)
     resumed = ck.latest_complete() if resume else None
 
-    if dense is None:
+    if reset_dataset is not None:
+        routed = route_reset_dataset(sg, reset_dataset)
+        sums = ray.get(
+            [
+                a.ppr_init_sparse.remote(n_queries, routed[t])
+                for t, a in enumerate(sg.actors)
+            ]
+        )
+    elif dense is None:
         sums = ray.get([a.ppr_init.remote(None, n_queries) for a in sg.actors])
     else:
         sums = ray.get(
@@ -212,6 +260,8 @@ def personalized_pagerank(
         if checkpoint_dir and checkpoint_every and (it + 1) % checkpoint_every == 0:
             ck.save(it + 1, {"active": active.tolist(), "delta": float(delta.sum())})
 
+    if not collect:
+        return None, metrics
     scores = np.vstack(ray.get([a.scores_matrix.remote() for a in sg.actors]))
     return scores, metrics
 

@@ -40,6 +40,7 @@ import shutil
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -114,6 +115,7 @@ class HippoRagEngine:
         if self._sg is not None:
             self._sg.shutdown()
             self._sg = None
+        self._kinds_loaded = False
         manifest = os.path.join(self.graph_dir, "manifest.json")
         if os.path.exists(manifest) and not self.synonymy:
             from ..stages.graph_build import build_graph_incremental, load_graph
@@ -157,6 +159,7 @@ class HippoRagEngine:
         if self._sg is not None:
             self._sg.shutdown()
             self._sg = None
+        self._kinds_loaded = False
         shutil.rmtree(self.graph_dir, ignore_errors=True)
         g = build_graph(self.corpus(), self.graph_dir, self.min_token_len)
         n_syn = self._add_synonymy_edges(g) if self.synonymy else 0
@@ -254,84 +257,212 @@ class HippoRagEngine:
         return self._sg
 
     def retrieve(self, queries: list[str], top_k: int = 10) -> list[dict]:
-        """Batched retrieval; also fills ``self.timers`` with the
-        reference's accumulators (HippoRAG.py:160-162, 432-439):
-        ``ppr_time``, ``linking_time``, ``all_retrieval_time``."""
+        """Batched streaming retrieval — no stage materializes the
+        vertex or embedding tables on the driver:
+
+        1. vertices ⋈ embeddings via the bucketed hash join
+           (stages/shuffle.py) per kind;
+        2. entity linking (J1) + DPR passage scoring (HippoRAG.py:
+           1488-1498) as tiled ``map_batches`` against the broadcast
+           query matrix; DPR min-max normalization is a two-pass over
+           the tiles (per-block extrema -> tiny driver combine ->
+           normalized weight emission);
+        3. reset vectors flow to the shard actors as a
+           (vid, query_idx, weight) Dataset (route_reset_dataset) —
+           never a dense driver-side matrix;
+        4. ranking is per-shard top-k on the actors merged on the
+           driver (two-level top-k, K6); only the final top_k rows'
+           content is read back (filtered parquet read — the
+           reference's lookup-content-last, HippoRAG.py:428-430).
+
+        Fills ``self.timers`` with the reference's accumulators
+        (HippoRAG.py:160-162, 432-439)."""
         import time as _time
+
+        from ..stages.shuffle import hash_join, int_key_sum
 
         t_all = _time.perf_counter()
         g = self.graph()
-        v = g.vertices().to_pandas()
-        ent = v[v["kind"] == "entity"]
-        chunk = v[v["kind"] == "chunk"]
-
-        # |chunks(entity)| damping factors from the passage edges (J4)
-        passage = (
-            g.edges()
-            .filter(lambda r: r["etype"] == "passage")
-            .groupby("dst")
-            .aggregate(Count(alias_name="n_chunks"))
-            .to_pandas()
-        )
-        ent_chunk_count = dict(zip(passage["dst"], passage["n_chunks"]))
-
-        # embeddings aligned to vids via hash_id == node_key
-        ent_emb = self.entity_store.dataset().to_pandas()
-        ent_join = ent.merge(ent_emb, left_on="node_key", right_on="hash_id")
-        ent_vids = ent_join["vid"].to_numpy()
-        ent_mat = np.stack(ent_join["embedding"].to_numpy()).astype(np.float64)
-        chunk_emb = self.chunk_store.dataset().to_pandas()
-        chunk_join = chunk.merge(chunk_emb, left_on="node_key", right_on="hash_id")
-        chunk_vids = chunk_join["vid"].to_numpy()
-        chunk_mat = np.stack(chunk_join["embedding"].to_numpy()).astype(np.float64)
-
+        B = len(queries)
         q_norm = text_processing(pa.array(queries)).to_pylist()
         q_mat = self.embedder.embed(q_norm).astype(np.float64)
+        q_ref = ray.put(q_mat)
 
-        resets = []
-        dpr_scores = []
-        for qi in range(len(queries)):
-            qv = q_mat[qi]
-            # entity linking (J1 dense top-k) with 1/|chunks| damping (A5)
-            sims = ent_mat @ qv
-            k = min(self.link_top_k, len(sims))
-            top = np.argsort(-sims)[:k]
-            reset_vids = []
-            reset_w = []
-            for idx in top:
-                vid = int(ent_vids[idx])
-                w = float(sims[idx]) / max(ent_chunk_count.get(vid, 1), 1)
-                reset_vids.append(vid)
-                reset_w.append(max(w, 0.0))
-            # DPR passage weights x passage_node_weight (HippoRAG.py:1488-1498)
-            psims = chunk_mat @ qv
-            pw = min_max_normalize(psims) * self.passage_node_weight
-            dpr_scores.append(psims)
-            resets.append(
-                (
-                    np.concatenate([np.array(reset_vids, dtype=np.int64), chunk_vids]),
-                    np.concatenate([np.array(reset_w), pw]),
-                )
+        def _kind(ds, kind):
+            return ds.map_batches(
+                lambda b, k=kind: b.filter(pc.equal(b["kind"], k)),
+                batch_format="pyarrow",
             )
+
+        def _as_key(store_ds):
+            return store_ds.map_batches(
+                lambda b: pa.table({"node_key": b["hash_id"], "embedding": b["embedding"]}),
+                batch_format="pyarrow",
+            )
+
+        verts = g.vertices().select_columns(["node_key", "kind", "vid"])
+        ent_joined = hash_join(
+            _kind(verts, "entity"), _as_key(self.entity_store.dataset()), "node_key"
+        ).materialize()
+        chunk_joined = hash_join(
+            _kind(verts, "chunk"), _as_key(self.chunk_store.dataset()), "node_key"
+        ).materialize()
+
+        # |chunks(entity)| damping factors (J4): passage-edge sum by dst
+        passage = g.edges().map_batches(
+            lambda b: b.filter(pc.equal(b["etype"], "passage")).select(["dst", "weight"]),
+            batch_format="pyarrow",
+        )
+        counts = int_key_sum(passage.materialize(), "dst", "weight").map_batches(
+            lambda b: pa.table({"vid": b["dst"], "n_chunks": b["weight"]}),
+            batch_format="pyarrow",
+        )
+        ent_full = hash_join(ent_joined, counts, "vid", how="left")
+
+        # --- entity linking tiles: per-block per-query top-k candidates ---
+        def link_tile(batch: pa.Table) -> pa.Table:
+            qm = ray.get(q_ref)
+            if batch.num_rows == 0 or "embedding" not in batch.column_names:
+                return pa.table(
+                    {
+                        "query_idx": pa.array([], pa.int64()),
+                        "vid": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                        "n_chunks": pa.array([], pa.float64()),
+                    }
+                )
+            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            vids = batch["vid"].to_numpy(zero_copy_only=False)
+            nch = np.nan_to_num(
+                batch["n_chunks"].to_numpy(zero_copy_only=False).astype(np.float64), nan=1.0
+            )
+            sims = qm @ m.T  # (B, rows)
+            k = min(self.link_top_k, sims.shape[1])
+            idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+            out_q, out_v, out_s, out_n = [], [], [], []
+            for qi in range(sims.shape[0]):
+                out_q.extend([qi] * k)
+                out_v.extend(vids[idx[qi]])
+                out_s.extend(sims[qi, idx[qi]])
+                out_n.extend(nch[idx[qi]])
+            return pa.table(
+                {
+                    "query_idx": pa.array(out_q, type=pa.int64()),
+                    "vid": pa.array(out_v, type=pa.int64()),
+                    "score": pa.array(out_s, type=pa.float64()),
+                    "n_chunks": pa.array(out_n, type=pa.float64()),
+                }
+            )
+
+        link = ent_full.map_batches(link_tile, batch_format="pyarrow").to_pandas()
+        link = link.sort_values(["query_idx", "score", "vid"], ascending=[True, False, True])
+        link = link.groupby("query_idx", as_index=False).head(self.link_top_k)
+        # per-phrase damping 1/|chunks(entity)| (A5, HippoRAG.py:1463-1464)
+        link["weight"] = np.maximum(
+            link["score"] / np.maximum(link["n_chunks"], 1.0), 0.0
+        )
+        link_triples = pa.table(
+            {
+                "vid": pa.array(link["vid"].to_numpy(np.int64)),
+                "query_idx": pa.array(link["query_idx"].to_numpy(np.int64)),
+                "weight": pa.array(link["weight"].to_numpy(np.float64)),
+            }
+        )
+
+        # --- DPR passage weights: two-pass tiled min-max (M3) ---
+        def extrema_tile(batch: pa.Table) -> pa.Table:
+            qm = ray.get(q_ref)
+            if batch.num_rows == 0 or "embedding" not in batch.column_names:
+                return pa.table({"query_idx": pa.array([], pa.int64()),
+                                 "lo": pa.array([], pa.float64()),
+                                 "hi": pa.array([], pa.float64())})
+            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            sims = qm @ m.T
+            return pa.table(
+                {
+                    "query_idx": pa.array(np.arange(len(qm)), type=pa.int64()),
+                    "lo": pa.array(sims.min(axis=1)),
+                    "hi": pa.array(sims.max(axis=1)),
+                }
+            )
+
+        ext = chunk_joined.map_batches(extrema_tile, batch_format="pyarrow").to_pandas()
+        lo = ext.groupby("query_idx")["lo"].min().reindex(range(B)).to_numpy()
+        hi = ext.groupby("query_idx")["hi"].max().reindex(range(B)).to_numpy()
+        rng_ref = ray.put((lo, hi, self.passage_node_weight))
+
+        def dpr_tile(batch: pa.Table) -> pa.Table:
+            qm = ray.get(q_ref)
+            lo_, hi_, pw_scale = ray.get(rng_ref)
+            if batch.num_rows == 0 or "embedding" not in batch.column_names:
+                return pa.table({"vid": pa.array([], pa.int64()),
+                                 "query_idx": pa.array([], pa.int64()),
+                                 "weight": pa.array([], pa.float64())})
+            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            vids = batch["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sims = qm @ m.T  # (B, rows)
+            rngs = hi_ - lo_
+            norm = np.where(
+                rngs[:, None] == 0, 1.0, (sims - lo_[:, None]) / np.where(rngs[:, None] == 0, 1.0, rngs[:, None])
+            )
+            w = norm * pw_scale
+            nq, nr = w.shape
+            return pa.table(
+                {
+                    "vid": pa.array(np.tile(vids, nq)),
+                    "query_idx": pa.array(np.repeat(np.arange(nq), nr)),
+                    "weight": pa.array(w.reshape(-1)),
+                }
+            )
+
+        dpr_triples = chunk_joined.map_batches(dpr_tile, batch_format="pyarrow")
+        reset_ds = dpr_triples.union(rd.from_arrow(link_triples)).materialize()
 
         t_link = _time.perf_counter() - t_all
         t0 = _time.perf_counter()
         sg = self._sharded()
-        scores, _ = personalized_pagerank(
-            sg, resets=resets, n_queries=len(queries), damping=self.damping
+        personalized_pagerank(
+            sg,
+            n_queries=B,
+            damping=self.damping,
+            reset_dataset=reset_ds,
+            collect=False,
         )
         t_ppr = _time.perf_counter() - t0
 
-        content = dict(zip(chunk["vid"], chunk["content"]))
+        # --- per-shard top-k, merged on the driver (K6) ---
+        if not getattr(self, "_kinds_loaded", False):
+            ray.get([a.load_kinds.remote(g.vertices_path) for a in sg.actors])
+            self._kinds_loaded = True
         results = []
-        for qi in range(len(queries)):
-            s = scores[chunk_vids, qi]
-            order = np.argsort(-s)[:top_k]
+        top_refs = [
+            [a.topk_chunk_scores.remote(qi, top_k) for a in sg.actors] for qi in range(B)
+        ]
+        need_vids: set[int] = set()
+        merged = []
+        for qi in range(B):
+            parts = ray.get(top_refs[qi])
+            vids = np.concatenate([p[0] for p in parts])
+            scs = np.concatenate([p[1] for p in parts])
+            order = np.lexsort((vids, -scs))[:top_k]
+            merged.append((vids[order], scs[order]))
+            need_vids.update(vids[order].tolist())
+
+        # content lookup last, filtered to the final top rows (J2)
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(g.vertices_path).to_table(
+            columns=["vid", "content"],
+            filter=pads.field("vid").isin(sorted(need_vids)),
+        )
+        content = dict(zip(tbl["vid"].to_pylist(), tbl["content"].to_pylist()))
+        for qi in range(B):
+            vids, scs = merged[qi]
             results.append(
                 {
                     "question": queries[qi],
-                    "docs": [content[int(chunk_vids[i])] for i in order],
-                    "doc_scores": s[order].tolist(),
+                    "docs": [content[int(v)] for v in vids],
+                    "doc_scores": scs.tolist(),
                 }
             )
         self.timers = {
@@ -345,3 +476,4 @@ class HippoRagEngine:
         if self._sg is not None:
             self._sg.shutdown()
             self._sg = None
+        self._kinds_loaded = False

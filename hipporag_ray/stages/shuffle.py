@@ -231,6 +231,81 @@ def range_sort(
     return rd.from_arrow_refs(outs)
 
 
+@ray.remote
+def _join_reduce(key_col: str, how: str, n_left: int, *shards) -> pa.Table:
+    shards = [s[0] if isinstance(s, tuple) and len(s) == 1 else s for s in shards]
+    import pandas as pd
+
+    left = [s.to_pandas() for s in shards[:n_left] if s.num_rows]
+    right = [s.to_pandas() for s in shards[n_left:] if s.num_rows]
+    if not left or (how == "inner" and not right):
+        return _EMPTY_SENTINEL
+    lf = pd.concat(left, ignore_index=True)
+    rf = (
+        pd.concat(right, ignore_index=True)
+        if right
+        else pd.DataFrame({key_col: pd.Series([], dtype=lf[key_col].dtype)})
+    )
+    out = lf.merge(rf, on=key_col, how=how)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+@ray.remote
+def _plain_split(tbl: pa.Table, key_col: str, k: int):
+    if tbl.num_rows == 0 or key_col not in tbl.column_names:
+        return tuple([tbl] * k) if k > 1 else (tbl,)
+    h = (_hash_codes(tbl, key_col) % np.uint64(k)).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    bounds = np.searchsorted(hs, np.arange(k + 1))
+    outs = [tbl.take(pa.array(order[bounds[t] : bounds[t + 1]])) for t in range(k)]
+    return tuple(outs) if k > 1 else (outs[0],)
+
+
+def hash_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    key_col: str,
+    how: str = "inner",
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Bucketed hash join of two Datasets on one key column: both sides
+    split by the same key hash, matching buckets merge pairwise with a
+    pandas hash join (the guide's portable partitioned-join pattern;
+    neither side is materialized on the driver).  Map-side combiners do
+    not apply — rows pass through; skewed join keys inherit the key's
+    hash bucket, so salt upstream when a single key dominates."""
+    lrefs = left.to_arrow_refs()
+    rrefs = right.to_arrow_refs()
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(1, min(max(len(lrefs), len(rrefs), 1), cpus))
+    k = num_partitions
+
+    def split_all(refs):
+        out = []
+        for r in refs:
+            if k > 1:
+                out.append(_plain_split.options(num_returns=k).remote(r, key_col, k))
+            else:
+                out.append([_plain_split.remote(r, key_col, k)])
+        return out
+
+    ls = split_all(lrefs)
+    rs = split_all(rrefs)
+    outs = [
+        _join_reduce.remote(
+            key_col,
+            how,
+            len(lrefs),
+            *[ls[i][t] for i in range(len(lrefs))],
+            *[rs[i][t] for i in range(len(rrefs))],
+        )
+        for t in range(k)
+    ]
+    return rd.from_arrow_refs(outs)
+
+
 def int_key_sum(
     ds: "rd.Dataset",
     key_col: str,

@@ -192,6 +192,46 @@ class GraphShard:
         self.scores = np.full((self.local_n, b), 1.0 / max(self.n_vertices, 1))
         return self.reset.sum(axis=0)
 
+    def ppr_init_sparse(self, n_queries: int, triple_refs: list) -> np.ndarray:
+        """Init from shard-routed sparse reset triples (vids, query_idx,
+        weight) — the streaming path: no dense (n, B) matrix ever exists
+        on the driver.  Returns local reset column sums."""
+        b = n_queries
+        self.reset = np.zeros((self.local_n, b), dtype=np.float64)
+        for trip in ray.get(list(triple_refs)):
+            if isinstance(trip, tuple) and len(trip) == 1:
+                trip = trip[0]
+            vids, qidx, w = trip
+            if len(vids):
+                np.add.at(self.reset, (vids - self.lo, qidx), w)
+        self.scores = np.full((self.local_n, b), 1.0 / max(self.n_vertices, 1))
+        return self.reset.sum(axis=0)
+
+    def load_kinds(self, vertices_path: str) -> int:
+        """Load the kind flags for this shard's vid range (pruned read);
+        returns the number of chunk vertices held."""
+        tbl = pads.dataset(vertices_path).to_table(
+            columns=["vid", "kind"],
+            filter=(pads.field("vid") >= self.lo) & (pads.field("vid") < self.hi),
+        )
+        vids = tbl["vid"].to_numpy(zero_copy_only=False).astype(np.int64) - self.lo
+        kinds = tbl["kind"].to_numpy(zero_copy_only=False)
+        self._is_chunk = np.zeros(self.local_n, dtype=bool)
+        self._is_chunk[vids[kinds == "chunk"]] = True
+        return int(self._is_chunk.sum())
+
+    def topk_chunk_scores(self, query_idx: int, k: int):
+        """Per-shard top-k chunk vertices by score for one query column;
+        the driver merges P partial top-ks (two-level top-k, K6)."""
+        mask = getattr(self, "_is_chunk", None)
+        if mask is None or not mask.any():
+            return np.zeros(0, np.int64), np.zeros(0)
+        vids_local = np.nonzero(mask)[0]
+        s = self.scores[vids_local, query_idx]
+        kk = min(k, len(s))
+        idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+        return vids_local[idx] + self.lo, s[idx]
+
     def ppr_normalize_reset(self, totals: np.ndarray) -> None:
         """Normalize reset by global sums; all-zero columns -> uniform
         (SimpleGraph.kt:139)."""
