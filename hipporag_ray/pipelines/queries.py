@@ -310,6 +310,29 @@ def q_orders_by_nation(sf_dir: str):
     return _round(out, {"total_price": 2})
 
 
+def q_orders_by_segment(sf_dir: str):
+    """Large-side x large-side bucketed hash join (stages/shuffle.py)
+    + grouped aggregate: order totals per customer market segment."""
+    from ..stages.shuffle import hash_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: pa.table({"c_custkey": b["o_custkey"], "o_totalprice": b["o_totalprice"]}),
+        batch_format="pyarrow",
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = hash_join(orders.materialize(), cust.materialize(), "c_custkey")
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
+        .to_pandas()
+    )
+    return _round(out, {"total_price": 2})
+
+
 def q_customers_no_orders(sf_dir: str):
     """J3/J6 anti join: customers with no orders (broadcast key set)."""
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
@@ -767,6 +790,7 @@ QUERIES = {
     "events_topk": q_events_topk,
     "events_hourly": q_events_hourly,
     "orders_by_nation": q_orders_by_nation,
+    "orders_by_segment": q_orders_by_segment,
     "customers_no_orders": q_customers_no_orders,
     "lineitem_pricing": q_lineitem_pricing,
     "emb_knn": q_emb_knn,
@@ -957,6 +981,12 @@ ORACLE_SQL = {
     """,
     "orders_by_nation": """
         SELECT c.c_nationkey, count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """,
+    "orders_by_segment": """
+        SELECT c.c_mktsegment, count(*) AS n_orders,
                round(sum(o.o_totalprice), 2) AS total_price
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1

@@ -116,6 +116,7 @@ class HippoRagEngine:
             self._sg.shutdown()
             self._sg = None
         self._kinds_loaded = False
+        self._joined_views = None
         manifest = os.path.join(self.graph_dir, "manifest.json")
         if os.path.exists(manifest) and not self.synonymy:
             from ..stages.graph_build import build_graph_incremental, load_graph
@@ -160,6 +161,7 @@ class HippoRagEngine:
             self._sg.shutdown()
             self._sg = None
         self._kinds_loaded = False
+        self._joined_views = None
         shutil.rmtree(self.graph_dir, ignore_errors=True)
         g = build_graph(self.corpus(), self.graph_dir, self.min_token_len)
         n_syn = self._add_synonymy_edges(g) if self.synonymy else 0
@@ -300,24 +302,28 @@ class HippoRagEngine:
                 batch_format="pyarrow",
             )
 
-        verts = g.vertices().select_columns(["node_key", "kind", "vid"])
-        ent_joined = hash_join(
-            _kind(verts, "entity"), _as_key(self.entity_store.dataset()), "node_key"
-        ).materialize()
-        chunk_joined = hash_join(
-            _kind(verts, "chunk"), _as_key(self.chunk_store.dataset()), "node_key"
-        ).materialize()
+        if getattr(self, "_joined_views", None) is None:
+            verts = g.vertices().select_columns(["node_key", "kind", "vid"])
+            ent_joined = hash_join(
+                _kind(verts, "entity"), _as_key(self.entity_store.dataset()), "node_key"
+            )
+            chunk_joined = hash_join(
+                _kind(verts, "chunk"), _as_key(self.chunk_store.dataset()), "node_key"
+            ).materialize()
 
-        # |chunks(entity)| damping factors (J4): passage-edge sum by dst
-        passage = g.edges().map_batches(
-            lambda b: b.filter(pc.equal(b["etype"], "passage")).select(["dst", "weight"]),
-            batch_format="pyarrow",
-        )
-        counts = int_key_sum(passage.materialize(), "dst", "weight").map_batches(
-            lambda b: pa.table({"vid": b["dst"], "n_chunks": b["weight"]}),
-            batch_format="pyarrow",
-        )
-        ent_full = hash_join(ent_joined, counts, "vid", how="left")
+            # |chunks(entity)| damping factors (J4): passage-edge sum by dst
+            passage = g.edges().map_batches(
+                lambda b: b.filter(pc.equal(b["etype"], "passage")).select(["dst", "weight"]),
+                batch_format="pyarrow",
+            )
+            counts = int_key_sum(passage.materialize(), "dst", "weight").map_batches(
+                lambda b: pa.table({"vid": b["dst"], "n_chunks": b["weight"]}),
+                batch_format="pyarrow",
+            )
+            ent_full = hash_join(ent_joined, counts, "vid", how="left").materialize()
+            # cached until the next (re)index invalidates them
+            self._joined_views = (ent_full, chunk_joined)
+        ent_full, chunk_joined = self._joined_views
 
         # --- entity linking tiles: per-block per-query top-k candidates ---
         def link_tile(batch: pa.Table) -> pa.Table:
@@ -477,3 +483,4 @@ class HippoRagEngine:
             self._sg.shutdown()
             self._sg = None
         self._kinds_loaded = False
+        self._joined_views = None

@@ -1,0 +1,45 @@
+"""Bucketed hash join unit tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from hipporag_ray.stages.shuffle import hash_join
+
+
+def _ds(d, parts=3):
+    return rd.from_arrow(pa.table(d)).repartition(parts).materialize()
+
+
+def test_inner_join_matches_pandas():
+    rng = np.random.default_rng(0)
+    left = {"k": rng.integers(0, 50, 500).tolist(), "a": list(range(500))}
+    right = {"k": rng.integers(0, 50, 80).tolist(), "b": list(range(80))}
+    got = hash_join(_ds(left), _ds(right), "k").to_pandas()
+    import pandas as pd
+
+    want = pd.DataFrame(left).merge(pd.DataFrame(right), on="k")
+    key = ["k", "a", "b"]
+    got = got.sort_values(key).reset_index(drop=True)[key]
+    want = want.sort_values(key).reset_index(drop=True)[key]
+    assert got.equals(want)
+
+
+def test_left_join_and_string_keys():
+    left = {"k": ["x", "y", "z"], "a": [1, 2, 3]}
+    right = {"k": ["y"], "b": [9]}
+    got = hash_join(_ds(left, 2), _ds(right, 1), "k", how="left").to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got["a"].tolist() == [1, 2, 3]
+    assert got["b"].isna().tolist() == [True, False, True]
+
+
+def test_join_empty_right():
+    left = {"k": [1, 2], "a": [1, 2]}
+    right = {"k": [], "b": []}
+    got = hash_join(_ds(left, 1), _ds(right, 1), "k").to_pandas()
+    assert len(got) == 0
