@@ -46,28 +46,35 @@ def distinct_tokens_per_row(
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = toks.flatten()
-    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_rows = len(offsets) - 1
+
+    # vectorized per-row sorted distinct: one global lexsort of
+    # (row_id, token) then adjacent dedup — no Python loop over rows
+    # (a per-row np.unique loop measured ~27k rows/s/core and limited
+    # the whole extraction stage)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
     words = flat.to_numpy(zero_copy_only=False)
-    out_words: list[np.ndarray] = []
-    out_offsets = np.zeros(len(offsets), dtype=np.int64)
-    # Per-row np.unique over slices; rows are short so this vectorizes
-    # inside numpy per row.  Used only where per-row *sorted distinct*
-    # semantics is required (M5/M6).
-    total = 0
-    for i in range(len(offsets) - 1):
-        row = words[offsets[i] : offsets[i + 1]]
-        if min_len > 1 and len(row):
-            keep = np.char.str_len(row.astype(str)) >= min_len
-            row = row[keep]
-        uniq = np.unique(row) if len(row) else row
-        out_words.append(uniq)
-        total += len(uniq)
-        out_offsets[i + 1] = total
-    values = (
-        np.concatenate(out_words) if out_words else np.array([], dtype=object)
-    )
+    row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offsets))
+    if min_len > 1:
+        keep = lens >= min_len
+        words = words[keep]
+        row_ids = row_ids[keep]
+    if len(words) == 0:
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(n_rows + 1, dtype=np.int64), type=pa.int32()),
+            pa.array([], type=pa.string()),
+        )
+    order = np.lexsort((words, row_ids))
+    w2 = words[order]
+    r2 = row_ids[order]
+    first = np.concatenate([[True], (r2[1:] != r2[:-1]) | (w2[1:] != w2[:-1])])
+    w3 = w2[first]
+    r3 = r2[first]
+    counts = np.bincount(r3, minlength=n_rows)
+    out_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     return pa.ListArray.from_arrays(
-        pa.array(out_offsets, type=pa.int32()), pa.array(values, type=pa.string())
+        pa.array(out_offsets, type=pa.int32()), pa.array(w3, type=pa.string())
     )
 
 
