@@ -134,6 +134,21 @@ def _distinct_reduce(key_col: str, *shards) -> pa.Table:
 _EMPTY_SENTINEL = pa.table({})
 
 
+
+def _auto_partitions(ds, refs, min_rows_per_partition: int = 50_000) -> int:
+    """One partition per CPU, floored for tiny inputs (a 10k-row
+    shuffle doesn't need 32 reducers).  A/B at 2.2M-edge build scale:
+    k = CPUs -> 14s, k capped by a 250k-row volume target -> 25s — the
+    reduce-side sorts parallelize, so more reducers win until the data
+    is genuinely tiny."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    try:
+        rows = ds.count()
+    except Exception:
+        rows = min_rows_per_partition * cpus
+    return max(1, min(cpus, max(len(refs), 1), max(1, rows // min_rows_per_partition)))
+
+
 def hash_distinct(
     ds: "rd.Dataset", key_col: str, num_partitions: int | None = None
 ) -> "rd.Dataset":
@@ -145,8 +160,7 @@ def hash_distinct(
     if not refs:
         return ds
     if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(1, min(len(refs), cpus))
+        num_partitions = _auto_partitions(ds, refs)
     k = num_partitions
     splits = []
     for r in refs:
@@ -207,8 +221,7 @@ def range_sort(
     if not refs:
         return ds
     if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(1, min(len(refs) * 2, cpus))
+        num_partitions = _auto_partitions(ds, refs)
     k = num_partitions
     samples = np.concatenate(
         ray.get([_sample_keys.remote(r, key_col, 97) for r in refs])
@@ -278,8 +291,9 @@ def hash_join(
     lrefs = left.to_arrow_refs()
     rrefs = right.to_arrow_refs()
     if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(1, min(max(len(lrefs), len(rrefs), 1), cpus))
+        num_partitions = max(
+            _auto_partitions(left, lrefs), _auto_partitions(right, rrefs)
+        )
     k = num_partitions
 
     def split_all(refs):
@@ -318,8 +332,7 @@ def int_key_sum(
     if not refs:
         return ds
     if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(1, min(len(refs), cpus))
+        num_partitions = _auto_partitions(ds, refs)
     k = num_partitions
     split_refs = []
     for r in refs:
