@@ -45,10 +45,9 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count
 
 from ..functions.hashing import md5_hex
-from ..functions.text import min_max_normalize, text_processing
+from ..functions.text import text_processing
 from ..algos.iterate import personalized_pagerank
 from ..stages.extract import ExtractMentions
 from ..stages.graph_build import build_graph, load_graph

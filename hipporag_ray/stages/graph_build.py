@@ -37,7 +37,6 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
 
 from ..functions.hashing import entity_key, md5_hex
 from ..functions.text import distinct_tokens_per_row, text_processing
