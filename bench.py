@@ -121,9 +121,9 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         timings["pagerank"] = time.perf_counter() - t0
         extra["pagerank_iters"] = len(m)
 
-        # --- 4. headline: batched PPR, 64 sparse resets, median of 3 reps ---
+        # --- 4. headline: batched PPR, 128 sparse resets, median of 3 reps ---
         rng = np.random.default_rng(42)
-        B = 64
+        B = 128
         resets = [
             (rng.choice(g.n_vertices, size=8, replace=False), np.ones(8)) for _ in range(B)
         ]
@@ -135,7 +135,7 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
             traversals = sum(r["edge_records_scanned"] for r in m)
             wall = sum(r["wall_s"] for r in m)
             reps.append(traversals / wall if wall else 0.0)
-        timings["ppr_batch64_x3"] = time.perf_counter() - t0
+        timings["ppr_batch128_x3"] = time.perf_counter() - t0
         extra["ppr_iters"] = len(m)
         extra["ppr_edge_traversals"] = traversals
         extra["ppr_edges_per_sec"] = float(np.median(reps))
@@ -159,12 +159,12 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     ray.shutdown()
     return {
         "metric": "flagship transcript-graph pipeline wall time (build + pagerank + "
-        "64-query PPR x3 + CC); ppr_edges_per_sec is the north-star throughput",
+        "128-query PPR x3 + CC); ppr_edges_per_sec is the north-star throughput",
         "value": round(
             timings["graph_build"]
             + timings["shard_load"]
             + timings["pagerank"]
-            + timings["ppr_batch64_x3"]
+            + timings["ppr_batch128_x3"]
             + timings["connected_components"],
             3,
         ),
