@@ -1,0 +1,14 @@
+"""Shared helpers for the functions package."""
+
+
+def pool_size() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster — a fixed
+    (1, 4) cap silently serialized stages at 32 CPUs (the edge-partial
+    pool measured 7.7s at 32 CPUs vs 7.0s at 8 until uncapped)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    # min = cpus/2: an autoscaling pool starting from 1 actor ramps too
+    # slowly to matter on sub-10s stages (measured: the edge-partial
+    # stage stayed ~6s at 32 CPUs with min=1)
+    return (max(1, cpus // 2), max(cpus, 1))

@@ -31,6 +31,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..functions.text import text_processing
+from ..functions import pool_size
 from ..stages import dedup as dd
 from ..stages import similarity as sim
 from ..stages import textstats as ts
@@ -302,7 +303,7 @@ def q_orders_by_nation(sf_dir: str):
             )
 
     out = (
-        orders.map_batches(Join, batch_format="pyarrow", concurrency=(1, 4))
+        orders.map_batches(Join, batch_format="pyarrow", concurrency=pool_size())
         .groupby("c_nationkey")
         .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
         .to_pandas()

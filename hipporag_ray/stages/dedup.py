@@ -28,6 +28,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min
 
 from ..functions.hashing import md5_hex
+from ..functions import pool_size
 from ..functions.text import text_processing
 
 _MERSENNE = (1 << 61) - 1
@@ -213,7 +214,7 @@ def minhash_lsh_pairs(
             "num_perm": num_perm,
         },
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=pool_size(),
     ).materialize()
 
     def to_bands(batch: pa.Table) -> pa.Table:

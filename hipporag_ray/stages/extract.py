@@ -70,7 +70,9 @@ class ExtractMentions:
             out_ckey = np.concatenate([out_ckey, ckey[extra_rows]])
             out_ent = np.concatenate([out_ent, extra_ent])
 
-        node_key = entity_key(out_ent)
+        # hash only unique entities (vocab-sized), then expand
+        uniq_ent, inv = np.unique(out_ent, return_inverse=True)
+        node_key = entity_key(uniq_ent).take(pa.array(inv))
         return pa.table(
             {
                 "conv_id": pa.array(out_conv, type=pa.string()),

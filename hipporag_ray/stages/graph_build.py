@@ -39,6 +39,7 @@ import ray
 import ray.data as rd
 
 from ..functions.hashing import entity_key, md5_hex
+from ..functions import pool_size
 from ..functions.text import distinct_tokens_per_row, text_processing
 
 
@@ -90,7 +91,10 @@ class ChunkToIntEdgePartials:
         ents = toks.flatten().to_numpy(zero_copy_only=False)
         ckeys = batch["chunk_key"].to_numpy(zero_copy_only=False)
 
-        ent_vids = self._lookup(entity_key(ents).to_numpy(zero_copy_only=False))
+        # hash + map only UNIQUE tokens (vocab-sized), then expand — md5
+        # per occurrence measured as the dominant cost of this stage
+        uniq_ents, inv = np.unique(ents, return_inverse=True)
+        ent_vids = self._lookup(entity_key(uniq_ents).to_numpy(zero_copy_only=False))[inv]
         chunk_vids = self._lookup(ckeys)
 
         # --- passage rows (unique by construction) ---
@@ -290,7 +294,7 @@ def build_graph(
             "min_token_len": min_token_len,
         },
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=pool_size(),
     )
     from .shuffle import int_key_sum
 
@@ -449,7 +453,7 @@ def build_graph_incremental(
             "min_token_len": min_token_len,
         },
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=pool_size(),
     )
 
     def reencode(batch: pa.Table) -> pa.Table:

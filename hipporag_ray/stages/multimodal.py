@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
+from ..functions import pool_size
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -112,13 +113,14 @@ class ResizeImage:
 
 
 def decode_pipeline(
-    media: "rd.Dataset", batch_size: int = 128, concurrency=(1, 4), fake: bool = True
+    media: "rd.Dataset", batch_size: int = 128, concurrency=None, fake: bool = True
 ) -> "rd.Dataset":
     """media table -> decoded features (actor pool, small batches)."""
+
     return media.map_batches(
         DecodeImage,
         fn_constructor_kwargs={"fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or pool_size(),
     )

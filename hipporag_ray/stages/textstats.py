@@ -16,6 +16,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.hashing import md5_hex
+from ..functions import pool_size
 from ..functions.text import text_processing, tokenize
 
 _STOPWORDS = {
@@ -130,7 +131,7 @@ def lang_id(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
         LangId,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=pool_size(),
     )
 
 

@@ -37,6 +37,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..functions.hashing import md5_hex, stable_hash64
+from ..functions import pool_size
 from ..functions.text import text_processing
 
 
@@ -149,7 +150,7 @@ class EmbeddingStore:
             HashEmbedder,
             fn_constructor_kwargs={"dim": self.dim, "text_col": "content"},
             batch_format="pyarrow",
-            concurrency=(1, 4),
+            concurrency=pool_size(),
         )
         tables = [t for t in ray.get(embedded.to_arrow_refs()) if t.num_rows]
         if not tables:
