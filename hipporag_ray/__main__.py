@@ -1,0 +1,196 @@
+"""CLI entry point — the reference's ``main.py`` analog.
+
+    python -m hipporag_ray build-graph --input TX_DIR --out GRAPH_DIR
+    python -m hipporag_ray pagerank    --graph GRAPH_DIR --out OUT_DIR
+    python -m hipporag_ray ppr         --graph GRAPH_DIR --seeds 1,2,3 --out OUT_DIR
+    python -m hipporag_ray cc|lp       --graph GRAPH_DIR --out OUT_DIR
+    python -m hipporag_ray triangles   --graph GRAPH_DIR
+    python -m hipporag_ray index       --workdir DIR --input TX_DIR
+    python -m hipporag_ray retrieve    --workdir DIR --query "..." [--top-k 10]
+    python -m hipporag_ray synth       --out DIR --convs 100 --turns 10 --vocab 300
+
+Owns its Ray session (``--num-cpus``); algorithm outputs are written as
+partitioned parquet under ``--out`` with per-iteration metrics when
+``--checkpoint-every`` is set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _write_labels(out: str, vids, values, col: str):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(
+        pa.table({"vid": pa.array(vids, type=pa.int64()), col: pa.array(values)}),
+        os.path.join(out, "part-0.parquet"),
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="hipporag_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("synth")
+    p.add_argument("--out", required=True)
+    p.add_argument("--convs", type=int, default=100)
+    p.add_argument("--turns", type=int, default=10)
+    p.add_argument("--vocab", type=int, default=300)
+    p.add_argument("--seed", type=int, default=42)
+
+    p = sub.add_parser("build-graph")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--min-token-len", type=int, default=3)
+
+    for name in ("pagerank", "cc", "lp", "triangles"):
+        p = sub.add_parser(name)
+        p.add_argument("--graph", required=True)
+        p.add_argument("--out")
+        p.add_argument("--checkpoint-every", type=int, default=0)
+
+    p = sub.add_parser("ppr")
+    p.add_argument("--graph", required=True)
+    p.add_argument("--seeds", required=True, help="comma-separated vids")
+    p.add_argument("--out")
+    p.add_argument("--damping", type=float, default=0.5)
+
+    p = sub.add_parser("index")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--input", required=True)
+
+    p = sub.add_parser("retrieve")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--query", action="append", required=True)
+    p.add_argument("--top-k", type=int, default=10)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "synth":
+        from hipporag_ray.synth import write_transcripts
+
+        out = write_transcripts(
+            args.out, n_convs=args.convs, turns_per_conv=args.turns,
+            vocab=args.vocab, seed=args.seed,
+        )
+        print(json.dumps({"out": out, "turns": args.convs * args.turns}))
+        return 0
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        if args.cmd == "build-graph":
+            import ray.data as rd
+
+            from hipporag_ray.stages.graph_build import build_graph
+
+            g = build_graph(
+                rd.read_parquet(args.input, columns=["text"]), args.out, args.min_token_len
+            )
+            print(json.dumps({"n_vertices": g.n_vertices, "n_edges": g.n_edges, "out": args.out}))
+            return 0
+
+        if args.cmd == "index":
+            import ray.data as rd
+
+            from hipporag_ray.pipelines.retrieval import HippoRagEngine
+
+            eng = HippoRagEngine(args.workdir)
+            stats = eng.index(rd.read_parquet(args.input))
+            eng.close()
+            print(json.dumps(stats))
+            return 0
+
+        if args.cmd == "retrieve":
+            from hipporag_ray.pipelines.retrieval import HippoRagEngine
+
+            eng = HippoRagEngine(args.workdir)
+            results = eng.retrieve(args.query, top_k=args.top_k)
+            eng.close()
+            print(json.dumps(results))
+            return 0
+
+        # graph algorithms
+        from hipporag_ray.stages.graph_build import load_graph
+        from hipporag_ray.state.csr import ShardedGraph
+
+        g = load_graph(args.graph)
+        if args.cmd == "triangles":
+            from hipporag_ray.algos.triangles import triangle_count
+
+            total, per = triangle_count(g.edges(), g.n_vertices)
+            if getattr(args, "out", None):
+                _write_labels(args.out, range(g.n_vertices), per, "tri_count")
+            print(json.dumps({"n_triangles": int(total)}))
+            return 0
+
+        import numpy as np
+
+        sg = ShardedGraph(g.adj_path, g.n_vertices)
+        try:
+            ck = {"checkpoint_dir": os.path.join(args.out, "ckpt"), "checkpoint_every": args.checkpoint_every} if getattr(args, "out", None) and getattr(args, "checkpoint_every", 0) else {}
+            if args.cmd == "pagerank":
+                from hipporag_ray.algos.iterate import pagerank
+
+                scores, m = pagerank(sg, **ck)
+                if args.out:
+                    _write_labels(args.out, range(g.n_vertices), scores[:, 0], "score")
+                print(json.dumps({"iters": len(m), "l1_delta": m[-1]["l1_delta"]}))
+            elif args.cmd == "ppr":
+                from hipporag_ray.algos.iterate import personalized_pagerank
+
+                seeds = np.array([int(s) for s in args.seeds.split(",")], dtype=np.int64)
+                scores, m = personalized_pagerank(
+                    sg, resets=[(seeds, np.ones(len(seeds)))], n_queries=1, damping=args.damping
+                )
+                if args.out:
+                    _write_labels(args.out, range(g.n_vertices), scores[:, 0], "score")
+                print(json.dumps({"iters": len(m), "l1_delta": m[-1]["l1_delta"]}))
+            elif args.cmd == "cc":
+                from hipporag_ray.algos.iterate import connected_components
+
+                comp, m = connected_components(sg, **ck)
+                if args.out:
+                    _write_labels(args.out, range(g.n_vertices), comp, "component")
+                print(json.dumps({"iters": len(m), "n_components": int(len(np.unique(comp)))}))
+            elif args.cmd == "lp":
+                from hipporag_ray.algos.iterate import label_propagation
+
+                labels, m = label_propagation(sg, **ck)
+                if args.out:
+                    _write_labels(args.out, range(g.n_vertices), labels, "label")
+                print(json.dumps({"iters": len(m), "n_labels": int(len(np.unique(labels)))}))
+        finally:
+            sg.shutdown()
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,59 @@
+"""Engine configuration — the single frozen dataclass analog of the
+reference's ``BaseConfig`` (/root/reference/src/hipporag/utils/
+config_utils.py:14-231, 40+ fields).
+
+Only the fields with data-processing semantics are carried; LLM/API
+fields have no analog.  Defaults mirror the reference where one exists
+(cited per field).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field, fields
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- graph construction ---
+    min_token_len: int = 3  # synonymy eligibility >2 alnum chars, HippoRAG.py:864
+    is_directed_graph: bool = False  # config_utils.py:164-167
+
+    # --- PPR / PageRank (SimpleGraph.kt:154-156, config_utils.py:180-183) ---
+    damping: float = 0.5
+    tol: float = 1e-6
+    max_iter: int = 100
+
+    # --- retrieval fan-out (config_utils.py:79-82, 172-179) ---
+    link_top_k: int = 5  # linking_top_k
+    retrieval_top_k: int = 200
+    passage_node_weight: float = 0.05
+
+    # --- synonymy KNN (config_utils.py:148-163) ---
+    synonymy: bool = False
+    synonymy_threshold: float = 0.8
+    synonymy_knn_k: int = 2047
+    synonymy_max_accepted: int = 100  # HippoRAG.py:866-880
+
+    # --- embeddings (T1 analog; reference batch 16/64, config_utils.py:128-131) ---
+    embedding_dim: int = 64
+    embedding_seed: int = 17
+
+    # --- sharding / iteration ---
+    n_shards: int | None = None  # default: 2 x CPUs (state/csr.py)
+    hub_min_degree: int | None = None  # default: max(4096, 2E/P)
+    max_hubs: int = 1024
+    checkpoint_every: int = 0  # iterations between rank checkpoints (0 = off)
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EngineConfig":
+        known = {f.name for f in fields(cls)}
+        unknown = set(d) - known
+        if unknown:
+            raise ValueError(f"unknown config fields: {sorted(unknown)}")
+        return cls(**d)
+
+
+DEFAULT_CONFIG = EngineConfig()

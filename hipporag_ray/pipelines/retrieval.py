@@ -83,6 +83,23 @@ class HippoRagEngine:
         self.embedder = HashEmbedder(dim=dim)
         self._sg: ShardedGraph | None = None
 
+    @classmethod
+    def from_config(cls, working_dir: str, config=None) -> "HippoRagEngine":
+        """Construct from the frozen EngineConfig (BaseConfig analog)."""
+        from ..config import DEFAULT_CONFIG
+
+        c = config or DEFAULT_CONFIG
+        return cls(
+            working_dir,
+            dim=c.embedding_dim,
+            min_token_len=c.min_token_len,
+            link_top_k=c.link_top_k,
+            passage_node_weight=c.passage_node_weight,
+            damping=c.damping,
+            synonymy=c.synonymy,
+            synonymy_threshold=c.synonymy_threshold,
+        )
+
     # ------------------------------------------------------------------
     # indexing
     # ------------------------------------------------------------------

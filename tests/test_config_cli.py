@@ -1,0 +1,35 @@
+"""EngineConfig + CLI argument handling (session-free parts)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hipporag_ray.config import DEFAULT_CONFIG, EngineConfig
+
+
+def test_config_defaults_mirror_reference():
+    c = DEFAULT_CONFIG
+    assert c.damping == 0.5 and c.tol == 1e-6 and c.max_iter == 100
+    assert c.link_top_k == 5 and c.retrieval_top_k == 200
+    assert c.passage_node_weight == 0.05
+    assert c.synonymy_threshold == 0.8 and c.synonymy_knn_k == 2047
+    assert c.synonymy_max_accepted == 100
+
+
+def test_config_roundtrip_and_validation():
+    c = EngineConfig.from_dict({"damping": 0.85, "link_top_k": 9})
+    assert c.damping == 0.85
+    assert EngineConfig.from_dict(c.to_dict()) == c
+    with pytest.raises(ValueError):
+        EngineConfig.from_dict({"nope": 1})
+    with pytest.raises(Exception):
+        c.damping = 0.1  # frozen
+
+
+def test_engine_from_config(tmp_path):
+    from hipporag_ray.pipelines.retrieval import HippoRagEngine
+
+    eng = HippoRagEngine.from_config(
+        str(tmp_path), EngineConfig.from_dict({"embedding_dim": 16, "damping": 0.7})
+    )
+    assert eng.dim == 16 and eng.damping == 0.7
