@@ -115,6 +115,28 @@ class _Checkpointer:
                 **meta,
                 "iters": [],
             }
+            # seed lineage from an existing matching manifest so a save
+            # after resume extends the history instead of discarding it
+            prior = self._load_matching_manifest()
+            if prior is not None:
+                self.manifest["iters"] = prior["iters"]
+
+    def _load_matching_manifest(self) -> dict | None:
+        """The on-disk manifest, or None if absent / lineage-mismatched
+        (different algo, input, or partitioning)."""
+        if not self.dir or not os.path.exists(self.manifest_path):
+            return None
+        with open(self.manifest_path) as f:
+            manifest = json.load(f)
+        if (
+            manifest.get("algo") != self.manifest["algo"]
+            or manifest.get("n_shards") != self.sg.n_shards
+            or manifest.get("n_vertices") != self.sg.n_vertices
+            or manifest.get("adj_path") != self.sg.adj_path
+            or manifest.get("bounds") != self.sg.bounds.tolist()
+        ):
+            return None
+        return manifest
 
     def shard_path(self, it: int, shard: int) -> str:
         return os.path.join(self.dir, "state", f"iter={it:04d}", f"shard-{shard:05d}.parquet")
@@ -141,18 +163,11 @@ class _Checkpointer:
             f.write(json.dumps(rec) + "\n")
 
     def latest_complete(self) -> dict | None:
-        """Latest manifest iteration whose every shard partition exists."""
-        if not self.dir or not os.path.exists(self.manifest_path):
+        """Latest manifest iteration whose every shard partition exists
+        (algo + input + partitioning lineage must all match)."""
+        manifest = self._load_matching_manifest()
+        if manifest is None:
             return None
-        with open(self.manifest_path) as f:
-            manifest = json.load(f)
-        if (
-            manifest.get("n_shards") != self.sg.n_shards
-            or manifest.get("n_vertices") != self.sg.n_vertices
-            or manifest.get("adj_path") != self.sg.adj_path
-            or manifest.get("bounds") != self.sg.bounds.tolist()
-        ):
-            return None  # lineage mismatch: different input or partitioning
         for entry in reversed(manifest["iters"]):
             it = entry["iter"]
             if all(

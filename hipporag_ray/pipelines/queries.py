@@ -337,7 +337,7 @@ def q_orders_by_segment(sf_dir: str):
 def q_customers_no_orders(sf_dir: str):
     """J3/J6 anti join: customers with no orders (broadcast key set)."""
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
-    keys = set(orders.unique("o_custkey"))
+    keys = np.sort(np.array(list(orders.unique("o_custkey")), dtype=np.int64))
     import ray as _ray
 
     keys_ref = _ray.put(keys)
@@ -345,8 +345,7 @@ def q_customers_no_orders(sf_dir: str):
     def fn(batch: pa.Table) -> pa.Table:
         ks = _ray.get(keys_ref)
         c = batch["c_custkey"].to_numpy(zero_copy_only=False)
-        mask = np.array([x not in ks for x in c])
-        return pa.table({"c_custkey": pa.array(c[mask])})
+        return pa.table({"c_custkey": pa.array(c[~np.isin(c, ks)])})
 
     out = (
         rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
@@ -953,7 +952,7 @@ ORACLE_SQL = {
                       THEN 1 ELSE 0 END AS new_s
           FROM events
         )
-        SELECT user_id, sum(new_s) AS n_sessions FROM x GROUP BY user_id
+        SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM x GROUP BY user_id
     """,
     "events_user_value_salted": """
         SELECT user_id, round(sum(value), 2) AS sum_value

@@ -105,10 +105,16 @@ class HippoRagEngine:
     # ------------------------------------------------------------------
 
     def _corpus_parts(self) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(self.corpus_dir):
+            out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+        return sorted(out)
+
+    def _corpus_batch_dirs(self) -> list[str]:
         return sorted(
-            os.path.join(self.corpus_dir, f)
-            for f in os.listdir(self.corpus_dir)
-            if f.endswith(".parquet")
+            os.path.join(self.corpus_dir, d)
+            for d in os.listdir(self.corpus_dir)
+            if os.path.isdir(os.path.join(self.corpus_dir, d))
         )
 
     def corpus(self) -> "rd.Dataset":
@@ -118,15 +124,13 @@ class HippoRagEngine:
         """Append new turns; store inserts are anti-join incremental and
         the graph merges incrementally when one already exists
         (build_graph_incremental) — old turns are never re-extracted."""
-        part = os.path.join(
-            self.corpus_dir, f"part-{len(self._corpus_parts()):05d}.parquet"
+        # streamed corpus append: each index() call writes one batch
+        # directory of parquet parts (never concatenated on the driver)
+        batch_dir = os.path.join(
+            self.corpus_dir, f"batch-{len(self._corpus_batch_dirs()):05d}"
         )
-        tables = [
-            pa.Table.from_batches(t.to_batches())
-            for t in ray.get(transcripts.to_arrow_refs())
-        ]
-        pq.write_table(pa.concat_tables(tables), part)
-        new_ds = rd.read_parquet(part)
+        transcripts.write_parquet(batch_dir)
+        new_ds = rd.read_parquet(batch_dir)
         n_chunks, n_entities = self._insert_stores(new_ds)
         if self._sg is not None:
             self._sg.shutdown()
@@ -239,11 +243,12 @@ class HippoRagEngine:
         del_chunk_ids = set(
             md5_hex(np.array(texts, dtype=object), prefix="chunk-").to_pylist()
         )
+        del_arr = np.sort(np.array(sorted(del_chunk_ids), dtype=object))
         # drop matching turns from the corpus part files
         for p in self._corpus_parts():
             t = pq.read_table(p)
-            keys = md5_hex(t["text"], prefix="chunk-").to_pylist()
-            mask = np.array([k not in del_chunk_ids for k in keys])
+            keys = md5_hex(t["text"], prefix="chunk-").to_numpy(zero_copy_only=False)
+            mask = ~np.isin(keys, del_arr)
             if not mask.all():
                 tmp = p + ".tmp"
                 pq.write_table(t.filter(pa.array(mask)), tmp)

@@ -383,18 +383,19 @@ def build_graph_incremental(
 
     os.makedirs(out_dir, exist_ok=True)
     old_vertices = graph.vertices().materialize()
-    old_keys_ref = ray.put(set(old_vertices.select_columns(["node_key"]).to_pandas()["node_key"]))
-    old_chunk_keys = {
-        k for k in ray.get(old_keys_ref) if k.startswith("chunk-")
-    }
-    old_chunks_ref = ray.put(old_chunk_keys)
+    old_keys = np.sort(
+        old_vertices.select_columns(["node_key"]).to_pandas()["node_key"].to_numpy()
+    )
+    old_keys_ref = ray.put(old_keys)
+    is_chunk_key = np.char.startswith(old_keys.astype(str), "chunk-")
+    old_chunks_ref = ray.put(old_keys[is_chunk_key])
 
-    # --- new, unseen chunks only (anti join on content hash) ---
+    # --- new, unseen chunks only (anti join on content hash; sorted-
+    # array membership via np.isin, no per-row Python loop) ---
     def anti(batch: pa.Table) -> pa.Table:
         seen = ray.get(old_chunks_ref)
         keys = batch["chunk_key"].to_numpy(zero_copy_only=False)
-        mask = np.array([k not in seen for k in keys], dtype=bool)
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(~np.isin(keys, seen)))
 
     chunks_new = (
         dedup_chunks(new_transcripts)
@@ -418,8 +419,7 @@ def build_graph_incremental(
     def anti_v(batch: pa.Table) -> pa.Table:
         seen = ray.get(old_keys_ref)
         keys = batch["node_key"].to_numpy(zero_copy_only=False)
-        mask = np.array([k not in seen for k in keys], dtype=bool)
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(~np.isin(keys, seen)))
 
     n_old = graph.n_vertices
     vnew = hash_distinct(vrows.map_batches(anti_v, batch_format="pyarrow").materialize(), "node_key")

@@ -254,6 +254,11 @@ def _join_reduce(key_col: str, how: str, n_left: int, *shards) -> pa.Table:
     if not left or (how == "inner" and not right):
         return _EMPTY_SENTINEL
     lf = pd.concat(left, ignore_index=True)
+    if how == "leftanti":
+        if right:
+            seen = pd.concat(right, ignore_index=True)[key_col]
+            lf = lf[~lf[key_col].isin(seen)]
+        return pa.Table.from_pandas(lf, preserve_index=False)
     rf = (
         pd.concat(right, ignore_index=True)
         if right
@@ -285,9 +290,11 @@ def hash_join(
     """Bucketed hash join of two Datasets on one key column: both sides
     split by the same key hash, matching buckets merge pairwise with a
     pandas hash join (the guide's portable partitioned-join pattern;
-    neither side is materialized on the driver).  Map-side combiners do
-    not apply — rows pass through; skewed join keys inherit the key's
-    hash bucket, so salt upstream when a single key dominates."""
+    neither side is materialized on the driver).  ``how`` is "inner",
+    "left", or "leftanti" (left rows whose key has no right match — the
+    J3 anti-join shape).  Map-side combiners do not apply — rows pass
+    through; skewed join keys inherit the key's hash bucket, so salt
+    upstream when a single key dominates."""
     lrefs = left.to_arrow_refs()
     rrefs = right.to_arrow_refs()
     if num_partitions is None:

@@ -547,8 +547,11 @@ class ShardedGraph:
         # size the pool to the cluster: more shards than CPUs -> fractional
         # reservation so every actor can start (a pool that outsizes the
         # cluster deadlocks the loading barrier below)
+        # no floor: a floor of 0.1 would oversubscribe when an explicit
+        # n_shards > 10*cpus (total demand > cpus) and the loading
+        # barrier below would deadlock waiting on unschedulable actors
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        cpu_per_actor = 1 if n_shards <= cpus else max(cpus / n_shards, 0.1)
+        cpu_per_actor = 1 if n_shards <= cpus else cpus / n_shards
         self.actors = [
             GraphShardActor.options(num_cpus=cpu_per_actor).remote(
                 adj_path, i, self.bounds, n_vertices, self.hubs

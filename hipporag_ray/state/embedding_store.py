@@ -112,18 +112,23 @@ class EmbeddingStore:
         return rd.read_parquet(parts)
 
     def existing_ids(self) -> set[str]:
+        """Driver-side key set — only for small-result call sites (the
+        delete fixpoint); inserts use the distributed anti-join below."""
         ids: set[str] = set()
         for p in self._parts():
             ids.update(pq.read_table(p, columns=["hash_id"])["hash_id"].to_pylist())
         return ids
 
     def insert_strings(self, ds: "rd.Dataset", content_col: str = "content") -> int:
-        """Embed & persist rows whose md5 key is not yet stored (anti
-        join on hash_id; first-wins exact dedup within the batch too).
-        Returns the number of new rows written."""
+        """Embed & persist rows whose md5 key is not yet stored — a
+        distributed left anti join on hash_id against the stored parts
+        (J3, embedding_store.py:63-90; the stored key column is never
+        collected to the driver), with first-wins exact dedup within
+        the incoming batch.  Returns the number of new rows written."""
         import ray
 
-        existing_ref = ray.put(self.existing_ids())
+        from ..stages.shuffle import hash_distinct, hash_join
+
         prefix = self.prefix
 
         def keyed(batch: pa.Table) -> pa.Table:
@@ -132,20 +137,17 @@ class EmbeddingStore:
                 {"hash_id": md5_hex(content, prefix=prefix), "content": content}
             )
 
-        def anti(batch: pa.Table) -> pa.Table:
-            seen = ray.get(existing_ref)
-            ids = batch["hash_id"].to_numpy(zero_copy_only=False)
-            mask = np.array([h not in seen for h in ids], dtype=bool)
-            return batch.filter(pa.array(mask))
-
-        from ..stages.shuffle import hash_distinct
-
-        new_rows = hash_distinct(
-            ds.map_batches(keyed, batch_format="pyarrow")
-            .map_batches(anti, batch_format="pyarrow")
-            .materialize(),
-            "hash_id",
+        deduped = hash_distinct(
+            ds.map_batches(keyed, batch_format="pyarrow").materialize(), "hash_id"
         )
+        parts = self._parts()
+        if parts:
+            stored_keys = rd.read_parquet(parts, columns=["hash_id"])
+            new_rows = hash_join(
+                deduped, stored_keys.materialize(), "hash_id", how="leftanti"
+            )
+        else:
+            new_rows = deduped
         embedded = new_rows.map_batches(
             HashEmbedder,
             fn_constructor_kwargs={"dim": self.dim, "text_col": "content"},
@@ -166,9 +168,11 @@ class EmbeddingStore:
         """Remove rows by key (rewrites only the part files that contain
         them — the per-partition analog of embedding_store delete)."""
         removed = 0
+        del_arr = np.array(sorted(hash_ids), dtype=object)
         for p in self._parts():
             t = pq.read_table(p)
-            mask = np.array([h not in hash_ids for h in t["hash_id"].to_pylist()])
+            keys = t["hash_id"].to_numpy(zero_copy_only=False)
+            mask = ~np.isin(keys, del_arr)
             if mask.all():
                 continue
             removed += int((~mask).sum())
