@@ -98,6 +98,67 @@ def graph_for(sf_dir: str):
     return build_graph(rd.read_parquet(tx, columns=["text"]), out)
 
 
+def doc_graph_for(sf_dir: str) -> tuple[str, int]:
+    """Distributed build (once, cached) of the document token
+    co-occurrence graph: vertices = sorted distinct tokens with dense
+    vids (A11), symmetric adjacency with weight = number of docs where
+    the pair co-occurs (A1).  Entirely through the distributed
+    exchanges — mentions ⋈ vertices (bucketed hash join), pair
+    expansion via the grouped hash exchange, weights via the int-key
+    sum shuffle, adjacency range-sorted by src for shard pruning.
+    Returns (graph_dir, n_vertices)."""
+    import json
+
+    from ..stages.graph_build import assign_dense_ids
+    from ..stages.shuffle import grouped_pairs, hash_join, int_key_sum, range_sort
+
+    d = f"/tmp/hipporag_ray/docgraph_sf{sf_of(sf_dir)}"
+    marker = os.path.join(d, "manifest.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return d, json.load(f)["n_vertices"]
+    m = q_doc_mentions(sf_dir).materialize()
+    distinct = m.groupby("entity").aggregate(Count(alias_name="_n")).select_columns(["entity"])
+    verts = assign_dense_ids(distinct, "entity", "vid").materialize()
+    n = verts.count()
+    os.makedirs(d, exist_ok=True)
+    verts.write_parquet(os.path.join(d, "vertices"))
+    mv = hash_join(m, verts, "entity").select_columns(["doc_id", "vid"])
+    pairs = grouped_pairs(mv.materialize(), "doc_id", "vid", mode="ne")
+    coded = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "code": pc.add(pc.multiply(b["a"], pa.scalar(n, pa.int64())), b["b"]),
+                "weight": pa.array(np.ones(b.num_rows, np.float64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = int_key_sum(coded.materialize(), "code", "weight")
+
+    def decode(batch: pa.Table) -> pa.Table:
+        code = batch["code"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(code // n, type=pa.int64()),
+                "dst": pa.array(code % n, type=pa.int64()),
+                "weight": batch["weight"],
+            }
+        )
+
+    adj = range_sort(agg.map_batches(decode, batch_format="pyarrow").materialize(), "src")
+    adj.write_parquet(os.path.join(d, "adj"))
+    with open(marker, "w") as f:
+        json.dump({"n_vertices": int(n)}, f)
+    return d, int(n)
+
+
+def _doc_entities_by_vid(graph_dir: str) -> np.ndarray:
+    """Entity name per vid (output-sized driver readback)."""
+    v = rd.read_parquet(os.path.join(graph_dir, "vertices")).to_pandas()
+    return v.sort_values("vid")["entity"].to_numpy()
+
+
 # ---------------------------------------------------------------------------
 # relational / text queries (SQL-checked)
 # ---------------------------------------------------------------------------
@@ -155,30 +216,26 @@ def q_doc_vertices(sf_dir: str):
 
 def q_doc_cooccur(sf_dir: str):
     """A1-style co-occurrence: canonical (src < dst) token pairs,
-    weight = number of docs where both appear."""
-    m = q_doc_mentions(sf_dir)
+    weight = number of docs where both appear.
+
+    Pairs are expanded directly from each *document row* (vectorized
+    segment kernel, functions/pairs.py), so correctness is independent
+    of block layout — a doc is one input row and can never straddle
+    batches."""
+    from ..functions.pairs import segment_pairs
+    from ..functions.text import distinct_tokens_per_row
 
     def pairs(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        out_a, out_b = [], []
-        for _, g in df.groupby("doc_id"):
-            toks = np.sort(g["entity"].unique())
-            k = len(toks)
-            if k < 2:
-                continue
-            a = np.repeat(toks, k)
-            b = np.tile(toks, k)
-            keep = a < b
-            out_a.extend(a[keep])
-            out_b.extend(b[keep])
+        toks = distinct_tokens_per_row(text_processing(batch["text"]), min_len=3)
+        vals = toks.flatten().to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-row tokens are sorted distinct, so i<j pairs are canonical
+        a, b = segment_pairs(vals, offsets, mode="lt")
         return pa.table(
-            {"src": pa.array(out_a, type=pa.string()), "dst": pa.array(out_b, type=pa.string())}
+            {"src": pa.array(a, type=pa.string()), "dst": pa.array(b, type=pa.string())}
         )
 
-    # one doc's mentions stay within one extraction output block, so
-    # batching by doc is safe: repartition mentions so a doc never
-    # straddles batches (they are emitted contiguously per input row)
-    p = m.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+    p = _docs(sf_dir).map_batches(pairs, batch_format="pyarrow")
     return p.groupby(["src", "dst"]).aggregate(Count(alias_name="weight"))
 
 
@@ -537,24 +594,10 @@ def q_doc_triangles(sf_dir: str):
     """Distributed triangle count over the document token co-occurrence
     graph — SQL-verifiable end-to-end (extraction -> graph -> count)."""
     from ..algos.triangles import triangle_count
-    from ..stages.graph_build import assign_dense_ids
 
-    m = q_doc_mentions(sf_dir)
-    distinct = m.groupby("entity").aggregate(Count(alias_name="_n")).select_columns(["entity"])
-    verts = assign_dense_ids(distinct, "entity", "vid").to_pandas()
-    vmap = dict(zip(verts["entity"], verts["vid"]))
-    co = q_doc_cooccur(sf_dir).to_pandas()
-    edges = rd.from_arrow(
-        pa.table(
-            {
-                "src": pa.array([vmap[e] for e in co["src"]], type=pa.int64()),
-                "dst": pa.array([vmap[e] for e in co["dst"]], type=pa.int64()),
-                "weight": pa.array(co["weight"].astype("float64")),
-                "etype": pa.array(["fact"] * len(co)),
-            }
-        )
-    )
-    total, _ = triangle_count(edges, len(verts))
+    d, n = doc_graph_for(sf_dir)
+    edges = rd.read_parquet(os.path.join(d, "adj"), columns=["src", "dst"])
+    total, _ = triangle_count(edges, n)
     return pd.DataFrame({"n_triangles": [int(total)]})
 
 
@@ -562,40 +605,65 @@ def q_doc_cc(sf_dir: str):
     """Distributed connected components over the document token graph,
     labeled by the lexicographically smallest member entity —
     SQL-verifiable via a recursive reachability closure."""
-    import os as _os
-
     from ..algos.iterate import connected_components
-    from ..stages.graph_build import assign_dense_ids
     from ..state.csr import ShardedGraph
 
-    m = q_doc_mentions(sf_dir)
-    distinct = m.groupby("entity").aggregate(Count(alias_name="_n")).select_columns(["entity"])
-    verts = assign_dense_ids(distinct, "entity", "vid").to_pandas().sort_values("vid")
-    vmap = dict(zip(verts["entity"], verts["vid"]))
-    ent_of = verts["entity"].to_numpy()
-    co = q_doc_cooccur(sf_dir).to_pandas()
-    src = np.array([vmap[e] for e in co["src"]], dtype=np.int64)
-    dst = np.array([vmap[e] for e in co["dst"]], dtype=np.int64)
-    adj = pa.table(
-        {
-            "src": np.concatenate([src, dst]),
-            "dst": np.concatenate([dst, src]),
-            "weight": np.ones(2 * len(src)),
-            "etype": pa.array(["fact"] * (2 * len(src))),
-        }
-    ).sort_by("src")
-    import pyarrow.parquet as _pq
-
-    d = f"/tmp/hipporag_ray/doc_cc_{sf_of(sf_dir)}"
-    _os.makedirs(d, exist_ok=True)
-    _pq.write_table(adj, _os.path.join(d, "part-0.parquet"))
-    sg = ShardedGraph(d, len(verts))
+    d, n = doc_graph_for(sf_dir)
+    sg = ShardedGraph(os.path.join(d, "adj"), n)
     try:
         comp, _ = connected_components(sg)
     finally:
         sg.shutdown()
     # vid order == sorted(entity), so min member vid == lexicographic min
+    ent_of = _doc_entities_by_vid(d)
     return pd.DataFrame({"entity": ent_of, "component": ent_of[comp]})
+
+
+_PR_ITERS = 5  # fixed-iteration count shared by engine and SQL oracle
+
+
+def q_doc_pagerank(sf_dir: str):
+    """Fixed-iteration power-iteration PageRank over the document token
+    graph (A4, SimpleGraph.kt:130-182 semantics: damping 0.5, uniform
+    reset, dangling mass through the reset) — SQL-checkable because the
+    iteration count is fixed and messages run float64 (precise=True)."""
+    from ..algos.iterate import pagerank
+    from ..state.csr import ShardedGraph
+
+    d, n = doc_graph_for(sf_dir)
+    sg = ShardedGraph(os.path.join(d, "adj"), n, precise=True)
+    try:
+        scores, _ = pagerank(sg, damping=0.5, tol=0.0, max_iter=_PR_ITERS)
+    finally:
+        sg.shutdown()
+    out = pd.DataFrame({"entity": _doc_entities_by_vid(d), "score": scores[:, 0]})
+    return _round(out, {"score": 9})
+
+
+def q_doc_ppr(sf_dir: str):
+    """Fixed-iteration personalized PageRank seeded at the 3
+    lexicographically smallest tokens (= vids 0..2 under the sorted
+    dense-id contract) — the HippoRAG retrieval primitive with a SQL
+    oracle."""
+    from ..algos.iterate import personalized_pagerank
+    from ..state.csr import ShardedGraph
+
+    d, n = doc_graph_for(sf_dir)
+    k = min(3, n)
+    sg = ShardedGraph(os.path.join(d, "adj"), n, precise=True)
+    try:
+        scores, _ = personalized_pagerank(
+            sg,
+            resets=[(np.arange(k, dtype=np.int64), np.ones(k))],
+            n_queries=1,
+            damping=0.5,
+            tol=0.0,
+            max_iter=_PR_ITERS,
+        )
+    finally:
+        sg.shutdown()
+    out = pd.DataFrame({"entity": _doc_entities_by_vid(d), "score": scores[:, 0]})
+    return _round(out, {"score": 9})
 
 
 def q_doc_sample(sf_dir: str):
@@ -798,6 +866,8 @@ QUERIES = {
     "emb_ann_lsh": q_emb_ann_lsh,
     "doc_triangles": q_doc_triangles,
     "doc_cc": q_doc_cc,
+    "doc_pagerank": q_doc_pagerank,
+    "doc_ppr": q_doc_ppr,
     "doc_sample": q_doc_sample,
     "tx_graph_info": q_tx_graph_info,
     "media_decode": q_media_decode,
@@ -809,6 +879,50 @@ QUERIES = {
     "tx_triangles": q_tx_triangles,
     "tx_eval_recall": q_tx_eval_recall,
 }
+
+
+def _power_iteration_sql(reset_cte: str, k: int = _PR_ITERS) -> str:
+    """K-step damped power iteration as chained CTEs (DuckDB):
+    next = 0.5*r + 0.5*dangling*r + sum over incoming of
+    0.5*score[u]*w(u,v)/outw(u) — exactly the engine's ppr_pull update
+    (SimpleGraph.kt:130-182 semantics, damping 0.5)."""
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(
+            f""", d{i - 1} AS (
+          SELECT coalesce(sum(s.score), 0.0) AS dm
+          FROM s{i - 1} s LEFT JOIN ow ON s.entity = ow.src WHERE ow.src IS NULL
+        ), s{i} AS (
+          SELECT v.entity,
+                 0.5 * r.r + 0.5 * (SELECT dm FROM d{i - 1}) * r.r
+                 + coalesce(inc.acc, 0.0) AS score
+          FROM verts v
+          JOIN r ON r.entity = v.entity
+          LEFT JOIN (
+            SELECT e.dst AS entity, sum(0.5 * s.score / ow.ow * e.w) AS acc
+            FROM s{i - 1} s JOIN e ON e.src = s.entity JOIN ow ON ow.src = e.src
+            GROUP BY e.dst
+          ) inc ON inc.entity = v.entity
+        )"""
+        )
+    return f"""
+        {_TOK_CTE}, m AS (
+          SELECT DISTINCT doc_id, tok AS entity FROM tok WHERE length(tok) >= 3
+        ), verts AS (
+          SELECT DISTINCT entity FROM m
+        ), nn AS (
+          SELECT CAST(count(*) AS DOUBLE) AS c FROM verts
+        ), e AS (
+          SELECT a.entity AS src, b.entity AS dst, CAST(count(*) AS DOUBLE) AS w
+          FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity <> b.entity
+          GROUP BY 1, 2
+        ), ow AS (
+          SELECT src, sum(w) AS ow FROM e GROUP BY src
+        ), {reset_cte}, s0 AS (
+          SELECT entity, (SELECT 1.0 / c FROM nn) AS score FROM verts
+        ){"".join(steps)}
+        SELECT entity, round(score, 9) AS score FROM s{k}
+    """
 
 
 ORACLE_SQL = {
@@ -871,6 +985,19 @@ ORACLE_SQL = {
         )
         SELECT a AS entity, min(b) AS component FROM reach GROUP BY a
     """,
+    "doc_pagerank": _power_iteration_sql(
+        "r AS (SELECT entity, (SELECT 1.0 / c FROM nn) AS r FROM verts)"
+    ),
+    "doc_ppr": _power_iteration_sql(
+        """seeds AS (
+          SELECT entity FROM verts ORDER BY entity LIMIT 3
+        ), r AS (
+          SELECT v.entity,
+                 CASE WHEN s.entity IS NOT NULL
+                      THEN 1.0 / (SELECT count(*) FROM seeds) ELSE 0.0 END AS r
+          FROM verts v LEFT JOIN seeds s ON s.entity = v.entity
+        )"""
+    ),
     "doc_exact_dedup": """
         SELECT md5(text) AS hash_id, min(doc_id) AS keep_id
         FROM documents GROUP BY 1

@@ -327,6 +327,59 @@ def hash_join(
     return rd.from_arrow_refs(outs)
 
 
+@ray.remote
+def _grouped_pairs_reduce(group_col: str, val_col: str, mode: str, *shards) -> pa.Table:
+    from ..functions.pairs import segment_pairs
+
+    shards = [s[0] if isinstance(s, tuple) and len(s) == 1 else s for s in shards]
+    shards = [s for s in shards if s.num_rows]
+    if not shards:
+        return _EMPTY_SENTINEL
+    tbl = pa.concat_tables(shards).combine_chunks()
+    g = tbl[group_col].to_numpy(zero_copy_only=False)
+    v = tbl[val_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, g))
+    g, v = g[order], v[order]
+    starts = np.concatenate([[0], np.nonzero(g[1:] != g[:-1])[0] + 1]).astype(np.int64)
+    offsets = np.concatenate([starts, [len(g)]])
+    a, b = segment_pairs(v, offsets, mode=mode)
+    typ = tbl[val_col].type
+    return pa.table({"a": pa.array(a, type=typ), "b": pa.array(b, type=typ)})
+
+
+def grouped_pairs(
+    ds: "rd.Dataset",
+    group_col: str,
+    val_col: str,
+    mode: str = "lt",
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Within-group pair expansion, layout-independent: rows are
+    hash-exchanged by ``group_col`` (so a group never straddles
+    reducers regardless of upstream block layout), then each reducer
+    expands pairs with the vectorized segment kernel.  ``mode`` as in
+    :func:`hipporag_ray.functions.pairs.segment_pairs`."""
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    if num_partitions is None:
+        num_partitions = _auto_partitions(ds, refs)
+    k = num_partitions
+    splits = []
+    for r in refs:
+        if k > 1:
+            splits.append(_plain_split.options(num_returns=k).remote(r, group_col, k))
+        else:
+            splits.append([_plain_split.remote(r, group_col, k)])
+    outs = [
+        _grouped_pairs_reduce.remote(
+            group_col, val_col, mode, *[splits[i][t] for i in range(len(refs))]
+        )
+        for t in range(k)
+    ]
+    return rd.from_arrow_refs(outs)
+
+
 def int_key_sum(
     ds: "rd.Dataset",
     key_col: str,

@@ -58,6 +58,7 @@ class GraphShard:
         bounds: np.ndarray,
         n_vertices: int,
         hubs: np.ndarray | None = None,
+        precise: bool = False,
     ):
         """``bounds`` is the shared (P+1,) vid boundary array: shard t
         owns vids [bounds[t], bounds[t+1]).  Boundaries are chosen by
@@ -86,6 +87,12 @@ class GraphShard:
         counted exactly once.  No extra communication rounds."""
         bounds = np.asarray(bounds, dtype=np.int64)
         self.shard_id = shard_id
+        # precise=True keeps the contribution messages float64 (doubles
+        # the gather traffic) — for oracle-checked fixed-iteration runs
+        # where scores are compared to an external reference at 1e-9,
+        # tighter than the float32 message error (~6e-8 relative)
+        self.precise = precise
+        self._msg_dtype = np.float64 if precise else np.float32
         self.bounds = bounds
         self.n_shards = len(bounds) - 1
         self.n_vertices = n_vertices
@@ -149,7 +156,7 @@ class GraphShard:
         gb = np.searchsorted(t, np.arange(self.n_shards + 1))
         self.groups: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
         self._uniq_own: list[np.ndarray] = []
-        self._w32: list[np.ndarray] = []  # float32 column copies for the f32 edge scan
+        self._w32: list[np.ndarray] = []  # msg-dtype column copies for the edge scan
         for ti in range(self.n_shards):
             a, b = gb[ti], gb[ti + 1]
             own_s = own[a:b]
@@ -164,7 +171,7 @@ class GraphShard:
                 starts = np.zeros(0, dtype=np.int64)
                 uniq = np.zeros(0, dtype=np.int64)
             self.groups.append((own_s, other_local, w_s, starts))
-            self._w32.append(w_s.astype(np.float32)[:, None])
+            self._w32.append(w_s.astype(self._msg_dtype)[:, None])
             self._uniq_own.append(uniq)
         # rows scanned per iteration: segment-group rows + hub-push rows
         self.edge_count = len(own) + len(self._push[0])
@@ -260,12 +267,12 @@ class GraphShard:
         if len(p_own):
             vals = contrib[p_own] * p_w[:, None]
             hub_push[self._push_uniq] = np.add.reduceat(vals, self._push_starts, axis=0)
-        # float32 message: halves the gather traffic of the edge scan
-        # (the iteration is DRAM-bandwidth-bound); the induced error
-        # (~6e-8 relative, contracted each iteration by damping) is two
-        # orders below the 1e-6 convergence tolerance.  Dangling and the
-        # hub blocks stay float64.
-        return contrib.astype(np.float32), dangling, hub_push
+        # float32 message (default): halves the gather traffic of the
+        # edge scan (the iteration is DRAM-bandwidth-bound); the induced
+        # error (~6e-8 relative, contracted each iteration by damping)
+        # is two orders below the 1e-6 convergence tolerance.  Dangling
+        # and the hub blocks stay float64.  precise=True keeps float64.
+        return contrib.astype(self._msg_dtype), dangling, hub_push
 
     _PULL_CHUNK = 32768  # edges per segment-sum block (bounds temp size)
 
@@ -286,7 +293,7 @@ class GraphShard:
             nxt[self._hub_local] += hub_total[self._hub_owned_idx]
         B = len(active)
         if getattr(self, "_buf", None) is None or self._buf.shape[1] != B:
-            self._buf = np.empty((self._PULL_CHUNK + 1024, max(B, 1)), dtype=np.float32)
+            self._buf = np.empty((self._PULL_CHUNK + 1024, max(B, 1)), dtype=self._msg_dtype)
         buf = self._buf
         for ti in range(self.n_shards):
             own_s, other_local, w_s, starts = self.groups[ti]
@@ -529,6 +536,7 @@ class ShardedGraph:
         min_shard_size: int = 1024,
         hub_min_degree: int | None = None,
         max_hubs: int = 1024,
+        precise: bool = False,
     ):
         if n_shards is None:
             # 2x oversharding: smaller shards keep the broadcast message
@@ -554,7 +562,7 @@ class ShardedGraph:
         cpu_per_actor = 1 if n_shards <= cpus else cpus / n_shards
         self.actors = [
             GraphShardActor.options(num_cpus=cpu_per_actor).remote(
-                adj_path, i, self.bounds, n_vertices, self.hubs
+                adj_path, i, self.bounds, n_vertices, self.hubs, precise
             )
             for i in range(n_shards)
         ]

@@ -1,0 +1,73 @@
+"""Pair-expansion kernel + grouped exchange + anti-join mode."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _brute_pairs(seglists, mode):
+    out = []
+    for seg in seglists:
+        for i in range(len(seg)):
+            for j in range(len(seg)):
+                if mode == "lt" and i < j:
+                    out.append((seg[i], seg[j]))
+                elif mode == "ne" and i != j:
+                    out.append((seg[i], seg[j]))
+    return sorted(out)
+
+
+def test_segment_pairs_modes():
+    from hipporag_ray.functions.pairs import segment_pairs
+
+    segs = [[3, 1, 4], [], [9], [2, 7], [5, 5, 6]]
+    values = np.array([x for s in segs for x in s], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum([len(s) for s in segs])])
+    for mode in ("lt", "ne"):
+        a, b = segment_pairs(values, offsets, mode=mode)
+        assert sorted(zip(a.tolist(), b.tolist())) == _brute_pairs(segs, mode)
+
+
+def test_segment_pairs_empty():
+    from hipporag_ray.functions.pairs import segment_pairs
+
+    a, b = segment_pairs(np.zeros(0, np.int64), np.array([0, 0, 0]), mode="ne")
+    assert len(a) == 0 and len(b) == 0
+
+
+def test_grouped_pairs_layout_independent(ray_session):
+    """The same groups split across many tiny blocks must produce the
+    same pairs as one block (the hash exchange reunifies groups)."""
+    from hipporag_ray.stages.shuffle import grouped_pairs
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 20, size=300)
+    v = rng.integers(0, 50, size=300)
+    # distinct (g, v) rows
+    gv = np.unique(np.stack([g, v], axis=1), axis=0)
+    tbl = pa.table({"g": gv[:, 0], "v": gv[:, 1]})
+    expected = _brute_pairs(
+        [sorted(gv[gv[:, 0] == k, 1].tolist()) for k in np.unique(gv[:, 0])], "ne"
+    )
+    for n_blocks in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(n_blocks).materialize()
+        out = grouped_pairs(ds, "g", "v", mode="ne").to_pandas()
+        got = sorted(zip(out["a"].tolist(), out["b"].tolist()))
+        assert got == expected
+
+
+def test_hash_join_leftanti(ray_session):
+    from hipporag_ray.stages.shuffle import hash_join
+
+    left = rd.from_arrow(
+        pa.table({"k": [1, 2, 3, 4, 5], "x": ["a", "b", "c", "d", "e"]})
+    ).materialize()
+    right = rd.from_arrow(pa.table({"k": [2, 4, 9]})).materialize()
+    out = hash_join(left, right, "k", how="leftanti").to_pandas().sort_values("k")
+    assert out["k"].tolist() == [1, 3, 5]
+    assert out["x"].tolist() == ["a", "c", "e"]
+    # anti vs empty right = identity
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())})).materialize()
+    out2 = hash_join(left, empty, "k", how="leftanti").to_pandas()
+    assert sorted(out2["k"].tolist()) == [1, 2, 3, 4, 5]
