@@ -17,6 +17,18 @@ class EngineConfig:
     # --- graph construction ---
     min_token_len: int = 3  # synonymy eligibility >2 alnum chars, HippoRAG.py:864
     is_directed_graph: bool = False  # config_utils.py:164-167
+    # fact-edge source: "cooccur" (distinct-token pairs) or "triples"
+    # (per-triple accumulation, HippoRAG.py:756-775; stages/triples.py)
+    edge_source: str = "cooccur"
+
+    # --- fact linking (HippoRAG.py:1290-1328, 1446-1481) ---
+    # facts=True links queries via fact embeddings then maps facts ->
+    # entities with per-phrase damping; facts=False links entities
+    # directly (round-1 behavior).  When no fact links score above
+    # fact_score_threshold the retrieval falls back to DPR-only
+    # (HippoRAG.py:417-419).
+    facts: bool = True
+    fact_score_threshold: float = 0.0
 
     # --- PPR / PageRank (SimpleGraph.kt:154-156, config_utils.py:180-183) ---
     damping: float = 0.5

@@ -239,6 +239,23 @@ def q_doc_cooccur(sf_dir: str):
     return p.groupby(["src", "dst"]).aggregate(Count(alias_name="weight"))
 
 
+def q_doc_triples(sf_dir: str):
+    """Deterministic triple extraction (the OpenIE analog): distinct
+    consecutive-3-token windows per doc (stages/triples.py)."""
+    from ..stages.triples import extract_triples
+
+    return extract_triples(_docs(sf_dir), ["doc_id"])
+
+
+def q_doc_fact_edges(sf_dir: str):
+    """Fact-edge weights counted per triple occurrence
+    (HippoRAG.py:756-775): canonical (src < dst) pair counts over the
+    per-doc deduped triples."""
+    from ..stages.triples import extract_triples, fact_edge_weights
+
+    return fact_edge_weights(extract_triples(_docs(sf_dir), ["doc_id"]))
+
+
 def q_doc_exact_dedup(sf_dir: str):
     """A10 exact dedup: first-wins doc per content hash."""
     return dd.exact_dedup_keys(_docs(sf_dir), "text", "doc_id")
@@ -841,6 +858,8 @@ QUERIES = {
     "doc_mentions": q_doc_mentions,
     "doc_vertices": q_doc_vertices,
     "doc_cooccur": q_doc_cooccur,
+    "doc_triples": q_doc_triples,
+    "doc_fact_edges": q_doc_fact_edges,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_stats": q_doc_stats,
     "doc_quality": q_doc_quality,
@@ -954,6 +973,28 @@ ORACLE_SQL = {
     """,
     "doc_sample": """
         SELECT doc_id, n_chars FROM documents WHERE doc_id % 8 = 0
+    """,
+    "doc_triples": f"""
+        WITH norm AS (
+          SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' +') AS toks
+          FROM documents
+        ), w AS (
+          SELECT doc_id, toks[i] AS subj, toks[i+1] AS pred, toks[i+2] AS obj
+          FROM norm, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+        )
+        SELECT DISTINCT doc_id, subj, pred, obj FROM w
+    """,
+    "doc_fact_edges": f"""
+        WITH norm AS (
+          SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' +') AS toks
+          FROM documents
+        ), w AS (
+          SELECT DISTINCT doc_id, toks[i] AS subj, toks[i+1] AS pred, toks[i+2] AS obj
+          FROM norm, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+        )
+        SELECT least(subj, obj) AS src, greatest(subj, obj) AS dst,
+               count(*) AS weight
+        FROM w WHERE subj <> obj GROUP BY 1, 2
     """,
     "doc_triangles": f"""
         {_TOK_CTE}, m AS (

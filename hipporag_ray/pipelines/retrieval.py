@@ -66,13 +66,18 @@ class HippoRagEngine:
         damping: float = 0.5,
         synonymy: bool = False,
         synonymy_threshold: float = 0.8,
+        facts: bool = True,
+        fact_score_threshold: float = 0.0,
+        edge_source: str = "cooccur",
     ):
         self.working_dir = working_dir
         self.corpus_dir = os.path.join(working_dir, "corpus")
         self.graph_dir = os.path.join(working_dir, "graph")
+        self.facts_dir = os.path.join(working_dir, "facts")
         os.makedirs(self.corpus_dir, exist_ok=True)
         self.chunk_store = EmbeddingStore(working_dir, "chunk", dim)
         self.entity_store = EmbeddingStore(working_dir, "entity", dim)
+        self.fact_store = EmbeddingStore(working_dir, "fact", dim)
         self.dim = dim
         self.min_token_len = min_token_len
         self.link_top_k = link_top_k
@@ -80,6 +85,9 @@ class HippoRagEngine:
         self.damping = damping
         self.synonymy = synonymy
         self.synonymy_threshold = synonymy_threshold
+        self.facts = facts
+        self.fact_score_threshold = fact_score_threshold
+        self.edge_source = edge_source
         self.embedder = HashEmbedder(dim=dim)
         self._sg: ShardedGraph | None = None
 
@@ -98,6 +106,9 @@ class HippoRagEngine:
             damping=c.damping,
             synonymy=c.synonymy,
             synonymy_threshold=c.synonymy_threshold,
+            facts=c.facts,
+            fact_score_threshold=c.fact_score_threshold,
+            edge_source=c.edge_source,
         )
 
     # ------------------------------------------------------------------
@@ -137,18 +148,26 @@ class HippoRagEngine:
             self._sg = None
         self._kinds_loaded = False
         self._joined_views = None
+        self._fact_view = None
         manifest = os.path.join(self.graph_dir, "manifest.json")
         if os.path.exists(manifest) and not self.synonymy:
             from ..stages.graph_build import build_graph_incremental, load_graph
 
             g = build_graph_incremental(
-                new_ds, load_graph(self.graph_dir), self.graph_dir, self.min_token_len
+                new_ds,
+                load_graph(self.graph_dir),
+                self.graph_dir,
+                self.min_token_len,
+                edge_source=self.edge_source,
             )
             n_syn = 0
         else:
             # synonymy edges depend on the full entity set; rebuild
             shutil.rmtree(self.graph_dir, ignore_errors=True)
-            g = build_graph(self.corpus(), self.graph_dir, self.min_token_len)
+            g = build_graph(
+                self.corpus(), self.graph_dir, self.min_token_len,
+                edge_source=self.edge_source,
+            )
             n_syn = self._add_synonymy_edges(g) if self.synonymy else 0
         return {
             "new_chunks": n_chunks,
@@ -173,7 +192,68 @@ class HippoRagEngine:
                 lambda b: pa.table({"content": b["entity"]}), batch_format="pyarrow"
             )
         )
+        if self.facts:
+            self._insert_facts(ds)
         return n_chunks, n_entities
+
+    def _fact_parts(self) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(self.facts_dir):
+            out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+        return sorted(out)
+
+    def _insert_facts(self, ds: "rd.Dataset") -> int:
+        """Extract deterministic triples from the new turns, dedup by
+        fact key, anti-join against the stored fact table (J3), append
+        the new rows and embed them into the fact namespace — the
+        reference's fact-store insert (HippoRAG.py:262-263).
+
+        The fact table rows carry ``subj_key`` / ``obj_key`` (entity
+        node keys) so query-time fact->entity mapping
+        (HippoRAG.py:1446-1481) is a plain join, never a re-parse."""
+        from ..functions.hashing import entity_key as _ekey
+        from ..stages.shuffle import hash_distinct, hash_join
+        from ..stages.triples import extract_triples, fact_rows
+
+        tr = extract_triples(ds, [], min_token_len=self.min_token_len)
+        rows = fact_rows(tr)
+
+        def add_keys(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "fact_key": batch["fact_key"],
+                    "content": batch["content"],
+                    "subj_key": _ekey(batch["subj"]),
+                    "obj_key": _ekey(batch["obj"]),
+                }
+            )
+
+        keyed = rows.map_batches(add_keys, batch_format="pyarrow")
+        deduped = hash_distinct(keyed.materialize(), "fact_key")
+        parts = self._fact_parts()
+        if parts:
+            stored = rd.read_parquet(parts, columns=["fact_key"])
+            new_rows = hash_join(deduped, stored.materialize(), "fact_key", how="leftanti")
+        else:
+            new_rows = deduped
+        new_rows = new_rows.materialize()
+        n_new = new_rows.count()
+        if n_new:
+            n_batches = len(
+                [d for d in os.listdir(self.facts_dir)]
+                if os.path.isdir(self.facts_dir)
+                else []
+            )
+            new_rows.write_parquet(
+                os.path.join(self.facts_dir, f"batch-{n_batches:05d}")
+            )
+            self.fact_store.insert_strings(
+                new_rows.map_batches(
+                    lambda b: pa.table({"content": b["content"]}),
+                    batch_format="pyarrow",
+                )
+            )
+        return n_new
 
     def _reindex(self) -> dict:
         n_chunks, n_entities = self._insert_stores(self.corpus())
@@ -182,8 +262,12 @@ class HippoRagEngine:
             self._sg = None
         self._kinds_loaded = False
         self._joined_views = None
+        self._fact_view = None
         shutil.rmtree(self.graph_dir, ignore_errors=True)
-        g = build_graph(self.corpus(), self.graph_dir, self.min_token_len)
+        g = build_graph(
+            self.corpus(), self.graph_dir, self.min_token_len,
+            edge_source=self.edge_source,
+        )
         n_syn = self._add_synonymy_edges(g) if self.synonymy else 0
         return {
             "new_chunks": n_chunks,
@@ -254,6 +338,12 @@ class HippoRagEngine:
                 pq.write_table(t.filter(pa.array(mask)), tmp)
                 os.replace(tmp, p)
         self.chunk_store.delete(del_chunk_ids)
+        # facts are re-derived from the surviving corpus (the delete
+        # fixpoint: a fact survives iff some surviving chunk yields it —
+        # HippoRAG.py:302-345 group-wise anti-join semantics)
+        shutil.rmtree(self.facts_dir, ignore_errors=True)
+        shutil.rmtree(self.fact_store.dir, ignore_errors=True)
+        os.makedirs(self.fact_store.dir, exist_ok=True)
         stats = self._reindex()
         # entity rows whose every referencing chunk was deleted no longer
         # appear in the rebuilt graph; drop them from the store too
@@ -302,8 +392,6 @@ class HippoRagEngine:
         (HippoRAG.py:160-162, 432-439)."""
         import time as _time
 
-        from ..stages.shuffle import hash_join, int_key_sum
-
         t_all = _time.perf_counter()
         g = self.graph()
         B = len(queries)
@@ -311,83 +399,24 @@ class HippoRagEngine:
         q_mat = self.embedder.embed(q_norm).astype(np.float64)
         q_ref = ray.put(q_mat)
 
-        def _kind(ds, kind):
-            return ds.map_batches(
-                lambda b, k=kind: b.filter(pc.equal(b["kind"], k)),
-                batch_format="pyarrow",
-            )
-
-        def _as_key(store_ds):
-            return store_ds.map_batches(
-                lambda b: pa.table({"node_key": b["hash_id"], "embedding": b["embedding"]}),
-                batch_format="pyarrow",
-            )
-
-        if getattr(self, "_joined_views", None) is None:
-            verts = g.vertices().select_columns(["node_key", "kind", "vid"])
-            ent_joined = hash_join(
-                _kind(verts, "entity"), _as_key(self.entity_store.dataset()), "node_key"
-            )
-            chunk_joined = hash_join(
-                _kind(verts, "chunk"), _as_key(self.chunk_store.dataset()), "node_key"
-            ).materialize()
-
-            # |chunks(entity)| damping factors (J4): passage-edge sum by dst
-            passage = g.edges().map_batches(
-                lambda b: b.filter(pc.equal(b["etype"], "passage")).select(["dst", "weight"]),
-                batch_format="pyarrow",
-            )
-            counts = int_key_sum(passage.materialize(), "dst", "weight").map_batches(
-                lambda b: pa.table({"vid": b["dst"], "n_chunks": b["weight"]}),
-                batch_format="pyarrow",
-            )
-            ent_full = hash_join(ent_joined, counts, "vid", how="left").materialize()
-            # cached until the next (re)index invalidates them
-            self._joined_views = (ent_full, chunk_joined)
+        self._build_views(g)
         ent_full, chunk_joined = self._joined_views
 
-        # --- entity linking tiles: per-block per-query top-k candidates ---
-        def link_tile(batch: pa.Table) -> pa.Table:
-            qm = ray.get(q_ref)
-            if batch.num_rows == 0 or "embedding" not in batch.column_names:
-                return pa.table(
-                    {
-                        "query_idx": pa.array([], pa.int64()),
-                        "vid": pa.array([], pa.int64()),
-                        "score": pa.array([], pa.float64()),
-                        "n_chunks": pa.array([], pa.float64()),
-                    }
-                )
-            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-            vids = batch["vid"].to_numpy(zero_copy_only=False)
-            nch = np.nan_to_num(
-                batch["n_chunks"].to_numpy(zero_copy_only=False).astype(np.float64), nan=1.0
-            )
-            sims = qm @ m.T  # (B, rows)
-            k = min(self.link_top_k, sims.shape[1])
-            idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-            out_q, out_v, out_s, out_n = [], [], [], []
-            for qi in range(sims.shape[0]):
-                out_q.extend([qi] * k)
-                out_v.extend(vids[idx[qi]])
-                out_s.extend(sims[qi, idx[qi]])
-                out_n.extend(nch[idx[qi]])
-            return pa.table(
-                {
-                    "query_idx": pa.array(out_q, type=pa.int64()),
-                    "vid": pa.array(out_v, type=pa.int64()),
-                    "score": pa.array(out_s, type=pa.float64()),
-                    "n_chunks": pa.array(out_n, type=pa.float64()),
-                }
-            )
-
-        link = ent_full.map_batches(link_tile, batch_format="pyarrow").to_pandas()
-        link = link.sort_values(["query_idx", "score", "vid"], ascending=[True, False, True])
-        link = link.groupby("query_idx", as_index=False).head(self.link_top_k)
-        # per-phrase damping 1/|chunks(entity)| (A5, HippoRAG.py:1463-1464)
-        link["weight"] = np.maximum(
-            link["score"] / np.maximum(link["n_chunks"], 1.0), 0.0
+        # --- linking: facts (HippoRAG.py:1290-1328 fact scores ->
+        # 1446-1481 fact->entity phrase weights) or direct entities ---
+        fallback: set[int] = set(range(B))
+        link = pd.DataFrame(
+            {"vid": pd.Series([], dtype="int64"),
+             "query_idx": pd.Series([], dtype="int64"),
+             "weight": pd.Series([], dtype="float64")}
         )
+        if self.facts:
+            fact_view = self._fact_joined()
+            if fact_view is not None:
+                link, fallback = self._fact_link(q_ref, B, ent_full)
+        else:
+            link = self._entity_link(q_ref, ent_full)
+            fallback = set(range(B)) - set(link["query_idx"].tolist())
         link_triples = pa.table(
             {
                 "vid": pa.array(link["vid"].to_numpy(np.int64)),
@@ -465,15 +494,25 @@ class HippoRagEngine:
         top_refs = [
             [a.topk_chunk_scores.remote(qi, top_k) for a in sg.actors] for qi in range(B)
         ]
+        # fallback queries get pure DPR ranking (HippoRAG.py:417-419)
+        dpr_ranks = (
+            self._dpr_topk(q_ref, chunk_joined, sorted(fallback), top_k)
+            if fallback
+            else {}
+        )
         need_vids: set[int] = set()
         merged = []
         for qi in range(B):
-            parts = ray.get(top_refs[qi])
-            vids = np.concatenate([p[0] for p in parts])
-            scs = np.concatenate([p[1] for p in parts])
-            order = np.lexsort((vids, -scs))[:top_k]
-            merged.append((vids[order], scs[order]))
-            need_vids.update(vids[order].tolist())
+            if qi in dpr_ranks:
+                vids, scs = dpr_ranks[qi]
+            else:
+                parts = ray.get(top_refs[qi])
+                vids = np.concatenate([p[0] for p in parts])
+                scs = np.concatenate([p[1] for p in parts])
+                order = np.lexsort((vids, -scs))[:top_k]
+                vids, scs = vids[order], scs[order]
+            merged.append((vids, scs))
+            need_vids.update(vids.tolist())
 
         # content lookup last, filtered to the final top rows (J2)
         import pyarrow.dataset as pads
@@ -489,7 +528,8 @@ class HippoRagEngine:
                 {
                     "question": queries[qi],
                     "docs": [content[int(v)] for v in vids],
-                    "doc_scores": scs.tolist(),
+                    "doc_scores": np.asarray(scs).tolist(),
+                    "mode": "dpr_fallback" if qi in dpr_ranks else "ppr",
                 }
             )
         self.timers = {
@@ -499,9 +539,308 @@ class HippoRagEngine:
         }
         return results
 
+    # ------------------------------------------------------------------
+    # linking helpers
+    # ------------------------------------------------------------------
+
+    def _build_views(self, g) -> None:
+        """Cached vertex⋈embedding views (bucketed hash joins; nothing
+        materialized on the driver) — invalidated by (re)indexing."""
+        if getattr(self, "_joined_views", None) is not None:
+            return
+        from ..stages.shuffle import hash_join, int_key_sum
+
+        def _kind(ds, kind):
+            return ds.map_batches(
+                lambda b, k=kind: b.filter(pc.equal(b["kind"], k)),
+                batch_format="pyarrow",
+            )
+
+        def _as_key(store_ds):
+            return store_ds.map_batches(
+                lambda b: pa.table({"node_key": b["hash_id"], "embedding": b["embedding"]}),
+                batch_format="pyarrow",
+            )
+
+        verts = g.vertices().select_columns(["node_key", "kind", "vid"])
+        ent_joined = hash_join(
+            _kind(verts, "entity"), _as_key(self.entity_store.dataset()), "node_key"
+        )
+        chunk_joined = hash_join(
+            _kind(verts, "chunk"), _as_key(self.chunk_store.dataset()), "node_key"
+        ).materialize()
+
+        # |chunks(entity)| damping factors (J4): passage-edge sum by dst
+        passage = g.edges().map_batches(
+            lambda b: b.filter(pc.equal(b["etype"], "passage")).select(["dst", "weight"]),
+            batch_format="pyarrow",
+        )
+        counts = int_key_sum(passage.materialize(), "dst", "weight").map_batches(
+            lambda b: pa.table({"vid": b["dst"], "n_chunks": b["weight"]}),
+            batch_format="pyarrow",
+        )
+        ent_full = hash_join(ent_joined, counts, "vid", how="left").materialize()
+        self._joined_views = (ent_full, chunk_joined)
+
+    def _fact_joined(self):
+        """Cached fact view: fact embeddings ⋈ fact metadata
+        (subj_key/obj_key) via the bucketed hash join; None when the
+        fact table is empty."""
+        if getattr(self, "_fact_view", None) is None:
+            from ..stages.shuffle import hash_join
+
+            parts = self._fact_parts()
+            if not parts or self.fact_store.count() == 0:
+                self._fact_view = ()
+            else:
+                meta = rd.read_parquet(parts, columns=["fact_key", "subj_key", "obj_key"])
+                embs = self.fact_store.dataset().map_batches(
+                    lambda b: pa.table(
+                        {"fact_key": b["hash_id"], "embedding": b["embedding"]}
+                    ),
+                    batch_format="pyarrow",
+                )
+                self._fact_view = (
+                    hash_join(embs.materialize(), meta.materialize(), "fact_key")
+                    .materialize(),
+                )
+        return self._fact_view[0] if self._fact_view else None
+
+    def _fact_link(
+        self, q_ref, B: int, ent_full
+    ) -> tuple[pd.DataFrame, set[int]]:
+        """Query -> fact candidates -> phrase (entity) reset weights:
+
+        1. tiled dense scores against the fact embeddings with
+           per-block top-k + extrema (get_fact_scores,
+           HippoRAG.py:1290-1328; min-max is monotonic so block top-k
+           on raw scores is exact);
+        2. per-query global top ``link_top_k`` facts, scores min-max
+           normalized (K1 rerank without the LLM filter);
+        3. fact -> subject/object phrases, each weighted
+           score / |chunks(phrase)| (damping HippoRAG.py:1463-1464),
+           averaged per phrase (A5), top ``link_top_k`` phrases kept
+           (K4 zeroing);
+        4. queries with no facts above ``fact_score_threshold`` (or no
+           resolvable phrases) fall back to DPR (HippoRAG.py:417-419).
+        """
+        k = self.link_top_k
+        fact_view = self._fact_joined()
+
+        def fact_tile(batch: pa.Table) -> pa.Table:
+            qm = ray.get(q_ref)
+            if batch.num_rows == 0 or "embedding" not in batch.column_names:
+                return pa.table(
+                    {
+                        "query_idx": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                        "subj_key": pa.array([], pa.string()),
+                        "obj_key": pa.array([], pa.string()),
+                        "blo": pa.array([], pa.float64()),
+                        "bhi": pa.array([], pa.float64()),
+                    }
+                )
+            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            sk = batch["subj_key"].to_numpy(zero_copy_only=False)
+            ok = batch["obj_key"].to_numpy(zero_copy_only=False)
+            sims = qm @ m.T  # (B, rows)
+            blo, bhi = sims.min(axis=1), sims.max(axis=1)
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            nq = sims.shape[0]
+            qid = np.repeat(np.arange(nq), kk)
+            flat = idx.reshape(-1)
+            return pa.table(
+                {
+                    "query_idx": pa.array(qid, pa.int64()),
+                    "score": pa.array(sims[np.repeat(np.arange(nq), kk), flat]),
+                    "subj_key": pa.array(sk[flat], pa.string()),
+                    "obj_key": pa.array(ok[flat], pa.string()),
+                    "blo": pa.array(blo[qid]),
+                    "bhi": pa.array(bhi[qid]),
+                }
+            )
+
+        cand = fact_view.map_batches(fact_tile, batch_format="pyarrow").to_pandas()
+        empty = pd.DataFrame(
+            {"vid": pd.Series([], dtype="int64"),
+             "query_idx": pd.Series([], dtype="int64"),
+             "weight": pd.Series([], dtype="float64")}
+        )
+        if cand.empty:
+            return empty, set(range(B))
+        lo = cand.groupby("query_idx")["blo"].min()
+        hi = cand.groupby("query_idx")["bhi"].max()
+        cand = cand.sort_values(
+            ["query_idx", "score", "subj_key", "obj_key"],
+            ascending=[True, False, True, True],
+        ).groupby("query_idx", as_index=False).head(k)
+        rng = (hi - lo).reindex(cand["query_idx"]).to_numpy()
+        lo_q = lo.reindex(cand["query_idx"]).to_numpy()
+        raw = cand["score"].to_numpy()
+        cand["norm"] = np.where(rng == 0, 1.0, (raw - lo_q) / np.where(rng == 0, 1.0, rng))
+        cand = cand[cand["norm"] >= self.fact_score_threshold]
+        if cand.empty:
+            return empty, set(range(B))
+
+        # explode facts -> phrases, resolve to (vid, n_chunks)
+        phrases = pd.concat(
+            [
+                cand[["query_idx", "norm", "subj_key"]].rename(columns={"subj_key": "node_key"}),
+                cand[["query_idx", "norm", "obj_key"]].rename(columns={"obj_key": "node_key"}),
+            ],
+            ignore_index=True,
+        )
+        keys = np.sort(phrases["node_key"].unique())
+        keys_ref = ray.put(keys)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            nk = batch["node_key"].to_numpy(zero_copy_only=False)
+            mask = np.isin(nk, ks)
+            return batch.filter(pa.array(mask)).select(["node_key", "vid", "n_chunks"])
+
+        resolved = ent_full.map_batches(pick, batch_format="pyarrow").to_pandas()
+        merged = phrases.merge(resolved, on="node_key", how="inner")
+        if merged.empty:
+            return empty, set(range(B))
+        nch = np.nan_to_num(merged["n_chunks"].to_numpy(np.float64), nan=1.0)
+        merged["weight"] = merged["norm"].to_numpy() / np.maximum(nch, 1.0)
+        per_phrase = (
+            merged.groupby(["query_idx", "vid"], as_index=False)["weight"].mean()
+        )
+        per_phrase = per_phrase.sort_values(
+            ["query_idx", "weight", "vid"], ascending=[True, False, True]
+        ).groupby("query_idx", as_index=False).head(k)
+        linked_q = set(per_phrase["query_idx"].tolist())
+        return per_phrase[["vid", "query_idx", "weight"]], set(range(B)) - linked_q
+
+    def _entity_link(self, q_ref, ent_full) -> pd.DataFrame:
+        """Direct entity linking (facts=False): per-block per-query
+        top-k similarity candidates, merged and damped by
+        1/|chunks(entity)| (A5, HippoRAG.py:1463-1464)."""
+        k = self.link_top_k
+
+        def link_tile(batch: pa.Table) -> pa.Table:
+            qm = ray.get(q_ref)
+            if batch.num_rows == 0 or "embedding" not in batch.column_names:
+                return pa.table(
+                    {
+                        "query_idx": pa.array([], pa.int64()),
+                        "vid": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                        "n_chunks": pa.array([], pa.float64()),
+                    }
+                )
+            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            vids = batch["vid"].to_numpy(zero_copy_only=False)
+            nch = np.nan_to_num(
+                batch["n_chunks"].to_numpy(zero_copy_only=False).astype(np.float64), nan=1.0
+            )
+            sims = qm @ m.T  # (B, rows)
+            k = min(self.link_top_k, sims.shape[1])
+            idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+            out_q, out_v, out_s, out_n = [], [], [], []
+            for qi in range(sims.shape[0]):
+                out_q.extend([qi] * k)
+                out_v.extend(vids[idx[qi]])
+                out_s.extend(sims[qi, idx[qi]])
+                out_n.extend(nch[idx[qi]])
+            return pa.table(
+                {
+                    "query_idx": pa.array(out_q, type=pa.int64()),
+                    "vid": pa.array(out_v, type=pa.int64()),
+                    "score": pa.array(out_s, type=pa.float64()),
+                    "n_chunks": pa.array(out_n, type=pa.float64()),
+                }
+            )
+
+        link = ent_full.map_batches(link_tile, batch_format="pyarrow").to_pandas()
+        link = link.sort_values(["query_idx", "score", "vid"], ascending=[True, False, True])
+        link = link.groupby("query_idx", as_index=False).head(self.link_top_k)
+        # per-phrase damping 1/|chunks(entity)| (A5, HippoRAG.py:1463-1464)
+        link["weight"] = np.maximum(
+            link["score"] / np.maximum(link["n_chunks"], 1.0), 0.0
+        )
+        return link[["vid", "query_idx", "weight"]]
+
+    def _dpr_topk(
+        self, q_ref, chunk_joined, q_indices: list[int], top_k: int
+    ) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+        """Pure dense passage ranking (K2, HippoRAG.py:1330-1365 /
+        StandardRAG.py): tiled per-block top-k against the broadcast
+        query matrix, merged on the driver (two-level top-k, K6)."""
+        if not q_indices:
+            return {}
+        sel = np.asarray(q_indices, dtype=np.int64)
+        sel_ref = ray.put(sel)
+
+        def tile(batch: pa.Table) -> pa.Table:
+            qm = ray.get(q_ref)
+            qs = ray.get(sel_ref)
+            if batch.num_rows == 0 or "embedding" not in batch.column_names:
+                return pa.table({"query_idx": pa.array([], pa.int64()),
+                                 "vid": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            vids = batch["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sims = qm[qs] @ m.T  # (Q, rows)
+            kk = min(top_k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            nq = sims.shape[0]
+            qid = np.repeat(qs, kk)
+            flat = idx.reshape(-1)
+            return pa.table(
+                {
+                    "query_idx": pa.array(qid, pa.int64()),
+                    "vid": pa.array(vids[flat], pa.int64()),
+                    "score": pa.array(sims[np.repeat(np.arange(nq), kk), flat]),
+                }
+            )
+
+        out = chunk_joined.map_batches(tile, batch_format="pyarrow").to_pandas()
+        ranks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for qi in q_indices:
+            sub = out[out["query_idx"] == qi]
+            vids = sub["vid"].to_numpy(np.int64)
+            scs = sub["score"].to_numpy(np.float64)
+            order = np.lexsort((vids, -scs))[:top_k]
+            ranks[qi] = (vids[order], scs[order])
+        return ranks
+
+    def dpr_retrieve(self, queries: list[str], top_k: int = 10) -> list[dict]:
+        """DPR-only baseline retrieval (the reference's StandardRAG,
+        StandardRAG.py:37-429): dense passage ranking, no graph."""
+        g = self.graph()
+        B = len(queries)
+        q_norm = text_processing(pa.array(queries)).to_pylist()
+        q_ref = ray.put(self.embedder.embed(q_norm).astype(np.float64))
+        self._build_views(g)
+        _ent_full, chunk_joined = self._joined_views
+        ranks = self._dpr_topk(q_ref, chunk_joined, list(range(B)), top_k)
+        need = sorted({int(v) for vids, _ in ranks.values() for v in vids})
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(g.vertices_path).to_table(
+            columns=["vid", "content"], filter=pads.field("vid").isin(need)
+        )
+        content = dict(zip(tbl["vid"].to_pylist(), tbl["content"].to_pylist()))
+        return [
+            {
+                "question": queries[qi],
+                "docs": [content[int(v)] for v in ranks[qi][0]],
+                "doc_scores": ranks[qi][1].tolist(),
+                "mode": "dpr",
+            }
+            for qi in range(B)
+        ]
+
+        return results
+
     def close(self):
         if self._sg is not None:
             self._sg.shutdown()
             self._sg = None
         self._kinds_loaded = False
         self._joined_views = None
+        self._fact_view = None

@@ -74,10 +74,29 @@ class ChunkToIntEdgePartials:
       code column becomes the (src, dst) pair itself.
     """
 
-    def __init__(self, vmap_ref, n_vertices: int, min_token_len: int = 3):
+    def __init__(
+        self,
+        vmap_ref,
+        n_vertices: int,
+        min_token_len: int = 3,
+        edge_source: str = "cooccur",
+    ):
+        """``edge_source``:
+
+        * ``"cooccur"`` — fact partials are all distinct-token pairs of
+          the chunk (the co-occurrence stand-in for OpenIE);
+        * ``"triples"`` — fact partials are the (subject, object) pairs
+          of the chunk's deterministic consecutive-3-token-window
+          triples (stages/triples.py), exact-deduped per chunk, one
+          increment per triple in both orientations — the reference's
+          per-triple fact-edge accumulation (HippoRAG.py:756-775).
+          Windows run over the min_token_len-filtered token sequence so
+          every subject/object is a graph entity.
+        """
         self.vmap_ref = vmap_ref
         self.n = n_vertices
         self.min_token_len = min_token_len
+        self.edge_source = edge_source
         self._vmap = None
 
     def _lookup(self, keys: np.ndarray) -> np.ndarray:
@@ -95,7 +114,8 @@ class ChunkToIntEdgePartials:
         # hash + map only UNIQUE tokens (vocab-sized), then expand — md5
         # per occurrence measured as the dominant cost of this stage
         uniq_ents, inv = np.unique(ents, return_inverse=True)
-        ent_vids = self._lookup(entity_key(uniq_ents).to_numpy(zero_copy_only=False))[inv]
+        uniq_vids = self._lookup(entity_key(uniq_ents).to_numpy(zero_copy_only=False))
+        ent_vids = uniq_vids[inv]
         chunk_vids = self._lookup(ckeys)
 
         # --- passage rows (unique by construction) ---
@@ -104,10 +124,13 @@ class ChunkToIntEdgePartials:
         p_code = chunk_vids[rep] * self.n + ent_vids
 
         # --- fact pair partials, both orientations, no self loops ---
-        # one vectorized segment expansion over the whole batch
-        # (functions/pairs.py) — the per-row repeat/tile loop here
-        # measured as the dominant cost of the build's hottest stage
-        A, B = segment_pairs(ent_vids, offsets, mode="ne")
+        if self.edge_source == "cooccur":
+            # one vectorized segment expansion over the whole batch
+            # (functions/pairs.py) — the per-row repeat/tile loop here
+            # measured as the dominant cost of the build's hottest stage
+            A, B = segment_pairs(ent_vids, offsets, mode="ne")
+        else:
+            A, B = self._triple_pairs(norm, uniq_ents, uniq_vids)
         if len(A):
             code_u, code_n = np.unique(A * self.n + B, return_counts=True)
         else:
@@ -125,6 +148,60 @@ class ChunkToIntEdgePartials:
                 "weight": pa.array(w, type=pa.float64()),
             }
         )
+
+
+    def _triple_pairs(
+        self, norm: pa.Array, uniq_ents: np.ndarray, uniq_vids: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-chunk deterministic triples -> (subject, object) vid
+        pairs, both orientations, one increment per *deduped triple*
+        (the reference's per-triple stats accumulation,
+        HippoRAG.py:756-775).  Windows run over the ordered
+        min_token_len-filtered token sequence; all three window
+        elements are batch-vocabulary members, so dedup runs on int
+        vid triples."""
+        import pyarrow.compute as pc
+
+        from ..functions.text import tokenize
+
+        toks = tokenize(norm)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_rows = len(offs) - 1
+        words = flat.to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offs))
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) >= self.min_token_len
+        words, rows = words[keep], rows[keep]
+        counts = np.bincount(rows, minlength=n_rows)
+        offs2 = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        vid_seq = uniq_vids[np.searchsorted(uniq_ents, words)]
+        wc = np.maximum(counts - 2, 0)
+        M = int(wc.sum())
+        if M == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), wc)
+        wstart = np.concatenate([[0], np.cumsum(wc)[:-1]]).astype(np.int64)
+        within = np.arange(M, dtype=np.int64) - wstart[row_of]
+        base = offs2[:-1][row_of] + within
+        s, p, o = vid_seq[base], vid_seq[base + 1], vid_seq[base + 2]
+        order = np.lexsort((o, p, s, row_of))
+        r2, s2, p2, o2 = row_of[order], s[order], p[order], o[order]
+        first = np.concatenate(
+            [
+                [True],
+                (r2[1:] != r2[:-1])
+                | (s2[1:] != s2[:-1])
+                | (p2[1:] != p2[:-1])
+                | (o2[1:] != o2[:-1]),
+            ]
+        )
+        s3, o3 = s2[first], o2[first]
+        ne = s3 != o3  # no self loops (HippoRAG.py:1064)
+        s3, o3 = s3[ne], o3[ne]
+        return np.concatenate([s3, o3]), np.concatenate([o3, s3])
 
 
 class ChunkToVertexRows:
@@ -239,6 +316,7 @@ def build_graph(
     transcripts: "rd.Dataset",
     out_dir: str,
     min_token_len: int = 3,
+    edge_source: str = "cooccur",
 ) -> GraphTables:
     """Full graph build; writes vertices/, edges/, adj/ + manifest.json."""
     os.makedirs(out_dir, exist_ok=True)
@@ -286,6 +364,7 @@ def build_graph(
             "vmap_ref": vmap_ref,
             "n_vertices": int(n_vertices),
             "min_token_len": min_token_len,
+            "edge_source": edge_source,
         },
         batch_format="pyarrow",
         concurrency=pool_size(),
@@ -337,6 +416,7 @@ def build_graph(
                 "n_vertices": int(n_vertices),
                 "n_edges": int(n_edges),
                 "min_token_len": min_token_len,
+                "edge_source": edge_source,
             },
             f,
         )
@@ -354,6 +434,7 @@ def build_graph_incremental(
     graph: GraphTables,
     out_dir: str,
     min_token_len: int = 3,
+    edge_source: str = "cooccur",
 ) -> GraphTables:
     """Merge new turns into an existing graph without re-extracting the
     old corpus (the reference's incremental indexing: insert-time
@@ -445,6 +526,7 @@ def build_graph_incremental(
             "vmap_ref": vmap_ref,
             "n_vertices": n,
             "min_token_len": min_token_len,
+            "edge_source": edge_source,
         },
         batch_format="pyarrow",
         concurrency=pool_size(),
@@ -494,7 +576,12 @@ def build_graph_incremental(
     adj.write_parquet(os.path.join(out_dir, "adj"))
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(
-            {"n_vertices": int(n_vertices), "n_edges": int(n_edges), "min_token_len": min_token_len},
+            {
+                "n_vertices": int(n_vertices),
+                "n_edges": int(n_edges),
+                "min_token_len": min_token_len,
+                "edge_source": edge_source,
+            },
             f,
         )
     return GraphTables(out_dir=out_dir, n_vertices=int(n_vertices), n_edges=int(n_edges))

@@ -88,11 +88,10 @@ class EmbeddingStore:
         os.makedirs(self.dir, exist_ok=True)
 
     def _parts(self) -> list[str]:
-        return sorted(
-            os.path.join(self.dir, f)
-            for f in os.listdir(self.dir)
-            if f.endswith(".parquet")
-        )
+        out = []
+        for root, _dirs, files in os.walk(self.dir):
+            out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+        return sorted(out)
 
     def count(self) -> int:
         return sum(pq.ParquetFile(p).metadata.num_rows for p in self._parts())
@@ -153,16 +152,16 @@ class EmbeddingStore:
             fn_constructor_kwargs={"dim": self.dim, "text_col": "content"},
             batch_format="pyarrow",
             concurrency=pool_size(),
-        )
-        tables = [t for t in ray.get(embedded.to_arrow_refs()) if t.num_rows]
-        if not tables:
+        ).materialize()
+        n_new = embedded.count()
+        if n_new == 0:
             return 0
-        out = pa.concat_tables(tables)
-        part_idx = len(self._parts())
-        tmp = os.path.join(self.dir, f".part-{part_idx:05d}.parquet.tmp")
-        pq.write_table(out, tmp)
-        os.replace(tmp, os.path.join(self.dir, f"part-{part_idx:05d}.parquet"))
-        return out.num_rows
+        # streamed append: one subdirectory of parts per insert call
+        n_batches = len(
+            [d for d in os.listdir(self.dir) if os.path.isdir(os.path.join(self.dir, d))]
+        )
+        embedded.write_parquet(os.path.join(self.dir, f"batch-{n_batches:05d}"))
+        return n_new
 
     def delete(self, hash_ids: set[str]) -> int:
         """Remove rows by key (rewrites only the part files that contain

@@ -1,0 +1,181 @@
+"""Triple/fact substrate: extraction, fact edges, engine fact linking,
+DPR fallback and the StandardRAG-style baseline."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _brute_triples(text, min_len=0):
+    import re
+
+    norm = re.sub(r"[^a-z0-9 ]", " ", text.lower()).strip()
+    toks = [t for t in norm.split() if len(t) >= min_len] if norm else []
+    seen, out = set(), []
+    for i in range(max(len(toks) - 2, 0)):
+        t = (toks[i], toks[i + 1], toks[i + 2])
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def test_extract_triples_matches_bruteforce(ray_session):
+    from hipporag_ray.stages.triples import extract_triples
+
+    texts = [
+        "Alpha beta gamma delta alpha beta gamma",
+        "one-two three! four",
+        "x y",  # too short for a window
+        "",
+        "punct.?!",
+        "repeat repeat repeat repeat",
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    out = extract_triples(ds, ["doc_id"]).to_pandas()
+    for i, t in enumerate(texts):
+        got = sorted(
+            map(
+                tuple,
+                out[out["doc_id"] == i][["subj", "pred", "obj"]].to_numpy().tolist(),
+            )
+        )
+        assert got == sorted(_brute_triples(t)), (i, t)
+
+
+def test_extract_triples_min_token_len(ray_session):
+    from hipporag_ray.stages.triples import extract_triples
+
+    texts = ["aa bbb cccc dd eeee fff g"]
+    ds = rd.from_arrow(pa.table({"doc_id": [0], "text": texts}))
+    out = extract_triples(ds, ["doc_id"], min_token_len=3).to_pandas()
+    got = sorted(map(tuple, out[["subj", "pred", "obj"]].to_numpy().tolist()))
+    # filtered sequence: bbb cccc eeee fff
+    assert got == sorted([("bbb", "cccc", "eeee"), ("cccc", "eeee", "fff")])
+
+
+def test_fact_edge_weights(ray_session):
+    from hipporag_ray.stages.triples import extract_triples, fact_edge_weights
+
+    texts = ["a b a", "a b a", "b a b"]  # docs 0,1 give triple (a,b,a) -> self pair, dropped
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1, 2], "text": texts}))
+    out = fact_edge_weights(extract_triples(ds, ["doc_id"])).to_pandas()
+    assert len(out) == 0  # all subject==object pairs dropped
+
+    texts = ["a b c", "c b a", "a x c a x c"]
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1, 2], "text": texts}))
+    out = (
+        fact_edge_weights(extract_triples(ds, ["doc_id"]))
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    # doc0: (a,b,c) -> (a,c); doc1: (c,b,a) -> (a,c); doc2 triples:
+    # (a,x,c),(x,c,a),(c,a,x),(a,x,c dup) -> pairs (a,c),(x,a),(c,x)
+    exp = pd.DataFrame(
+        {"src": ["a", "a", "c"], "dst": ["c", "x", "x"], "weight": [3, 1, 1]}
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_graph_build_triples_mode(ray_session, tmp_path):
+    """edge_source='triples': fact-edge weights follow per-triple
+    accumulation, not all-pairs co-occurrence."""
+    from hipporag_ray.stages.graph_build import build_graph
+
+    texts = ["aaa bbb ccc", "ccc ddd aaa"]
+    tx = rd.from_arrow(pa.table({"text": texts}))
+    g = build_graph(tx, str(tmp_path / "g"), min_token_len=3, edge_source="triples")
+    v = g.vertices().to_pandas()
+    name_of = dict(zip(v["vid"], v["content"]))
+    e = g.edges().to_pandas()
+    fact = e[e["etype"] == "fact"]
+    got = {
+        (name_of[r.src], name_of[r.dst]): r.weight for r in fact.itertuples()
+    }
+    # chunk 0 triple (aaa,bbb,ccc) -> pairs both ways aaa<->ccc
+    # chunk 1 triple (ccc,ddd,aaa) -> pairs both ways ccc<->aaa
+    assert got == {("aaa", "ccc"): 2.0, ("ccc", "aaa"): 2.0}
+    # passage edges still one per (chunk, distinct token)
+    assert len(e[e["etype"] == "passage"]) == 6
+
+
+def test_engine_fact_linking_and_fallback(ray_session, tmp_path):
+    from hipporag_ray.pipelines.retrieval import HippoRagEngine
+
+    tx = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": ["c0", "c0", "c1"],
+                "turn_idx": pa.array([0, 1, 0], pa.int32()),
+                "role": ["user", "assistant", "user"],
+                "text": [
+                    "zebra quokka wombat",
+                    "quokka wombat dingo",
+                    "falcon osprey kestrel",
+                ],
+                "tool": ["", "", ""],
+                "ts": pa.array([0, 1, 2], pa.timestamp("us")),
+            }
+        )
+    )
+    eng = HippoRagEngine(str(tmp_path / "wd"), facts=True)
+    stats = eng.index(tx)
+    assert stats["new_chunks"] == 3
+    assert len(eng._fact_parts()) > 0 and eng.fact_store.count() > 0
+    res = eng.retrieve(["zebra quokka wombat"], top_k=2)
+    assert res[0]["mode"] == "ppr"
+    assert res[0]["docs"][0] == "zebra quokka wombat"
+    # dpr baseline agrees on the top doc for an exact-match query
+    dpr = eng.dpr_retrieve(["falcon osprey kestrel"], top_k=2)
+    assert dpr[0]["docs"][0] == "falcon osprey kestrel"
+    assert dpr[0]["mode"] == "dpr"
+    eng.close()
+
+    # corpus whose turns yield NO triples (fewer than 3 long tokens per
+    # turn) -> fact store empty -> every query falls back to DPR
+    tx2 = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": ["c0", "c0"],
+                "turn_idx": pa.array([0, 1], pa.int32()),
+                "role": ["user", "assistant"],
+                "text": ["alpha beta", "gamma delta"],
+                "tool": ["", ""],
+                "ts": pa.array([0, 1], pa.timestamp("us")),
+            }
+        )
+    )
+    eng2 = HippoRagEngine(str(tmp_path / "wd2"), facts=True)
+    eng2.index(tx2)
+    assert eng2.fact_store.count() == 0
+    res2 = eng2.retrieve(["alpha beta"], top_k=1)
+    assert res2[0]["mode"] == "dpr_fallback"
+    assert res2[0]["docs"][0] == "alpha beta"
+    eng2.close()
+
+
+def test_engine_fact_insert_idempotent(ray_session, tmp_path):
+    from hipporag_ray.pipelines.retrieval import HippoRagEngine
+
+    tx = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": ["c0"],
+                "turn_idx": pa.array([0], pa.int32()),
+                "role": ["user"],
+                "text": ["alpha bravo charlie delta"],
+                "tool": [""],
+                "ts": pa.array([0], pa.timestamp("us")),
+            }
+        )
+    )
+    eng = HippoRagEngine(str(tmp_path / "wd"), facts=True)
+    eng.index(tx)
+    n1 = eng.fact_store.count()
+    assert n1 == 2  # (alpha,bravo,charlie), (bravo,charlie,delta)
+    eng.index(tx)  # same content again
+    assert eng.fact_store.count() == n1
+    eng.close()
