@@ -599,6 +599,16 @@ def q_doc_langid(sf_dir: str):
     return ts.lang_id(_docs(sf_dir), "text", "doc_id")
 
 
+def q_emb_neardup_lsh(sf_dir: str):
+    """Approximate (hyperplane-LSH-bucketed) near-dup — the 100-TB
+    scale path; exact verify within buckets so precision is 1."""
+    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = dd.embedding_neardup_lsh(
+        embs, "embedding", "vec_id", threshold=0.45, n_bits=6, n_tables=8
+    )
+    return _round(out[["a", "b", "cosine"]], {"cosine": 6})
+
+
 def q_emb_ann_lsh(sf_dir: str):
     embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     q = embs.filter(lambda r: r["vec_id"] == 0).to_pandas()
@@ -882,6 +892,7 @@ QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "emb_knn": q_emb_knn,
     "emb_neardup": q_emb_neardup,
+    "emb_neardup_lsh": q_emb_neardup_lsh,
     "emb_ann_lsh": q_emb_ann_lsh,
     "doc_triangles": q_doc_triangles,
     "doc_cc": q_doc_cc,

@@ -6,32 +6,41 @@ synonymy-KNN join, /root/reference/src/hipporag/utils/embed_utils.py:6-94
 All operators are Ray Data plans over a Dataset with (id, text) or
 (id, embedding) columns:
 
-* exact_dedup      — md5-key first-wins (embedding_store.py:63-90, A10)
-* ngram_jaccard    — exact shingle-set Jaccard similarity join
-* minhash_lsh      — MinHash banding candidates -> exact verify
-* simhash          — 64-bit simhash fingerprint + near-dup by identical
-                     fingerprint (hamming-0; band variants documented)
-* embedding_neardup— cosine >= threshold pairs, brute force vs a
-                     broadcast matrix (scale path: LSH buckets first)
+* exact_dedup       — md5-key first-wins (embedding_store.py:63-90, A10)
+* ngram_jaccard     — exact shingle-set Jaccard similarity join
+* minhash_lsh       — MinHash banding candidates -> exact verify
+                      (verify is a distributed shingle-bucket join
+                      restricted to the candidate set — the shingle
+                      table is never collected to the driver)
+* simhash           — 64-bit simhash fingerprint (one vectorized pass)
+* embedding_neardup — cosine >= threshold pairs: exact block-pair tiling
+                      (no driver-side matrix), plus the LSH-bucketed
+                      approximate variant for the 100-TB path
+
+Vectorization notes: shingles are built with one window-index expansion
++ ``pc.binary_join_element_wise`` (no Python loop over rows); minhash
+signatures use a uint64 xor-multiply universal family reduced per row
+with ``np.minimum.reduceat`` (the 61-bit Mersenne object-dtype path
+measured ~100x slower); simhash accumulates all rows of a batch in one
+(groups, 64) matrix pass.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
-from ..functions.hashing import md5_hex
+from ..functions.hashing import md5_hex, stable_hash64
 from ..functions import pool_size
-from ..functions.text import text_processing
+from ..functions.text import text_processing, tokenize
 
-_MERSENNE = (1 << 61) - 1
+_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def add_content_hash(ds: "rd.Dataset", col: str, out: str = "hash_id") -> "rd.Dataset":
@@ -61,26 +70,41 @@ def exact_dedup_keys(
 # ---------------------------------------------------------------------------
 
 
-def _shingle_rows(text_col: str, id_col: str, n: int):
-    """batch -> exploded distinct (id, shingle) rows; shingle = space-
-    joined n-gram of normalized whitespace tokens."""
+def _row_shingles(
+    text: pa.Array, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, shingle) arrays of per-row *distinct* word n-grams —
+    one vectorized window expansion + element-wise join + lexsort
+    dedup; rows come out grouped (sorted) by row index."""
+    toks = tokenize(text_processing(text))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    wc = np.maximum(counts - n + 1, 0)
+    M = int(wc.sum())
+    if M == 0:
+        return np.zeros(0, np.int64), np.zeros(0, dtype=object)
+    row_of = np.repeat(np.arange(len(counts), dtype=np.int64), wc)
+    wstart = np.concatenate([[0], np.cumsum(wc)[:-1]]).astype(np.int64)
+    base = offsets[:-1][row_of] + (np.arange(M, dtype=np.int64) - wstart[row_of])
+    parts = [flat.take(pa.array(base + i)) for i in range(n)]
+    sh = pc.binary_join_element_wise(*parts, " ").to_numpy(zero_copy_only=False)
+    order = np.lexsort((sh, row_of))
+    r2, s2 = row_of[order], sh[order]
+    first = np.concatenate([[True], (r2[1:] != r2[:-1]) | (s2[1:] != s2[:-1])])
+    return r2[first], s2[first]
 
+
+def _shingle_rows(text_col: str, id_col: str, n: int):
     def fn(batch: pa.Table) -> pa.Table:
+        rows, sh = _row_shingles(batch[text_col], n)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        norm = text_processing(batch[text_col]).to_pylist()
-        out_ids: list = []
-        out_sh: list = []
-        for i, t in enumerate(norm):
-            toks = t.split()
-            if len(toks) < n:
-                continue
-            sh = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
-            out_ids.extend([ids[i]] * len(sh))
-            out_sh.extend(sorted(sh))
         return pa.table(
             {
-                id_col: pa.array(out_ids, type=batch[id_col].type),
-                "shingle": pa.array(out_sh, type=pa.string()),
+                id_col: pa.array(ids[rows], type=batch[id_col].type),
+                "shingle": pa.array(sh, type=pa.string()),
             }
         )
 
@@ -89,6 +113,69 @@ def _shingle_rows(text_col: str, id_col: str, n: int):
 
 def shingle_table(ds: "rd.Dataset", text_col: str, id_col: str, n: int = 5) -> "rd.Dataset":
     return ds.map_batches(_shingle_rows(text_col, id_col, n), batch_format="pyarrow")
+
+
+def _jaccard_from_inter(
+    inter: "rd.Dataset", sizes: "rd.Dataset", id_col: str, threshold: float
+) -> pd.DataFrame:
+    """(a, b, inter) ⋈ per-doc sizes (twice, bucketed hash join — the
+    size map is never broadcast) -> verified (a, b, jaccard >= t)."""
+    from .shuffle import hash_join
+
+    sz_a = sizes.map_batches(
+        lambda b: pa.table({"a": b[id_col], "na": b["n_sh"]}), batch_format="pyarrow"
+    )
+    sz_b = sizes.map_batches(
+        lambda b: pa.table({"b": b[id_col], "nb": b["n_sh"]}), batch_format="pyarrow"
+    )
+    j1 = hash_join(inter.materialize(), sz_a.materialize(), "a")
+    j2 = hash_join(j1.materialize(), sz_b.materialize(), "b")
+
+    def jac(batch: pa.Table) -> pa.Table:
+        it = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        j = it / (na + nb - it)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a": batch["a"].filter(pa.array(keep)),
+                "b": batch["b"].filter(pa.array(keep)),
+                "jaccard": pa.array(j[keep]),
+            }
+        )
+
+    out = j2.map_batches(jac, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _bucket_pairs_fn(id_col: str, max_bucket: int, cand_ref=None):
+    """Per-shingle-bucket pair expansion; with ``cand_ref`` (a broadcast
+    candidate (a, b) frame) only candidate ids expand and only
+    candidate pairs survive — bounds hot-bucket fan-out at verify
+    time.  Without it, buckets over ``max_bucket`` are dropped
+    (stop-shingle guard, standard practice)."""
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        if cand_ref is not None:
+            cand = ray.get(cand_ref)
+            ids = ids[np.isin(ids, cand["_ids"])]
+        ids = np.sort(ids)
+        if len(ids) < 2 or (cand_ref is None and len(ids) > max_bucket):
+            return pd.DataFrame({"a": [], "b": []})
+        a = np.repeat(ids, len(ids))
+        b = np.tile(ids, len(ids))
+        keep = a < b
+        out = pd.DataFrame({"a": a[keep], "b": b[keep]})
+        if cand_ref is not None:
+            cand = ray.get(cand_ref)
+            out = out.merge(cand["_pairs"], on=["a", "b"], how="inner")
+        return out
+
+    return bucket_pairs
 
 
 def ngram_jaccard_pairs(
@@ -101,42 +188,23 @@ def ngram_jaccard_pairs(
     """Exact n-gram-Jaccard similarity join: pairs (a < b, jaccard >= t).
 
     Plan: explode distinct shingles -> co-shingle pair counts
-    (groupby(shingle) bucket join -> groupby(pair).count) -> join
-    per-doc shingle counts -> jaccard.  Shingles are selective, so the
-    bucket fan-out stays near-linear; a hot shingle (boilerplate) is
-    the skew case — bounded by dropping buckets over ``max_bucket``
-    (stop-shingle, standard practice; logged, not silent).
-    """
+    (groupby(shingle) bucket join -> groupby(pair).count) -> bucketed
+    join against per-doc shingle counts -> jaccard.  Shingles are
+    selective, so the bucket fan-out stays near-linear; a hot shingle
+    (boilerplate) is the skew case — bounded by dropping buckets over
+    1000 docs (stop-shingle guard)."""
     sh = shingle_table(ds, text_col, id_col, n).materialize()
-    doc_sizes = sh.groupby(id_col).aggregate(Count(alias_name="n_sh")).to_pandas()
-    sizes_ref = ray.put(dict(zip(doc_sizes[id_col], doc_sizes["n_sh"])))
-
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group[id_col].to_numpy())
-        if len(ids) < 2 or len(ids) > 1000:  # stop-shingle guard
-            return pd.DataFrame({"a": [], "b": []})
-        a = np.repeat(ids, len(ids))
-        b = np.tile(ids, len(ids))
-        keep = a < b
-        return pd.DataFrame({"a": a[keep], "b": b[keep]})
-
+    sizes = sh.groupby(id_col).aggregate(Count(alias_name="n_sh"))
     inter = (
         sh.groupby("shingle")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(_bucket_pairs_fn(id_col, 1000), batch_format="pandas")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="inter"))
-        .to_pandas()
     )
-    if len(inter) == 0:
+    inter = inter.materialize()
+    if inter.count() == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    sizes = ray.get(sizes_ref)
-    na = inter["a"].map(sizes).to_numpy(dtype=np.float64)
-    nb = inter["b"].map(sizes).to_numpy(dtype=np.float64)
-    it = inter["inter"].to_numpy(dtype=np.float64)
-    jac = it / (na + nb - it)
-    out = inter.assign(jaccard=jac)
-    out = out[out["jaccard"] >= threshold][["a", "b", "jaccard"]]
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    return _jaccard_from_inter(inter, sizes.materialize(), id_col, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -145,44 +213,43 @@ def ngram_jaccard_pairs(
 
 
 def _stable_u64(s: str) -> int:
-    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+    return int(stable_hash64(np.array([s], dtype=object))[0])
 
 
 class MinHasher:
-    """Stateful batch stage: shingle -> minhash signature (num_perm
-    universal hashes over a 61-bit Mersenne field; seeded, stable)."""
+    """Stateful batch stage: text -> minhash signature.  The
+    permutation family is uint64 xor-multiply ``((h ^ a) * b)`` with
+    odd ``b`` (wraparound mod 2^64) — one (shingles, perms) matrix per
+    batch reduced per row with ``np.minimum.reduceat``."""
 
     def __init__(self, text_col: str, id_col: str, n: int, num_perm: int, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.a = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64) | np.uint64(1)
         self.text_col, self.id_col, self.n, self.num_perm = text_col, id_col, n, num_perm
-
-    def signature(self, shingles: set[str]) -> np.ndarray:
-        h = np.array([_stable_u64(s) for s in shingles], dtype=np.uint64)
-        # (S, P): (a*h + b) mod p
-        vals = (
-            h[:, None].astype(object) * self.a[None, :].astype(object)
-            + self.b[None, :].astype(object)
-        ) % _MERSENNE
-        return np.min(np.asarray(vals, dtype=np.uint64), axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        norm = text_processing(batch[self.text_col]).to_pylist()
-        out_ids, sigs = [], []
-        for i, t in enumerate(norm):
-            toks = t.split()
-            if len(toks) < self.n:
-                continue
-            sh = {" ".join(toks[j : j + self.n]) for j in range(len(toks) - self.n + 1)}
-            out_ids.append(ids[i])
-            sigs.append(self.signature(sh))
+        rows, sh = _row_shingles(batch[self.text_col], self.n)
+        if len(rows) == 0:
+            return pa.table(
+                {
+                    self.id_col: pa.array(ids[:0], type=batch[self.id_col].type),
+                    "sig": pa.array([], type=pa.list_(pa.int64())),
+                }
+            )
+        uniq, inv = np.unique(sh, return_inverse=True)
+        h64 = stable_hash64(uniq)[inv]  # md5 only over the batch vocab
+        with np.errstate(over="ignore"):
+            vals = (h64[:, None] ^ self.a[None, :]) * self.b[None, :]
+        starts = np.concatenate([[0], np.nonzero(np.diff(rows))[0] + 1]).astype(np.int64)
+        sig = np.minimum.reduceat(vals, starts, axis=0)  # (rows-with-shingles, P)
+        present = rows[starts]
         return pa.table(
             {
-                self.id_col: pa.array(out_ids, type=batch[self.id_col].type),
+                self.id_col: pa.array(ids[present], type=batch[self.id_col].type),
                 "sig": pa.array(
-                    [s.astype(np.int64) for s in sigs], type=pa.list_(pa.int64())
+                    list(sig.view(np.int64)), type=pa.list_(pa.int64())
                 ),
             }
         )
@@ -199,9 +266,12 @@ def minhash_lsh_pairs(
 ) -> pd.DataFrame:
     """MinHash banding -> candidate pairs -> exact Jaccard verify.
 
-    shingle -> minhash (actor pool) -> explode (band, band_hash, id) ->
-    groupby band bucket -> candidate pairs -> verify with true shingle
-    sets (broadcast; at scale a join against the shingle table).
+    shingle -> minhash (actor pool) -> (band, band_hash, id) rows ->
+    groupby band bucket -> candidate pairs -> *distributed* verify: the
+    shingle table is re-joined per shingle bucket restricted to the
+    candidate ids/pairs, intersections counted by a pair groupby, and
+    sizes joined in — nothing corpus-sized touches the driver (only
+    the candidate set, which is output-sized).
     Returns verified pairs (a < b, jaccard >= threshold).
     """
     rows_per_band = num_perm // bands
@@ -219,19 +289,31 @@ def minhash_lsh_pairs(
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sig_list = batch["sig"].to_pylist()
-        b_ids, b_band, b_hash = [], [], []
-        for i, sig in enumerate(sig_list):
-            for bi in range(bands):
-                chunk = tuple(sig[bi * rows_per_band : (bi + 1) * rows_per_band])
-                b_ids.append(ids[i])
-                b_band.append(bi)
-                b_hash.append(_stable_u64(repr(chunk)) & 0x7FFFFFFFFFFFFFFF)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=batch[id_col].type),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                }
+            )
+        sig = np.stack(batch["sig"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        sig = sig.view(np.uint64)  # (R, P)
+        R = len(ids)
+        # fold each band's rows into one 64-bit mix — vectorized over
+        # the whole (R, bands) grid
+        bh = np.zeros((R, bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(rows_per_band):
+                bh = (bh ^ sig[:, j::rows_per_band][:, :bands]) * _MIX
+            bh = bh ^ (np.arange(bands, dtype=np.uint64)[None, :] * _MIX)
         return pa.table(
             {
-                id_col: pa.array(b_ids, type=batch[id_col].type),
-                "band": pa.array(b_band, type=pa.int32()),
-                "band_hash": pa.array(b_hash, type=pa.int64()),
+                id_col: pa.array(np.repeat(ids, bands), type=batch[id_col].type),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), R)),
+                "band_hash": pa.array(
+                    (bh >> np.uint64(1)).astype(np.int64).reshape(-1)
+                ),
             }
         )
 
@@ -255,18 +337,27 @@ def minhash_lsh_pairs(
     if len(cands) == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
 
-    # exact verify against true shingle sets
-    sh = shingle_table(ds, text_col, id_col, n).to_pandas()
-    sets = sh.groupby(id_col)["shingle"].agg(set).to_dict()
-    ja = []
-    for a_, b_ in zip(cands["a"], cands["b"]):
-        sa, sb = sets.get(a_, set()), sets.get(b_, set())
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        ja.append(inter / union if union else 0.0)
-    out = cands.assign(jaccard=ja)[["a", "b", "jaccard"]]
-    out = out[out["jaccard"] >= threshold]
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    # distributed exact verify restricted to the candidate set
+    cand_pairs = cands[["a", "b"]].reset_index(drop=True)
+    cand_ref = ray.put(
+        {
+            "_pairs": cand_pairs,
+            "_ids": np.unique(
+                np.concatenate([cand_pairs["a"].to_numpy(), cand_pairs["b"].to_numpy()])
+            ),
+        }
+    )
+    sh = shingle_table(ds, text_col, id_col, n).materialize()
+    sizes = sh.groupby(id_col).aggregate(Count(alias_name="n_sh"))
+    inter = (
+        sh.groupby("shingle")
+        .map_groups(_bucket_pairs_fn(id_col, 1000, cand_ref), batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="inter"))
+    ).materialize()
+    if inter.count() == 0:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    return _jaccard_from_inter(inter, sizes.materialize(), id_col, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -275,24 +366,40 @@ def minhash_lsh_pairs(
 
 
 def simhash(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
-    """64-bit token-level simhash per row -> (id, simhash:int64)."""
+    """64-bit token-level simhash per row -> (id, simhash:int64) — one
+    vectorized (token-groups, 64) accumulation per batch."""
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_col]
-        norm = text_processing(batch[text_col]).to_pylist()
-        out = np.zeros(len(norm), dtype=np.uint64)
-        for i, t in enumerate(norm):
-            toks = t.split()
-            if not toks:
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            uniq, counts = np.unique(toks, return_counts=True)
-            for tok, c in zip(uniq, counts):
-                h = _stable_u64(tok)
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, c, -c)
+        toks = tokenize(text_processing(batch[text_col]))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_rows = len(offsets) - 1
+        out = np.zeros(n_rows, dtype=np.uint64)
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offsets))
+        nonempty = flat != ""
+        flat, rows = flat[nonempty], rows[nonempty]
+        if len(flat):
+            # (row, token) counts via one lexsort
+            order = np.lexsort((flat, rows))
+            f2, r2 = flat[order], rows[order]
+            firsts = np.concatenate([[True], (r2[1:] != r2[:-1]) | (f2[1:] != f2[:-1])])
+            starts = np.nonzero(firsts)[0]
+            cnt = np.diff(np.concatenate([starts, [len(f2)]]))
+            g_tok, g_row = f2[starts], r2[starts]
+            uniq, inv = np.unique(g_tok, return_inverse=True)
+            h = stable_hash64(uniq)[inv]  # (G,)
+            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+            contrib = np.where(bits == 1, cnt[:, None], -cnt[:, None]).astype(np.int64)
+            rstarts = np.concatenate([[0], np.nonzero(np.diff(g_row))[0] + 1]).astype(np.int64)
+            acc = np.add.reduceat(contrib, rstarts, axis=0)  # (rows-with-tokens, 64)
             bitvec = (acc > 0).astype(np.uint64)
-            out[i] = np.bitwise_or.reduce(bitvec << np.arange(64, dtype=np.uint64))
+            packed = (bitvec << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[g_row[rstarts]] = packed
         return pa.table(
             {id_col: ids, "simhash": pa.array(out.astype(np.int64), type=pa.int64())}
         )
@@ -305,48 +412,164 @@ def simhash(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
 # ---------------------------------------------------------------------------
 
 
+@ray.remote
+def _norm_block(tbl: pa.Table, id_col: str, emb_col: str):
+    if tbl.num_rows == 0 or emb_col not in tbl.column_names:
+        return np.zeros(0, np.int64), np.zeros((0, 1))
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    mat = np.stack(tbl[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return ids, mat
+
+
+@ray.remote
+def _neardup_tile(left, right, threshold: float, same: bool) -> pa.Table:
+    ids_l, ml = left
+    ids_r, mr = right
+    if len(ids_l) == 0 or len(ids_r) == 0:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+    sims = ml @ mr.T
+    rows, cols = np.nonzero(sims >= threshold)
+    a, b = ids_l[rows], ids_r[cols]
+    if same:
+        keep = a < b  # dedup mirror + diagonal within one block
+        a, b, s = a[keep], b[keep], sims[rows, cols][keep]
+    else:
+        s = sims[rows, cols]
+        keep = a != b
+        a, b, s = a[keep], b[keep], s[keep]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        a, b = lo, hi
+    return pa.table({"a": pa.array(a), "b": pa.array(b), "cosine": pa.array(s)})
+
+
 def embedding_neardup_pairs(
     ds: "rd.Dataset",
     emb_col: str,
     id_col: str,
     threshold: float = 0.95,
 ) -> pd.DataFrame:
-    """Cosine >= threshold pairs (a < b) by blocked brute force: the
-    full (normalized) matrix is broadcast once via ray.put and each
-    batch computes one tile of the similarity matrix.  Scale path:
-    LSH-bucket (random hyperplane) the rows first, then brute-force
-    within buckets — same per-tile kernel."""
-    pdf = ds.select_columns([id_col, emb_col]).to_pandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    mat_ref = ray.put((ids, mat))
+    """Exact cosine >= threshold pairs (a < b) by *block-pair tiling*:
+    each block is L2-normalized once in place, then every unordered
+    block pair is one matmul task — nothing is materialized on the
+    driver and no full matrix is broadcast.  Exact all-pairs is
+    inherently quadratic in blocks; at 100-TB scale use
+    :func:`embedding_neardup_lsh` (hyperplane buckets) instead."""
+    blocks = ds.select_columns([id_col, emb_col]).materialize().to_arrow_refs()
+    norm = [_norm_block.remote(r, id_col, emb_col) for r in blocks]
+    tiles = []
+    for i in range(len(norm)):
+        for j in range(i, len(norm)):
+            tiles.append(_neardup_tile.remote(norm[i], norm[j], threshold, i == j))
+    tables = [t for t in ray.get(tiles) if t.num_rows]
+    if not tables:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
+    out = pa.concat_tables(tables).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
-    def tile(batch: pa.Table) -> pa.Table:
-        all_ids, m = ray.get(mat_ref)
-        bids = batch[id_col].to_numpy(zero_copy_only=False)
-        bmat = np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
-        bmat /= np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12)
-        sims = bmat @ m.T
-        rows, cols = np.nonzero(sims >= threshold)
-        a = bids[rows]
-        b = all_ids[cols]
-        keep = a < b
+
+class _HyperplaneSigner:
+    """Stateful stage: embedding -> per-table LSH bucket codes (random
+    hyperplane signatures; planes drawn once per actor in __init__)."""
+
+    def __init__(self, emb_col: str, id_col: str, n_bits: int, n_tables: int, seed: int):
+        self.emb_col, self.id_col = emb_col, id_col
+        self.n_bits, self.n_tables = n_bits, n_tables
+        self.seed = seed
+        self.planes: np.ndarray | None = None  # lazily sized to dim
+
+    def _planes_for(self, dim: int) -> np.ndarray:
+        if self.planes is None or self.planes.shape[2] != dim:
+            rng = np.random.default_rng(self.seed)  # seeded: same planes per actor
+            self.planes = rng.standard_normal((self.n_tables, self.n_bits, dim))
+        return self.planes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"table": pa.array([], pa.int32()), "code": pa.array([], pa.int64()),
+                 self.id_col: pa.array([], pa.int64()),
+                 self.emb_col: pa.array([], pa.list_(pa.float32()))}
+            )
+        mat = np.stack(batch[self.emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        planes = self._planes_for(mat.shape[1])
+        R = len(mat)
+        codes = np.zeros((self.n_tables, R), dtype=np.int64)
+        for t in range(self.n_tables):
+            bits = (mat @ planes[t].T) > 0  # (R, n_bits)
+            codes[t] = bits @ (1 << np.arange(self.n_bits, dtype=np.int64))
         return pa.table(
             {
-                "a": pa.array(a[keep]),
-                "b": pa.array(b[keep]),
-                "cosine": pa.array(sims[rows, cols][keep]),
+                "table": pa.array(
+                    np.repeat(np.arange(self.n_tables, dtype=np.int32), R)
+                ),
+                "code": pa.array(codes.reshape(-1)),
+                self.id_col: pa.concat_arrays([batch[self.id_col].combine_chunks()] * self.n_tables)
+                if isinstance(batch[self.id_col], pa.ChunkedArray)
+                else pa.concat_arrays([batch[self.id_col]] * self.n_tables),
+                self.emb_col: pa.concat_arrays(
+                    [batch[self.emb_col].combine_chunks()] * self.n_tables
+                )
+                if isinstance(batch[self.emb_col], pa.ChunkedArray)
+                else pa.concat_arrays([batch[self.emb_col]] * self.n_tables),
             }
         )
 
-    out = ds.map_batches(tile, batch_format="pyarrow").to_pandas()
-    if out.empty:
-        out = pd.DataFrame(
-            {
-                "a": pd.Series([], dtype=pdf[id_col].dtype),
-                "b": pd.Series([], dtype=pdf[id_col].dtype),
-                "cosine": pd.Series([], dtype="float64"),
-            }
-        )
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+def embedding_neardup_lsh(
+    ds: "rd.Dataset",
+    emb_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """Approximate near-dup pairs for the 100-TB path: random-hyperplane
+    bucket codes (``n_tables`` independent tables), exact cosine verify
+    *within* each bucket, pair dedup across tables.  Identical vectors
+    always share every bucket, so exact duplicates have recall 1;
+    near-dups are found with probability 1-(1-p^bits)^tables where
+    p = 1 - angle/pi."""
+    sigs = ds.select_columns([id_col, emb_col]).map_batches(
+        _HyperplaneSigner,
+        fn_constructor_kwargs={
+            "emb_col": emb_col,
+            "id_col": id_col,
+            "n_bits": n_bits,
+            "n_tables": n_tables,
+            "seed": seed,
+        },
+        batch_format="pyarrow",
+        concurrency=pool_size(),
+    )
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        ids = g[id_col].to_numpy()
+        mat = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ mat.T
+        rows, cols = np.nonzero(sims >= threshold)
+        a, b = ids[rows], ids[cols]
+        keep = a < b
+        return pd.DataFrame({"a": a[keep], "b": b[keep], "cosine": sims[rows, cols][keep]})
+
+    pairs = (
+        sigs.groupby(["table", "code"])
+        .map_groups(bucket_verify, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Min("cosine", alias_name="cosine"))
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame({"a": [], "b": [], "cosine": []})
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)

@@ -80,6 +80,35 @@ def test_knn_vs_lsh_ann():
     assert ann["vec_id"].iloc[0] == 7  # same bucket as itself, exact rerank
 
 
+def test_embedding_neardup_exact_and_lsh():
+    """Block-pair exact near-dup vs brute force; LSH variant finds all
+    exact duplicates (identical vectors share every bucket) and only
+    true pairs (exact verify within buckets)."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    mat = np.concatenate([base, base[:10] + rng.standard_normal((10, 16)) * 1e-3])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(mat)), type=pa.int64()),
+                "embedding": pa.array(list(mat.astype(np.float32)), type=pa.list_(pa.float32())),
+            }
+        )
+    ).repartition(4).materialize()
+    exact = dd.embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.99)
+    # brute force oracle
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = m @ m.T
+    rows, cols = np.nonzero(np.triu(sims >= 0.99, k=1))
+    assert set(map(tuple, exact[["a", "b"]].to_numpy())) == set(zip(rows, cols))
+    # the 10 near-identical clones must be found
+    assert {(i, i + 40) for i in range(10)} <= set(map(tuple, exact[["a", "b"]].to_numpy()))
+    lsh = dd.embedding_neardup_lsh(ds, "embedding", "vec_id", threshold=0.99, n_bits=8, n_tables=6)
+    got = set(map(tuple, lsh[["a", "b"]].to_numpy()))
+    assert got <= set(zip(rows, cols))  # verify: no false positives
+    assert {(i, i + 40) for i in range(10)} <= got  # near-dup clones collide
+
+
 def test_quality_and_langid_and_fingerprint():
     q = ts.quality_score(_docs(), "text", "doc_id").to_pandas().set_index("doc_id")
     assert q.loc[0, "n_tokens"] == 12
