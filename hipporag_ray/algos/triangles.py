@@ -52,14 +52,32 @@ def _canon(batch: pa.Table) -> pa.Table:
 def triangle_count(
     edges: "rd.Dataset",
     n_vertices: int,
+    broadcast_limit: int = 5_000_000,
 ) -> tuple[int, np.ndarray]:
-    """Returns (total_triangles, per_vertex_counts int64[n])."""
+    """Returns (total_triangles, per_vertex_counts int64[n]).
+
+    Two physical plans over the same semantics:
+
+    * distinct simple edge set <= ``broadcast_limit``: broadcast the
+      oriented CSR once (``ray.put``) and count wedges per edge block
+      (the small-graph fast path below);
+    * larger: fully distributed bucketed wedge join — orient, expand
+      forward-neighbor pairs per midpoint through the grouped hash
+      exchange, semi-join the wedge codes against the oriented edge
+      codes, aggregate per-vertex counts through the int-key shuffle.
+      No edge-set materialization on the driver.
+    """
     distinct = (
         edges.map_batches(_canon, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="_n"))
         .select_columns(["a", "b"])
-    )
+    ).materialize()
+    m = distinct.count()
+    if m == 0:
+        return 0, np.zeros(n_vertices, dtype=np.int64)
+    if m > broadcast_limit:
+        return _triangle_count_distributed(distinct, n_vertices)
     pairs = distinct.to_pandas()
     if len(pairs) == 0:
         return 0, np.zeros(n_vertices, dtype=np.int64)
@@ -129,5 +147,106 @@ def triangle_count(
     per_vertex = np.zeros(n_vertices, dtype=np.int64)
     if len(agg):
         per_vertex[agg["vid"].to_numpy(np.int64)] = agg["cnt"].to_numpy(np.int64)
+    total = int(per_vertex.sum()) // 3
+    return total, per_vertex
+
+
+def _triangle_count_distributed(
+    distinct: "rd.Dataset", n_vertices: int
+) -> tuple[int, np.ndarray]:
+    """Bucketed wedge-join plan (the scale path): every stage is an
+    exchange; the driver only reads back the per-vertex count vector
+    (output-sized)."""
+    from ..stages.shuffle import grouped_pairs, hash_join, int_key_sum
+
+    n = n_vertices
+
+    # degrees over the simple graph: one row per endpoint -> int-key sum
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vid": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "one": pa.array(np.ones(2 * len(a), np.float64)),
+            }
+        )
+
+    deg = int_key_sum(
+        distinct.map_batches(endpoints, batch_format="pyarrow").materialize(),
+        "vid",
+        "one",
+    )
+    deg_a = deg.map_batches(
+        lambda t: pa.table({"a": t["vid"], "da": t["one"]}), batch_format="pyarrow"
+    )
+    deg_b = deg.map_batches(
+        lambda t: pa.table({"b": t["vid"], "db": t["one"]}), batch_format="pyarrow"
+    )
+    j = hash_join(distinct, deg_a.materialize(), "a")
+    j = hash_join(j.materialize(), deg_b.materialize(), "b")
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = batch["da"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch["db"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ra = da * (n + 1) + a  # composite (deg, vid) rank
+        rb = db * (n + 1) + b
+        fwd = ra < rb
+        u = np.where(fwd, a, b)
+        v = np.where(fwd, b, a)
+        # carry v as its rank composite so wedge pairs sort in RANK
+        # order (a wedge (v1, v2) must probe the edge oriented
+        # rank(v1) -> rank(v2), which need not follow vid order)
+        vr = np.where(fwd, rb, ra)
+        return pa.table({"u": pa.array(u), "v": pa.array(v), "vrank": pa.array(vr)})
+
+    oriented = j.map_batches(orient, batch_format="pyarrow").materialize()
+    # wedges per midpoint u: rank-ordered pairs of N+(u); the
+    # orientation bounds |N+(u)| by O(sqrt(m)), so per-group expansion
+    # is bounded without extra salting
+    wedges = grouped_pairs(oriented, "u", "vrank", mode="lt", include_group=True)
+
+    def wcode(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False) % (n + 1)  # rank -> vid
+        b = batch["b"].to_numpy(zero_copy_only=False) % (n + 1)
+        g = batch["g"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "code": pa.array(a * n + b, type=pa.int64()),
+                "g": pa.array(g, type=pa.int64()),
+            }
+        )
+
+    def ecode(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"code": pa.array(u * n + v, type=pa.int64())})
+
+    hits = hash_join(
+        wedges.map_batches(wcode, batch_format="pyarrow").materialize(),
+        oriented.map_batches(ecode, batch_format="pyarrow").materialize(),
+        "code",
+    )
+
+    def corners(batch: pa.Table) -> pa.Table:
+        code = batch["code"].to_numpy(zero_copy_only=False)
+        g = batch["g"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vid": pa.array(
+                    np.concatenate([g, code // n, code % n]), type=pa.int64()
+                ),
+                "one": pa.array(np.ones(3 * len(g), np.float64)),
+            }
+        )
+
+    agg = int_key_sum(
+        hits.map_batches(corners, batch_format="pyarrow").materialize(), "vid", "one"
+    ).to_pandas()
+    per_vertex = np.zeros(n_vertices, dtype=np.int64)
+    if len(agg):
+        per_vertex[agg["vid"].to_numpy(np.int64)] = agg["one"].to_numpy(np.int64)
     total = int(per_vertex.sum()) // 3
     return total, per_vertex

@@ -215,13 +215,28 @@ class HippoRagEngine:
         from ..stages.shuffle import hash_distinct, hash_join
         from ..stages.triples import extract_triples, fact_rows
 
-        tr = extract_triples(ds, [], min_token_len=self.min_token_len)
+        with_ck = ds.map_batches(
+            lambda b: pa.table(
+                {"chunk_key": md5_hex(b["text"], prefix="chunk-"), "text": b["text"]}
+            ),
+            batch_format="pyarrow",
+        )
+        tr = extract_triples(with_ck, ["chunk_key"], min_token_len=self.min_token_len)
         rows = fact_rows(tr)
 
         def add_keys(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
             return pa.table(
                 {
+                    # (fact, chunk) binding — rows are keyed by the pair
+                    # so incremental delete can drop a chunk's facts and
+                    # detect facts with no surviving source chunk
+                    "pair_key": _pc.binary_join_element_wise(
+                        batch["fact_key"], batch["chunk_key"], "\x00"
+                    ),
                     "fact_key": batch["fact_key"],
+                    "chunk_key": batch["chunk_key"],
                     "content": batch["content"],
                     "subj_key": _ekey(batch["subj"]),
                     "obj_key": _ekey(batch["obj"]),
@@ -229,11 +244,11 @@ class HippoRagEngine:
             )
 
         keyed = rows.map_batches(add_keys, batch_format="pyarrow")
-        deduped = hash_distinct(keyed.materialize(), "fact_key")
+        deduped = hash_distinct(keyed.materialize(), "pair_key")
         parts = self._fact_parts()
         if parts:
-            stored = rd.read_parquet(parts, columns=["fact_key"])
-            new_rows = hash_join(deduped, stored.materialize(), "fact_key", how="leftanti")
+            stored = rd.read_parquet(parts, columns=["pair_key"])
+            new_rows = hash_join(deduped, stored.materialize(), "pair_key", how="leftanti")
         else:
             new_rows = deduped
         new_rows = new_rows.materialize()
@@ -284,22 +299,25 @@ class HippoRagEngine:
         still works)."""
         import json
 
-        from ..stages.synonymy import synonymy_edges
+        from ..stages.shuffle import hash_join
+        from ..stages.synonymy import synonymy_edges_ds
 
-        v = g.vertices().to_pandas()
-        ent = v[v["kind"] == "entity"]
-        emb = self.entity_store.dataset().to_pandas()
-        joined = ent.merge(emb, left_on="node_key", right_on="hash_id")
-        if len(joined) == 0:
-            return 0
-        syn = synonymy_edges(
-            joined["vid"].to_numpy(np.int64),
-            joined["content_x"].to_numpy()
-            if "content_x" in joined
-            else joined["content"].to_numpy(),
-            np.stack(joined["embedding"].to_numpy()),
-            threshold=self.synonymy_threshold,
+        verts = g.vertices().map_batches(
+            lambda b: pa.table(
+                {
+                    "node_key": b["node_key"],
+                    "vid": b["vid"],
+                    "content": b["content"],
+                }
+            ).filter(pc.equal(b["kind"], "entity")),
+            batch_format="pyarrow",
         )
+        emb = self.entity_store.dataset().map_batches(
+            lambda b: pa.table({"node_key": b["hash_id"], "embedding": b["embedding"]}),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(verts.materialize(), emb.materialize(), "node_key")
+        syn = synonymy_edges_ds(joined, threshold=self.synonymy_threshold)
         if syn.num_rows == 0:
             return 0
         pq.write_table(syn, os.path.join(self.graph_dir, "edges", "syn-0.parquet"))
@@ -322,8 +340,18 @@ class HippoRagEngine:
             json.dump(man, f)
         return syn.num_rows
 
-    def delete(self, texts: list[str]) -> dict:
-        """Delete turns by exact text (HippoRAG.delete semantics)."""
+    def delete(self, texts: list[str], incremental: bool | None = None) -> dict:
+        """Delete turns by exact text (HippoRAG.delete semantics:
+        group-wise anti-join fixpoint, HippoRAG.py:280-361).
+
+        ``incremental`` (default: on unless synonymy edges are enabled,
+        which depend on the full entity set) subtracts the deleted
+        chunks' edge partials through the int-key exchange
+        (graph_build.delete_chunks_from_graph) instead of rebuilding
+        the graph from the surviving corpus — the surviving corpus is
+        never re-extracted."""
+        if incremental is None:
+            incremental = not self.synonymy
         del_chunk_ids = set(
             md5_hex(np.array(texts, dtype=object), prefix="chunk-").to_pylist()
         )
@@ -338,16 +366,34 @@ class HippoRagEngine:
                 pq.write_table(t.filter(pa.array(mask)), tmp)
                 os.replace(tmp, p)
         self.chunk_store.delete(del_chunk_ids)
-        # facts are re-derived from the surviving corpus (the delete
-        # fixpoint: a fact survives iff some surviving chunk yields it —
-        # HippoRAG.py:302-345 group-wise anti-join semantics)
-        shutil.rmtree(self.facts_dir, ignore_errors=True)
-        shutil.rmtree(self.fact_store.dir, ignore_errors=True)
-        os.makedirs(self.fact_store.dir, exist_ok=True)
-        stats = self._reindex()
+
+        if incremental and os.path.exists(os.path.join(self.graph_dir, "manifest.json")):
+            from ..stages.graph_build import delete_chunks_from_graph
+
+            if self._sg is not None:
+                self._sg.shutdown()
+                self._sg = None
+            self._kinds_loaded = False
+            self._joined_views = None
+            self._fact_view = None
+            g = delete_chunks_from_graph(
+                texts,
+                load_graph(self.graph_dir),
+                self.graph_dir,
+                self.min_token_len,
+                edge_source=self.edge_source,
+            )
+            self._delete_facts_for(del_arr)
+            stats = {"n_vertices": g.n_vertices, "n_edges": g.n_edges}
+        else:
+            # rebuild path (synonymy needs the full entity set): facts
+            # are re-derived from the surviving corpus
+            shutil.rmtree(self.facts_dir, ignore_errors=True)
+            shutil.rmtree(self.fact_store.dir, ignore_errors=True)
+            os.makedirs(self.fact_store.dir, exist_ok=True)
+            stats = self._reindex()
         # entity rows whose every referencing chunk was deleted no longer
-        # appear in the rebuilt graph; drop them from the store too
-        # (group-wise anti join, HippoRAG.py:302-345)
+        # appear in the graph; drop them from the store too
         g = self.graph()
         live = set(
             g.vertices().to_pandas().query("kind == 'entity'")["node_key"]
@@ -355,6 +401,36 @@ class HippoRagEngine:
         stale = self.entity_store.existing_ids() - live
         self.entity_store.delete(stale)
         return stats
+
+    def _delete_facts_for(self, del_chunk_arr: np.ndarray) -> None:
+        """Drop (fact, chunk) rows of deleted chunks from the fact
+        table; facts left with no surviving source chunk are removed
+        from the fact store (the delete fixpoint at fact granularity)."""
+        dropped_keys: set[str] = set()
+        for p in self._fact_parts():
+            t = pq.read_table(p)
+            ck = t["chunk_key"].to_numpy(zero_copy_only=False)
+            mask = ~np.isin(ck, del_chunk_arr)
+            if mask.all():
+                continue
+            dropped_keys.update(
+                t["fact_key"].filter(pa.array(~mask)).to_pylist()
+            )
+            tmp = p + ".tmp"
+            pq.write_table(t.filter(pa.array(mask)), tmp)
+            os.replace(tmp, p)
+        if not dropped_keys:
+            return
+        surviving: set[str] = set()
+        drop_arr = np.array(sorted(dropped_keys), dtype=object)
+        for p in self._fact_parts():
+            fk = pq.read_table(p, columns=["fact_key"])["fact_key"].to_numpy(
+                zero_copy_only=False
+            )
+            surviving.update(fk[np.isin(fk, drop_arr)].tolist())
+        stale = dropped_keys - surviving
+        if stale:
+            self.fact_store.delete(stale)
 
     # ------------------------------------------------------------------
     # retrieval
@@ -593,7 +669,14 @@ class HippoRagEngine:
             if not parts or self.fact_store.count() == 0:
                 self._fact_view = ()
             else:
-                meta = rd.read_parquet(parts, columns=["fact_key", "subj_key", "obj_key"])
+                from ..stages.shuffle import hash_distinct
+
+                meta = hash_distinct(
+                    rd.read_parquet(
+                        parts, columns=["fact_key", "subj_key", "obj_key"]
+                    ).materialize(),
+                    "fact_key",
+                )
                 embs = self.fact_store.dataset().map_batches(
                     lambda b: pa.table(
                         {"fact_key": b["hash_id"], "embedding": b["embedding"]}

@@ -204,6 +204,208 @@ class ChunkToIntEdgePartials:
         return np.concatenate([s3, o3]), np.concatenate([o3, s3])
 
 
+class ChunkToMentionRows:
+    """Deduped chunk batch -> mention rows for the *join-based* edge
+    path (vertex dictionaries beyond the broadcast limit).
+
+    ``ordered=False`` (cooccur): distinct tokens -> (chunk_key,
+    node_key).  ``ordered=True`` (triples): the min_token_len-filtered
+    token sequence in order -> (chunk_key, node_key, pos)."""
+
+    def __init__(self, min_token_len: int = 3, ordered: bool = False):
+        self.min_token_len = min_token_len
+        self.ordered = ordered
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..functions.text import tokenize
+
+        norm = text_processing(batch["text"])
+        ckeys = batch["chunk_key"].to_numpy(zero_copy_only=False)
+        if not self.ordered:
+            toks = distinct_tokens_per_row(norm, min_len=self.min_token_len)
+            offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            ents = toks.flatten().to_numpy(zero_copy_only=False)
+            rep = np.repeat(np.arange(len(batch)), np.diff(offsets))
+            uniq, inv = np.unique(ents, return_inverse=True)
+            node_key = entity_key(uniq).take(pa.array(inv))
+            return pa.table(
+                {
+                    "chunk_key": pa.array(ckeys[rep], type=pa.string()),
+                    "node_key": node_key,
+                }
+            )
+        toks = tokenize(norm)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_rows = len(offs) - 1
+        words = flat.to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offs))
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) >= self.min_token_len
+        words, rows = words[keep], rows[keep]
+        counts = np.bincount(rows, minlength=n_rows)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        pos = np.arange(len(words), dtype=np.int64) - starts[rows]
+        uniq, inv = np.unique(words, return_inverse=True)
+        node_key = entity_key(uniq).take(pa.array(inv))
+        return pa.table(
+            {
+                "chunk_key": pa.array(ckeys[rows], type=pa.string()),
+                "node_key": node_key,
+                "pos": pa.array(pos, type=pa.int64()),
+            }
+        )
+
+
+@ray.remote
+def _window_pairs_reduce(group_col: str, val_col: str, pos_col: str, *shards) -> pa.Table:
+    """Per-group ordered 3-windows -> deduped (subject, object) vid
+    pairs, both orientations — the join-path analog of
+    ChunkToIntEdgePartials._triple_pairs."""
+    shards = [s[0] if isinstance(s, tuple) and len(s) == 1 else s for s in shards]
+    shards = [s for s in shards if s.num_rows]
+    if not shards:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    tbl = pa.concat_tables(shards).combine_chunks()
+    g = tbl[group_col].to_numpy(zero_copy_only=False)
+    v = tbl[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    p = tbl[pos_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((p, g))
+    g, v = g[order], v[order]
+    gstarts = np.concatenate([[0], np.nonzero(g[1:] != g[:-1])[0] + 1]).astype(np.int64)
+    counts = np.diff(np.concatenate([gstarts, [len(g)]]))
+    wc = np.maximum(counts - 2, 0)
+    M = int(wc.sum())
+    if M == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    seg = np.repeat(np.arange(len(counts), dtype=np.int64), wc)
+    wstart = np.concatenate([[0], np.cumsum(wc)[:-1]]).astype(np.int64)
+    base = gstarts[seg] + (np.arange(M, dtype=np.int64) - wstart[seg])
+    s, pr, o = v[base], v[base + 1], v[base + 2]
+    order2 = np.lexsort((o, pr, s, seg))
+    g2, s2, p2, o2 = seg[order2], s[order2], pr[order2], o[order2]
+    first = np.concatenate(
+        [
+            [True],
+            (g2[1:] != g2[:-1])
+            | (s2[1:] != s2[:-1])
+            | (p2[1:] != p2[:-1])
+            | (o2[1:] != o2[:-1]),
+        ]
+    )
+    s3, o3 = s2[first], o2[first]
+    ne = s3 != o3
+    s3, o3 = s3[ne], o3[ne]
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate([s3, o3]), pa.int64()),
+            "b": pa.array(np.concatenate([o3, s3]), pa.int64()),
+        }
+    )
+
+
+def _partials_via_join(
+    chunks: "rd.Dataset",
+    vertices: "rd.Dataset",
+    n_vertices: int,
+    min_token_len: int,
+    edge_source: str,
+) -> "rd.Dataset":
+    """Edge partial rows (code2, weight) computed WITHOUT the broadcast
+    vertex dictionary: mentions are joined to vids through the bucketed
+    hash join (stages/shuffle.py) — the scale path once the dictionary
+    outgrows single-node memory.  Produces the same rows as
+    ChunkToIntEdgePartials (verified equal in tests)."""
+    from .shuffle import _plain_split, grouped_pairs, hash_join
+
+    n = int(n_vertices)
+    ordered = edge_source == "triples"
+    ment = chunks.map_batches(
+        ChunkToMentionRows(min_token_len, ordered=ordered), batch_format="pyarrow"
+    )
+    vkeys = vertices.select_columns(["node_key", "vid"]).materialize()
+    m1 = hash_join(ment.materialize(), vkeys, "node_key")
+
+    def rename_ent(batch: pa.Table) -> pa.Table:
+        cols = {"chunk_key": batch["chunk_key"], "ent_vid": batch["vid"]}
+        if "pos" in batch.column_names:
+            cols["pos"] = batch["pos"]
+        return pa.table(cols)
+
+    m1 = m1.map_batches(rename_ent, batch_format="pyarrow")
+    cv = chunks.map_batches(
+        lambda b: pa.table({"node_key": b["chunk_key"], "chunk_key": b["chunk_key"]}),
+        batch_format="pyarrow",
+    )
+    cv = hash_join(cv.materialize(), vkeys, "node_key").map_batches(
+        lambda b: pa.table({"chunk_key": b["chunk_key"], "chunk_vid": b["vid"]}),
+        batch_format="pyarrow",
+    )
+    m2 = hash_join(m1.materialize(), cv.materialize(), "chunk_key").materialize()
+
+    # passage rows: distinct (chunk, entity) — a chunk's rows land in
+    # one join bucket, so per-batch np.unique is globally exact
+    def passage(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "chunk_vid" not in batch.column_names:
+            return pa.table(
+                {"code2": pa.array([], pa.int64()), "weight": pa.array([], pa.float64())}
+            )
+        code = (
+            batch["chunk_vid"].to_numpy(zero_copy_only=False).astype(np.int64) * n
+            + batch["ent_vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        code = np.unique(code)
+        return pa.table(
+            {
+                "code2": pa.array(code * 2, type=pa.int64()),
+                "weight": pa.array(np.ones(len(code), np.float64)),
+            }
+        )
+
+    passage_rows = m2.map_batches(passage, batch_format="pyarrow")
+
+    if not ordered:
+        pairs = grouped_pairs(m2, "chunk_key", "ent_vid", mode="ne")
+    else:
+        refs = m2.to_arrow_refs()
+        from .shuffle import _auto_partitions
+
+        k = _auto_partitions(m2, refs)
+        splits = []
+        for r in refs:
+            if k > 1:
+                splits.append(_plain_split.options(num_returns=k).remote(r, "chunk_key", k))
+            else:
+                splits.append([_plain_split.remote(r, "chunk_key", k)])
+        outs = [
+            _window_pairs_reduce.remote(
+                "chunk_key", "ent_vid", "pos", *[splits[i][t] for i in range(len(refs))]
+            )
+            for t in range(k)
+        ]
+        pairs = rd.from_arrow_refs(outs)
+
+    def fact(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table(
+                {"code2": pa.array([], pa.int64()), "weight": pa.array([], pa.float64())}
+            )
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "code2": pa.array((a * n + b) * 2 + 1, type=pa.int64()),
+                "weight": pa.array(np.ones(len(a), np.float64)),
+            }
+        )
+
+    fact_rows = pairs.map_batches(fact, batch_format="pyarrow")
+    return passage_rows.union(fact_rows)
+
+
 class ChunkToVertexRows:
     """Deduped chunk batch -> vertex candidate rows (node_key, kind, content)."""
 
@@ -317,6 +519,7 @@ def build_graph(
     out_dir: str,
     min_token_len: int = 3,
     edge_source: str = "cooccur",
+    broadcast_vertex_limit: int = 5_000_000,
 ) -> GraphTables:
     """Full graph build; writes vertices/, edges/, adj/ + manifest.json."""
     os.makedirs(out_dir, exist_ok=True)
@@ -347,30 +550,36 @@ def build_graph(
     n_vertices = vertices.count()
     vertices.write_parquet(os.path.join(out_dir, "vertices"))
 
-    # broadcast node_key -> vid once (ray.put); for vertex dictionaries
-    # beyond single-node memory this becomes a bucketed hash join of the
-    # partial table against the vertex table (same downstream plan)
-    vmap = vertices.select_columns(["node_key", "vid"]).to_pandas().set_index("node_key")[
-        "vid"
-    ]
-    vmap_ref = ray.put(vmap)
-
-    # --- edge records: per-batch pre-aggregated int codes -> custom
-    # int-key sum shuffle (Dataset.groupby measured 25x slower here,
-    # see stages/shuffle.py) ---
-    partials = chunks.map_batches(
-        ChunkToIntEdgePartials,
-        fn_constructor_kwargs={
-            "vmap_ref": vmap_ref,
-            "n_vertices": int(n_vertices),
-            "min_token_len": min_token_len,
-            "edge_source": edge_source,
-        },
-        batch_format="pyarrow",
-        concurrency=pool_size(),
-    )
+    # vertex dictionary: broadcast once (ray.put) while it fits; beyond
+    # ``broadcast_vertex_limit`` switch to the bucketed hash-join path
+    # (_partials_via_join) — same code2/weight rows, no driver-side or
+    # per-worker dictionary
     from .shuffle import int_key_sum
 
+    if n_vertices <= broadcast_vertex_limit:
+        vmap = vertices.select_columns(["node_key", "vid"]).to_pandas().set_index(
+            "node_key"
+        )["vid"]
+        vmap_ref = ray.put(vmap)
+
+        # --- edge records: per-batch pre-aggregated int codes -> custom
+        # int-key sum shuffle (Dataset.groupby measured 25x slower here,
+        # see stages/shuffle.py) ---
+        partials = chunks.map_batches(
+            ChunkToIntEdgePartials,
+            fn_constructor_kwargs={
+                "vmap_ref": vmap_ref,
+                "n_vertices": int(n_vertices),
+                "min_token_len": min_token_len,
+                "edge_source": edge_source,
+            },
+            batch_format="pyarrow",
+            concurrency=pool_size(),
+        )
+    else:
+        partials = _partials_via_join(
+            chunks, vertices, int(n_vertices), min_token_len, edge_source
+        )
     agg = int_key_sum(partials.materialize(), "code2", "weight")
 
     n = int(n_vertices)
@@ -427,6 +636,179 @@ def load_graph(out_dir: str) -> GraphTables:
     with open(os.path.join(out_dir, "manifest.json")) as f:
         m = json.load(f)
     return GraphTables(out_dir=out_dir, n_vertices=m["n_vertices"], n_edges=m["n_edges"])
+
+
+def delete_chunks_from_graph(
+    texts: list[str],
+    graph: GraphTables,
+    out_dir: str,
+    min_token_len: int = 3,
+    edge_source: str = "cooccur",
+) -> GraphTables:
+    """Incremental delete: subtract the deleted chunks' edge partials
+    through the same int-key exchange the incremental build uses —
+    the reference's in-place delete semantics (HippoRAG.py:280-361: an
+    entity survives iff some surviving chunk references it) WITHOUT
+    re-extracting the surviving corpus.  Touches edge-table- and
+    vertex-table-sized data only; the deleted texts themselves are the
+    only chunk content read.
+
+    Surviving vids are compacted (old-vid order preserved), so vid
+    numbering differs from a fresh rebuild's global node_key sort when
+    increments happened in between — the *logical* graph (node_key-
+    labeled edges/weights) is identical, verified in tests."""
+    from .shuffle import int_key_sum, range_sort
+
+    os.makedirs(out_dir, exist_ok=True)
+    old_vertices = graph.vertices().materialize()
+    n = int(graph.n_vertices)
+
+    del_tbl = pa.table({"text": pa.array(sorted(set(texts)), type=pa.string())})
+    del_chunks = _to_chunk_rows(del_tbl)
+    # only chunks actually in the graph subtract anything
+    vkeys = old_vertices.select_columns(["node_key", "vid"]).to_pandas()
+    key_to_vid = vkeys.set_index("node_key")["vid"]
+    present = np.isin(
+        del_chunks["chunk_key"].to_numpy(zero_copy_only=False),
+        key_to_vid.index.to_numpy(),
+    )
+    del_chunks = del_chunks.filter(pa.array(present))
+    del_keys = set(del_chunks["chunk_key"].to_pylist())
+    if not del_keys:
+        if os.path.abspath(out_dir) != os.path.abspath(graph.out_dir):
+            import shutil as _sh
+
+            for sub in ("vertices", "edges", "adj", "manifest.json"):
+                src = os.path.join(graph.out_dir, sub)
+                dst = os.path.join(out_dir, sub)
+                (_sh.copytree if os.path.isdir(src) else _sh.copy)(src, dst)
+        return load_graph(out_dir)
+
+    vmap_ref = ray.put(key_to_vid)
+    neg = ChunkToIntEdgePartials(vmap_ref, n, min_token_len, edge_source)(del_chunks)
+    neg = neg.set_column(
+        neg.column_names.index("weight"),
+        "weight",
+        pa.array(-neg["weight"].to_numpy(zero_copy_only=False)),
+    )
+
+    def reencode(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        et = batch["etype"].to_numpy(zero_copy_only=False)
+        code2 = (src * n + dst) * 2 + (et == "fact").astype(np.int64)
+        return pa.table({"code2": pa.array(code2, type=pa.int64()), "weight": batch["weight"]})
+
+    merged = (
+        graph.edges()
+        .map_batches(reencode, batch_format="pyarrow")
+        .materialize()
+        .union(rd.from_arrow(neg).materialize())
+    )
+    agg = int_key_sum(merged.materialize(), "code2", "weight")
+    # counts are integer-valued floats: cancelled records sum to 0.0 exactly
+    agg = agg.map_batches(
+        lambda b: b.filter(
+            pa.array(b["weight"].to_numpy(zero_copy_only=False) != 0.0)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        code2 = batch["code2"].to_numpy(zero_copy_only=False)
+        code = code2 >> 1
+        is_fact = (code2 & 1).astype(bool)
+        return pa.table(
+            {
+                "src": pa.array(code // n, type=pa.int64()),
+                "dst": pa.array(code % n, type=pa.int64()),
+                "weight": batch["weight"],
+                "etype": pa.array(np.where(is_fact, "fact", "passage"), type=pa.string()),
+            }
+        )
+
+    edges = agg.map_batches(decode, batch_format="pyarrow").materialize()
+
+    # survivors: chunks not deleted; entities still referenced by some
+    # surviving chunk (⟺ they kept a passage edge — HippoRAG.py:302-345);
+    # distinct passage dst via the int-key exchange (vertex-sized result)
+    import pyarrow.compute as pc
+
+    pdst_rows = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "vid": b.filter(pc.equal(b["etype"], "passage"))["dst"],
+                "one": pa.array(
+                    np.ones(int(pc.sum(pc.equal(b["etype"], "passage")).as_py() or 0)),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    passage_dst = (
+        int_key_sum(pdst_rows.materialize(), "vid", "one").to_pandas()["vid"].to_numpy()
+    )
+    vdf = old_vertices.to_pandas()
+    is_chunk = vdf["kind"] == "chunk"
+    keep_mask = np.where(
+        is_chunk,
+        ~vdf["node_key"].isin(del_keys),
+        vdf["vid"].isin(passage_dst),
+    )
+    survivors = vdf[keep_mask].sort_values("vid").reset_index(drop=True)
+    # compact vids preserving old order
+    old_ids = survivors["vid"].to_numpy(np.int64)
+    remap = np.full(n, -1, dtype=np.int64)
+    remap[old_ids] = np.arange(len(old_ids), dtype=np.int64)
+    remap_ref = ray.put(remap)
+    survivors = survivors.assign(vid=np.arange(len(old_ids), dtype=np.int64))
+    n_vertices = len(survivors)
+
+    def remap_edges(batch: pa.Table) -> pa.Table:
+        r = ray.get(remap_ref)
+        src = r[batch["src"].to_numpy(zero_copy_only=False)]
+        dst = r[batch["dst"].to_numpy(zero_copy_only=False)]
+        keep = (src >= 0) & (dst >= 0)
+        return pa.table(
+            {
+                "src": pa.array(src[keep], type=pa.int64()),
+                "dst": pa.array(dst[keep], type=pa.int64()),
+                "weight": batch["weight"].filter(pa.array(keep)),
+                "etype": batch["etype"].filter(pa.array(keep)),
+            }
+        )
+
+    edges = edges.map_batches(remap_edges, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+
+    import shutil as _sh
+
+    for sub in ("vertices", "edges", "adj"):
+        _sh.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+    rd.from_arrow(pa.Table.from_pandas(survivors, preserve_index=False)).write_parquet(
+        os.path.join(out_dir, "vertices")
+    )
+    edges.write_parquet(os.path.join(out_dir, "edges"))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        rev = pa.table(
+            {"src": batch["dst"], "dst": batch["src"], "weight": batch["weight"], "etype": batch["etype"]}
+        )
+        return pa.concat_tables([batch, rev])
+
+    adj = range_sort(edges.map_batches(expand, batch_format="pyarrow").materialize(), "src")
+    adj.write_parquet(os.path.join(out_dir, "adj"))
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(
+            {
+                "n_vertices": int(n_vertices),
+                "n_edges": int(n_edges),
+                "min_token_len": min_token_len,
+                "edge_source": edge_source,
+            },
+            f,
+        )
+    return GraphTables(out_dir=out_dir, n_vertices=int(n_vertices), n_edges=int(n_edges))
 
 
 def build_graph_incremental(

@@ -328,7 +328,9 @@ def hash_join(
 
 
 @ray.remote
-def _grouped_pairs_reduce(group_col: str, val_col: str, mode: str, *shards) -> pa.Table:
+def _grouped_pairs_reduce(
+    group_col: str, val_col: str, mode: str, include_group: bool, *shards
+) -> pa.Table:
     from ..functions.pairs import segment_pairs
 
     shards = [s[0] if isinstance(s, tuple) and len(s) == 1 else s for s in shards]
@@ -342,9 +344,13 @@ def _grouped_pairs_reduce(group_col: str, val_col: str, mode: str, *shards) -> p
     g, v = g[order], v[order]
     starts = np.concatenate([[0], np.nonzero(g[1:] != g[:-1])[0] + 1]).astype(np.int64)
     offsets = np.concatenate([starts, [len(g)]])
-    a, b = segment_pairs(v, offsets, mode=mode)
+    # expand on indices so the group value rides along for free
+    ia, ib = segment_pairs(np.arange(len(v), dtype=np.int64), offsets, mode=mode)
     typ = tbl[val_col].type
-    return pa.table({"a": pa.array(a, type=typ), "b": pa.array(b, type=typ)})
+    cols = {"a": pa.array(v[ia], type=typ), "b": pa.array(v[ib], type=typ)}
+    if include_group:
+        cols["g"] = pa.array(g[ia], type=tbl[group_col].type)
+    return pa.table(cols)
 
 
 def grouped_pairs(
@@ -353,12 +359,14 @@ def grouped_pairs(
     val_col: str,
     mode: str = "lt",
     num_partitions: int | None = None,
+    include_group: bool = False,
 ) -> "rd.Dataset":
     """Within-group pair expansion, layout-independent: rows are
     hash-exchanged by ``group_col`` (so a group never straddles
     reducers regardless of upstream block layout), then each reducer
     expands pairs with the vectorized segment kernel.  ``mode`` as in
-    :func:`hipporag_ray.functions.pairs.segment_pairs`."""
+    :func:`hipporag_ray.functions.pairs.segment_pairs`;
+    ``include_group`` adds the group value as column ``g``."""
     refs = ds.to_arrow_refs()
     if not refs:
         return ds
@@ -373,7 +381,8 @@ def grouped_pairs(
             splits.append([_plain_split.remote(r, group_col, k)])
     outs = [
         _grouped_pairs_reduce.remote(
-            group_col, val_col, mode, *[splits[i][t] for i in range(len(refs))]
+            group_col, val_col, mode, include_group,
+            *[splits[i][t] for i in range(len(refs))],
         )
         for t in range(k)
     ]

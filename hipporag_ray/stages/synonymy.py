@@ -28,6 +28,87 @@ import ray
 import ray.data as rd
 
 
+@ray.remote
+def _syn_prep(tbl: pa.Table):
+    """Normalize one block: (vids, eligible, unit-norm matrix)."""
+    if tbl.num_rows == 0 or "embedding" not in tbl.column_names:
+        return np.zeros(0, np.int64), np.zeros(0, bool), np.zeros((0, 1))
+    vids = tbl["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    names = tbl["content"].to_numpy(zero_copy_only=False)
+    elig = np.array([sum(ch.isalnum() for ch in s) > 2 for s in names])
+    m = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return vids, elig, m
+
+
+@ray.remote
+def _syn_tile(q, k, threshold: float) -> pa.Table:
+    """One (query-block, key-block) tile of the similarity join: rows
+    (src, dst, weight) with weight >= threshold, self/ineligible
+    dropped (HippoRAG.py:859-882 acceptance rules)."""
+    qv, qe, qm = q
+    kv, ke, km = k
+    if len(qv) == 0 or len(kv) == 0:
+        return pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+             "weight": pa.array([], pa.float64())}
+        )
+    sims = qm @ km.T
+    rows, cols = np.nonzero(sims >= threshold)
+    keep = qe[rows] & ke[cols] & (qv[rows] != kv[cols])
+    rows, cols = rows[keep], cols[keep]
+    return pa.table(
+        {
+            "src": pa.array(qv[rows], pa.int64()),
+            "dst": pa.array(kv[cols], pa.int64()),
+            "weight": pa.array(sims[rows, cols]),
+        }
+    )
+
+
+def synonymy_edges_ds(
+    joined: "rd.Dataset",
+    threshold: float = 0.8,
+    max_accepted: int = 100,
+) -> pa.Table:
+    """Distributed synonymy-edge computation over a (vid, content,
+    embedding) Dataset: every block is normalized once, every ordered
+    block pair is one matmul tile (the blocked KNN of
+    embed_utils.py:36-92 without materializing the entity table on the
+    driver), then the per-source top-``max_accepted`` cap (score desc,
+    dst tiebreak) runs as a grouped shuffle.  Returns the canonical
+    edge-record table (src, dst, weight, etype='syn') — output-sized,
+    bounded by max_accepted x entities."""
+    blocks = joined.materialize().to_arrow_refs()
+    prep = [_syn_prep.remote(r) for r in blocks]
+    tiles = [
+        _syn_tile.remote(prep[i], prep[j], threshold)
+        for i in range(len(prep))
+        for j in range(len(prep))
+    ]
+    cand = rd.from_arrow_refs(tiles)
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["weight", "dst"], ascending=[False, True]).head(max_accepted)
+        return g
+
+    out = (
+        cand.groupby("src")
+        .map_groups(top, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "src": pa.array(out["src"].to_numpy(np.int64)),
+            "dst": pa.array(out["dst"].to_numpy(np.int64)),
+            "weight": pa.array(out["weight"].to_numpy(np.float64)),
+            "etype": pa.array(["syn"] * len(out), type=pa.string()),
+        }
+    )
+
+
 def synonymy_edges(
     entity_vids: np.ndarray,
     entity_names: np.ndarray,

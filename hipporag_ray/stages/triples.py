@@ -168,7 +168,8 @@ def fact_edge_weights(triples: "rd.Dataset") -> "rd.Dataset":
 def fact_rows(triples: "rd.Dataset") -> "rd.Dataset":
     """Triple rows -> fact-store rows (fact_key, content) in the
     reference's key/content format (``"fact-" + md5(str(tuple))``,
-    embedding_store.py:44-61)."""
+    embedding_store.py:44-61).  Any id columns on the input (e.g.
+    chunk_key — needed for incremental delete) pass through."""
 
     def fn(batch: pa.Table) -> pa.Table:
         content = triple_content(
@@ -176,14 +177,16 @@ def fact_rows(triples: "rd.Dataset") -> "rd.Dataset":
             batch["pred"].to_numpy(zero_copy_only=False),
             batch["obj"].to_numpy(zero_copy_only=False),
         )
-        return pa.table(
-            {
-                "fact_key": md5_hex(content, prefix="fact-"),
-                "content": pa.array(content, pa.string()),
-                "subj": batch["subj"],
-                "obj": batch["obj"],
-            }
-        )
+        cols = {
+            "fact_key": md5_hex(content, prefix="fact-"),
+            "content": pa.array(content, pa.string()),
+            "subj": batch["subj"],
+            "obj": batch["obj"],
+        }
+        for c in batch.column_names:
+            if c not in ("subj", "pred", "obj"):
+                cols[c] = batch[c]
+        return pa.table(cols)
 
     return triples.map_batches(fn, batch_format="pyarrow")
 

@@ -100,22 +100,32 @@ class GraphShard:
         self.hi = int(bounds[shard_id + 1])
         self.local_n = max(0, self.hi - self.lo)
 
+        self.hubs = np.asarray(hubs, dtype=np.int64) if hubs is not None else np.zeros(0, np.int64)
         dset = pads.dataset(adj_path)
-        tbl = dset.to_table(
-            columns=["src", "dst", "weight"],
-            filter=(pads.field("src") >= self.lo) & (pads.field("src") < self.hi),
-        )
+        flt = (pads.field("src") >= self.lo) & (pads.field("src") < self.hi)
+        if len(self.hubs):
+            # hub row-range splitting: a hub's own edge list (degree can
+            # be >> E/P) is NEVER loaded by its owner — every hub edge
+            # (h, u) is covered by its mirror (u, h) at u's owner, which
+            # feeds the hub-push block.  Hub-hub rows are kept (each is
+            # the other hub's mirror).  The hub's out-weight is summed
+            # from the push-row partials across shards
+            # (hub_weight_partials / set_hub_out_weights below).
+            hub_list = self.hubs.tolist()
+            flt = flt & ~(
+                pads.field("src").isin(hub_list) & ~pads.field("dst").isin(hub_list)
+            )
+        tbl = dset.to_table(columns=["src", "dst", "weight"], filter=flt)
         own = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64) - self.lo
         other = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         w = tbl["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
 
         # out-weight over the directed expansion == undirected incident
-        # weight sum (SimpleGraph.kt:149-152); symmetric, so the "own"
-        # endpoint's incident sum is computable locally — computed over
-        # ALL rows, before any hub-row exclusion
+        # weight sum (SimpleGraph.kt:149-152); symmetric, so a non-hub
+        # "own" endpoint's incident sum is computable locally.  Hub
+        # entries here are partial (hub-hub rows only) and are
+        # overwritten by set_hub_out_weights with the cross-shard total.
         self.out_weight = np.bincount(own, weights=w, minlength=self.local_n)
-
-        self.hubs = np.asarray(hubs, dtype=np.int64) if hubs is not None else np.zeros(0, np.int64)
         self._hub_local = None  # local indices of hubs owned by this shard
         if len(self.hubs):
             owned = (self.hubs >= self.lo) & (self.hubs < self.hi)
@@ -183,6 +193,23 @@ class GraphShard:
 
     def get_edge_count(self) -> int:
         return int(self.edge_count)
+
+    def hub_weight_partials(self) -> np.ndarray:
+        """Per-hub incident-weight partial from this shard's push rows.
+        Summed across shards this is the hub's full incident weight —
+        every undirected hub edge (h, u) appears exactly once as a row
+        (u, h) with ``other`` = h at u's owner."""
+        part = np.zeros(len(self.hubs))
+        _p_own, _p_hub, p_w = self._push
+        if len(p_w):
+            part[self._push_uniq] = np.add.reduceat(p_w, self._push_starts)
+        return part
+
+    def set_hub_out_weights(self, totals: np.ndarray) -> None:
+        """Install the cross-shard hub incident-weight totals for the
+        hubs this shard owns (replaces the partial local bincount)."""
+        if len(self._hub_owned_idx):
+            self.out_weight[self._hub_local] = np.asarray(totals)[self._hub_owned_idx]
 
     # ------------------------------------------------------------------
     # PPR / PageRank
@@ -569,6 +596,13 @@ class ShardedGraph:
         # block until all shards loaded; also the total directed edge
         # record count (the per-iteration edge-scan volume)
         self.edge_count = sum(ray.get([a.get_edge_count.remote() for a in self.actors]))
+        if len(self.hubs):
+            # assemble hub out-weights from the per-shard push partials
+            # (hub edge lists are split across shards — never loaded by
+            # the owner, see GraphShard hub row-range splitting)
+            parts = ray.get([a.hub_weight_partials.remote() for a in self.actors])
+            totals = np.sum(parts, axis=0)
+            ray.get([a.set_hub_out_weights.remote(totals) for a in self.actors])
 
     def shutdown(self) -> None:
         for a in self.actors:

@@ -119,3 +119,39 @@ def test_manifest_roundtrip(built):
     g2 = load_graph(g.out_dir)
     assert g2.n_vertices == g.n_vertices
     assert g2.n_edges == g.n_edges
+
+
+def test_join_path_matches_broadcast_path(ray_session, tmp_path):
+    """broadcast_vertex_limit=0 forces the bucketed hash-join vertex
+    resolution; the resulting graph must be identical to the broadcast
+    path for both edge sources."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hipporag_ray.stages.graph_build import build_graph
+
+    texts = [
+        "alpha beta gamma alpha",
+        "beta gamma delta",
+        "solo",
+        "alpha beta gamma alpha",  # duplicate chunk
+        "epsilon zeta eta theta iota",
+    ]
+    tx = rd.from_arrow(pa.table({"text": texts})).repartition(3)
+    for edge_source in ("cooccur", "triples"):
+        g1 = build_graph(tx, str(tmp_path / f"b_{edge_source}"), edge_source=edge_source)
+        g2 = build_graph(
+            tx,
+            str(tmp_path / f"j_{edge_source}"),
+            edge_source=edge_source,
+            broadcast_vertex_limit=0,
+        )
+        v1 = g1.vertices().to_pandas().sort_values("node_key").reset_index(drop=True)
+        v2 = g2.vertices().to_pandas().sort_values("node_key").reset_index(drop=True)
+        pd.testing.assert_frame_equal(v1, v2)
+        cols = ["src", "dst", "etype"]
+        e1 = g1.edges().to_pandas().sort_values(cols).reset_index(drop=True)
+        e2 = g2.edges().to_pandas().sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(e1, e2)
+        assert g1.n_edges == g2.n_edges and g1.n_vertices == g2.n_vertices

@@ -100,6 +100,61 @@ def test_cc_lp_with_hub_salting(skew_graph):
         sg.shutdown()
 
 
+def test_hub_edge_list_split_across_shards(skew_graph, tmp_path):
+    """Row-range splitting: a vertex with degree >> E/P never has its
+    edge list loaded by its owner — the owner's total loaded rows stay
+    bounded by its non-hub range, and out-weight/PPR remain exact."""
+    rng = np.random.default_rng(11)
+    n = 400
+    hub = 13
+    others = np.delete(np.arange(n), hub)
+    # star: hub touches EVERY other vertex (degree n-1 >> E/P) + a ring
+    src = np.concatenate([np.full(n - 1, hub), others])
+    dst = np.concatenate([others, np.roll(others, 1)])
+    w = rng.random(len(src)) + 0.1
+    adj = pa.table(
+        {
+            "src": np.concatenate([src, dst]),
+            "dst": np.concatenate([dst, src]),
+            "weight": np.concatenate([w, w]),
+            "etype": ["fact"] * (2 * len(src)),
+        }
+    ).sort_by("src")
+    d = tmp_path / "adj"
+    os.makedirs(d)
+    pq.write_table(adj, str(d / "part-0.parquet"))
+
+    from hipporag_ray.state.csr import GraphShard, edge_balanced_bounds
+
+    bounds, hubs = edge_balanced_bounds(str(d), n, 4, hub_min_degree=64)
+    assert hub in hubs.tolist()
+    shards = [GraphShard(str(d), i, bounds, n, hubs) for i in range(len(bounds) - 1)]
+    owner = next(s for s in shards if s.lo <= hub < s.hi)
+    # the owner loaded none of the hub's own rows (degree n-1), only its
+    # range's non-hub rows + push rows
+    deg_hub = n - 1
+    own_rows = sum(len(g[0]) for g in owner.groups)
+    assert own_rows < deg_hub
+    # hub out-weight assembled from cross-shard partials == true value
+    parts = np.sum([s.hub_weight_partials() for s in shards], axis=0)
+    for s in shards:
+        s.set_hub_out_weights(parts)
+    hub_w_true = w[src == hub].sum() + w[dst == hub].sum()
+    hidx = owner.hubs.tolist().index(hub)
+    np.testing.assert_allclose(parts[hidx], hub_w_true)
+    np.testing.assert_allclose(owner.out_weight[hub - owner.lo], hub_w_true)
+
+    # end-to-end PPR equality through the actor pool
+    want = pagerank_oracle(n, src, dst, w)
+    sg = ShardedGraph(str(d), n, n_shards=4, hub_min_degree=64)
+    try:
+        assert hub in sg.hubs.tolist()
+        got, _ = pagerank(sg)
+        np.testing.assert_allclose(got[:, 0], want, atol=1e-6)
+    finally:
+        sg.shutdown()
+
+
 def test_hub_salting_balances_shards(skew_graph):
     """With salting on, no shard's segment-group row count is dominated
     by the hub's degree."""

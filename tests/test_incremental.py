@@ -71,3 +71,111 @@ def test_incremental_noop_when_duplicate(corpora):
     g2 = build_graph_incremental(rd.read_parquet(a), g_a, f"{base}/graph_a2_inc")
     assert g2.n_vertices == g_a.n_vertices
     assert g2.n_edges == g_a.n_edges
+
+
+def test_incremental_delete_matches_rebuild(ray_session, tmp_path):
+    """delete_chunks_from_graph == build_graph on the surviving corpus,
+    compared as node_key-labeled logical graphs (vid numbering may
+    differ)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hipporag_ray.stages.graph_build import (
+        build_graph,
+        delete_chunks_from_graph,
+        load_graph,
+    )
+
+    texts = [
+        "alpha beta gamma",
+        "beta gamma delta epsilon",
+        "zeta eta theta",
+        "alpha delta zeta",
+        "solo",
+        "beta gamma delta epsilon",  # duplicate chunk
+    ]
+    doomed = ["beta gamma delta epsilon", "solo", "never indexed text"]
+    survivors = [t for t in texts if t not in doomed]
+
+    tx = rd.from_arrow(pa.table({"text": texts})).repartition(2)
+    g_full = build_graph(tx, str(tmp_path / "full"))
+    g_del = delete_chunks_from_graph(
+        doomed, load_graph(str(tmp_path / "full")), str(tmp_path / "full")
+    )
+    g_want = build_graph(
+        rd.from_arrow(pa.table({"text": survivors})), str(tmp_path / "want")
+    )
+    assert g_del.n_vertices == g_want.n_vertices
+    assert g_del.n_edges == g_want.n_edges
+
+    def logical(g):
+        v = g.vertices().to_pandas().set_index("vid")["node_key"]
+        e = g.edges().to_pandas()
+        e["src_k"] = e["src"].map(v)
+        e["dst_k"] = e["dst"].map(v)
+        return (
+            e[["src_k", "dst_k", "etype", "weight"]]
+            .sort_values(["src_k", "dst_k", "etype"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(logical(g_del), logical(g_want))
+    vk_del = sorted(g_del.vertices().to_pandas()["node_key"])
+    vk_want = sorted(g_want.vertices().to_pandas()["node_key"])
+    assert vk_del == vk_want
+
+
+def test_engine_incremental_delete_lifecycle(ray_session, tmp_path):
+    """Engine-level incremental delete: stores, fact table and
+    retrieval agree with a fresh engine indexed on the survivors."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hipporag_ray.pipelines.retrieval import HippoRagEngine
+
+    def tx_of(texts, start=0):
+        n = len(texts)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "conv_id": [f"c{i}" for i in range(start, start + n)],
+                    "turn_idx": pa.array([0] * n, pa.int32()),
+                    "role": ["user"] * n,
+                    "text": texts,
+                    "tool": [""] * n,
+                    "ts": pa.array(list(range(start, start + n)), pa.timestamp("us")),
+                }
+            )
+        )
+
+    texts = [
+        "quokka wombat dingo lemur",
+        "wombat dingo lemur bilby",
+        "falcon osprey kestrel",
+        "quokka falcon bilby",
+    ]
+    doomed = ["wombat dingo lemur bilby", "falcon osprey kestrel"]
+    survivors = [t for t in texts if t not in doomed]
+
+    a = HippoRagEngine(str(tmp_path / "a"))
+    a.index(tx_of(texts))
+    stats = a.delete(doomed)  # incremental by default
+
+    b = HippoRagEngine(str(tmp_path / "b"))
+    b.index(tx_of(survivors))
+
+    assert stats["n_vertices"] == b.graph().n_vertices
+    assert stats["n_edges"] == b.graph().n_edges
+    assert a.chunk_store.count() == b.chunk_store.count()
+    assert a.entity_store.count() == b.entity_store.count()
+    assert a.fact_store.count() == b.fact_store.count()
+    assert sorted(a.fact_store.existing_ids()) == sorted(b.fact_store.existing_ids())
+
+    q = ["quokka wombat dingo"]
+    ra = a.retrieve(q, top_k=2)
+    rb = b.retrieve(q, top_k=2)
+    assert ra[0]["docs"] == rb[0]["docs"]
+    np.testing.assert_allclose(ra[0]["doc_scores"], rb[0]["doc_scores"], atol=1e-6)
+    a.close()
+    b.close()

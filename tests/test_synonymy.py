@@ -39,3 +39,40 @@ def test_synonymy_max_accepted_cap():
     out = synonymy_edges(vids, names, m, threshold=0.8, max_accepted=100).to_pandas()
     per_src = out.groupby("src").size()
     assert per_src.max() <= 100
+
+
+def test_synonymy_ds_matches_array_path(ray_session):
+    """The distributed block-pair plan produces the same edge set as
+    the aligned-array reference implementation."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hipporag_ray.stages.synonymy import synonymy_edges_ds
+
+    rng = np.random.default_rng(2)
+    n = 120
+    base = rng.standard_normal((n, 12))
+    base[50] = base[10] + rng.standard_normal(12) * 1e-3  # near-dup pair
+    base[51] = base[11] * 1.7  # same direction
+    vids = np.arange(100, 100 + n, dtype=np.int64)
+    names = np.array([f"entity{i:03d}" for i in range(n)], dtype=object)
+    names[7] = "ab"  # ineligible
+    want = synonymy_edges(vids, names, base, threshold=0.6, max_accepted=5).to_pandas()
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(vids),
+                "content": pa.array(names, type=pa.string()),
+                "embedding": pa.array(
+                    list(base.astype(np.float32)), type=pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(4)
+    got = synonymy_edges_ds(ds, threshold=0.6, max_accepted=5).to_pandas()
+    cols = ["src", "dst"]
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(w, g)
+    m = want.merge(got, on=cols)
+    np.testing.assert_allclose(m["weight_x"], m["weight_y"], atol=1e-6)

@@ -69,3 +69,26 @@ def test_triangle_on_built_graph(small_transcripts, tmp_path):
     )
     assert total == want_total
     np.testing.assert_array_equal(per, want_per)
+
+
+@pytest.mark.parametrize("case", ["k4", "random"])
+def test_triangle_distributed_wedge_join(case):
+    """broadcast_limit=0 forces the fully distributed wedge-join plan;
+    results must be identical to the broadcast path / oracle."""
+    rng = np.random.default_rng(9)
+    if case == "k4":
+        n = 4
+        src, dst = [], []
+        for i in range(4):
+            for j in range(i + 1, 4):
+                src.append(i)
+                dst.append(j)
+        src, dst = np.array(src), np.array(dst)
+    else:
+        n = 80
+        src = rng.integers(0, n, 500)
+        dst = rng.integers(0, n, 500)
+    total, per = triangle_count(_edges_ds(src, dst), n, broadcast_limit=0)
+    want_total, want_per = triangles_oracle(n, np.asarray(src), np.asarray(dst))
+    assert total == want_total
+    np.testing.assert_array_equal(per, want_per)
