@@ -156,6 +156,23 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     q_events_hourly(sf_dir).count()
     timings["events_hourly"] = time.perf_counter() - t0
 
+    # --- 7. dedup family on the documents/embeddings tables ---
+    from hipporag_ray.stages import dedup as dd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).materialize()
+    t0 = time.perf_counter()
+    dd.minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.4)
+    timings["minhash_lsh"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dd.simhash(docs, "text", "doc_id").count()
+    timings["simhash"] = time.perf_counter() - t0
+    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).materialize()
+    t0 = time.perf_counter()
+    dd.embedding_neardup_pairs(embs, "embedding", "vec_id", threshold=0.45)
+    timings["emb_neardup"] = time.perf_counter() - t0
+
     ray.shutdown()
     return {
         "metric": "flagship transcript-graph pipeline wall time (build + pagerank + "

@@ -69,15 +69,27 @@ class HippoRagEngine:
         facts: bool = True,
         fact_score_threshold: float = 0.0,
         edge_source: str = "cooccur",
+        embedder_cls: type | None = None,
+        embedder_kwargs: dict | None = None,
+        num_gpus: float = 0.0,
+        embed_batch_size: int | None = None,
     ):
         self.working_dir = working_dir
         self.corpus_dir = os.path.join(working_dir, "corpus")
         self.graph_dir = os.path.join(working_dir, "graph")
         self.facts_dir = os.path.join(working_dir, "facts")
         os.makedirs(self.corpus_dir, exist_ok=True)
-        self.chunk_store = EmbeddingStore(working_dir, "chunk", dim)
-        self.entity_store = EmbeddingStore(working_dir, "entity", dim)
-        self.fact_store = EmbeddingStore(working_dir, "fact", dim)
+        # T1 plug-point: real embedding models slot in as the actor-pool
+        # class (loaded once per actor), with GPU/batch sizing knobs
+        store_kw = dict(
+            embedder_cls=embedder_cls,
+            embedder_kwargs=embedder_kwargs,
+            num_gpus=num_gpus,
+            embed_batch_size=embed_batch_size,
+        )
+        self.chunk_store = EmbeddingStore(working_dir, "chunk", dim, **store_kw)
+        self.entity_store = EmbeddingStore(working_dir, "entity", dim, **store_kw)
+        self.fact_store = EmbeddingStore(working_dir, "fact", dim, **store_kw)
         self.dim = dim
         self.min_token_len = min_token_len
         self.link_top_k = link_top_k
@@ -88,7 +100,9 @@ class HippoRagEngine:
         self.facts = facts
         self.fact_score_threshold = fact_score_threshold
         self.edge_source = edge_source
-        self.embedder = HashEmbedder(dim=dim)
+        self.embedder = (embedder_cls or HashEmbedder)(
+            **dict(embedder_kwargs or {"dim": dim})
+        )
         self._sg: ShardedGraph | None = None
 
     @classmethod

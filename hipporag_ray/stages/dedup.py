@@ -151,29 +151,19 @@ def _jaccard_from_inter(
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def _bucket_pairs_fn(id_col: str, max_bucket: int, cand_ref=None):
-    """Per-shingle-bucket pair expansion; with ``cand_ref`` (a broadcast
-    candidate (a, b) frame) only candidate ids expand and only
-    candidate pairs survive — bounds hot-bucket fan-out at verify
-    time.  Without it, buckets over ``max_bucket`` are dropped
-    (stop-shingle guard, standard practice)."""
+def _bucket_pairs_fn(id_col: str, max_bucket: int):
+    """Per-shingle-bucket pair expansion; buckets over ``max_bucket``
+    are dropped (stop-shingle guard, standard practice — a hot
+    boilerplate shingle would otherwise expand quadratically)."""
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].to_numpy()
-        if cand_ref is not None:
-            cand = ray.get(cand_ref)
-            ids = ids[np.isin(ids, cand["_ids"])]
-        ids = np.sort(ids)
-        if len(ids) < 2 or (cand_ref is None and len(ids) > max_bucket):
+        ids = np.sort(group[id_col].to_numpy())
+        if len(ids) < 2 or len(ids) > max_bucket:
             return pd.DataFrame({"a": [], "b": []})
         a = np.repeat(ids, len(ids))
         b = np.tile(ids, len(ids))
         keep = a < b
-        out = pd.DataFrame({"a": a[keep], "b": b[keep]})
-        if cand_ref is not None:
-            cand = ray.get(cand_ref)
-            out = out.merge(cand["_pairs"], on=["a", "b"], how="inner")
-        return out
+        return pd.DataFrame({"a": a[keep], "b": b[keep]})
 
     return bucket_pairs
 
@@ -275,16 +265,11 @@ def minhash_lsh_pairs(
     Returns verified pairs (a < b, jaccard >= threshold).
     """
     rows_per_band = num_perm // bands
+    # stateless tasks (the "model" here is two tiny parameter vectors —
+    # an actor pool's launch latency would dominate at this setup cost)
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "text_col": text_col,
-            "id_col": id_col,
-            "n": n,
-            "num_perm": num_perm,
-        },
+        MinHasher(text_col=text_col, id_col=id_col, n=n, num_perm=num_perm),
         batch_format="pyarrow",
-        concurrency=pool_size(),
     ).materialize()
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -317,41 +302,72 @@ def minhash_lsh_pairs(
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        a = np.repeat(ids, len(ids))
-        b = np.tile(ids, len(ids))
-        keep = a < b
-        return pd.DataFrame({"a": a[keep], "b": b[keep]})
+    # band identity is folded into band_hash (xor of band*MIX in
+    # to_bands), so the bucket key is the single int64 hash column and
+    # candidate pairs come from the vectorized grouped exchange
+    from .shuffle import grouped_pairs, hash_distinct
+
+    band_rows = sigs.map_batches(to_bands, batch_format="pyarrow").materialize()
+    raw_pairs = grouped_pairs(band_rows, "band_hash", id_col, mode="lt")
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "_pk": pa.array([], pa.string())}
+            )
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        pk = np.char.add(np.char.add(a.astype(str), "|"), b.astype(str))
+        return pa.table(
+            {"a": batch["a"], "b": batch["b"], "_pk": pa.array(pk, pa.string())}
+        )
 
     cands = (
-        sigs.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
+        hash_distinct(
+            raw_pairs.map_batches(pair_key, batch_format="pyarrow").materialize(), "_pk"
+        )
+        .select_columns(["a", "b"])
         .to_pandas()
     )
     if len(cands) == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
 
-    # distributed exact verify restricted to the candidate set
+    # distributed exact verify restricted to the candidate set: the
+    # shingle table is filtered to candidate ids first (the candidate
+    # set is output-sized), then pair expansion runs through the
+    # vectorized grouped hash exchange — no per-group Python calls and
+    # no driver-side shingle sets
+    from .shuffle import grouped_pairs
+
     cand_pairs = cands[["a", "b"]].reset_index(drop=True)
-    cand_ref = ray.put(
-        {
-            "_pairs": cand_pairs,
-            "_ids": np.unique(
-                np.concatenate([cand_pairs["a"].to_numpy(), cand_pairs["b"].to_numpy()])
-            ),
-        }
+    cand_ids = np.unique(
+        np.concatenate([cand_pairs["a"].to_numpy(), cand_pairs["b"].to_numpy()])
     )
-    sh = shingle_table(ds, text_col, id_col, n).materialize()
+    ids_ref = ray.put(cand_ids)
+    pairs_ref = ray.put(cand_pairs)
+
+    def only_cands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, ray.get(ids_ref))))
+
+    sh = (
+        shingle_table(ds, text_col, id_col, n)
+        .map_batches(only_cands, batch_format="pyarrow")
+        .materialize()
+    )
     sizes = sh.groupby(id_col).aggregate(Count(alias_name="n_sh"))
+    co = grouped_pairs(sh, "shingle", id_col, mode="lt")
+
+    def pair_filter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        df = batch.select(["a", "b"]).to_pandas()
+        keep = df.merge(ray.get(pairs_ref), on=["a", "b"], how="inner")
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
     inter = (
-        sh.groupby("shingle")
-        .map_groups(_bucket_pairs_fn(id_col, 1000, cand_ref), batch_format="pandas")
+        co.map_batches(pair_filter, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="inter"))
     ).materialize()

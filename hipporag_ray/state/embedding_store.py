@@ -77,14 +77,64 @@ class HashEmbedder:
         )
 
 
-class EmbeddingStore:
-    """One namespace ('chunk' | 'entity' | 'fact') of embedded rows."""
+class CharFreqEmbedder:
+    """Second reference implementation of the T1 embedder plug-point
+    (deliberately different math from HashEmbedder): character-frequency
+    vectors, L2-normalized.  Shows the contract a real model class must
+    satisfy — ``__init__(**kwargs, text_col=...)`` (model load, once per
+    actor), ``__call__(batch) -> batch + embedding`` (batched
+    inference), ``embed(texts)`` (query-time encoding)."""
 
-    def __init__(self, working_dir: str, namespace: str, dim: int = 64):
+    def __init__(self, dim: int = 32, text_col: str = "content"):
+        self.dim = dim
+        self.text_col = text_col
+
+    def embed(self, texts) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            for ch in t or "":
+                out[i, ord(ch) % self.dim] += 1.0
+            n = np.linalg.norm(out[i])
+            if n > 0:
+                out[i] /= n
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = self.embed([t or "" for t in batch[self.text_col].to_pylist()])
+        return batch.append_column(
+            "embedding", pa.array(list(emb), type=pa.list_(pa.float32()))
+        )
+
+
+class EmbeddingStore:
+    """One namespace ('chunk' | 'entity' | 'fact') of embedded rows.
+
+    ``embedder_cls`` is the T1 plug-point (the reference's model zoo,
+    embedding_model/*.py): any callable class whose ``__init__`` takes
+    the given kwargs plus ``text_col`` and whose ``__call__`` maps an
+    Arrow batch to the same batch with an ``embedding`` list column.
+    Model load happens once per actor; ``num_gpus``/``embed_batch_size``
+    size the pool for real models (reference batch 16/64,
+    config_utils.py:128-131)."""
+
+    def __init__(
+        self,
+        working_dir: str,
+        namespace: str,
+        dim: int = 64,
+        embedder_cls: type | None = None,
+        embedder_kwargs: dict | None = None,
+        num_gpus: float = 0.0,
+        embed_batch_size: int | None = None,
+    ):
         self.dir = os.path.join(working_dir, f"vdb_{namespace}")
         self.namespace = namespace
         self.prefix = f"{namespace}-"
         self.dim = dim
+        self.embedder_cls = embedder_cls or HashEmbedder
+        self.embedder_kwargs = dict(embedder_kwargs or {"dim": dim})
+        self.num_gpus = num_gpus
+        self.embed_batch_size = embed_batch_size
         os.makedirs(self.dir, exist_ok=True)
 
     def _parts(self) -> list[str]:
@@ -147,11 +197,16 @@ class EmbeddingStore:
             )
         else:
             new_rows = deduped
+        embed_opts = {}
+        if self.num_gpus > 0:
+            embed_opts["num_gpus"] = self.num_gpus
         embedded = new_rows.map_batches(
-            HashEmbedder,
-            fn_constructor_kwargs={"dim": self.dim, "text_col": "content"},
+            self.embedder_cls,
+            fn_constructor_kwargs={**self.embedder_kwargs, "text_col": "content"},
             batch_format="pyarrow",
+            batch_size=self.embed_batch_size,
             concurrency=pool_size(),
+            **embed_opts,
         ).materialize()
         n_new = embedded.count()
         if n_new == 0:

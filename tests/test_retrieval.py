@@ -108,3 +108,47 @@ def test_batched_multi_query_retrieval(tmp_path):
     assert any("sigma" in d for d in rs[1]["docs"])
     assert any("omega" in d for d in rs[2]["docs"])
     eng.close()
+
+
+def test_custom_embedder_plugs_into_engine(ray_session, tmp_path):
+    """A non-default embedder class (the real-model integration point)
+    slots into the store actor pool and query path, with batch-size
+    plumbing exercised."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hipporag_ray.pipelines.retrieval import HippoRagEngine
+    from hipporag_ray.state.embedding_store import CharFreqEmbedder
+
+    texts = ["zebra quokka wombat", "quokka wombat dingo", "falcon osprey kestrel"]
+    tx = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": ["c0", "c0", "c1"],
+                "turn_idx": pa.array([0, 1, 0], pa.int32()),
+                "role": ["user", "assistant", "user"],
+                "text": texts,
+                "tool": ["", "", ""],
+                "ts": pa.array([0, 1, 2], pa.timestamp("us")),
+            }
+        )
+    )
+    eng = HippoRagEngine(
+        str(tmp_path / "wd"),
+        embedder_cls=CharFreqEmbedder,
+        embedder_kwargs={"dim": 32},
+        embed_batch_size=2,
+    )
+    eng.index(tx)
+    # stored embeddings really came from the plug-in model (32-dim) and
+    # match a direct call on the same content
+    df = eng.chunk_store.dataset().to_pandas()
+    assert len(df["embedding"].iloc[0]) == 32
+    toy = CharFreqEmbedder(dim=32)
+    row = df[df["content"] == "zebra quokka wombat"].iloc[0]
+    np.testing.assert_allclose(
+        np.array(row["embedding"]), toy.embed(["zebra quokka wombat"])[0], atol=1e-6
+    )
+    res = eng.retrieve(["zebra quokka wombat"], top_k=1)
+    assert res[0]["docs"][0] == "zebra quokka wombat"
+    eng.close()
