@@ -693,6 +693,28 @@ def q_doc_ppr(sf_dir: str):
     return _round(out, {"score": 9})
 
 
+_LP_ITERS = 3
+
+
+def q_doc_lp(sf_dir: str):
+    """Fixed-iteration synchronous weighted label propagation over the
+    document token graph (max-vote, smallest-label tie-break;
+    SURVEY.md §7.2 step 9) — labels reported as entity names (vid order
+    == sorted entity order, so tie-breaks agree with the SQL oracle's
+    string comparisons)."""
+    from ..algos.iterate import label_propagation
+    from ..state.csr import ShardedGraph
+
+    d, n = doc_graph_for(sf_dir)
+    sg = ShardedGraph(os.path.join(d, "adj"), n)
+    try:
+        labels, _ = label_propagation(sg, max_iter=_LP_ITERS)
+    finally:
+        sg.shutdown()
+    ent_of = _doc_entities_by_vid(d)
+    return pd.DataFrame({"entity": ent_of, "label": ent_of[labels]})
+
+
 def q_doc_sample(sf_dir: str):
     """Deterministic systematic sample (every 10th doc) with the
     predicate pushed into the parquet read."""
@@ -898,6 +920,7 @@ QUERIES = {
     "doc_cc": q_doc_cc,
     "doc_pagerank": q_doc_pagerank,
     "doc_ppr": q_doc_ppr,
+    "doc_lp": q_doc_lp,
     "doc_sample": q_doc_sample,
     "tx_graph_info": q_tx_graph_info,
     "media_decode": q_media_decode,
@@ -952,6 +975,44 @@ def _power_iteration_sql(reset_cte: str, k: int = _PR_ITERS) -> str:
           SELECT entity, (SELECT 1.0 / c FROM nn) AS score FROM verts
         ){"".join(steps)}
         SELECT entity, round(score, 9) AS score FROM s{k}
+    """
+
+
+def _label_prop_sql(k: int = _LP_ITERS) -> str:
+    """K-step synchronous weighted label propagation as chained CTEs:
+    next label = neighbor label with max weight sum, ties to the
+    smallest label, no-neighbor vertices keep their label — exactly
+    GraphShard.lp_pull."""
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(
+            f""", v{i} AS (
+          SELECT e.dst AS entity, s.lab AS lab, sum(e.w) AS wsum
+          FROM s{i - 1} s JOIN e ON e.src = s.entity GROUP BY 1, 2
+        ), w{i} AS (
+          SELECT entity, lab,
+                 row_number() OVER (PARTITION BY entity ORDER BY wsum DESC, lab) AS rn
+          FROM v{i}
+        ), s{i} AS (
+          SELECT s.entity, coalesce(w.lab, s.lab) AS lab
+          FROM s{i - 1} s
+          LEFT JOIN (SELECT entity, lab FROM w{i} WHERE rn = 1) w
+            ON w.entity = s.entity
+        )"""
+        )
+    return f"""
+        {_TOK_CTE}, m AS (
+          SELECT DISTINCT doc_id, tok AS entity FROM tok WHERE length(tok) >= 3
+        ), verts AS (
+          SELECT DISTINCT entity FROM m
+        ), e AS (
+          SELECT a.entity AS src, b.entity AS dst, CAST(count(*) AS DOUBLE) AS w
+          FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity <> b.entity
+          GROUP BY 1, 2
+        ), s0 AS (
+          SELECT entity, entity AS lab FROM verts
+        ){"".join(steps)}
+        SELECT entity, lab AS label FROM s{k}
     """
 
 
@@ -1050,6 +1111,7 @@ ORACLE_SQL = {
           FROM verts v LEFT JOIN seeds s ON s.entity = v.entity
         )"""
     ),
+    "doc_lp": _label_prop_sql(),
     "doc_exact_dedup": """
         SELECT md5(text) AS hash_id, min(doc_id) AS keep_id
         FROM documents GROUP BY 1

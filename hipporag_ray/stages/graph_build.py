@@ -565,16 +565,21 @@ def build_graph(
         # --- edge records: per-batch pre-aggregated int codes -> custom
         # int-key sum shuffle (Dataset.groupby measured 25x slower here,
         # see stages/shuffle.py) ---
+        # explicit batch_size: the deduped-chunk exchange can emit few
+        # large blocks (its partition heuristic optimizes the shuffle,
+        # not this consumer) — without splitting, the hottest stage of
+        # the build runs at the block count's parallelism
+        # task-based (callable instance), NOT an actor pool: the batch
+        # function is ~30us/row, so a pool's actor-launch latency
+        # dominates (measured 16.5s pooled vs ~4s as tasks on warm
+        # workers at 32 CPUs); tasks re-fetch the broadcast vmap from
+        # plasma per task, which is vertex-table-sized and cheap
         partials = chunks.map_batches(
-            ChunkToIntEdgePartials,
-            fn_constructor_kwargs={
-                "vmap_ref": vmap_ref,
-                "n_vertices": int(n_vertices),
-                "min_token_len": min_token_len,
-                "edge_source": edge_source,
-            },
+            ChunkToIntEdgePartials(
+                vmap_ref, int(n_vertices), min_token_len, edge_source
+            ),
             batch_format="pyarrow",
-            concurrency=pool_size(),
+            batch_size=2048,
         )
     else:
         partials = _partials_via_join(
@@ -903,15 +908,9 @@ def build_graph_incremental(
     # --- new partials + re-encoded old edges, one merged sum ---
     n = int(n_vertices)
     partials_new = chunks_new.map_batches(
-        ChunkToIntEdgePartials,
-        fn_constructor_kwargs={
-            "vmap_ref": vmap_ref,
-            "n_vertices": n,
-            "min_token_len": min_token_len,
-            "edge_source": edge_source,
-        },
+        ChunkToIntEdgePartials(vmap_ref, n, min_token_len, edge_source),
         batch_format="pyarrow",
-        concurrency=pool_size(),
+        batch_size=2048,
     )
 
     def reencode(batch: pa.Table) -> pa.Table:

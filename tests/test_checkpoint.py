@@ -105,3 +105,53 @@ def test_hash_distinct_and_range_sort():
     spans.sort()
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
         assert lo >= hi
+
+
+def test_resume_rejects_algo_mismatch(small_transcripts, tmp_path):
+    """A directory checkpointed by PPR must not seed a CC resume (the
+    shard state columns differ) — CC restarts from iteration 0."""
+    from hipporag_ray.algos.iterate import personalized_pagerank
+
+    g = build_graph(rd.read_parquet(small_transcripts), str(tmp_path / "g"))
+    e = g.edges().to_pandas()
+    want = cc_oracle(g.n_vertices, e["src"].to_numpy(), e["dst"].to_numpy())
+    ck = str(tmp_path / "ck")
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=3)
+    try:
+        personalized_pagerank(sg, max_iter=4, checkpoint_dir=ck, checkpoint_every=2)
+    finally:
+        sg.shutdown()
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=3)
+    try:
+        comp, metrics = connected_components(sg, checkpoint_dir=ck, resume=True)
+        assert metrics[0]["iter"] == 1  # NOT resumed from the ppr manifest
+        np.testing.assert_array_equal(comp, want)
+    finally:
+        sg.shutdown()
+
+
+def test_save_after_resume_extends_history(small_transcripts, tmp_path):
+    """A checkpoint written after a resume extends the manifest's iter
+    lineage instead of discarding the pre-resume entries."""
+    import json
+    import os
+
+    g = build_graph(rd.read_parquet(small_transcripts), str(tmp_path / "g"))
+    ck = str(tmp_path / "ck")
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=3)
+    try:
+        connected_components(sg, max_iter=2, checkpoint_dir=ck, checkpoint_every=1)
+    finally:
+        sg.shutdown()
+    with open(os.path.join(ck, "manifest.json")) as f:
+        before = [e["iter"] for e in json.load(f)["iters"]]
+    assert before == [1, 2]
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=3)
+    try:
+        connected_components(sg, checkpoint_dir=ck, checkpoint_every=1, resume=True)
+    finally:
+        sg.shutdown()
+    with open(os.path.join(ck, "manifest.json")) as f:
+        after = [e["iter"] for e in json.load(f)["iters"]]
+    assert after[: len(before)] == before  # history preserved
+    assert len(after) > len(before)  # and extended past the resume point
