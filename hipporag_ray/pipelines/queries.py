@@ -179,6 +179,12 @@ def q_doc_token_count(sf_dir: str):
     return ts.token_count(_docs(sf_dir), "text", "doc_id")
 
 
+def q_doc_token_count_bpe(sf_dir: str):
+    """BPE-ish (letter/digit/punct-run) token counts — the tokenizer-
+    style count a training-data pipeline budgets by."""
+    return ts.token_count_bpe(_docs(sf_dir), "text", "doc_id")
+
+
 def q_doc_mentions(sf_dir: str):
     """M6-style explode: distinct (doc_id, entity), tokens len>=3."""
     ds = _docs(sf_dir).map_batches(
@@ -617,6 +623,18 @@ def q_emb_ann_lsh(sf_dir: str):
     return out[["vec_id", "score"]].pipe(_round, {"score": 6})
 
 
+def q_emb_ann_ivf(sf_dir: str):
+    """IVF-partitioned ANN (coarse quantizer + probed cells) — the
+    second approximate scale path beside hyperplane LSH."""
+    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).materialize()
+    q = embs.filter(lambda r: r["vec_id"] == 0).to_pandas()
+    qv = np.stack(q["embedding"].to_numpy())[0]
+    out = sim.ivf_ann_topk(
+        embs, qv[None, :], k=10, n_centroids=8, n_probe=3, exclude_ids={0}
+    )
+    return out[["vec_id", "score"]].pipe(_round, {"score": 6})
+
+
 def q_doc_triangles(sf_dir: str):
     """Distributed triangle count over the document token co-occurrence
     graph — SQL-verifiable end-to-end (extraction -> graph -> count)."""
@@ -759,6 +777,17 @@ def q_media_decode(sf_dir: str):
     )
 
 
+def q_media_frames(sf_dir: str):
+    """Multimodal video plumbing: synthetic binary videos -> actor-pool
+    uniform frame sampling (deterministic fake codec) -> per-frame
+    feature rows."""
+    from ..stages.multimodal import frame_sample_pipeline, make_fake_video
+
+    n = max(50, int(10_000 * sf_of(sf_dir)))
+    videos = rd.from_arrow(make_fake_video(n))
+    return frame_sample_pipeline(videos, max_frames=4, batch_size=64, fake=True)
+
+
 def q_tx_pagerank(sf_dir: str):
     from ..algos.iterate import pagerank
     from ..state.csr import ShardedGraph
@@ -887,6 +916,7 @@ def q_tx_extract(sf_dir: str):
 QUERIES = {
     "doc_normalize": q_doc_normalize,
     "doc_token_count": q_doc_token_count,
+    "doc_token_count_bpe": q_doc_token_count_bpe,
     "doc_mentions": q_doc_mentions,
     "doc_vertices": q_doc_vertices,
     "doc_cooccur": q_doc_cooccur,
@@ -916,6 +946,7 @@ QUERIES = {
     "emb_neardup": q_emb_neardup,
     "emb_neardup_lsh": q_emb_neardup_lsh,
     "emb_ann_lsh": q_emb_ann_lsh,
+    "emb_ann_ivf": q_emb_ann_ivf,
     "doc_triangles": q_doc_triangles,
     "doc_cc": q_doc_cc,
     "doc_pagerank": q_doc_pagerank,
@@ -924,6 +955,7 @@ QUERIES = {
     "doc_sample": q_doc_sample,
     "tx_graph_info": q_tx_graph_info,
     "media_decode": q_media_decode,
+    "media_frames": q_media_frames,
     "tx_extract": q_tx_extract,
     "tx_pagerank": q_tx_pagerank,
     "tx_ppr": q_tx_ppr,
@@ -1025,6 +1057,12 @@ ORACLE_SQL = {
         FROM documents d
         LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok WHERE tok <> '' GROUP BY doc_id) t
         USING (doc_id)
+    """,
+    "doc_token_count_bpe": r"""
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+'))
+                    AS BIGINT) AS n_bpe_tokens
+        FROM documents
     """,
     "doc_mentions": f"""
         {_TOK_CTE}

@@ -151,47 +151,51 @@ def _jaccard_from_inter(
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def _bucket_pairs_fn(id_col: str, max_bucket: int):
-    """Per-shingle-bucket pair expansion; buckets over ``max_bucket``
-    are dropped (stop-shingle guard, standard practice — a hot
-    boilerplate shingle would otherwise expand quadratically)."""
-
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group[id_col].to_numpy())
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return pd.DataFrame({"a": [], "b": []})
-        a = np.repeat(ids, len(ids))
-        b = np.tile(ids, len(ids))
-        keep = a < b
-        return pd.DataFrame({"a": a[keep], "b": b[keep]})
-
-    return bucket_pairs
-
-
 def ngram_jaccard_pairs(
     ds: "rd.Dataset",
     text_col: str,
     id_col: str,
     n: int = 5,
     threshold: float = 0.5,
+    max_bucket: int = 1000,
 ) -> pd.DataFrame:
     """Exact n-gram-Jaccard similarity join: pairs (a < b, jaccard >= t).
 
-    Plan: explode distinct shingles -> co-shingle pair counts
-    (groupby(shingle) bucket join -> groupby(pair).count) -> bucketed
-    join against per-doc shingle counts -> jaccard.  Shingles are
-    selective, so the bucket fan-out stays near-linear; a hot shingle
-    (boilerplate) is the skew case — bounded by dropping buckets over
-    1000 docs (stop-shingle guard)."""
+    Plan: explode distinct shingles -> drop hot shingles (bucket size >
+    ``max_bucket``: boilerplate; the stop-shingle guard that bounds the
+    quadratic fan-out) -> co-shingle pairs through the vectorized
+    grouped exchange -> pair counts -> bucketed join against per-doc
+    shingle counts -> jaccard.  No per-group Python calls and nothing
+    corpus-sized on the driver (the hot-shingle list is tiny by
+    definition)."""
+    from .shuffle import grouped_pairs
+
     sh = shingle_table(ds, text_col, id_col, n).materialize()
     sizes = sh.groupby(id_col).aggregate(Count(alias_name="n_sh"))
+    sh_counts = sh.groupby("shingle").aggregate(Count(alias_name="n_docs"))
+    def hot_filter(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "shingle" not in b.column_names:
+            return pa.table({"shingle": pa.array([], pa.string())})
+        return b.filter(pc.greater(b["n_docs"], max_bucket)).select(["shingle"])
+
+    hot_df = sh_counts.map_batches(hot_filter, batch_format="pyarrow").to_pandas()
+    # Ray to_pandas drops schema on all-empty datasets
+    hot = hot_df["shingle"].to_numpy() if "shingle" in hot_df.columns else np.zeros(0, object)
+    if len(hot):
+        hot_ref = ray.put(np.sort(hot))
+
+        def drop_hot(batch: pa.Table) -> pa.Table:
+            s = batch["shingle"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(~np.isin(s, ray.get(hot_ref))))
+
+        sh_cold = sh.map_batches(drop_hot, batch_format="pyarrow").materialize()
+    else:
+        sh_cold = sh
     inter = (
-        sh.groupby("shingle")
-        .map_groups(_bucket_pairs_fn(id_col, 1000), batch_format="pandas")
+        grouped_pairs(sh_cold, "shingle", id_col, mode="lt")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="inter"))
-    )
-    inter = inter.materialize()
+    ).materialize()
     if inter.count() == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
     return _jaccard_from_inter(inter, sizes.materialize(), id_col, threshold)

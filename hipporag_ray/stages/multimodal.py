@@ -112,6 +112,112 @@ class ResizeImage:
         return out
 
 
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+        ("n_frames", pa.int32()),
+        ("fps", pa.int32()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+
+def make_fake_video(n: int, seed: int = 5) -> pa.Table:
+    """Deterministic synthetic video table (payload = opaque bytes,
+    frame count in metadata)."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.bytes(int(rng.integers(256, 8192))) for _ in range(n)]
+    frames = rng.integers(8, 240, n).astype(np.int32)
+    return pa.table(
+        {
+            "media_id": pa.array([f"v{i:06d}" for i in range(n)]),
+            "mime": pa.array(["video/mp4"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "n_frames": pa.array(frames),
+            "fps": pa.array(np.full(n, 24, np.int32)),
+            "width": pa.array(rng.integers(16, 128, n).astype(np.int32)),
+            "height": pa.array(rng.integers(16, 128, n).astype(np.int32)),
+        }
+    )
+
+
+class SampleFrames:
+    """Actor-pool stage: video payload -> sampled frame feature rows
+    (flat output: one row per sampled frame).
+
+    Sampling policy is uniform ``max_frames`` indices over
+    ``[0, n_frames)`` — the standard training-data frame-sample shape.
+    Real frame extraction needs ffmpeg (absent here); with
+    ``fake=True`` each (payload, frame_idx) yields a deterministic
+    pseudo-frame (hash-seeded), so downstream stages (per-frame phash,
+    near-dup, feature pooling) run for real.  Payload bytes are dropped
+    from the output — frame rows carry only features + metadata, which
+    is what keeps the blow-up (rows x max_frames) streamable.
+    """
+
+    def __init__(self, max_frames: int = 8, feature_dim: int = 16, fake: bool = False):
+        self.max_frames = max_frames
+        self.feature_dim = feature_dim
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "frame extraction requires ffmpeg, not present in this "
+                "environment; construct SampleFrames(fake=True) for the "
+                "deterministic test decoder"
+            )
+        payloads = batch["payload"].to_pylist()
+        nf = batch["n_frames"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mids = batch["media_id"].to_numpy(zero_copy_only=False)
+        out_mid: list = []
+        out_idx: list[int] = []
+        out_feat: list[np.ndarray] = []
+        out_phash: list[int] = []
+        for i, p in enumerate(payloads):
+            k = int(min(self.max_frames, nf[i]))
+            if k == 0:
+                continue
+            idxs = np.unique((np.arange(k) * nf[i]) // k)
+            digest = hashlib.md5(p).digest()
+            base = int.from_bytes(digest[:8], "little")
+            for fi in idxs:
+                rng = np.random.default_rng((base + int(fi)) & 0xFFFFFFFFFFFFFFFF)
+                out_mid.append(mids[i])
+                out_idx.append(int(fi))
+                out_feat.append(rng.standard_normal(self.feature_dim).astype(np.float32))
+                out_phash.append(int(rng.integers(-(2**62), 2**62)))
+        return pa.table(
+            {
+                "media_id": pa.array(out_mid, pa.string()),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "phash": pa.array(out_phash, pa.int64()),
+                "features": pa.array(out_feat, type=pa.list_(pa.float32())),
+            }
+        )
+
+
+def frame_sample_pipeline(
+    videos: "rd.Dataset",
+    max_frames: int = 8,
+    batch_size: int = 64,
+    concurrency=None,
+    fake: bool = True,
+) -> "rd.Dataset":
+    """video table -> per-frame feature rows (actor pool, small batches
+    because payloads dominate block size)."""
+    return videos.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"max_frames": max_frames, "fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or pool_size(),
+    )
+
+
 def decode_pipeline(
     media: "rd.Dataset", batch_size: int = 128, concurrency=None, fake: bool = True
 ) -> "rd.Dataset":

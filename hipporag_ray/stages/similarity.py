@@ -10,6 +10,12 @@ final (tiny) reduction — the two-level topk of embed_utils.py:55-75.
 ``lsh_ann_topk`` is the scale path: seeded random-hyperplane buckets
 prune the candidate set before the exact kernel; recall < 1 by design
 (approximate), rerank is exact cosine.
+
+``ivf_ann_topk`` is the second scale path (IVF): a deterministic
+coarse quantizer (k-means-style centroids trained on a seeded sample
+with fixed Lloyd iterations) partitions the keys into cells; each
+query scores only its ``n_probe`` nearest cells, exact cosine rerank
+within them.
 """
 
 from __future__ import annotations
@@ -69,6 +75,97 @@ def knn_topk(
     if exclude_ids:
         partial = partial[~partial[id_col].isin(excl)]
     # final top-k merge (small: tiles x k rows)
+    partial = partial.sort_values(
+        ["query_idx", "score", id_col], ascending=[True, False, True]
+    )
+    return partial.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+
+
+def train_ivf_centroids(
+    ds: "rd.Dataset",
+    n_centroids: int = 16,
+    emb_col: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 5,
+    seed: int = 11,
+) -> np.ndarray:
+    """Deterministic coarse quantizer: seeded sample (first blocks up
+    to ``sample_rows``) + fixed-iteration Lloyd k-means on normalized
+    vectors.  Centroid training is sample-sized, never corpus-sized."""
+    sample = ds.limit(sample_rows).to_pandas()
+    m = _norm_rows(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(m))
+    cents = m[rng.choice(len(m), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(k):
+            rows = m[assign == c]
+            if len(rows):
+                cents[c] = rows.mean(axis=0)
+        cents = _norm_rows(cents)
+    return cents
+
+
+def ivf_ann_topk(
+    ds: "rd.Dataset",
+    query_vecs: np.ndarray,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+    exclude_ids: set | None = None,
+    centroids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """IVF approximate top-k: keys are assigned to their nearest
+    centroid cell inside each tile (broadcast centroid matrix); a query
+    scores only rows whose cell is among its ``n_probe`` closest cells
+    — exact cosine within the probed cells, two-level top-k merge."""
+    q = _norm_rows(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            ds, n_centroids=n_centroids, emb_col=emb_col, seed=seed
+        )
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]  # (Q, P)
+    state_ref = ray.put((q, centroids, probe))
+    excl = exclude_ids or set()
+
+    def tile(batch: pa.Table) -> pa.Table:
+        qm, cents, prb = ray.get(state_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _norm_rows(
+            np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        cell = np.argmax(m @ cents.T, axis=1)  # (B,)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(cell, prb[qi])
+            if not mask.any():
+                continue
+            sims = qm[qi] @ m[mask].T
+            sub_ids = ids[mask]
+            kk = min(k + len(excl), len(sub_ids))
+            idx = (
+                np.argpartition(-sims, kk - 1)[:kk]
+                if kk < len(sub_ids)
+                else np.arange(len(sub_ids))
+            )
+            out_q.extend([qi] * len(idx))
+            out_id.extend(sub_ids[idx])
+            out_s.extend(sims[idx])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id, type=batch[id_col].type),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partial = ds.map_batches(tile, batch_format="pyarrow").to_pandas()
+    if exclude_ids:
+        partial = partial[~partial[id_col].isin(excl)]
     partial = partial.sort_values(
         ["query_idx", "score", id_col], ascending=[True, False, True]
     )

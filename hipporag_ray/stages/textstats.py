@@ -50,6 +50,28 @@ def token_count(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | non-alnum-non-space
+# runs — the coarse GPT-style split (without byte fallback), chosen so
+# the exact same RE2 pattern runs in pyarrow AND the DuckDB oracle
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def token_count_bpe(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
+    """(id, n_bpe_tokens): BPE-ish token counts over lowercased raw
+    text (NOT text_processing-normalized — punctuation runs count, as a
+    real tokenizer would see them).  One `count_substring_regex` kernel
+    per batch, zero Python per row."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch[text_col])
+        n = pc.count_substring_regex(low, _BPE_PATTERN)
+        return pa.table(
+            {id_col: batch[id_col], "n_bpe_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def quality_score(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
     """(id, n_chars, n_tokens, avg_token_len, stopword_ratio,
     alnum_ratio): cheap quality heuristics (length / punctuation /

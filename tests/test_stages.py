@@ -170,3 +170,51 @@ def test_recall_and_qa_scores():
     s = evalops.qa_scores(qa)
     assert s["em"] == pytest.approx(0.5)
     assert 0.0 < s["f1"] < 1.0
+
+
+def test_ivf_ann():
+    """IVF probed-cell search: self-hit with full probing; clustered
+    data recall; deterministic centroids."""
+    rng = np.random.default_rng(4)
+    centers = rng.standard_normal((4, 16)) * 5
+    mat = np.concatenate([c + rng.standard_normal((50, 16)) * 0.3 for c in centers])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(mat)), type=pa.int64()),
+                "embedding": pa.array(list(mat.astype(np.float32)), type=pa.list_(pa.float32())),
+            }
+        )
+    ).materialize()
+    q = mat[7]
+    got = sim.ivf_ann_topk(ds, q[None, :], k=5, n_centroids=4, n_probe=4)
+    assert got["vec_id"].iloc[0] == 7  # full probe -> self is nearest
+    # with 1 probe on well-separated clusters, results == exact top-k
+    exact = sim.knn_topk(ds, q[None, :], k=5)
+    one = sim.ivf_ann_topk(ds, q[None, :], k=5, n_centroids=4, n_probe=1)
+    assert one["vec_id"].tolist() == exact["vec_id"].tolist()
+    # deterministic across calls
+    again = sim.ivf_ann_topk(ds, q[None, :], k=5, n_centroids=4, n_probe=1)
+    assert again["vec_id"].tolist() == one["vec_id"].tolist()
+
+
+def test_frame_sampling_plumbing():
+    from hipporag_ray.stages.multimodal import SampleFrames, frame_sample_pipeline, make_fake_video
+
+    videos = rd.from_arrow(make_fake_video(30))
+    frames = frame_sample_pipeline(videos, max_frames=4, fake=True).to_pandas()
+    # <= max_frames rows per video, valid frame indices
+    per = frames.groupby("media_id").size()
+    assert per.max() <= 4 and per.min() >= 1
+    meta = make_fake_video(30).to_pandas().set_index("media_id")["n_frames"]
+    for mid, g in frames.groupby("media_id"):
+        assert g["frame_idx"].max() < meta[mid]
+        assert g["frame_idx"].is_unique
+    # deterministic
+    again = frame_sample_pipeline(rd.from_arrow(make_fake_video(30)), max_frames=4, fake=True).to_pandas()
+    a = frames.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    b = again.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert a["phash"].tolist() == b["phash"].tolist()
+    # real codec is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        SampleFrames(fake=False)(make_fake_video(2))
