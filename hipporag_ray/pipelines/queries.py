@@ -517,34 +517,57 @@ def q_doc_merge_by_first_token(sf_dir: str):
 
 def q_events_asof_join(sf_dir: str):
     """As-of join: for each purchase, the latest signup of the same
-    user at or before it (pd.merge_asof per user group; ties on ts
-    break to the larger event_id)."""
+    user at or before it (ties on ts break to the larger event_id).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        p = g[g["event_type"] == "purchase"]
-        s = g[g["event_type"] == "signup"]
-        if p.empty or s.empty:
-            return pd.DataFrame({"event_id": [], "signup_event_id": []})
-        out = pd.merge_asof(
-            p[["ts", "event_id"]],
-            s[["ts", "event_id"]].rename(columns={"event_id": "signup_event_id"}),
-            on="ts",
-            direction="backward",
-        ).dropna()
-        return pd.DataFrame(
+    Physical plan: hash-exchange by user (every user's rows in one
+    block), then ONE vectorized ``pd.merge_asof(by="user_id")`` per
+    partition — no per-group Python dispatch."""
+    from ..stages.shuffle import hash_partition
+
+    ev = _events(sf_dir).map_batches(
+        lambda b: pa.table(
             {
-                "event_id": out["event_id"].astype("int64"),
-                "signup_event_id": out["signup_event_id"].astype("int64"),
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    parts = hash_partition(ev.materialize(), "user_id")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "signup_event_id": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return empty
+        df = batch.to_pandas().sort_values(["ts", "event_id"], kind="stable")
+        p = df[df["event_type"] == "purchase"][["user_id", "ts", "event_id"]]
+        s = df[df["event_type"] == "signup"][["user_id", "ts", "event_id"]].rename(
+            columns={"event_id": "signup_event_id"}
+        )
+        if p.empty or s.empty:
+            return empty
+        # rows are ts-sorted; with duplicate ts the LAST match wins =
+        # largest event_id (the deterministic tie-break)
+        out = pd.merge_asof(
+            p, s, on="ts", by="user_id", direction="backward"
+        ).dropna(subset=["signup_event_id"])
+        return pa.table(
+            {
+                "event_id": pa.array(out["event_id"].to_numpy(np.int64)),
+                "signup_event_id": pa.array(
+                    out["signup_event_id"].to_numpy(np.int64)
+                ),
             }
         )
 
-    out = (
-        _events(sf_dir)
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
-        .to_pandas()
-    )
+    out = parts.map_batches(kernel, batch_format="pyarrow", batch_size=None).to_pandas()
     if out.empty:
         out = pd.DataFrame(
             {
@@ -557,19 +580,38 @@ def q_events_asof_join(sf_dir: str):
 
 def q_events_sessions(sf_dir: str):
     """Sessionization (gap > 30 min starts a new session) — the
-    streaming-shaped window pattern: partition by key, sort by ts
-    within the group, scan."""
+    streaming-shaped window pattern as an exchange + one vectorized
+    scan per partition: sort by (user, ts), flag session starts
+    (user boundary or gap), segment-sum per user."""
+    from ..stages.shuffle import hash_partition
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().to_numpy()
-        gaps = np.diff(ts) > np.timedelta64(30, "m")
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]}
+    ev = _events(sf_dir).select_columns(["user_id", "ts"])
+    parts = hash_partition(ev.materialize(), "user_id")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "n_sessions": pa.array([], pa.int64())}
+            )
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        gap = np.concatenate(
+            [[True], (ts[1:] - ts[:-1]) > np.timedelta64(30, "m")]
+        )
+        start = (new_user | gap).astype(np.int64)
+        ustarts = np.nonzero(new_user)[0]
+        n_sessions = np.add.reduceat(start, ustarts)
+        return pa.table(
+            {
+                "user_id": pa.array(u[ustarts]),
+                "n_sessions": pa.array(n_sessions, type=pa.int64()),
+            }
         )
 
-    return (
-        _events(sf_dir).groupby("user_id").map_groups(per_user, batch_format="pandas")
-    )
+    return parts.map_batches(kernel, batch_format="pyarrow", batch_size=None)
 
 
 def q_events_user_value_salted(sf_dir: str):

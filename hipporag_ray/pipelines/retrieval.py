@@ -10,21 +10,27 @@ flow tests_openai.py:28-103):
   OpenIE triple extraction is replaced by the deterministic
   co-occurrence extractor; its embedding models by the seeded
   HashEmbedder.
-* ``retrieve(queries)`` — entity linking via the dense top-k
-  similarity join (J1, embed_utils.py:6-94), per-phrase weights damped
-  by 1/|chunks(entity)| (HippoRAG.py:1463-1464, A5), DPR passage
-  weights scaled by ``passage_node_weight`` 0.05
-  (HippoRAG.py:1488-1498), reset = phrase + passage weights
-  (HippoRAG.py:1501), batched PPR (damping 0.5, prpack semantics,
-  HippoRAG.py:1593-1606), passages ranked by PPR score (K3), top-k
-  content lookup last (J2, HippoRAG.py:428-430).  All queries run as
-  ONE batched PPR — the reference loops queries sequentially
-  (HippoRAG.py:409); we must not (SURVEY.md §7.4).
+* ``retrieve(queries)`` — fact-based linking by default: queries score
+  the fact embeddings (get_fact_scores, HippoRAG.py:1290-1328, min-max
+  normalized), the top ``link_top_k`` facts map to their
+  subject/object phrases with 1/|chunks(entity)| damping and per-phrase
+  mean (HippoRAG.py:1446-1481, A5), DPR passage weights scaled by
+  ``passage_node_weight`` 0.05 (HippoRAG.py:1488-1498), reset = phrase
+  + passage weights (HippoRAG.py:1501), batched PPR (damping 0.5,
+  prpack semantics, HippoRAG.py:1593-1606), passages ranked by PPR
+  score (K3), top-k content lookup last (J2, HippoRAG.py:428-430).
+  Queries with no usable fact links fall back to pure DPR
+  (HippoRAG.py:417-419); ``dpr_retrieve`` is the StandardRAG.py
+  baseline; ``facts=False`` selects direct entity linking.  All
+  queries run as ONE batched PPR — the reference loops queries
+  sequentially (HippoRAG.py:409); we must not (SURVEY.md §7.4).
 * ``delete(texts)`` — group-wise anti-join semantics
-  (HippoRAG.py:280-361): an entity (and its edges) survives iff some
-  surviving chunk references it; realized here by store deletion +
-  graph rebuild from the surviving corpus, which is exactly that
-  fixpoint.
+  (HippoRAG.py:280-361): an entity/fact survives iff some surviving
+  chunk references it.  Default path is *incremental*: the deleted
+  chunks' edge partials are subtracted through the int-key exchange
+  (graph_build.delete_chunks_from_graph) and fact/corpus/store parts
+  are rewritten by per-part Ray tasks; the rebuild path remains for
+  synonymy mode (verified equal in tests).
 
 Persistence layout under ``working_dir``: ``corpus/`` (turn parquet
 parts), ``vdb_chunk/`` / ``vdb_entity/`` (embedding stores),
@@ -53,6 +59,45 @@ from ..stages.extract import ExtractMentions
 from ..stages.graph_build import build_graph, load_graph
 from ..state.csr import ShardedGraph
 from ..state.embedding_store import EmbeddingStore, HashEmbedder
+
+
+@ray.remote
+def _drop_turns_in_part(path: str, del_arr) -> int:
+    """Drop turns whose text hash is deleted (atomic rewrite) — one
+    task per corpus part (Ray dereferences the broadcast ref arg)."""
+    t = pq.read_table(path)
+    keys = md5_hex(t["text"], prefix="chunk-").to_numpy(zero_copy_only=False)
+    mask = ~np.isin(keys, del_arr)
+    if mask.all():
+        return 0
+    tmp = path + ".tmp"
+    pq.write_table(t.filter(pa.array(mask)), tmp)
+    os.replace(tmp, path)
+    return int((~mask).sum())
+
+
+@ray.remote
+def _drop_fact_rows_in_part(path: str, del_arr) -> list[str]:
+    """Drop (fact, chunk) rows of deleted chunks; returns the dropped
+    fact keys — one task per fact-table part."""
+    t = pq.read_table(path)
+    ck = t["chunk_key"].to_numpy(zero_copy_only=False)
+    mask = ~np.isin(ck, del_arr)
+    if mask.all():
+        return []
+    dropped = t["fact_key"].filter(pa.array(~mask)).to_pylist()
+    tmp = path + ".tmp"
+    pq.write_table(t.filter(pa.array(mask)), tmp)
+    os.replace(tmp, path)
+    return dropped
+
+
+@ray.remote
+def _surviving_fact_keys_in_part(path: str, probe_arr) -> list[str]:
+    fk = pq.read_table(path, columns=["fact_key"])["fact_key"].to_numpy(
+        zero_copy_only=False
+    )
+    return fk[np.isin(fk, probe_arr)].tolist()
 
 
 class HippoRagEngine:
@@ -370,15 +415,9 @@ class HippoRagEngine:
             md5_hex(np.array(texts, dtype=object), prefix="chunk-").to_pylist()
         )
         del_arr = np.sort(np.array(sorted(del_chunk_ids), dtype=object))
-        # drop matching turns from the corpus part files
-        for p in self._corpus_parts():
-            t = pq.read_table(p)
-            keys = md5_hex(t["text"], prefix="chunk-").to_numpy(zero_copy_only=False)
-            mask = ~np.isin(keys, del_arr)
-            if not mask.all():
-                tmp = p + ".tmp"
-                pq.write_table(t.filter(pa.array(mask)), tmp)
-                os.replace(tmp, p)
+        # drop matching turns from the corpus part files (one task each)
+        del_ref = ray.put(del_arr)
+        ray.get([_drop_turns_in_part.remote(p, del_ref) for p in self._corpus_parts()])
         self.chunk_store.delete(del_chunk_ids)
 
         if incremental and os.path.exists(os.path.join(self.graph_dir, "manifest.json")):
@@ -419,29 +458,23 @@ class HippoRagEngine:
     def _delete_facts_for(self, del_chunk_arr: np.ndarray) -> None:
         """Drop (fact, chunk) rows of deleted chunks from the fact
         table; facts left with no surviving source chunk are removed
-        from the fact store (the delete fixpoint at fact granularity)."""
-        dropped_keys: set[str] = set()
-        for p in self._fact_parts():
-            t = pq.read_table(p)
-            ck = t["chunk_key"].to_numpy(zero_copy_only=False)
-            mask = ~np.isin(ck, del_chunk_arr)
-            if mask.all():
-                continue
-            dropped_keys.update(
-                t["fact_key"].filter(pa.array(~mask)).to_pylist()
-            )
-            tmp = p + ".tmp"
-            pq.write_table(t.filter(pa.array(mask)), tmp)
-            os.replace(tmp, p)
+        from the fact store (the delete fixpoint at fact granularity).
+        One task per part file for both passes."""
+        del_ref = ray.put(del_chunk_arr)
+        dropped_lists = ray.get(
+            [_drop_fact_rows_in_part.remote(p, del_ref) for p in self._fact_parts()]
+        )
+        dropped_keys: set[str] = set().union(*dropped_lists) if dropped_lists else set()
         if not dropped_keys:
             return
-        surviving: set[str] = set()
-        drop_arr = np.array(sorted(dropped_keys), dtype=object)
-        for p in self._fact_parts():
-            fk = pq.read_table(p, columns=["fact_key"])["fact_key"].to_numpy(
-                zero_copy_only=False
-            )
-            surviving.update(fk[np.isin(fk, drop_arr)].tolist())
+        probe_ref = ray.put(np.array(sorted(dropped_keys), dtype=object))
+        surv_lists = ray.get(
+            [
+                _surviving_fact_keys_in_part.remote(p, probe_ref)
+                for p in self._fact_parts()
+            ]
+        )
+        surviving: set[str] = set().union(*surv_lists) if surv_lists else set()
         stale = dropped_keys - surviving
         if stale:
             self.fact_store.delete(stale)

@@ -389,6 +389,42 @@ def grouped_pairs(
     return rd.from_arrow_refs(outs)
 
 
+@ray.remote
+def _concat_reduce(*shards) -> pa.Table:
+    shards = [s[0] if isinstance(s, tuple) and len(s) == 1 else s for s in shards]
+    shards = [s for s in shards if s.num_rows]
+    if not shards:
+        return _EMPTY_SENTINEL
+    return pa.concat_tables(shards).combine_chunks()
+
+
+def hash_partition(
+    ds: "rd.Dataset", key_col: str, num_partitions: int | None = None
+) -> "rd.Dataset":
+    """Hash-exchange rows by ``key_col`` so every key's rows land in ONE
+    output block — the layout guarantee that lets a downstream
+    ``map_batches(..., batch_size=None)`` run key-complete vectorized
+    kernels (sessionization, as-of joins) without per-group Python
+    dispatch."""
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    if num_partitions is None:
+        num_partitions = _auto_partitions(ds, refs)
+    k = num_partitions
+    splits = []
+    for r in refs:
+        if k > 1:
+            splits.append(_plain_split.options(num_returns=k).remote(r, key_col, k))
+        else:
+            splits.append([_plain_split.remote(r, key_col, k)])
+    outs = [
+        _concat_reduce.remote(*[splits[i][t] for i in range(len(refs))])
+        for t in range(k)
+    ]
+    return rd.from_arrow_refs(outs)
+
+
 def int_key_sum(
     ds: "rd.Dataset",
     key_col: str,

@@ -34,6 +34,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import ray as _ray
 import ray.data as rd
 
 from ..functions.hashing import md5_hex, stable_hash64
@@ -104,6 +105,25 @@ class CharFreqEmbedder:
         return batch.append_column(
             "embedding", pa.array(list(emb), type=pa.list_(pa.float32()))
         )
+
+
+def _delete_rows_in_file(path: str, key_col: str, del_arr: np.ndarray) -> int:
+    """Drop rows whose ``key_col`` is in ``del_arr`` (atomic rewrite);
+    returns the number removed.  Shared per-part delete kernel."""
+    t = pq.read_table(path)
+    keys = t[key_col].to_numpy(zero_copy_only=False)
+    mask = ~np.isin(keys, del_arr)
+    if mask.all():
+        return 0
+    tmp = path + ".tmp"
+    pq.write_table(t.filter(pa.array(mask)), tmp)
+    os.replace(tmp, path)
+    return int((~mask).sum())
+
+
+@_ray.remote
+def _delete_from_part(path: str, del_arr) -> int:
+    return _delete_rows_in_file(path, "hash_id", del_arr)
 
 
 class EmbeddingStore:
@@ -219,18 +239,11 @@ class EmbeddingStore:
         return n_new
 
     def delete(self, hash_ids: set[str]) -> int:
-        """Remove rows by key (rewrites only the part files that contain
-        them — the per-partition analog of embedding_store delete)."""
-        removed = 0
-        del_arr = np.array(sorted(hash_ids), dtype=object)
-        for p in self._parts():
-            t = pq.read_table(p)
-            keys = t["hash_id"].to_numpy(zero_copy_only=False)
-            mask = ~np.isin(keys, del_arr)
-            if mask.all():
-                continue
-            removed += int((~mask).sum())
-            tmp = p + ".tmp"
-            pq.write_table(t.filter(pa.array(mask)), tmp)
-            os.replace(tmp, p)
-        return removed
+        """Remove rows by key — one Ray task per part file (rewrites
+        only parts that contain deleted keys, atomically)."""
+        import ray
+
+        del_ref = ray.put(np.array(sorted(hash_ids), dtype=object))
+        return int(
+            sum(ray.get([_delete_from_part.remote(p, del_ref) for p in self._parts()]))
+        )
