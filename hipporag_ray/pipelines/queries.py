@@ -614,6 +614,44 @@ def q_events_sessions(sf_dir: str):
     return parts.map_batches(kernel, batch_format="pyarrow", batch_size=None)
 
 
+def q_events_range_join(sf_dir: str):
+    """Range (band) join: purchases within 1 hour at-or-after a signup
+    by the same user — the bucketed band-join shape: hash exchange on
+    the equi key (user), then one vectorized within-partition merge +
+    interval filter (fan-out bounded by per-user event counts)."""
+    from ..stages.shuffle import hash_partition
+
+    ev = _events(sf_dir).select_columns(["user_id", "event_type", "ts", "event_id"])
+    parts = hash_partition(ev.materialize(), "user_id")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "signup_event_id": pa.array([], pa.int64()),
+                "purchase_event_id": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return empty
+        df = batch.to_pandas()
+        s = df[df["event_type"] == "signup"][["user_id", "ts", "event_id"]]
+        p = df[df["event_type"] == "purchase"][["user_id", "ts", "event_id"]]
+        if s.empty or p.empty:
+            return empty
+        m = s.merge(p, on="user_id", suffixes=("_s", "_p"))
+        dt = m["ts_p"] - m["ts_s"]
+        keep = (dt >= pd.Timedelta(0)) & (dt < pd.Timedelta(hours=1))
+        m = m[keep]
+        return pa.table(
+            {
+                "signup_event_id": pa.array(m["event_id_s"].to_numpy(np.int64)),
+                "purchase_event_id": pa.array(m["event_id_p"].to_numpy(np.int64)),
+            }
+        )
+
+    return parts.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+
+
 def q_events_user_value_salted(sf_dir: str):
     """Two-phase salted groupby-sum (stages/agg.py) over a vertex-like
     key — the explicit hot-key aggregation pattern."""
@@ -974,6 +1012,7 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_merge_by_first_token": q_doc_merge_by_first_token,
     "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
     "events_sessions": q_events_sessions,
     "events_user_value_salted": q_events_user_value_salted,
     "events_by_type": q_events_by_type,
@@ -1263,6 +1302,13 @@ ORACLE_SQL = {
         WHERE p.event_type = 'purchase'
         QUALIFY row_number() OVER (
             PARTITION BY p.event_id ORDER BY s.ts DESC, s.event_id DESC) = 1
+    """,
+    "events_range_join": """
+        SELECT s.event_id AS signup_event_id, p.event_id AS purchase_event_id
+        FROM events s JOIN events p
+          ON s.user_id = p.user_id
+         AND s.event_type = 'signup' AND p.event_type = 'purchase'
+         AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
     """,
     "events_sessions": """
         WITH x AS (

@@ -868,20 +868,17 @@ class HippoRagEngine:
                 batch["n_chunks"].to_numpy(zero_copy_only=False).astype(np.float64), nan=1.0
             )
             sims = qm @ m.T  # (B, rows)
-            k = min(self.link_top_k, sims.shape[1])
-            idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-            out_q, out_v, out_s, out_n = [], [], [], []
-            for qi in range(sims.shape[0]):
-                out_q.extend([qi] * k)
-                out_v.extend(vids[idx[qi]])
-                out_s.extend(sims[qi, idx[qi]])
-                out_n.extend(nch[idx[qi]])
+            kk = min(self.link_top_k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            nq = sims.shape[0]
+            flat = idx.reshape(-1)
+            rows = np.repeat(np.arange(nq), kk)
             return pa.table(
                 {
-                    "query_idx": pa.array(out_q, type=pa.int64()),
-                    "vid": pa.array(out_v, type=pa.int64()),
-                    "score": pa.array(out_s, type=pa.float64()),
-                    "n_chunks": pa.array(out_n, type=pa.float64()),
+                    "query_idx": pa.array(rows, type=pa.int64()),
+                    "vid": pa.array(vids[flat], type=pa.int64()),
+                    "score": pa.array(sims[rows, flat], type=pa.float64()),
+                    "n_chunks": pa.array(nch[flat], type=pa.float64()),
                 }
             )
 

@@ -58,16 +58,14 @@ def knn_topk(
         sims = qm @ m.T  # (Q, B)
         kk = min(k + len(excl), sims.shape[1])
         idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        out_q, out_id, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            out_q.extend([qi] * kk)
-            out_id.extend(ids[idx[qi]])
-            out_s.extend(sims[qi, idx[qi]])
+        nq = sims.shape[0]
+        flat = idx.reshape(-1)
+        rows = np.repeat(np.arange(nq), kk)
         return pa.table(
             {
-                "query_idx": pa.array(out_q, type=pa.int64()),
-                id_col: pa.array(out_id),
-                "score": pa.array(out_s, type=pa.float64()),
+                "query_idx": pa.array(rows, type=pa.int64()),
+                id_col: pa.array(ids[flat]),
+                "score": pa.array(sims[rows, flat], type=pa.float64()),
             }
         )
 

@@ -71,3 +71,23 @@ def test_hash_join_leftanti(ray_session):
     empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())})).materialize()
     out2 = hash_join(left, empty, "k", how="leftanti").to_pandas()
     assert sorted(out2["k"].tolist()) == [1, 2, 3, 4, 5]
+
+
+def test_hash_partition_key_complete(ray_session):
+    """Every key's rows land in exactly one output block."""
+    import ray
+
+    from hipporag_ray.stages.shuffle import hash_partition
+
+    rng = np.random.default_rng(8)
+    tbl = pa.table({"k": rng.integers(0, 40, 500), "v": np.arange(500)})
+    ds = rd.from_arrow(tbl).repartition(7).materialize()
+    out = hash_partition(ds, "k", num_partitions=5)
+    blocks = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    seen = {}
+    total = 0
+    for bi, b in enumerate(blocks):
+        total += b.num_rows
+        for k in set(b["k"].to_pylist()):
+            assert seen.setdefault(k, bi) == bi  # key in one block only
+    assert total == 500
