@@ -446,13 +446,27 @@ class HippoRagEngine:
             os.makedirs(self.fact_store.dir, exist_ok=True)
             stats = self._reindex()
         # entity rows whose every referencing chunk was deleted no longer
-        # appear in the graph; drop them from the store too
+        # appear in the graph; drop them from the store too.  Stale keys
+        # come from a distributed left anti join (stored keys vs live
+        # entity vertices) — only the stale set (delete-sized) reaches
+        # the driver.
+        from ..stages.shuffle import hash_join
+
         g = self.graph()
-        live = set(
-            g.vertices().to_pandas().query("kind == 'entity'")["node_key"]
+        stored = self.entity_store.dataset().map_batches(
+            lambda b: pa.table({"node_key": b["hash_id"]}), batch_format="pyarrow"
         )
-        stale = self.entity_store.existing_ids() - live
-        self.entity_store.delete(stale)
+        live = g.vertices().map_batches(
+            lambda b: pa.table({"node_key": b["node_key"]}).filter(
+                pc.equal(b["kind"], "entity")
+            ),
+            batch_format="pyarrow",
+        )
+        stale_df = hash_join(
+            stored.materialize(), live.materialize(), "node_key", how="leftanti"
+        ).to_pandas()
+        if not stale_df.empty and "node_key" in stale_df.columns:
+            self.entity_store.delete(set(stale_df["node_key"]))
         return stats
 
     def _delete_facts_for(self, del_chunk_arr: np.ndarray) -> None:

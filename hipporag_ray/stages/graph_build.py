@@ -822,6 +822,7 @@ def build_graph_incremental(
     out_dir: str,
     min_token_len: int = 3,
     edge_source: str = "cooccur",
+    broadcast_vertex_limit: int = 5_000_000,
 ) -> GraphTables:
     """Merge new turns into an existing graph without re-extracting the
     old corpus (the reference's incremental indexing: insert-time
@@ -902,16 +903,24 @@ def build_graph_incremental(
         _sh.rmtree(vdir, ignore_errors=True)
     vertices.write_parquet(vdir)
 
-    vmap = vertices.select_columns(["node_key", "vid"]).to_pandas().set_index("node_key")["vid"]
-    vmap_ref = ray.put(vmap)
-
     # --- new partials + re-encoded old edges, one merged sum ---
+    # vertex resolution: broadcast while the dictionary fits, bucketed
+    # hash-join path beyond the limit (same fallback as build_graph)
     n = int(n_vertices)
-    partials_new = chunks_new.map_batches(
-        ChunkToIntEdgePartials(vmap_ref, n, min_token_len, edge_source),
-        batch_format="pyarrow",
-        batch_size=2048,
-    )
+    if n <= broadcast_vertex_limit:
+        vmap = vertices.select_columns(["node_key", "vid"]).to_pandas().set_index(
+            "node_key"
+        )["vid"]
+        vmap_ref = ray.put(vmap)
+        partials_new = chunks_new.map_batches(
+            ChunkToIntEdgePartials(vmap_ref, n, min_token_len, edge_source),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
+    else:
+        partials_new = _partials_via_join(
+            chunks_new, vertices, n, min_token_len, edge_source
+        )
 
     def reencode(batch: pa.Table) -> pa.Table:
         src = batch["src"].to_numpy(zero_copy_only=False)

@@ -155,3 +155,33 @@ def test_join_path_matches_broadcast_path(ray_session, tmp_path):
         e2 = g2.edges().to_pandas().sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(e1, e2)
         assert g1.n_edges == g2.n_edges and g1.n_vertices == g2.n_vertices
+
+
+def test_incremental_join_path_matches_broadcast(ray_session, tmp_path):
+    """broadcast_vertex_limit=0 on the incremental build routes new
+    chunks through the bucketed-join vertex resolution — identical
+    result to the broadcast incremental path."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hipporag_ray.stages.graph_build import build_graph, build_graph_incremental, load_graph
+
+    old = ["alpha beta gamma", "beta gamma delta"]
+    new = ["gamma epsilon zeta", "alpha zeta eta", "beta gamma delta"]
+    for limit, tag in ((5_000_000, "b"), (0, "j")):
+        base = build_graph(rd.from_arrow(pa.table({"text": old})), str(tmp_path / f"base_{tag}"))
+        g = build_graph_incremental(
+            rd.from_arrow(pa.table({"text": new})),
+            base,
+            str(tmp_path / f"base_{tag}"),
+            broadcast_vertex_limit=limit,
+        )
+        if tag == "b":
+            want = (g.n_vertices, g.n_edges, g.edges().to_pandas())
+        else:
+            assert (g.n_vertices, g.n_edges) == want[:2]
+            cols = ["src", "dst", "etype"]
+            a = want[2].sort_values(cols).reset_index(drop=True)
+            b = g.edges().to_pandas().sort_values(cols).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b)
