@@ -6,7 +6,9 @@
     python -m hipporag_ray cc|lp       --graph GRAPH_DIR --out OUT_DIR
     python -m hipporag_ray triangles   --graph GRAPH_DIR
     python -m hipporag_ray index       --workdir DIR --input TX_DIR
-    python -m hipporag_ray retrieve    --workdir DIR --query "..." [--top-k 10]
+    python -m hipporag_ray retrieve    --workdir DIR --query "..." [--top-k 10] [--dpr]
+    python -m hipporag_ray delete      --workdir DIR --text "..." [--text ...]
+    python -m hipporag_ray triples     --input TX_DIR --out OUT_DIR
     python -m hipporag_ray synth       --out DIR --convs 100 --turns 10 --vocab 300
 
 Owns its Ray session (``--num-cpus``); algorithm outputs are written as
@@ -68,6 +70,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--min-token-len", type=int, default=3)
+    p.add_argument("--edge-source", choices=["cooccur", "triples"], default="cooccur")
+
+    p = sub.add_parser("triples")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--min-token-len", type=int, default=0)
 
     for name in ("pagerank", "cc", "lp", "triangles"):
         p = sub.add_parser(name)
@@ -89,6 +97,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--workdir", required=True)
     p.add_argument("--query", action="append", required=True)
     p.add_argument("--top-k", type=int, default=10)
+    p.add_argument("--dpr", action="store_true", help="DPR-only baseline (StandardRAG)")
+
+    p = sub.add_parser("delete")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--text", action="append", required=True)
 
     args = ap.parse_args(argv)
 
@@ -110,7 +123,10 @@ def main(argv: list[str] | None = None) -> int:
             from hipporag_ray.stages.graph_build import build_graph
 
             g = build_graph(
-                rd.read_parquet(args.input, columns=["text"]), args.out, args.min_token_len
+                rd.read_parquet(args.input, columns=["text"]),
+                args.out,
+                args.min_token_len,
+                edge_source=args.edge_source,
             )
             print(json.dumps({"n_vertices": g.n_vertices, "n_edges": g.n_edges, "out": args.out}))
             return 0
@@ -130,9 +146,33 @@ def main(argv: list[str] | None = None) -> int:
             from hipporag_ray.pipelines.retrieval import HippoRagEngine
 
             eng = HippoRagEngine(args.workdir)
-            results = eng.retrieve(args.query, top_k=args.top_k)
+            if args.dpr:
+                results = eng.dpr_retrieve(args.query, top_k=args.top_k)
+            else:
+                results = eng.retrieve(args.query, top_k=args.top_k)
             eng.close()
             print(json.dumps(results))
+            return 0
+
+        if args.cmd == "delete":
+            from hipporag_ray.pipelines.retrieval import HippoRagEngine
+
+            eng = HippoRagEngine(args.workdir)
+            stats = eng.delete(args.text)
+            eng.close()
+            print(json.dumps(stats))
+            return 0
+
+        if args.cmd == "triples":
+            import ray.data as rd
+
+            from hipporag_ray.stages.triples import extract_triples
+
+            ds = rd.read_parquet(args.input)
+            id_cols = [c for c in ("conv_id", "turn_idx") if c in ds.schema().names]
+            out = extract_triples(ds, id_cols, min_token_len=args.min_token_len)
+            out.write_parquet(args.out)
+            print(json.dumps({"out": args.out, "n_triples": out.count()}))
             return 0
 
         # graph algorithms
