@@ -42,33 +42,80 @@ from ..functions import pool_size
 from ..functions.text import text_processing
 
 
-class HashEmbedder:
-    """Deterministic per-token hash embedding, mean-pooled + L2-normalized.
+_SM1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM2 = np.uint64(0x94D049BB133111EB)
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
 
-    Stateful stage (T1 analog): the projection setup happens once per
-    actor in ``__init__``; ``__call__`` embeds a batch.  Synonymous
-    normalized strings embed identically, so synonymy-edge semantics
-    (HippoRAG.py:859-882) are exercised end-to-end.
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants)."""
+    with np.errstate(over="ignore"):
+        x = (x + _GOLD).astype(np.uint64)
+        x ^= x >> np.uint64(30)
+        x *= _SM1
+        x ^= x >> np.uint64(27)
+        x *= _SM2
+        x ^= x >> np.uint64(31)
+    return x
+
+
+class HashEmbedder:
+    """Deterministic per-token hash embedding, sum-pooled + L2-normalized.
+
+    Stateful stage (T1 analog): per-actor token-vector cache plays the
+    reference's EmbeddingCache role (embedding_model/base.py:222-248);
+    ``__call__`` embeds a batch.  Synonymous normalized strings embed
+    identically, so synonymy-edge semantics (HippoRAG.py:859-882) are
+    exercised end-to-end.
+
+    Token vectors are standard-normal-ish via a fully vectorized
+    hash -> splitmix64 -> Box-Muller kernel over the batch's *unique*
+    tokens — the per-token ``np.random.Generator`` construction this
+    replaces measured ~2k rows/s/core and was the indexing wall.
     """
 
     def __init__(self, dim: int = 64, seed: int = 17, text_col: str = "content"):
         self.dim = dim
-        self.seed = seed
+        self.seed = np.uint64(seed)
         self.text_col = text_col
+        self._cache: dict[str, np.ndarray] = {}
 
-    def _token_vec(self, tok: str) -> np.ndarray:
-        h = int(stable_hash64(np.array([tok], dtype=object))[0])
-        rng = np.random.default_rng((h ^ self.seed) & 0xFFFFFFFFFFFFFFFF)
-        return rng.standard_normal(self.dim)
+    def _token_vecs(self, tokens: np.ndarray) -> np.ndarray:
+        """(T, dim) deterministic Gaussian-ish vectors for unique tokens."""
+        h = stable_hash64(tokens) ^ self.seed  # (T,)
+        d = np.arange(self.dim, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            base = h[:, None] * _GOLD + d[None, :] * _SM1
+            z1 = _splitmix64(base)
+            z2 = _splitmix64(base ^ _SM2)
+        # 53-bit uniforms in (0, 1]; Box-Muller to normals
+        u1 = ((z1 >> np.uint64(11)).astype(np.float64) + 1.0) / 2.0**53
+        u2 = (z2 >> np.uint64(11)).astype(np.float64) / 2.0**53
+        # float32 token vectors: halves the per-batch gather volume and
+        # matches the stored embedding dtype
+        return (np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)).astype(
+            np.float32
+        )
 
     def embed(self, texts) -> np.ndarray:
-        out = np.zeros((len(texts), self.dim), dtype=np.float32)
-        for i, t in enumerate(texts):
-            toks = t.split() or [t]
-            v = np.sum([self._token_vec(tok) for tok in toks], axis=0)
-            n = np.linalg.norm(v)
-            out[i] = (v / n if n > 0 else v).astype(np.float32)
-        return out
+        rows = [(t.split() or [t]) for t in texts]
+        counts = np.array([len(r) for r in rows], dtype=np.int64)
+        flat = np.array([tok for r in rows for tok in r], dtype=object)
+        if len(flat) == 0:
+            return np.zeros((len(texts), self.dim), dtype=np.float32)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        missing = [t for t in uniq if t not in self._cache]
+        if missing:
+            vecs = self._token_vecs(np.array(missing, dtype=object))
+            for t, v in zip(missing, vecs):
+                self._cache[t] = v
+        if len(self._cache) > 2_000_000:  # bound actor memory
+            self._cache.clear()
+        mat = np.stack([self._cache[t] for t in uniq])  # (U, dim) float32
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        sums = np.add.reduceat(mat[inv], offsets, axis=0, dtype=np.float64)
+        norms = np.linalg.norm(sums, axis=1, keepdims=True)
+        return (sums / np.maximum(norms, 1e-300)).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = text_processing(batch[self.text_col]).to_pylist()
