@@ -30,7 +30,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 
 def _canon(batch: pa.Table) -> pa.Table:
@@ -67,12 +67,42 @@ def triangle_count(
       codes, aggregate per-vertex counts through the int-key shuffle.
       No edge-set materialization on the driver.
     """
+    # distinct canonical pairs through the int-key exchange (code =
+    # a*n + b) — Dataset.groupby on the pair columns measured ~10x
+    # slower on the transcript graph
+    from ..stages.shuffle import int_key_sum
+
+    n0 = n_vertices
+
+    def to_codes(batch: pa.Table) -> pa.Table:
+        t = _canon(batch)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "code": pa.array(a * n0 + b, type=pa.int64()),
+                "one": pa.array(np.ones(len(a), np.float64)),
+            }
+        )
+
+    def from_codes(batch: pa.Table) -> pa.Table:
+        code = batch["code"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(code // n0, type=pa.int64()),
+                "b": pa.array(code % n0, type=pa.int64()),
+            }
+        )
+
     distinct = (
-        edges.map_batches(_canon, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["a", "b"])
-    ).materialize()
+        int_key_sum(
+            edges.map_batches(to_codes, batch_format="pyarrow").materialize(),
+            "code",
+            "one",
+        )
+        .map_batches(from_codes, batch_format="pyarrow")
+        .materialize()
+    )
     m = distinct.count()
     if m == 0:
         return 0, np.zeros(n_vertices, dtype=np.int64)
