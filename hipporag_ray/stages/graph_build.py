@@ -665,6 +665,10 @@ def delete_chunks_from_graph(
     from .shuffle import int_key_sum, range_sort
 
     os.makedirs(out_dir, exist_ok=True)
+    # the graph's manifest records how its fact edges were produced —
+    # incremental math must match it regardless of the caller's config
+    with open(os.path.join(graph.out_dir, "manifest.json")) as _f:
+        edge_source = json.load(_f).get("edge_source", edge_source)
     old_vertices = graph.vertices().materialize()
     n = int(graph.n_vertices)
 
@@ -845,6 +849,10 @@ def build_graph_incremental(
     from .shuffle import hash_distinct, int_key_sum, range_sort
 
     os.makedirs(out_dir, exist_ok=True)
+    # the graph's manifest records how its fact edges were produced —
+    # incremental math must match it regardless of the caller's config
+    with open(os.path.join(graph.out_dir, "manifest.json")) as _f:
+        edge_source = json.load(_f).get("edge_source", edge_source)
     old_vertices = graph.vertices().materialize()
     old_keys = np.sort(
         old_vertices.select_columns(["node_key"]).to_pandas()["node_key"].to_numpy()

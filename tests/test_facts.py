@@ -179,3 +179,43 @@ def test_engine_fact_insert_idempotent(ray_session, tmp_path):
     eng.index(tx)  # same content again
     assert eng.fact_store.count() == n1
     eng.close()
+
+
+def test_incremental_respects_manifest_edge_source(ray_session, tmp_path):
+    """A graph built with triples edges stays triple-consistent through
+    incremental add + delete even if the caller passes the wrong
+    edge_source (the manifest wins)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hipporag_ray.stages.graph_build import (
+        build_graph,
+        build_graph_incremental,
+        delete_chunks_from_graph,
+        load_graph,
+    )
+
+    t1 = ["aaa bbb ccc ddd"]
+    t2 = ["bbb ccc eee fff"]
+    g = build_graph(
+        rd.from_arrow(pa.table({"text": t1})), str(tmp_path / "g"), edge_source="triples"
+    )
+    # wrong caller config: cooccur — manifest must override
+    g = build_graph_incremental(
+        rd.from_arrow(pa.table({"text": t2})), g, str(tmp_path / "g"), edge_source="cooccur"
+    )
+    g = delete_chunks_from_graph(t2, load_graph(str(tmp_path / "g")), str(tmp_path / "g"),
+                                 edge_source="cooccur")
+    want = build_graph(
+        rd.from_arrow(pa.table({"text": t1})), str(tmp_path / "w"), edge_source="triples"
+    )
+
+    def logical(gt):
+        v = gt.vertices().to_pandas().set_index("vid")["node_key"]
+        e = gt.edges().to_pandas()
+        e["s"] = e["src"].map(v)
+        e["d"] = e["dst"].map(v)
+        return e[["s", "d", "etype", "weight"]].sort_values(["s", "d", "etype"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(logical(g), logical(want))
