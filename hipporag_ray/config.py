@@ -24,8 +24,9 @@ class EngineConfig:
     # --- fact linking (HippoRAG.py:1290-1328, 1446-1481) ---
     # facts=True links queries via fact embeddings then maps facts ->
     # entities with per-phrase damping; facts=False links entities
-    # directly (round-1 behavior).  When no fact links score above
-    # fact_score_threshold the retrieval falls back to DPR-only
+    # directly (round-1 behavior).  fact_score_threshold gates on RAW
+    # query-fact similarity (the rerank-filter analog): a query whose
+    # every top fact scores below it falls back to DPR-only retrieval
     # (HippoRAG.py:417-419).
     facts: bool = True
     fact_score_threshold: float = 0.0

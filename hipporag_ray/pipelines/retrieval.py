@@ -819,13 +819,18 @@ class HippoRagEngine:
             ["query_idx", "score", "subj_key", "obj_key"],
             ascending=[True, False, True, True],
         ).groupby("query_idx", as_index=False).head(k)
+        # the fallback gate runs on RAW similarity (the rerank-filter
+        # analog, HippoRAG.py:1522-1570): per-query min-max always peaks
+        # at 1.0, so a threshold on normalized scores could never fire
+        cand = cand[cand["score"] >= self.fact_score_threshold]
+        if cand.empty:
+            return empty, set(range(B))
         rng = (hi - lo).reindex(cand["query_idx"]).to_numpy()
         lo_q = lo.reindex(cand["query_idx"]).to_numpy()
         raw = cand["score"].to_numpy()
-        cand["norm"] = np.where(rng == 0, 1.0, (raw - lo_q) / np.where(rng == 0, 1.0, rng))
-        cand = cand[cand["norm"] >= self.fact_score_threshold]
-        if cand.empty:
-            return empty, set(range(B))
+        cand = cand.assign(
+            norm=np.where(rng == 0, 1.0, (raw - lo_q) / np.where(rng == 0, 1.0, rng))
+        )
 
         # explode facts -> phrases, resolve to (vid, n_chunks)
         phrases = pd.concat(

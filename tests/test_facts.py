@@ -219,3 +219,37 @@ def test_incremental_respects_manifest_edge_source(ray_session, tmp_path):
         return e[["s", "d", "etype", "weight"]].sort_values(["s", "d", "etype"]).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(logical(g), logical(want))
+
+
+def test_mixed_batch_per_query_fallback(ray_session, tmp_path):
+    """Within ONE retrieve batch, queries below the raw-similarity
+    threshold fall back to DPR while linked queries run PPR."""
+    from hipporag_ray.pipelines.retrieval import HippoRagEngine
+
+    tx = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": ["c0", "c0", "c1", "c1"],
+                "turn_idx": pa.array([0, 1, 0, 1], pa.int32()),
+                "role": ["user"] * 4,
+                "text": [
+                    "zebra quokka wombat",
+                    "quokka wombat dingo",
+                    "falcon osprey kestrel",
+                    "osprey kestrel merlin",
+                ],
+                "tool": [""] * 4,
+                "ts": pa.array([0, 1, 2, 3], pa.timestamp("us")),
+            }
+        )
+    )
+    eng = HippoRagEngine(str(tmp_path / "wd"), fact_score_threshold=0.5)
+    eng.index(tx)
+    res = eng.retrieve(
+        ["zebra quokka wombat", "xyzzy gibberish nothing", "falcon osprey kestrel"],
+        top_k=2,
+    )
+    assert [r["mode"] for r in res] == ["ppr", "dpr_fallback", "ppr"]
+    assert res[0]["docs"][0] == "zebra quokka wombat"
+    assert res[2]["docs"][0] == "falcon osprey kestrel"
+    eng.close()
