@@ -173,6 +173,24 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     dd.embedding_neardup_pairs(embs, "embedding", "vec_id", threshold=0.45)
     timings["emb_neardup"] = time.perf_counter() - t0
 
+    # --- 8. engine retrieval: index a bounded corpus, then one batched
+    # retrieve (fact linking -> reset Dataset -> 32-query PPR -> top-k) ---
+    from hipporag_ray.pipelines.retrieval import HippoRagEngine
+
+    wd = f"/tmp/hipporag_ray/bench_engine_sf{sf}_cpu{ncpu}"
+    shutil.rmtree(wd, ignore_errors=True)
+    corpus = rd.read_parquet(tx_dir).limit(5000).materialize()
+    eng = HippoRagEngine(wd)
+    t0 = time.perf_counter()
+    eng.index(corpus)
+    timings["engine_index_5k_turns"] = time.perf_counter() - t0
+    queries = [r["text"] for r in corpus.take(32)]
+    eng.retrieve(queries[:2], top_k=5)  # warm shard pool + views
+    t0 = time.perf_counter()
+    eng.retrieve(queries, top_k=10)
+    timings["engine_retrieve_b32"] = time.perf_counter() - t0
+    eng.close()
+
     ray.shutdown()
     return {
         "metric": "flagship transcript-graph pipeline wall time (build + pagerank + "

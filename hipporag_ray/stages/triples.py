@@ -36,10 +36,29 @@ from ..functions.text import text_processing, tokenize
 
 def triple_content(subj, pred, obj) -> np.ndarray:
     """The reference's fact string form: ``str((s, p, o))``
-    (HippoRAG.py:262-263 stores str(tuple))."""
-    out = np.empty(len(subj), dtype=object)
-    for i in range(len(subj)):
-        out[i] = str((subj[i], pred[i], obj[i]))
+    (HippoRAG.py:262-263 stores str(tuple)).
+
+    Fast path: vectorized template concat — byte-identical to
+    ``str(tuple)`` whenever no element contains a quote or backslash
+    (always true for normalized tokens); otherwise falls back to the
+    exact per-row repr."""
+    import pandas as pd
+
+    n = len(subj)
+    if n == 0:
+        return np.empty(0, dtype=object)
+    s = pd.Series(subj, dtype=object)
+    p = pd.Series(pred, dtype=object)
+    o = pd.Series(obj, dtype=object)
+    needs_repr = np.zeros(n, dtype=bool)
+    for col in (s, p, o):
+        needs_repr |= (
+            col.str.contains("'", regex=False) | col.str.contains("\\", regex=False)
+        ).to_numpy()
+    out = ("('" + s.str.cat([p, o], sep="', '") + "')").to_numpy(dtype=object)
+    if needs_repr.any():
+        for i in np.nonzero(needs_repr)[0]:
+            out[i] = str((subj[i], pred[i], obj[i]))
     return out
 
 
