@@ -87,15 +87,31 @@ def synth_transcripts_for(sf_dir: str) -> str:
     return write_transcripts(out, n_convs=n_convs, turns_per_conv=10, vocab=vocab, seed=42)
 
 
+def _atomic_dir_publish(tmp: str, final: str) -> None:
+    """Atomically publish a built cache directory; if a concurrent
+    builder won the race, keep theirs and drop ours."""
+    import shutil as _sh
+
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        _sh.rmtree(tmp, ignore_errors=True)
+
+
 def graph_for(sf_dir: str):
-    """Build (once, cached) the transcript graph for this sf."""
+    """Build (once, cached) the transcript graph for this sf.  The
+    build lands in a pid-suffixed temp dir and publishes by atomic
+    rename, so concurrent query processes never co-write a cache."""
     sf = sf_of(sf_dir)
     tx = synth_transcripts_for(sf_dir)
     out = f"/tmp/hipporag_ray/graph_sf{sf}"
     marker = os.path.join(out, "manifest.json")
     if os.path.exists(marker):
         return load_graph(out)
-    return build_graph(rd.read_parquet(tx, columns=["text"]), out)
+    tmp = f"{out}.tmp.{os.getpid()}"
+    build_graph(rd.read_parquet(tx, columns=["text"]), tmp)
+    _atomic_dir_publish(tmp, out)
+    return load_graph(out)
 
 
 def doc_graph_for(sf_dir: str) -> tuple[str, int]:
@@ -117,12 +133,13 @@ def doc_graph_for(sf_dir: str) -> tuple[str, int]:
     if os.path.exists(marker):
         with open(marker) as f:
             return d, json.load(f)["n_vertices"]
+    tmp_d = f"{d}.tmp.{os.getpid()}"  # publish by atomic rename below
     m = q_doc_mentions(sf_dir).materialize()
     distinct = m.groupby("entity").aggregate(Count(alias_name="_n")).select_columns(["entity"])
     verts = assign_dense_ids(distinct, "entity", "vid").materialize()
     n = verts.count()
-    os.makedirs(d, exist_ok=True)
-    verts.write_parquet(os.path.join(d, "vertices"))
+    os.makedirs(tmp_d, exist_ok=True)
+    verts.write_parquet(os.path.join(tmp_d, "vertices"))
     mv = hash_join(m, verts, "entity").select_columns(["doc_id", "vid"])
     pairs = grouped_pairs(mv.materialize(), "doc_id", "vid", mode="ne")
     coded = pairs.map_batches(
@@ -147,9 +164,10 @@ def doc_graph_for(sf_dir: str) -> tuple[str, int]:
         )
 
     adj = range_sort(agg.map_batches(decode, batch_format="pyarrow").materialize(), "src")
-    adj.write_parquet(os.path.join(d, "adj"))
-    with open(marker, "w") as f:
+    adj.write_parquet(os.path.join(tmp_d, "adj"))
+    with open(os.path.join(tmp_d, "manifest.json"), "w") as f:
         json.dump({"n_vertices": int(n)}, f)
+    _atomic_dir_publish(tmp_d, d)
     return d, int(n)
 
 
