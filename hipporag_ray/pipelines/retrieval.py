@@ -313,10 +313,16 @@ class HippoRagEngine:
         new_rows = new_rows.materialize()
         n_new = new_rows.count()
         if n_new:
-            n_batches = len(
-                [d for d in os.listdir(self.facts_dir)]
+            n_batches = (
+                len(
+                    [
+                        d
+                        for d in os.listdir(self.facts_dir)
+                        if os.path.isdir(os.path.join(self.facts_dir, d))
+                    ]
+                )
                 if os.path.isdir(self.facts_dir)
-                else []
+                else 0
             )
             new_rows.write_parquet(
                 os.path.join(self.facts_dir, f"batch-{n_batches:05d}")
@@ -844,6 +850,14 @@ class HippoRagEngine:
         keys_ref = ray.put(keys)
 
         def pick(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "node_key" not in batch.column_names:
+                return pa.table(
+                    {
+                        "node_key": pa.array([], pa.string()),
+                        "vid": pa.array([], pa.int64()),
+                        "n_chunks": pa.array([], pa.float64()),
+                    }
+                )
             ks = ray.get(keys_ref)
             nk = batch["node_key"].to_numpy(zero_copy_only=False)
             mask = np.isin(nk, ks)
@@ -980,8 +994,6 @@ class HippoRagEngine:
             }
             for qi in range(B)
         ]
-
-        return results
 
     def close(self):
         if self._sg is not None:

@@ -78,7 +78,6 @@ class HashEmbedder:
         self.dim = dim
         self.seed = np.uint64(seed)
         self.text_col = text_col
-        self._cache: dict[str, np.ndarray] = {}
 
     def _token_vecs(self, tokens: np.ndarray) -> np.ndarray:
         """(T, dim) deterministic Gaussian-ish vectors for unique tokens."""
@@ -98,28 +97,58 @@ class HashEmbedder:
         )
 
     def embed(self, texts) -> np.ndarray:
-        rows = [(t.split() or [t]) for t in texts]
-        counts = np.array([len(r) for r in rows], dtype=np.int64)
-        flat = np.array([tok for r in rows for tok in r], dtype=object)
-        if len(flat) == 0:
-            return np.zeros((len(texts), self.dim), dtype=np.float32)
-        uniq, inv = np.unique(flat, return_inverse=True)
-        missing = [t for t in uniq if t not in self._cache]
-        if missing:
-            vecs = self._token_vecs(np.array(missing, dtype=object))
-            for t, v in zip(missing, vecs):
-                self._cache[t] = v
-        if len(self._cache) > 2_000_000:  # bound actor memory
-            self._cache.clear()
-        mat = np.stack([self._cache[t] for t in uniq])  # (U, dim) float32
+        """Batch-embed; ``texts`` is a list of str or an Arrow string array.
+
+        Tokenization is a single Arrow whitespace split (Python
+        ``str.split()`` semantics: runs collapse, all-whitespace rows
+        fall back to the raw text as one token); pooling is one
+        ``np.add.reduceat`` over the gathered unique-token matrix.  No
+        per-row Python and no cross-batch token cache — recomputing the
+        splitmix64 kernel over a batch's unique vocab is cheaper than
+        dict upkeep and keeps actor memory flat.
+        """
+        import pyarrow.compute as pc
+
+        if isinstance(texts, pa.ChunkedArray):
+            arr = texts.combine_chunks()
+        elif isinstance(texts, pa.Array):
+            arr = texts
+        else:
+            arr = pa.array([t if t is not None else "" for t in texts], pa.string())
+        if arr.null_count:
+            arr = pc.fill_null(arr, "")
+        n = len(arr)
+        if n == 0:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        toks = pc.utf8_split_whitespace(arr)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts0 = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        row_id = np.repeat(np.arange(n, dtype=np.int64), counts0)
+        # the Arrow split emits "" for leading/trailing/multiple spaces
+        nonempty = flat != ""
+        token_row = row_id[nonempty]
+        token_val = flat[nonempty]
+        counts = np.bincount(token_row, minlength=n)
+        empty_rows = np.flatnonzero(counts == 0)
+        if len(empty_rows):  # str.split() fallback: whole text as one token
+            texts_np = arr.to_numpy(zero_copy_only=False)
+            token_row = np.concatenate([token_row, empty_rows])
+            token_val = np.concatenate([token_val, texts_np[empty_rows]])
+            order = np.argsort(token_row, kind="stable")
+            token_row = token_row[order]
+            token_val = token_val[order]
+            counts = np.bincount(token_row, minlength=n)
+        uniq, inv = np.unique(token_val, return_inverse=True)
+        mat = self._token_vecs(uniq)  # (U, dim) float32
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
         sums = np.add.reduceat(mat[inv], offsets, axis=0, dtype=np.float64)
         norms = np.linalg.norm(sums, axis=1, keepdims=True)
         return (sums / np.maximum(norms, 1e-300)).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = text_processing(batch[self.text_col]).to_pylist()
-        emb = self.embed(texts)
+        emb = self.embed(text_processing(batch[self.text_col]))
         return batch.append_column(
             "embedding", pa.array(list(emb), type=pa.list_(pa.float32()))
         )
@@ -131,7 +160,10 @@ class CharFreqEmbedder:
     vectors, L2-normalized.  Shows the contract a real model class must
     satisfy — ``__init__(**kwargs, text_col=...)`` (model load, once per
     actor), ``__call__(batch) -> batch + embedding`` (batched
-    inference), ``embed(texts)`` (query-time encoding)."""
+    inference), ``embed(texts)`` (query-time encoding).  Both sides
+    normalize with ``text_processing`` first — embedder classes MUST
+    normalize consistently between store-time (``__call__``) and
+    query-time (``embed``), or similarity silently skews."""
 
     def __init__(self, dim: int = 32, text_col: str = "content"):
         self.dim = dim
@@ -148,7 +180,7 @@ class CharFreqEmbedder:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = self.embed([t or "" for t in batch[self.text_col].to_pylist()])
+        emb = self.embed(text_processing(batch[self.text_col]).to_pylist())
         return batch.append_column(
             "embedding", pa.array(list(emb), type=pa.list_(pa.float32()))
         )
