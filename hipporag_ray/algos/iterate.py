@@ -97,6 +97,28 @@ def route_reset_dataset(sg: ShardedGraph, reset_ds) -> list[list]:
     return [[per_block[i][t] for i in range(len(refs))] for t in range(P)]
 
 
+def scores_dataset(sg: ShardedGraph, query_idx: int = 0):
+    """(vid, score) Dataset assembled from the per-shard score tables —
+    the dense (n, B) driver matrix never exists.  Blocks are actor-task
+    returns owned by the driver, so they stay valid after
+    ``sg.shutdown()`` (``ray.wait`` barriers on task completion first)."""
+    import ray.data as rd
+
+    refs = [a.scores_table.remote(query_idx) for a in sg.actors]
+    ray.wait(refs, num_returns=len(refs))
+    return rd.from_arrow_refs(refs)
+
+
+def labels_dataset(sg: ShardedGraph, col: str = "component"):
+    """(vid, <col>) Dataset from the per-shard label tables (see
+    ``scores_dataset`` for the lifetime contract)."""
+    import ray.data as rd
+
+    refs = [a.labels_table.remote(col) for a in sg.actors]
+    ray.wait(refs, num_returns=len(refs))
+    return rd.from_arrow_refs(refs)
+
+
 class _Checkpointer:
     def __init__(self, sg: ShardedGraph, ckpt_dir: str | None, algo: str, meta: dict):
         self.sg = sg
@@ -297,7 +319,8 @@ def connected_components(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     resume: bool = False,
-) -> tuple[np.ndarray, list[dict]]:
+    collect: bool = True,
+) -> tuple[np.ndarray | None, list[dict]]:
     """Min-label propagation to fixpoint; exact (component = min vid).
 
     Rounds needed = graph diameter; for path-like graphs a
@@ -336,6 +359,8 @@ def connected_components(
             ck.save(it + 1, {"changed": int(changed)})
         if changed == 0:
             break
+    if not collect:
+        return None, metrics
     tables = ray.get([a.labels_table.remote("component") for a in sg.actors])
     labels = np.concatenate([t["component"].to_numpy() for t in tables])
     return labels, metrics
@@ -347,7 +372,8 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     resume: bool = False,
-) -> tuple[np.ndarray, list[dict]]:
+    collect: bool = True,
+) -> tuple[np.ndarray | None, list[dict]]:
     """Synchronous weighted label propagation (deterministic tie-break)."""
     P = sg.n_shards
     ck = _Checkpointer(sg, checkpoint_dir, "lp", {"max_iter": max_iter})
@@ -381,6 +407,8 @@ def label_propagation(
             ck.save(it + 1, {"changed": int(changed)})
         if changed == 0:
             break
+    if not collect:
+        return None, metrics
     tables = ray.get([a.labels_table.remote("label") for a in sg.actors])
     labels = np.concatenate([t["label"].to_numpy() for t in tables])
     return labels, metrics

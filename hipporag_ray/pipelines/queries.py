@@ -61,14 +61,31 @@ def _events(sf_dir: str) -> "rd.Dataset":
     return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
 
 
-def _round(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+def _round_away(v: np.ndarray, nd: int) -> np.ndarray:
     """Round half-away-from-zero (DuckDB's rule; numpy's .round is
     half-even and disagrees on exact boundaries like 105/128)."""
+    v = np.asarray(v, dtype=np.float64)
+    scale = 10.0**nd
+    return np.sign(v) * np.floor(np.abs(v) * scale + 0.5) / scale
+
+
+def _round(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
     for c, nd in spec.items():
-        v = df[c].astype(float).to_numpy()
-        scale = 10.0**nd
-        df[c] = np.sign(v) * np.floor(np.abs(v) * scale + 0.5) / scale
+        df[c] = _round_away(df[c].astype(float).to_numpy(), nd)
     return df
+
+
+def _empty_or(
+    batch: pa.Table,
+    need: tuple[str, ...],
+    out_schema: dict[str, "pa.DataType"],
+) -> pa.Table | None:
+    """Empty-result guard for hash-join bucket consumers: buckets can be
+    the zero-column sentinel table, so emit a typed empty table (in the
+    OUTPUT schema) when the input lacks rows or the ``need`` columns."""
+    if batch.num_rows == 0 or any(c not in batch.column_names for c in need):
+        return pa.table({k: pa.array([], t) for k, t in out_schema.items()})
+    return None
 
 
 def sf_of(sf_dir: str) -> float:
@@ -171,10 +188,61 @@ def doc_graph_for(sf_dir: str) -> tuple[str, int]:
     return d, int(n)
 
 
-def _doc_entities_by_vid(graph_dir: str) -> np.ndarray:
-    """Entity name per vid (output-sized driver readback)."""
-    v = rd.read_parquet(os.path.join(graph_dir, "vertices")).to_pandas()
-    return v.sort_values("vid")["entity"].to_numpy()
+def _doc_vertex_names(graph_dir: str) -> "rd.Dataset":
+    """(entity, vid) vertex-name view of the doc token graph (column-
+    pruned read; consumed by bucketed joins, never by the driver)."""
+    return rd.read_parquet(os.path.join(graph_dir, "vertices"), columns=["entity", "vid"])
+
+
+def _label_entities(d: str, lab_ds: "rd.Dataset", col: str) -> "rd.Dataset":
+    """Distributed (entity, <col>) naming of a (vid, <col>) label
+    Dataset: the vid itself and the label (also a vid — min member /
+    winning vote) are both resolved to entity names through bucketed
+    hash joins, so no vertex-sized array ever lands on the driver."""
+    from ..stages.shuffle import hash_join
+
+    verts = _doc_vertex_names(d)
+
+    def to_cvid(b: pa.Table) -> pa.Table:
+        e = _empty_or(b, ("entity", col), {"entity": pa.string(), "cvid": pa.int64()})
+        if e is not None:
+            return e
+        return pa.table({"entity": b["entity"], "cvid": b[col]})
+
+    def name_label(b: pa.Table) -> pa.Table:
+        e = _empty_or(b, ("vid", "entity"), {"cvid": pa.int64(), col: pa.string()})
+        if e is not None:
+            return e
+        return pa.table({"cvid": b["vid"], col: b["entity"]})
+
+    named = hash_join(lab_ds, verts, "vid").map_batches(
+        to_cvid, batch_format="pyarrow"
+    )
+    label_names = verts.map_batches(name_label, batch_format="pyarrow")
+    return hash_join(named, label_names, "cvid").select_columns(["entity", col])
+
+
+def _named_scores(d: str, scores_ds: "rd.Dataset") -> "rd.Dataset":
+    """Distributed (entity, round9(score)) naming of a (vid, score)
+    Dataset via one bucketed join."""
+    from ..stages.shuffle import hash_join
+
+    def fin(b: pa.Table) -> pa.Table:
+        e = _empty_or(b, ("entity", "score"), {"entity": pa.string(), "score": pa.float64()})
+        if e is not None:
+            return e
+        return pa.table(
+            {
+                "entity": b["entity"],
+                "score": pa.array(
+                    _round_away(b["score"].to_numpy(zero_copy_only=False), 9)
+                ),
+            }
+        )
+
+    return hash_join(scores_ds, _doc_vertex_names(d), "vid").map_batches(
+        fin, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -488,12 +556,22 @@ def q_lineitem_pricing(sf_dir: str):
     return _round(out, {"sum_qty": 2, "sum_revenue": 1, "avg_disc": 5})
 
 
+def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """One query embedding via parquet predicate pushdown (J2) — not a
+    per-row Python scan of the embeddings table."""
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        columns=["embedding"], filter=pads.field("vec_id") == vec_id
+    )
+    return np.stack(tbl["embedding"].to_numpy(zero_copy_only=False))[0]
+
+
 def q_emb_knn(sf_dir: str):
     """J1 blocked dense top-k similarity join: 10 nearest neighbors of
     vec_id=0 by cosine (self excluded)."""
     embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    q = embs.filter(lambda r: r["vec_id"] == 0).to_pandas()
-    qv = np.stack(q["embedding"].to_numpy())[0]
+    qv = _query_vec(sf_dir)
     out = sim.knn_topk(embs, qv[None, :], k=10, exclude_ids={0})
     return out[["vec_id"]].sort_values("vec_id").reset_index(drop=True)
 
@@ -715,8 +793,7 @@ def q_emb_neardup_lsh(sf_dir: str):
 
 def q_emb_ann_lsh(sf_dir: str):
     embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    q = embs.filter(lambda r: r["vec_id"] == 0).to_pandas()
-    qv = np.stack(q["embedding"].to_numpy())[0]
+    qv = _query_vec(sf_dir)
     out = sim.lsh_ann_topk(embs, qv[None, :], k=10, exclude_ids={0})
     return out[["vec_id", "score"]].pipe(_round, {"score": 6})
 
@@ -725,8 +802,7 @@ def q_emb_ann_ivf(sf_dir: str):
     """IVF-partitioned ANN (coarse quantizer + probed cells) — the
     second approximate scale path beside hyperplane LSH."""
     embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).materialize()
-    q = embs.filter(lambda r: r["vec_id"] == 0).to_pandas()
-    qv = np.stack(q["embedding"].to_numpy())[0]
+    qv = _query_vec(sf_dir)
     out = sim.ivf_ann_topk(
         embs, qv[None, :], k=10, n_centroids=8, n_probe=3, exclude_ids={0}
     )
@@ -751,15 +827,18 @@ def q_doc_cc(sf_dir: str):
     from ..algos.iterate import connected_components
     from ..state.csr import ShardedGraph
 
+    from ..algos.iterate import labels_dataset
+
     d, n = doc_graph_for(sf_dir)
     sg = ShardedGraph(os.path.join(d, "adj"), n)
     try:
-        comp, _ = connected_components(sg)
+        connected_components(sg, collect=False)
+        lab = labels_dataset(sg, "component")
     finally:
         sg.shutdown()
-    # vid order == sorted(entity), so min member vid == lexicographic min
-    ent_of = _doc_entities_by_vid(d)
-    return pd.DataFrame({"entity": ent_of, "component": ent_of[comp]})
+    # vid order == sorted(entity), so min member vid == lexicographic min;
+    # naming is two bucketed joins — no vertex-sized driver readback
+    return _label_entities(d, lab, "component")
 
 
 _PR_ITERS = 5  # fixed-iteration count shared by engine and SQL oracle
@@ -770,17 +849,18 @@ def q_doc_pagerank(sf_dir: str):
     graph (A4, SimpleGraph.kt:130-182 semantics: damping 0.5, uniform
     reset, dangling mass through the reset) — SQL-checkable because the
     iteration count is fixed and messages run float64 (precise=True)."""
-    from ..algos.iterate import pagerank
+    from ..algos.iterate import pagerank, scores_dataset
+
     from ..state.csr import ShardedGraph
 
     d, n = doc_graph_for(sf_dir)
     sg = ShardedGraph(os.path.join(d, "adj"), n, precise=True)
     try:
-        scores, _ = pagerank(sg, damping=0.5, tol=0.0, max_iter=_PR_ITERS)
+        pagerank(sg, damping=0.5, tol=0.0, max_iter=_PR_ITERS, collect=False)
+        sds = scores_dataset(sg, 0)
     finally:
         sg.shutdown()
-    out = pd.DataFrame({"entity": _doc_entities_by_vid(d), "score": scores[:, 0]})
-    return _round(out, {"score": 9})
+    return _named_scores(d, sds)
 
 
 def q_doc_ppr(sf_dir: str):
@@ -788,25 +868,26 @@ def q_doc_ppr(sf_dir: str):
     lexicographically smallest tokens (= vids 0..2 under the sorted
     dense-id contract) — the HippoRAG retrieval primitive with a SQL
     oracle."""
-    from ..algos.iterate import personalized_pagerank
+    from ..algos.iterate import personalized_pagerank, scores_dataset
     from ..state.csr import ShardedGraph
 
     d, n = doc_graph_for(sf_dir)
     k = min(3, n)
     sg = ShardedGraph(os.path.join(d, "adj"), n, precise=True)
     try:
-        scores, _ = personalized_pagerank(
+        personalized_pagerank(
             sg,
             resets=[(np.arange(k, dtype=np.int64), np.ones(k))],
             n_queries=1,
             damping=0.5,
             tol=0.0,
             max_iter=_PR_ITERS,
+            collect=False,
         )
+        sds = scores_dataset(sg, 0)
     finally:
         sg.shutdown()
-    out = pd.DataFrame({"entity": _doc_entities_by_vid(d), "score": scores[:, 0]})
-    return _round(out, {"score": 9})
+    return _named_scores(d, sds)
 
 
 _LP_ITERS = 3
@@ -818,17 +899,17 @@ def q_doc_lp(sf_dir: str):
     SURVEY.md §7.2 step 9) — labels reported as entity names (vid order
     == sorted entity order, so tie-breaks agree with the SQL oracle's
     string comparisons)."""
-    from ..algos.iterate import label_propagation
+    from ..algos.iterate import label_propagation, labels_dataset
     from ..state.csr import ShardedGraph
 
     d, n = doc_graph_for(sf_dir)
     sg = ShardedGraph(os.path.join(d, "adj"), n)
     try:
-        labels, _ = label_propagation(sg, max_iter=_LP_ITERS)
+        label_propagation(sg, max_iter=_LP_ITERS, collect=False)
+        lab = labels_dataset(sg, "label")
     finally:
         sg.shutdown()
-    ent_of = _doc_entities_by_vid(d)
-    return pd.DataFrame({"entity": ent_of, "label": ent_of[labels]})
+    return _label_entities(d, lab, "label")
 
 
 def q_doc_sample(sf_dir: str):
@@ -887,17 +968,26 @@ def q_media_frames(sf_dir: str):
 
 
 def q_tx_pagerank(sf_dir: str):
-    from ..algos.iterate import pagerank
+    from ..algos.iterate import pagerank, scores_dataset
     from ..state.csr import ShardedGraph
 
     g = graph_for(sf_dir)
     sg = ShardedGraph(g.adj_path, g.n_vertices)
     try:
-        scores, _ = pagerank(sg)
+        pagerank(sg, collect=False)
+        sds = scores_dataset(sg, 0)
     finally:
         sg.shutdown()
-    return pd.DataFrame(
-        {"vid": np.arange(g.n_vertices, dtype=np.int64), "score": np.round(scores[:, 0], 9)}
+    return sds.map_batches(
+        lambda b: pa.table(
+            {
+                "vid": b["vid"],
+                "score": pa.array(
+                    _round_away(b["score"].to_numpy(zero_copy_only=False), 9)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -907,50 +997,82 @@ def q_tx_ppr(sf_dir: str):
     from ..algos.iterate import personalized_pagerank
     from ..state.csr import ShardedGraph
 
+    import ray
+
+    from ..stages.shuffle import hash_join
+
     g = graph_for(sf_dir)
-    v = g.vertices().to_pandas()
-    deg = g.adj().groupby("src").aggregate(Count(alias_name="deg")).to_pandas()
-    ent = v[v["kind"] == "entity"].merge(deg, left_on="vid", right_on="src")
-    seeds = ent.nlargest(5, ["deg", "vid"])["vid"].to_numpy()
+    # seed selection: distributed degree count ⋈ entity vertices, then a
+    # sort+limit(5) — only the 5 seed rows reach the driver
+    deg = (
+        g.adj()
+        .groupby("src")
+        .aggregate(Count(alias_name="deg"))
+        .map_batches(
+            lambda b: pa.table({"vid": b["src"], "deg": b["deg"]}),
+            batch_format="pyarrow",
+        )
+    )
+    ent = g.vertices().map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], "entity")).select(["vid"]),
+        batch_format="pyarrow",
+    )
+    seeds = (
+        hash_join(deg, ent, "vid")
+        .sort(["deg", "vid"], descending=[True, True])
+        .limit(5)
+        .to_pandas()["vid"]
+        .to_numpy(np.int64)
+    )
     sg = ShardedGraph(g.adj_path, g.n_vertices)
     try:
-        scores, _ = personalized_pagerank(
-            sg, resets=[(seeds, np.ones(len(seeds)))], n_queries=1
+        personalized_pagerank(
+            sg, resets=[(seeds, np.ones(len(seeds)))], n_queries=1, collect=False
         )
+        # two-level top-k (K6): per-shard top-200 chunk partials, merged
+        # on the driver — P×200 rows, never the (n,) score vector
+        ray.get([a.load_kinds.remote(g.vertices_path) for a in sg.actors])
+        parts = ray.get([a.topk_chunk_scores.remote(0, 200) for a in sg.actors])
     finally:
         sg.shutdown()
-    chunks = v[v["kind"] == "chunk"]
-    out = pd.DataFrame({"vid": chunks["vid"].to_numpy()})
-    out["score"] = scores[out["vid"].to_numpy(), 0]
-    out = out.sort_values(["score", "vid"], ascending=[False, True]).head(200)
-    out["score"] = out["score"].round(9)
-    return out.reset_index(drop=True)
+    vids = np.concatenate([p[0] for p in parts])
+    scs = np.concatenate([p[1] for p in parts])
+    order = np.lexsort((vids, -scs))[:200]
+    return pd.DataFrame(
+        {"vid": vids[order], "score": np.round(scs[order], 9)}
+    ).reset_index(drop=True)
 
 
 def q_tx_cc(sf_dir: str):
     from ..algos.iterate import connected_components
     from ..state.csr import ShardedGraph
 
+    from ..algos.iterate import labels_dataset
+
     g = graph_for(sf_dir)
     sg = ShardedGraph(g.adj_path, g.n_vertices)
     try:
-        comp, _ = connected_components(sg)
+        connected_components(sg, collect=False)
+        lab = labels_dataset(sg, "component")
     finally:
         sg.shutdown()
-    return pd.DataFrame({"vid": np.arange(g.n_vertices, dtype=np.int64), "component": comp})
+    return lab
 
 
 def q_tx_lp(sf_dir: str):
     from ..algos.iterate import label_propagation
     from ..state.csr import ShardedGraph
 
+    from ..algos.iterate import labels_dataset
+
     g = graph_for(sf_dir)
     sg = ShardedGraph(g.adj_path, g.n_vertices)
     try:
-        labels, _ = label_propagation(sg, max_iter=10)
+        label_propagation(sg, max_iter=10, collect=False)
+        lab = labels_dataset(sg, "label")
     finally:
         sg.shutdown()
-    return pd.DataFrame({"vid": np.arange(g.n_vertices, dtype=np.int64), "label": labels})
+    return lab
 
 
 def q_tx_triangles(sf_dir: str):
@@ -969,30 +1091,75 @@ def q_tx_eval_recall(sf_dir: str):
     from ..stages.evalops import recall_at_k
     from ..state.csr import ShardedGraph
 
+    import ray
+
+    from ..stages.shuffle import int_key_sum
+
     g = graph_for(sf_dir)
-    v = g.vertices().to_pandas()
-    passage = g.edges().filter(lambda r: r["etype"] == "passage").to_pandas()
-    # chunks per entity (gold); pick 8 mid-frequency entities
-    by_ent = passage.groupby("dst")["src"].agg(list)
-    sizes = by_ent.map(len)
-    seeds = sizes[(sizes >= 3) & (sizes <= 50)].index.to_numpy()[:8]
+    # passage edges, batch-filtered (no per-row scan, never collected whole)
+    passage = g.edges().map_batches(
+        lambda b: b.filter(pc.equal(b["etype"], "passage")).select(["src", "dst"]),
+        batch_format="pyarrow",
+    ).materialize()
+    # seed pick: 8 lowest-vid mid-frequency entities (3..50 chunks),
+    # degree via the int-key sum exchange + sort/limit — only 8 rows
+    # and their gold chunk lists ever reach the driver
+    cnt = int_key_sum(
+        passage.map_batches(
+            lambda b: pa.table(
+                {"dst": b["dst"], "one": pa.array(np.ones(b.num_rows))}
+            ),
+            batch_format="pyarrow",
+        ).materialize(),
+        "dst",
+        "one",
+    ).materialize()
+    band = cnt.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["one"], pa.scalar(3.0)),
+                pc.less_equal(b["one"], pa.scalar(50.0)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    seeds = band.sort("dst").limit(8).to_pandas()["dst"].to_numpy(np.int64)
     if len(seeds) == 0:
-        seeds = sizes.index.to_numpy()[:8]
+        seeds = cnt.sort("dst").limit(8).to_pandas()["dst"].to_numpy(np.int64)
+    seeds_ref = ray.put(np.sort(seeds))
+    gold_df = passage.map_batches(
+        lambda b: b.filter(
+            pa.array(
+                np.isin(
+                    b["dst"].to_numpy(zero_copy_only=False), ray.get(seeds_ref)
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    by_ent = gold_df.groupby("dst")["src"].agg(list)
     sg = ShardedGraph(g.adj_path, g.n_vertices)
     try:
-        scores, _ = personalized_pagerank(
+        personalized_pagerank(
             sg,
             resets=[(np.array([s]), np.ones(1)) for s in seeds],
             n_queries=len(seeds),
+            collect=False,
         )
+        # two-level top-k prediction readback (P×50 rows/query)
+        ray.get([a.load_kinds.remote(g.vertices_path) for a in sg.actors])
+        tops = [
+            ray.get([a.topk_chunk_scores.remote(qi, 50) for a in sg.actors])
+            for qi in range(len(seeds))
+        ]
     finally:
         sg.shutdown()
-    chunk_vids = v[v["kind"] == "chunk"]["vid"].to_numpy()
     rows = []
     for qi, s in enumerate(seeds):
-        cs = scores[chunk_vids, qi]
-        order = np.argsort(-cs)
-        rows.append({"pred": chunk_vids[order][:50].tolist(), "gold": by_ent[s]})
+        vids = np.concatenate([p[0] for p in tops[qi]])
+        scs = np.concatenate([p[1] for p in tops[qi]])
+        order = np.lexsort((vids, -scs))[:50]
+        rows.append({"pred": vids[order].tolist(), "gold": by_ent[s]})
     out = recall_at_k(rd.from_items(rows), ks=(1, 10, 50))
     return pd.DataFrame({k: [_round_half(v)] for k, v in out.items()})
 

@@ -33,6 +33,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -669,17 +670,25 @@ def delete_chunks_from_graph(
     # incremental math must match it regardless of the caller's config
     with open(os.path.join(graph.out_dir, "manifest.json")) as _f:
         edge_source = json.load(_f).get("edge_source", edge_source)
-    old_vertices = graph.vertices().materialize()
     n = int(graph.n_vertices)
 
     del_tbl = pa.table({"text": pa.array(sorted(set(texts)), type=pa.string())})
     del_chunks = _to_chunk_rows(del_tbl)
-    # only chunks actually in the graph subtract anything
-    vkeys = old_vertices.select_columns(["node_key", "vid"]).to_pandas()
-    key_to_vid = vkeys.set_index("node_key")["vid"]
-    present = np.isin(
-        del_chunks["chunk_key"].to_numpy(zero_copy_only=False),
-        key_to_vid.index.to_numpy(),
+    # only chunks actually in the graph subtract anything.  Probe the
+    # stored vertex table for the delete batch's keys — the driver holds
+    # delete-batch-sized data only, never the vertex table
+    import pyarrow.dataset as pads
+
+    probe_keys = sorted(set(del_chunks["chunk_key"].to_pylist()))
+    present_keys = set(
+        pads.dataset(graph.vertices_path)
+        .to_table(columns=["node_key"], filter=pads.field("node_key").isin(probe_keys))[
+            "node_key"
+        ]
+        .to_pylist()
+    )
+    present = np.array(
+        [k in present_keys for k in del_chunks["chunk_key"].to_pylist()], dtype=bool
     )
     del_chunks = del_chunks.filter(pa.array(present))
     del_keys = set(del_chunks["chunk_key"].to_pylist())
@@ -693,6 +702,20 @@ def delete_chunks_from_graph(
                 (_sh.copytree if os.path.isdir(src) else _sh.copy)(src, dst)
         return load_graph(out_dir)
 
+    # negative partials: the key->vid dictionary is restricted to the
+    # keys the deleted texts can mention (delete-vocab-sized) via a
+    # filtered read — the full-vertex broadcast this replaces was
+    # vertex-table-sized driver state
+    needed = np.unique(
+        ChunkToVertexRows(min_token_len)(del_chunks)["node_key"].to_numpy(
+            zero_copy_only=False
+        )
+    )
+    vsub = pads.dataset(graph.vertices_path).to_table(
+        columns=["node_key", "vid"],
+        filter=pads.field("node_key").isin(needed.tolist()),
+    )
+    key_to_vid = vsub.to_pandas().set_index("node_key")["vid"]
     vmap_ref = ray.put(key_to_vid)
     neg = ChunkToIntEdgePartials(vmap_ref, n, min_token_len, edge_source)(del_chunks)
     neg = neg.set_column(
@@ -754,49 +777,142 @@ def delete_chunks_from_graph(
         ),
         batch_format="pyarrow",
     )
-    passage_dst = (
-        int_key_sum(pdst_rows.materialize(), "vid", "one").to_pandas()["vid"].to_numpy()
+    passage_dst = int_key_sum(pdst_rows.materialize(), "vid", "one").map_batches(
+        lambda b: b.select(["vid"]), batch_format="pyarrow"
     )
-    vdf = old_vertices.to_pandas()
-    is_chunk = vdf["kind"] == "chunk"
-    keep_mask = np.where(
-        is_chunk,
-        ~vdf["node_key"].isin(del_keys),
-        vdf["vid"].isin(passage_dst),
-    )
-    survivors = vdf[keep_mask].sort_values("vid").reset_index(drop=True)
-    # compact vids preserving old order
-    old_ids = survivors["vid"].to_numpy(np.int64)
-    remap = np.full(n, -1, dtype=np.int64)
-    remap[old_ids] = np.arange(len(old_ids), dtype=np.int64)
-    remap_ref = ray.put(remap)
-    survivors = survivors.assign(vid=np.arange(len(old_ids), dtype=np.int64))
-    n_vertices = len(survivors)
 
-    def remap_edges(batch: pa.Table) -> pa.Table:
-        r = ray.get(remap_ref)
-        src = r[batch["src"].to_numpy(zero_copy_only=False)]
-        dst = r[batch["dst"].to_numpy(zero_copy_only=False)]
-        keep = (src >= 0) & (dst >= 0)
+    # survivors, fully distributed: chunks not deleted (small del-key
+    # broadcast), entities with a surviving passage edge (semi join on
+    # the distinct passage dst set) — the vertex table never lands on
+    # the driver
+    from .shuffle import hash_join as _hash_join
+
+    del_ref = ray.put(np.array(sorted(del_keys), dtype=object))
+
+    def chunk_keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        is_c = _pc.equal(batch["kind"], "chunk")
+        dels = ray.get(del_ref)
+        keys = batch["node_key"].to_numpy(zero_copy_only=False)
+        keep = is_c.to_numpy(zero_copy_only=False) & ~np.isin(keys, dels)
+        return batch.filter(pa.array(keep))
+
+    def entity_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.invert(_pc.equal(batch["kind"], "chunk")))
+
+    vcols = ["node_key", "kind", "content", "vid"]
+    chunk_surv = graph.vertices().map_batches(chunk_keep, batch_format="pyarrow")
+    ent_surv = _hash_join(
+        graph.vertices().map_batches(entity_only, batch_format="pyarrow"),
+        passage_dst,
+        "vid",
+    )
+
+    def norm_cols(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or any(c not in batch.column_names for c in vcols):
+            return pa.table(
+                {
+                    "node_key": pa.array([], pa.string()),
+                    "kind": pa.array([], pa.string()),
+                    "content": pa.array([], pa.string()),
+                    "vid": pa.array([], pa.int64()),
+                }
+            )
+        return batch.select(vcols)
+
+    survivors = (
+        chunk_surv.map_batches(norm_cols, batch_format="pyarrow")
+        .union(ent_surv.map_batches(norm_cols, batch_format="pyarrow"))
+        .materialize()
+    )
+    # compact vids preserving old order: dense rank of the old vid
+    # (range sort + per-block offsets — no driver-side remap array)
+    surv_ids = assign_dense_ids(survivors, "vid", "new_vid").materialize()
+    n_vertices = surv_ids.count()
+
+    # edge remap as two bucketed joins on the (old vid -> new vid)
+    # table; inner joins drop edges with a dead endpoint
+    remap_ds = surv_ids.map_batches(
+        lambda b: pa.table({"old": b["vid"], "new": b["new_vid"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def key_src(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "src": pa.array(src[keep], type=pa.int64()),
-                "dst": pa.array(dst[keep], type=pa.int64()),
-                "weight": batch["weight"].filter(pa.array(keep)),
-                "etype": batch["etype"].filter(pa.array(keep)),
+                "old": batch["src"],
+                "dst": batch["dst"],
+                "weight": batch["weight"],
+                "etype": batch["etype"],
             }
         )
 
-    edges = edges.map_batches(remap_edges, batch_format="pyarrow").materialize()
+    def took_src(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "new" not in batch.column_names:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "old": pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.float64()),
+                    "etype": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "src": batch["new"],
+                "old": batch["dst"],
+                "weight": batch["weight"],
+                "etype": batch["etype"],
+            }
+        )
+
+    def took_dst(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "new" not in batch.column_names:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.float64()),
+                    "etype": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "src": batch["src"],
+                "dst": batch["new"],
+                "weight": batch["weight"],
+                "etype": batch["etype"],
+            }
+        )
+
+    e1 = _hash_join(
+        edges.map_batches(key_src, batch_format="pyarrow"), remap_ds, "old"
+    ).map_batches(took_src, batch_format="pyarrow")
+    edges = (
+        _hash_join(e1, remap_ds, "old")
+        .map_batches(took_dst, batch_format="pyarrow")
+        .materialize()
+    )
     n_edges = edges.count()
 
     import shutil as _sh
 
     for sub in ("vertices", "edges", "adj"):
         _sh.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
-    rd.from_arrow(pa.Table.from_pandas(survivors, preserve_index=False)).write_parquet(
-        os.path.join(out_dir, "vertices")
-    )
+    surv_ids.map_batches(
+        lambda b: pa.table(
+            {
+                "node_key": b["node_key"],
+                "kind": b["kind"],
+                "content": b["content"],
+                "vid": b["new_vid"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).write_parquet(os.path.join(out_dir, "vertices"))
     edges.write_parquet(os.path.join(out_dir, "edges"))
 
     def expand(batch: pa.Table) -> pa.Table:
@@ -854,25 +970,49 @@ def build_graph_incremental(
     with open(os.path.join(graph.out_dir, "manifest.json")) as _f:
         edge_source = json.load(_f).get("edge_source", edge_source)
     old_vertices = graph.vertices().materialize()
-    old_keys = np.sort(
-        old_vertices.select_columns(["node_key"]).to_pandas()["node_key"].to_numpy()
-    )
-    old_keys_ref = ray.put(old_keys)
-    is_chunk_key = np.char.startswith(old_keys.astype(str), "chunk-")
-    old_chunks_ref = ray.put(old_keys[is_chunk_key])
+    n_old_keys = int(graph.n_vertices)
+    broadcast_keys = n_old_keys <= broadcast_vertex_limit
+    if broadcast_keys:
+        old_keys = np.sort(
+            old_vertices.select_columns(["node_key"]).to_pandas()["node_key"].to_numpy()
+        )
+        old_keys_ref = ray.put(old_keys)
+        is_chunk_key = np.char.startswith(old_keys.astype(str), "chunk-")
+        old_chunks_ref = ray.put(old_keys[is_chunk_key])
 
-    # --- new, unseen chunks only (anti join on content hash; sorted-
-    # array membership via np.isin, no per-row Python loop) ---
-    def anti(batch: pa.Table) -> pa.Table:
-        seen = ray.get(old_chunks_ref)
-        keys = batch["chunk_key"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(~np.isin(keys, seen)))
+    # --- new, unseen chunks only (anti join on content hash): broadcast
+    # np.isin membership while the key set fits, distributed leftanti
+    # hash join against the stored vertex keys beyond the limit (the
+    # same fallback policy as the vertex-dictionary resolution below) ---
+    if broadcast_keys:
 
-    chunks_new = (
-        dedup_chunks(new_transcripts)
-        .map_batches(anti, batch_format="pyarrow")
-        .materialize()
-    )
+        def anti(batch: pa.Table) -> pa.Table:
+            seen = ray.get(old_chunks_ref)
+            keys = batch["chunk_key"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(~np.isin(keys, seen)))
+
+        chunks_new = (
+            dedup_chunks(new_transcripts)
+            .map_batches(anti, batch_format="pyarrow")
+            .materialize()
+        )
+    else:
+        from .shuffle import hash_join as _hash_join
+
+        old_chunk_keys = old_vertices.map_batches(
+            lambda b: pa.table(
+                {
+                    "chunk_key": b.filter(pc.equal(b["kind"], "chunk"))["node_key"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        chunks_new = _hash_join(
+            dedup_chunks(new_transcripts).materialize(),
+            old_chunk_keys.materialize(),
+            "chunk_key",
+            how="leftanti",
+        ).materialize()
     if chunks_new.count() == 0:
         # nothing new: copy-through (same directory contract)
         if os.path.abspath(out_dir) != os.path.abspath(graph.out_dir):
@@ -884,16 +1024,29 @@ def build_graph_incremental(
                 (_sh.copytree if os.path.isdir(src) else _sh.copy)(src, dst)
         return load_graph(out_dir)
 
-    # --- new vertices appended after the existing id range ---
+    # --- new vertices appended after the existing id range (same
+    # broadcast-vs-leftanti policy as the chunk anti join above) ---
     vrows = chunks_new.map_batches(ChunkToVertexRows(min_token_len), batch_format="pyarrow")
 
-    def anti_v(batch: pa.Table) -> pa.Table:
-        seen = ray.get(old_keys_ref)
-        keys = batch["node_key"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(~np.isin(keys, seen)))
-
     n_old = graph.n_vertices
-    vnew = hash_distinct(vrows.map_batches(anti_v, batch_format="pyarrow").materialize(), "node_key")
+    if broadcast_keys:
+
+        def anti_v(batch: pa.Table) -> pa.Table:
+            seen = ray.get(old_keys_ref)
+            keys = batch["node_key"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(~np.isin(keys, seen)))
+
+        vrows_new = vrows.map_batches(anti_v, batch_format="pyarrow").materialize()
+    else:
+        from .shuffle import hash_join as _hash_join
+
+        vrows_new = _hash_join(
+            vrows.materialize(),
+            old_vertices.select_columns(["node_key"]).materialize(),
+            "node_key",
+            how="leftanti",
+        ).materialize()
+    vnew = hash_distinct(vrows_new, "node_key")
     vnew_ids = assign_dense_ids(vnew, "node_key", "vid").map_batches(
         lambda b: b.set_column(
             b.column_names.index("vid"),

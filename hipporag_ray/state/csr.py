@@ -263,8 +263,16 @@ class GraphShard:
         vids_local = np.nonzero(mask)[0]
         s = self.scores[vids_local, query_idx]
         kk = min(k, len(s))
-        idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
-        return vids_local[idx] + self.lo, s[idx]
+        # deterministic tie-break (score desc, vid asc): argpartition
+        # alone picks arbitrary members of a boundary tie, which would
+        # make the two-level merge diverge from a global sort
+        if kk < len(s):
+            part = np.argpartition(-s, kk - 1)
+            cand = np.nonzero(s >= s[part[kk - 1]])[0]
+        else:
+            cand = np.arange(len(s))
+        sel = cand[np.lexsort((vids_local[cand], -s[cand]))[:kk]]
+        return vids_local[sel] + self.lo, s[sel]
 
     def ppr_normalize_reset(self, totals: np.ndarray) -> None:
         """Normalize reset by global sums; all-zero columns -> uniform

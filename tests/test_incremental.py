@@ -246,3 +246,26 @@ def test_mixed_add_delete_add_lifecycle(ray_session, tmp_path):
     np.testing.assert_allclose(ra[0]["doc_scores"], rb[0]["doc_scores"], atol=1e-6)
     a.close()
     b.close()
+
+
+def test_incremental_leftanti_fallback_matches_broadcast(corpora, tmp_path):
+    """broadcast_vertex_limit=0 forces the distributed leftanti-join
+    anti joins (the beyond-broadcast scale path); the resulting graph
+    must equal the broadcast path's bit for bit."""
+    base, a, b = corpora
+    g_a = build_graph(rd.read_parquet(a), str(tmp_path / "ga"))
+    g_bc = build_graph_incremental(
+        rd.read_parquet(b), g_a, str(tmp_path / "inc_bc")
+    )
+    g_la = build_graph_incremental(
+        rd.read_parquet(b),
+        g_a,
+        str(tmp_path / "inc_la"),
+        broadcast_vertex_limit=0,
+    )
+    assert g_la.n_vertices == g_bc.n_vertices
+    assert g_la.n_edges == g_bc.n_edges
+    assert _edge_map(g_la) == _edge_map(g_bc)
+    vb = g_bc.vertices().to_pandas().set_index("node_key")["vid"].sort_index()
+    vl = g_la.vertices().to_pandas().set_index("node_key")["vid"].sort_index()
+    assert (vb == vl).all()
