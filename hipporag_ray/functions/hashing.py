@@ -3,10 +3,12 @@
 md5 keys follow compute_mdhash_id
 (/root/reference/src/hipporag/utils/misc_utils.py:115-126):
 ``prefix + md5(utf8(content)).hexdigest()``.  md5 has no Arrow kernel,
-so the vectorized path is a numpy object loop over the batch — still
-one Python call per *row of a batch*, amortized by batch size, and only
-used where the reference's exact key format matters (graph node keys,
-dedup keys).
+so each *unique* value costs one Python ``hashlib`` call; the batch is
+first Arrow ``dictionary_encode``d (C++ hash-unique) so repeated keys —
+the entity-key path, where a few thousand tokens repeat across a batch
+— are hashed once and gathered (measured 13x on repetitive keys).
+Long strings (chunk content, effectively all-unique) skip the encode:
+there the md5 itself dominates and the dictionary pass only adds cost.
 """
 
 from __future__ import annotations
@@ -16,16 +18,39 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+# average string length above which values are assumed unique (document
+# content) and the dictionary-unique pass is skipped
+_DICT_MAX_AVG_LEN = 48
+
+
+def _as_string_array(values) -> pa.Array:
+    if isinstance(values, pa.ChunkedArray):
+        return values.combine_chunks()
+    if isinstance(values, pa.Array):
+        return values
+    return pa.array(values, type=pa.string())
+
 
 def md5_hex(values, prefix: str = "") -> pa.Array:
     """Vectorized ``prefix + md5(v)`` over a string array -> string array."""
-    if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        values = values.to_numpy(zero_copy_only=False)
+    arr = _as_string_array(values)
+    n = len(arr)
+    if n == 0:
+        return pa.array([], type=pa.string())
     md5 = hashlib.md5
-    out = np.empty(len(values), dtype=object)
-    for i, v in enumerate(values):
-        out[i] = prefix + md5(v.encode()).hexdigest()
-    return pa.array(out, type=pa.string())
+    avg_len = arr.nbytes / n
+    if avg_len <= _DICT_MAX_AVG_LEN:
+        de = arr.dictionary_encode()
+        uniq = de.dictionary.to_numpy(zero_copy_only=False)
+        hashed = np.array(
+            [prefix + md5(v.encode()).hexdigest() for v in uniq], dtype=object
+        )
+        idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.array(hashed[idx], type=pa.string())
+    vals = arr.to_numpy(zero_copy_only=False)
+    return pa.array(
+        [prefix + md5(v.encode()).hexdigest() for v in vals], type=pa.string()
+    )
 
 
 def entity_key(values) -> pa.Array:
@@ -41,11 +66,28 @@ def chunk_key(values) -> pa.Array:
 def stable_hash64(values) -> np.ndarray:
     """Deterministic unsigned 64-bit hash of a string array (salting,
     bucketing, fingerprints).  Uses the first 8 bytes of md5 so it is
-    stable across processes (unlike ``hash()``)."""
-    if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        values = values.to_numpy(zero_copy_only=False)
+    stable across processes (unlike ``hash()``); same dictionary-unique
+    fast path as :func:`md5_hex`."""
+    arr = _as_string_array(values)
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.uint64)
     md5 = hashlib.md5
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        out[i] = int.from_bytes(md5(v.encode()).digest()[:8], "little")
-    return out
+    fb = int.from_bytes
+    avg_len = arr.nbytes / n
+    if avg_len <= _DICT_MAX_AVG_LEN:
+        de = arr.dictionary_encode()
+        uniq = de.dictionary.to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (fb(md5(v.encode()).digest()[:8], "little") for v in uniq),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return h[idx]
+    vals = arr.to_numpy(zero_copy_only=False)
+    return np.fromiter(
+        (fb(md5(v.encode()).digest()[:8], "little") for v in vals),
+        dtype=np.uint64,
+        count=n,
+    )

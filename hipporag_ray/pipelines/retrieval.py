@@ -381,29 +381,41 @@ class HippoRagEngine:
             lambda b: pa.table({"node_key": b["hash_id"], "embedding": b["embedding"]}),
             batch_format="pyarrow",
         )
+        from ..stages.shuffle import range_sort
+
         joined = hash_join(verts.materialize(), emb.materialize(), "node_key")
-        syn = synonymy_edges_ds(joined, threshold=self.synonymy_threshold)
-        if syn.num_rows == 0:
+        syn = synonymy_edges_ds(joined, threshold=self.synonymy_threshold).materialize()
+        n_syn = syn.count()
+        if n_syn == 0:
             return 0
-        pq.write_table(syn, os.path.join(self.graph_dir, "edges", "syn-0.parquet"))
-        rev = pa.table(
-            {
-                "src": syn["dst"],
-                "dst": syn["src"],
-                "weight": syn["weight"],
-                "etype": syn["etype"],
-            }
+        # streamed parts (read_parquet recurses, so edges/syn/ and
+        # adj/syn/ extend the canonical tables); adjacency parts are
+        # range-sorted by src so shard row-group pruning still works
+        syn.write_parquet(os.path.join(self.graph_dir, "edges", "syn"))
+
+        def expand(batch: pa.Table) -> pa.Table:
+            rev = pa.table(
+                {
+                    "src": batch["dst"],
+                    "dst": batch["src"],
+                    "weight": batch["weight"],
+                    "etype": batch["etype"],
+                }
+            )
+            return pa.concat_tables([batch, rev])
+
+        adj_syn = range_sort(
+            syn.map_batches(expand, batch_format="pyarrow").materialize(), "src"
         )
-        adj_syn = pa.concat_tables([syn, rev]).sort_by("src")
-        pq.write_table(adj_syn, os.path.join(self.graph_dir, "adj", "syn-0.parquet"))
+        adj_syn.write_parquet(os.path.join(self.graph_dir, "adj", "syn"))
         man_path = os.path.join(self.graph_dir, "manifest.json")
         with open(man_path) as f:
             man = json.load(f)
-        man["n_edges"] += syn.num_rows
-        man["n_syn_edges"] = syn.num_rows
+        man["n_edges"] += n_syn
+        man["n_syn_edges"] = n_syn
         with open(man_path, "w") as f:
             json.dump(man, f)
-        return syn.num_rows
+        return n_syn
 
     def delete(self, texts: list[str], incremental: bool | None = None) -> dict:
         """Delete turns by exact text (HippoRAG.delete semantics:

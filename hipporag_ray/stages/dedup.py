@@ -571,23 +571,95 @@ def embedding_neardup_lsh(
         concurrency=pool_size(),
     )
 
-    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        ids = g[id_col].to_numpy()
-        mat = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+    # single int64 bucket key (table, code) for the grouped exchange
+    def bkey(batch: pa.Table) -> pa.Table:
+        t = batch["table"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkey": pa.array((t << np.int64(n_bits)) | c, pa.int64()),
+                id_col: batch[id_col],
+                emb_col: batch[emb_col],
+            }
+        )
+
+    from .shuffle import hash_partition
+
+    _EMPTY = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        """Exact cosine verify per bucket segment — one vectorized pass
+        per partition (the per-group pandas dispatch this replaces was
+        the many-small-groups shape the exchanges exist to avoid)."""
+        if batch.num_rows < 2 or "bkey" not in batch.column_names:
+            return _EMPTY
+        keys = batch["bkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[order]
+        mat = np.stack(batch[emb_col].to_numpy(zero_copy_only=False))[order].astype(
+            np.float64
+        )
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = mat @ mat.T
-        rows, cols = np.nonzero(sims >= threshold)
-        a, b = ids[rows], ids[cols]
-        keep = a < b
-        return pd.DataFrame({"a": a[keep], "b": b[keep], "cosine": sims[rows, cols][keep]})
+        starts = np.concatenate(
+            [[0], np.nonzero(keys[1:] != keys[:-1])[0] + 1, [len(keys)]]
+        )
+        outs = []
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            if s1 - s0 < 2:
+                continue
+            seg = mat[s0:s1]
+            sims = seg @ seg.T
+            rows, cols = np.nonzero(sims >= threshold)
+            a, b = ids[s0:s1][rows], ids[s0:s1][cols]
+            keep = a < b
+            if keep.any():
+                outs.append((a[keep], b[keep], sims[rows, cols][keep]))
+        if not outs:
+            return _EMPTY
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([o[0] for o in outs]), pa.int64()),
+                "b": pa.array(np.concatenate([o[1] for o in outs]), pa.int64()),
+                "cosine": pa.array(np.concatenate([o[2] for o in outs])),
+            }
+        )
+
+    cand = hash_partition(
+        sigs.map_batches(bkey, batch_format="pyarrow").materialize(), "bkey"
+    ).map_batches(verify, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+    # cross-table pair dedup: hash-partition by `a` (all of a pair's
+    # copies land in one block — same vectors, same cosine), adjacent
+    # dedup after a lexsort
+    def dedup_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return _EMPTY
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        c = batch["cosine"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, c = a[order], b[order], c[order]
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        return pa.table(
+            {
+                "a": pa.array(a[first], pa.int64()),
+                "b": pa.array(b[first], pa.int64()),
+                "cosine": pa.array(c[first]),
+            }
+        )
 
     pairs = (
-        sigs.groupby(["table", "code"])
-        .map_groups(bucket_verify, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Min("cosine", alias_name="cosine"))
+        hash_partition(cand.materialize(), "a")
+        .map_batches(
+            dedup_pairs, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
         .to_pandas()
     )
     if pairs.empty:

@@ -28,17 +28,24 @@ import ray
 import ray.data as rd
 
 
-@ray.remote
+@ray.remote(num_returns=2)
 def _syn_prep(tbl: pa.Table):
-    """Normalize one block: (vids, eligible, unit-norm matrix)."""
+    """Normalize one block.  Returns two objects so the driver fetches
+    only the small one: (vids, eligible, unit-norm matrix) for the tile
+    tasks, and (centroid, radius) for tile gating."""
     if tbl.num_rows == 0 or "embedding" not in tbl.column_names:
-        return np.zeros(0, np.int64), np.zeros(0, bool), np.zeros((0, 1))
+        return (
+            (np.zeros(0, np.int64), np.zeros(0, bool), np.zeros((0, 1))),
+            (np.zeros(1), 0.0),
+        )
     vids = tbl["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
     names = tbl["content"].to_numpy(zero_copy_only=False)
     elig = np.array([sum(ch.isalnum() for ch in s) > 2 for s in names])
     m = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    return vids, elig, m
+    c = m.mean(axis=0)
+    r = float(np.sqrt(np.max(((m - c) ** 2).sum(axis=1))))
+    return (vids, elig, m), (c, r)
 
 
 @ray.remote
@@ -70,42 +77,113 @@ def synonymy_edges_ds(
     joined: "rd.Dataset",
     threshold: float = 0.8,
     max_accepted: int = 100,
-) -> pa.Table:
+    n_bits: int = 6,
+    seed: int = 7,
+) -> "rd.Dataset":
     """Distributed synonymy-edge computation over a (vid, content,
-    embedding) Dataset: every block is normalized once, every ordered
-    block pair is one matmul tile (the blocked KNN of
-    embed_utils.py:36-92 without materializing the entity table on the
-    driver), then the per-source top-``max_accepted`` cap (score desc,
-    dst tiebreak) runs as a grouped shuffle.  Returns the canonical
-    edge-record table (src, dst, weight, etype='syn') — output-sized,
-    bounded by max_accepted x entities."""
-    blocks = joined.materialize().to_arrow_refs()
-    prep = [_syn_prep.remote(r) for r in blocks]
-    tiles = [
-        _syn_tile.remote(prep[i], prep[j], threshold)
-        for i in range(len(prep))
-        for j in range(len(prep))
-    ]
+    embedding) Dataset — EXACT, with sub-quadratic tile count:
+
+    1. rows are hash-exchanged by a hyperplane-LSH bucket (``n_bits``
+       sign bits, fixed seeded planes) so each block holds directionally
+       similar vectors;
+    2. every block is normalized once and publishes a (centroid,
+       radius) summary; a (query-block, key-block) tile runs only if
+       the EXACT upper bound ``c_i·c_j + r_i + r_j + r_i·r_j >=
+       threshold`` passes (unit vectors, so no true pair can be lost —
+       unlike bucket-overlap gating this prunes without recall loss);
+    3. the per-source top-``max_accepted`` cap (score desc, dst
+       tiebreak) runs as a hash-partition exchange with a vectorized
+       segment kernel — no per-group pandas dispatch.
+
+    Returns a Dataset of canonical edge records (src, dst, weight,
+    etype='syn') — never collected on the driver."""
+    from .shuffle import hash_partition
+
+    def sign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "embedding" not in batch.column_names:
+            return pa.table(
+                {
+                    "vid": pa.array([], pa.int64()),
+                    "content": pa.array([], pa.string()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        rng = np.random.default_rng(seed)  # same planes in every task
+        planes = rng.standard_normal((n_bits, m.shape[1]))
+        code = ((m @ planes.T) > 0) @ (1 << np.arange(n_bits, dtype=np.int64))
+        return batch.select(["vid", "content", "embedding"]).append_column(
+            "bucket", pa.array(code, type=pa.int64())
+        )
+
+    clustered = hash_partition(
+        joined.map_batches(sign, batch_format="pyarrow").materialize(), "bucket"
+    )
+    blocks = clustered.materialize().to_arrow_refs()
+    prep, meta = [], []
+    for r in blocks:
+        d, mt = _syn_prep.remote(r)
+        prep.append(d)
+        meta.append(mt)
+    metas = ray.get(meta)
+    C = np.stack([m[0] for m in metas]) if metas else np.zeros((0, 1))
+    R = np.array([m[1] for m in metas])
+    if len(metas):
+        bound = C @ C.T + R[:, None] + R[None, :] + R[:, None] * R[None, :]
+        pairs = np.argwhere(bound >= threshold)
+    else:
+        pairs = np.zeros((0, 2), dtype=np.int64)
+    tiles = [_syn_tile.remote(prep[i], prep[j], threshold) for i, j in pairs]
+    if not tiles:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.float64()),
+                    "etype": pa.array([], pa.string()),
+                }
+            )
+        )
     cand = rd.from_arrow_refs(tiles)
 
-    def top(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["weight", "dst"], ascending=[False, True]).head(max_accepted)
-        return g
+    def cap(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "weight": pa.array([], pa.float64()),
+                "etype": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return empty
+        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["weight"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -w, s))
+        s, d, w = s[order], d[order], w[order]
+        new = np.concatenate([[True], s[1:] != s[:-1]])
+        starts = np.nonzero(new)[0]
+        grp = np.cumsum(new) - 1
+        rank = np.arange(len(s)) - starts[grp]
+        keep = rank < max_accepted
+        s, d, w = s[keep], d[keep], w[keep]
+        o2 = np.lexsort((d, s))
+        return pa.table(
+            {
+                "src": pa.array(s[o2], pa.int64()),
+                "dst": pa.array(d[o2], pa.int64()),
+                "weight": pa.array(w[o2], pa.float64()),
+                "etype": pa.array(np.full(len(o2), "syn", dtype=object), pa.string()),
+            }
+        )
 
-    out = (
-        cand.groupby("src")
-        .map_groups(top, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["src", "dst"])
-        .reset_index(drop=True)
-    )
-    return pa.table(
-        {
-            "src": pa.array(out["src"].to_numpy(np.int64)),
-            "dst": pa.array(out["dst"].to_numpy(np.int64)),
-            "weight": pa.array(out["weight"].to_numpy(np.float64)),
-            "etype": pa.array(["syn"] * len(out), type=pa.string()),
-        }
+    return hash_partition(cand.materialize(), "src").map_batches(
+        cap, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
 

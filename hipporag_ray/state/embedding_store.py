@@ -72,7 +72,14 @@ class HashEmbedder:
     hash -> splitmix64 -> Box-Muller kernel over the batch's *unique*
     tokens — the per-token ``np.random.Generator`` construction this
     replaces measured ~2k rows/s/core and was the indexing wall.
+
+    ``STATELESS = True``: no per-actor setup, so the store runs it
+    task-based on warm workers (pool launch latency was the measured
+    cost of every ``insert_strings`` call).  Real model classes leave
+    this False and get the actor pool.
     """
+
+    STATELESS = True
 
     def __init__(self, dim: int = 64, seed: int = 17, text_col: str = "content"):
         self.dim = dim
@@ -164,6 +171,8 @@ class CharFreqEmbedder:
     normalize with ``text_processing`` first — embedder classes MUST
     normalize consistently between store-time (``__call__``) and
     query-time (``embed``), or similarity silently skews."""
+
+    STATELESS = True
 
     def __init__(self, dim: int = 32, text_col: str = "content"):
         self.dim = dim
@@ -296,17 +305,31 @@ class EmbeddingStore:
             )
         else:
             new_rows = deduped
-        embed_opts = {}
-        if self.num_gpus > 0:
-            embed_opts["num_gpus"] = self.num_gpus
-        embedded = new_rows.map_batches(
-            self.embedder_cls,
-            fn_constructor_kwargs={**self.embedder_kwargs, "text_col": "content"},
-            batch_format="pyarrow",
-            batch_size=self.embed_batch_size,
-            concurrency=pool_size(),
-            **embed_opts,
-        ).materialize()
+        # the distinct exchange can emit ONE large block (its partition
+        # heuristic optimizes the shuffle, not this consumer) — an
+        # explicit batch_size splits it so embedding parallelizes.
+        # Stateless embedders (no model load) run task-based on warm
+        # workers: actor-pool launch latency was the dominant cost of
+        # small/medium inserts
+        bsz = self.embed_batch_size or 512
+        if getattr(self.embedder_cls, "STATELESS", False) and self.num_gpus == 0:
+            embedded = new_rows.map_batches(
+                self.embedder_cls(**{**self.embedder_kwargs, "text_col": "content"}),
+                batch_format="pyarrow",
+                batch_size=bsz,
+            ).materialize()
+        else:
+            embed_opts = {}
+            if self.num_gpus > 0:
+                embed_opts["num_gpus"] = self.num_gpus
+            embedded = new_rows.map_batches(
+                self.embedder_cls,
+                fn_constructor_kwargs={**self.embedder_kwargs, "text_col": "content"},
+                batch_format="pyarrow",
+                batch_size=bsz,
+                concurrency=pool_size(),
+                **embed_opts,
+            ).materialize()
         n_new = embedded.count()
         if n_new == 0:
             return 0
