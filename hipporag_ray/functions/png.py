@@ -1,0 +1,171 @@
+"""Minimal pure-numpy PNG codec (stdlib ``zlib`` + ``struct`` only).
+
+No imaging library ships in this environment, so the multimodal decode
+stage (stages/multimodal.py) uses this codec for ``image/png`` payloads
+when PIL is absent.  Scope: 8-bit greyscale (color type 0), RGB (2) and
+RGBA (6), non-interlaced — the shapes a synthetic training-data corpus
+uses.  The decoder implements all five PNG scanline filters per the
+spec (RFC 2083 §6); the encoder emits filter 0 scanlines, one IDAT.
+
+Implementation note: filters 0/2 unfilter fully vectorized per
+scanline; 1/3/4 (Sub / Average / Paeth) carry a horizontal recurrence,
+handled with a per-pixel-column loop only on scanlines that use them.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w) | (h, w, 3) | (h, w, 4) uint8 -> PNG bytes (filter 0)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, c = 0, 1
+        flat = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, c = 2, 3
+        flat = img
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color_type, c = 6, 4
+        flat = img
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = flat.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 prepended to each scanline
+    raw = np.empty((h, 1 + w * c), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = flat.reshape(h, w * c)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w) or (h, w, c) uint8 array."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if bit_depth != 8 or color_type not in _CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG (bit depth {bit_depth}, color type {color_type})"
+                )
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    c = _CHANNELS[color_type]
+    stride = width * c
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    raw = raw.reshape(height, stride + 1)
+    filters = raw[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f = filters[y]
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:  # None
+            out[y] = line
+        elif f == 2:  # Up
+            out[y] = (line + prev) & 0xFF
+        elif f == 1:  # Sub
+            cur = line.copy()
+            for x in range(c, stride):
+                cur[x] = (cur[x] + cur[x - c]) & 0xFF
+            out[y] = cur
+        elif f == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - c] if x >= c else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+            out[y] = cur
+        elif f == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                left = int(cur[x - c]) if x >= c else 0
+                up = int(prev[x])
+                ul = int(prev[x - c]) if x >= c else 0
+                cur[x] = (cur[x] + _paeth(left, up, ul)) & 0xFF
+            out[y] = cur
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    img = out.reshape(height, width, c)
+    return img[:, :, 0] if c == 1 else img
+
+
+def to_grayscale(img: np.ndarray) -> np.ndarray:
+    """(h, w[, c]) uint8 -> (h, w) float64 luma."""
+    if img.ndim == 2:
+        return img.astype(np.float64)
+    rgb = img[:, :, :3].astype(np.float64)
+    return rgb @ np.array([0.299, 0.587, 0.114])
+
+
+def block_mean_features(gray: np.ndarray, grid: int = 4) -> np.ndarray:
+    """(h, w) -> (grid*grid,) float32 mean-pooled block features."""
+    h, w = gray.shape
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    out = np.empty(grid * grid, dtype=np.float32)
+    k = 0
+    for i in range(grid):
+        for j in range(grid):
+            blk = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out[k] = blk.mean() / 255.0
+            k += 1
+    return out
+
+
+def average_hash64(gray: np.ndarray) -> int:
+    """8x8 average perceptual hash -> signed int64."""
+    feats = block_mean_features(gray, grid=8).reshape(64)
+    bits = feats > feats.mean()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val

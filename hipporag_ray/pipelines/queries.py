@@ -956,6 +956,21 @@ def q_media_decode(sf_dir: str):
     )
 
 
+def q_media_decode_real(sf_dir: str):
+    """REAL image decode: a deterministic corpus of valid PNG payloads
+    decoded by the pure-numpy codec (functions/png.py) in an actor
+    pool — real pixels, real block-mean features, real 8x8 average
+    phash (decoded dims, not metadata)."""
+    from ..stages.multimodal import ResizeImage, decode_pipeline, make_real_media
+
+    n = max(50, int(5_000 * sf_of(sf_dir)))
+    media = rd.from_arrow(make_real_media(n))
+    decoded = decode_pipeline(media, batch_size=64, fake=False)
+    return decoded.map_batches(ResizeImage(max_side=32), batch_format="pyarrow").select_columns(
+        ["media_id", "phash", "width", "height"]
+    )
+
+
 def q_media_frames(sf_dir: str):
     """Multimodal video plumbing: synthetic binary videos -> actor-pool
     uniform frame sampling (deterministic fake codec) -> per-frame
@@ -1221,6 +1236,7 @@ QUERIES = {
     "doc_sample": q_doc_sample,
     "tx_graph_info": q_tx_graph_info,
     "media_decode": q_media_decode,
+    "media_decode_real": q_media_decode_real,
     "media_frames": q_media_frames,
     "tx_extract": q_tx_extract,
     "tx_pagerank": q_tx_pagerank,

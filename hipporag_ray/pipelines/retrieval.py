@@ -111,6 +111,7 @@ class HippoRagEngine:
         damping: float = 0.5,
         synonymy: bool = False,
         synonymy_threshold: float = 0.8,
+        synonymy_knn_k: int = 2047,
         facts: bool = True,
         fact_score_threshold: float = 0.0,
         edge_source: str = "cooccur",
@@ -118,7 +119,16 @@ class HippoRagEngine:
         embedder_kwargs: dict | None = None,
         num_gpus: float = 0.0,
         embed_batch_size: int | None = None,
+        rerank_fn=None,
     ):
+        """``rerank_fn``: optional fact-rerank hook — the DSPyFilter
+        plug-point (HippoRAG.py:1522-1570, rerank.py:108-131).  Called
+        per retrieve() batch with the per-query top-k fact candidate
+        DataFrame (query_idx, score, subj_key, obj_key, ...); returns
+        the surviving (possibly reordered) subset.  Queries whose facts
+        are all dropped fall back to DPR, like the reference's empty
+        rerank result.  Not config-serializable (a callable), so it is
+        constructor-only."""
         self.working_dir = working_dir
         self.corpus_dir = os.path.join(working_dir, "corpus")
         self.graph_dir = os.path.join(working_dir, "graph")
@@ -142,12 +152,14 @@ class HippoRagEngine:
         self.damping = damping
         self.synonymy = synonymy
         self.synonymy_threshold = synonymy_threshold
+        self.synonymy_knn_k = synonymy_knn_k
         self.facts = facts
         self.fact_score_threshold = fact_score_threshold
         self.edge_source = edge_source
         self.embedder = (embedder_cls or HashEmbedder)(
             **dict(embedder_kwargs or {"dim": dim})
         )
+        self.rerank_fn = rerank_fn
         self._sg: ShardedGraph | None = None
 
     @classmethod
@@ -165,6 +177,7 @@ class HippoRagEngine:
             damping=c.damping,
             synonymy=c.synonymy,
             synonymy_threshold=c.synonymy_threshold,
+            synonymy_knn_k=c.synonymy_knn_k,
             facts=c.facts,
             fact_score_threshold=c.fact_score_threshold,
             edge_source=c.edge_source,
@@ -384,7 +397,9 @@ class HippoRagEngine:
         from ..stages.shuffle import range_sort
 
         joined = hash_join(verts.materialize(), emb.materialize(), "node_key")
-        syn = synonymy_edges_ds(joined, threshold=self.synonymy_threshold).materialize()
+        syn = synonymy_edges_ds(
+            joined, threshold=self.synonymy_threshold, knn_k=self.synonymy_knn_k
+        ).materialize()
         n_syn = syn.count()
         if n_syn == 0:
             return 0
@@ -843,6 +858,12 @@ class HippoRagEngine:
         cand = cand[cand["score"] >= self.fact_score_threshold]
         if cand.empty:
             return empty, set(range(B))
+        if self.rerank_fn is not None:
+            # DSPyFilter plug-point: the hook sees the top-k facts and
+            # returns the survivors; all-dropped queries fall to DPR
+            cand = self.rerank_fn(cand)
+            if cand is None or cand.empty:
+                return empty, set(range(B))
         rng = (hi - lo).reindex(cand["query_idx"]).to_numpy()
         lo_q = lo.reindex(cand["query_idx"]).to_numpy()
         raw = cand["score"].to_numpy()

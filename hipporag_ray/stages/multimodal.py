@@ -3,13 +3,17 @@
 Images / audio / video ride through the engine as ``binary`` columns
 with metadata columns (``mime``, ``width``, ``height``, ``duration_ms``
 ...).  The Ray-side mechanics — schema, actor-pool stages, batch
-sizing, output layout — are real and tested; the actual codec work is
-stubbed because no image/audio library ships in this container:
+sizing, output layout — are real and tested.  Codecs:
 
-* ``DecodeImage`` raises ``NotImplementedError`` unless
-  ``fake=True``, in which case it produces a deterministic fake decode
-  (seeded by the payload hash) with the declared dimensions — enough
-  to exercise the full pipeline shape end-to-end.
+* ``DecodeImage(fake=False)`` REALLY decodes ``image/png`` payloads —
+  PIL when importable, else the pure-numpy PNG codec in
+  ``functions/png.py`` (all five scanline filters) — and emits real
+  block-mean features + an 8x8 average perceptual hash;
+  ``make_real_media`` synthesizes a deterministic valid-PNG corpus.
+* ``fake=True`` keeps the hash-seeded deterministic pseudo-decode for
+  payloads that are not real images (the opaque-bytes test tables).
+* video frame extraction still needs ffmpeg (absent) — ``SampleFrames``
+  stays fake-gated.
 
 Batch-size note: binary payloads dominate block size; callers should
 pass ``batch_size`` small (e.g. 32-256) so
@@ -55,40 +59,108 @@ def make_fake_media(n: int, seed: int = 3) -> pa.Table:
     )
 
 
+def make_real_media(n: int, seed: int = 11) -> pa.Table:
+    """Deterministic synthetic corpus of REAL PNG payloads (gradient +
+    seeded noise images, greyscale/RGB alternating)."""
+    from ..functions.png import encode_png
+
+    rng = np.random.default_rng(seed)
+    payloads, ws, hs = [], [], []
+    for i in range(n):
+        w = int(rng.integers(8, 48))
+        h = int(rng.integers(8, 48))
+        gx = np.linspace(0, 255, w)[None, :]
+        gy = np.linspace(0, 255, h)[:, None]
+        base = (gx + gy) / 2 + rng.normal(0, 20, (h, w))
+        gray = np.clip(base, 0, 255).astype(np.uint8)
+        if i % 2:
+            img = np.stack(
+                [gray, np.flipud(gray), np.fliplr(gray)], axis=2
+            )  # RGB variant
+        else:
+            img = gray
+        payloads.append(encode_png(img))
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array([f"r{i:06d}" for i in range(n)]),
+            "mime": pa.array(["image/png"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array(np.array(ws, np.int32)),
+            "height": pa.array(np.array(hs, np.int32)),
+        }
+    )
+
+
 class DecodeImage:
     """Actor-pool stage: payload -> decoded pixel features.
 
-    Real decode needs an imaging library (PIL / cv2 / ffmpeg) absent
-    from this container; with ``fake=True`` each payload decodes to a
-    deterministic pseudo-image derived from its content hash, so
-    downstream stages (resize, feature-extract, dedup-by-phash) run
-    for real.
+    ``fake=False`` performs a REAL decode of ``image/png`` payloads:
+    PIL if importable (loaded once per actor — the stateful-stage
+    shape a heavier codec needs), else the pure-numpy PNG codec
+    (functions/png.py).  Features are ``grid x grid`` block means of
+    the luma plane; ``phash`` is the 8x8 average hash.  Width/height
+    come from the decoded image, not the metadata columns.
+
+    ``fake=True`` decodes each payload to a deterministic pseudo-image
+    derived from its content hash — for opaque-bytes test tables.
     """
 
     def __init__(self, fake: bool = False, feature_dim: int = 16):
         self.fake = fake
         self.feature_dim = feature_dim
+        self._pil = None
+        if not fake:
+            try:  # optional accelerator; the numpy codec is the fallback
+                from PIL import Image  # noqa: F401
+
+                self._pil = Image
+            except ImportError:
+                self._pil = None
+
+    def _decode_real(self, payload: bytes) -> np.ndarray:
+        from ..functions.png import decode_png
+
+        if self._pil is not None:
+            import io
+
+            return np.asarray(self._pil.open(io.BytesIO(payload)))
+        return decode_png(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "image decode requires an imaging library not present in "
-                "this environment; construct DecodeImage(fake=True) for the "
-                "deterministic test decoder"
-            )
         payloads = batch["payload"].to_pylist()
-        feats = np.zeros((len(payloads), self.feature_dim), dtype=np.float32)
-        phash = np.zeros(len(payloads), dtype=np.int64)
-        for i, p in enumerate(payloads):
-            digest = hashlib.md5(p).digest()
-            rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
-            feats[i] = rng.standard_normal(self.feature_dim).astype(np.float32)
-            phash[i] = int.from_bytes(digest[8:16], "little", signed=True)
+        n = len(payloads)
+        feats = np.zeros((n, self.feature_dim), dtype=np.float32)
+        phash = np.zeros(n, dtype=np.int64)
+        if self.fake:
+            for i, p in enumerate(payloads):
+                digest = hashlib.md5(p).digest()
+                rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+                feats[i] = rng.standard_normal(self.feature_dim).astype(np.float32)
+                phash[i] = int.from_bytes(digest[8:16], "little", signed=True)
+            widths = batch["width"]
+            heights = batch["height"]
+        else:
+            from ..functions.png import average_hash64, block_mean_features, to_grayscale
+
+            grid = max(1, int(np.sqrt(self.feature_dim)))
+            ws = np.zeros(n, np.int32)
+            hs = np.zeros(n, np.int32)
+            for i, p in enumerate(payloads):
+                img = self._decode_real(p)
+                gray = to_grayscale(img)
+                hs[i], ws[i] = gray.shape
+                f = block_mean_features(gray, grid=grid)
+                feats[i, : len(f)] = f[: self.feature_dim]
+                phash[i] = average_hash64(gray)
+            widths = pa.array(ws)
+            heights = pa.array(hs)
         return pa.table(
             {
                 "media_id": batch["media_id"],
-                "width": batch["width"],
-                "height": batch["height"],
+                "width": widths,
+                "height": heights,
                 "phash": pa.array(phash),
                 "features": pa.array(list(feats), type=pa.list_(pa.float32())),
             }

@@ -77,6 +77,7 @@ def synonymy_edges_ds(
     joined: "rd.Dataset",
     threshold: float = 0.8,
     max_accepted: int = 100,
+    knn_k: int = 2047,
     n_bits: int = 6,
     seed: int = 7,
 ) -> "rd.Dataset":
@@ -91,9 +92,11 @@ def synonymy_edges_ds(
        the EXACT upper bound ``c_i·c_j + r_i + r_j + r_i·r_j >=
        threshold`` passes (unit vectors, so no true pair can be lost —
        unlike bucket-overlap gating this prunes without recall loss);
-    3. the per-source top-``max_accepted`` cap (score desc, dst
-       tiebreak) runs as a hash-partition exchange with a vectorized
-       segment kernel — no per-group pandas dispatch.
+    3. the per-source cap — KNN candidate cut at ``knn_k`` (the
+       reference's top-2047 retrieve_knn window, config_utils.py:148-151)
+       then ``max_accepted`` accepted (HippoRAG.py:866-880), score desc
+       / dst tiebreak — runs as a hash-partition exchange with a
+       vectorized segment kernel, no per-group pandas dispatch.
 
     Returns a Dataset of canonical edge records (src, dst, weight,
     etype='syn') — never collected on the driver."""
@@ -170,7 +173,7 @@ def synonymy_edges_ds(
         starts = np.nonzero(new)[0]
         grp = np.cumsum(new) - 1
         rank = np.arange(len(s)) - starts[grp]
-        keep = rank < max_accepted
+        keep = rank < min(max_accepted, knn_k)
         s, d, w = s[keep], d[keep], w[keep]
         o2 = np.lexsort((d, s))
         return pa.table(

@@ -1,0 +1,111 @@
+"""Real embedding-model classes for the T1 plug-point.
+
+The reference ships a model zoo (embedding_model/Transformers.py:13-47,
+OpenAI.py, NVEmbedV2.py, GritLM.py) selected by config; this engine's
+analog is any class satisfying the :class:`EmbeddingStore` contract:
+
+* ``__init__(**kwargs, text_col=...)`` — model load, once per actor
+  (the stage keeps ``STATELESS`` unset/False, so the store runs it as
+  an actor pool with ``concurrency``/``num_gpus``/``embed_batch_size``
+  sizing, reference batch 16/64 per config_utils.py:128-131);
+* ``__call__(batch: pa.Table) -> batch + embedding`` — batched
+  inference over the normalized text column;
+* ``embed(texts) -> np.ndarray`` — query-time encoding (same
+  normalization as store time, or similarity silently skews).
+
+Heavy deps import lazily inside ``__init__`` so this module always
+imports; constructing the class without torch installed raises a clear
+ImportError (and the opt-in test skips).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.text import text_processing
+
+
+class TransformersEmbedder:
+    """HuggingFace ``AutoModel`` mean-pooled sentence embedder (the
+    Transformers.py:13-47 shape: tokenizer + model loaded once per
+    actor, attention-mask mean pooling, L2 normalization, CPU by
+    default, ``device='cuda'`` when the pool reserves GPUs)."""
+
+    STATELESS = False  # model load is the per-actor setup
+
+    def __init__(
+        self,
+        model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+        device: str = "cpu",
+        max_length: int = 256,
+        text_col: str = "content",
+    ):
+        import torch  # lazy: absent in minimal environments
+        from transformers import AutoModel, AutoTokenizer
+
+        self._torch = torch
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        self.model = AutoModel.from_pretrained(model_name).to(device).eval()
+        self.device = device
+        self.max_length = max_length
+        self.text_col = text_col
+
+    def embed(self, texts) -> np.ndarray:
+        torch = self._torch
+        if not isinstance(texts, list):
+            texts = list(texts)
+        if not texts:
+            hid = self.model.config.hidden_size
+            return np.zeros((0, hid), dtype=np.float32)
+        enc = self.tokenizer(
+            [t or "" for t in texts],
+            padding=True,
+            truncation=True,
+            max_length=self.max_length,
+            return_tensors="pt",
+        ).to(self.device)
+        with torch.no_grad():
+            out = self.model(**enc).last_hidden_state  # (B, T, H)
+        mask = enc["attention_mask"].unsqueeze(-1).to(out.dtype)  # (B, T, 1)
+        pooled = (out * mask).sum(dim=1) / mask.sum(dim=1).clamp(min=1e-9)
+        pooled = torch.nn.functional.normalize(pooled, p=2, dim=1)
+        return pooled.cpu().numpy().astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = text_processing(batch[self.text_col]).to_pylist()
+        emb = self.embed(texts)
+        return batch.append_column(
+            "embedding", pa.array(list(emb), type=pa.list_(pa.float32()))
+        )
+
+
+class SentenceTransformersEmbedder:
+    """sentence-transformers front-end (the GritLM/NV-Embed analog
+    surface: one ``encode`` call with batch-size control)."""
+
+    STATELESS = False
+
+    def __init__(
+        self,
+        model_name: str = "all-MiniLM-L6-v2",
+        device: str = "cpu",
+        text_col: str = "content",
+    ):
+        from sentence_transformers import SentenceTransformer  # lazy
+
+        self.model = SentenceTransformer(model_name, device=device)
+        self.text_col = text_col
+
+    def embed(self, texts) -> np.ndarray:
+        vecs = self.model.encode(
+            [t or "" for t in texts], normalize_embeddings=True, convert_to_numpy=True
+        )
+        return np.asarray(vecs, dtype=np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = text_processing(batch[self.text_col]).to_pylist()
+        emb = self.embed(texts)
+        return batch.append_column(
+            "embedding", pa.array(list(emb), type=pa.list_(pa.float32()))
+        )

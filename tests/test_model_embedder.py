@@ -1,0 +1,45 @@
+"""Opt-in smoke of the real (torch-backed) T1 embedder classes.
+
+Skipped when torch/transformers are absent (they are in the minimal
+container); with them installed this proves the actor-pool batch-size
+plumbing end to end: index ~100 turns with the real model through
+``insert_strings`` and ``retrieve``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+pytest.importorskip("transformers")
+
+
+def test_transformers_embedder_lifecycle(ray_session, tmp_path):
+    import ray.data as rd
+
+    from hipporag_ray.pipelines.retrieval import HippoRagEngine
+    from hipporag_ray.state.model_embedders import TransformersEmbedder
+    from hipporag_ray.synth import write_transcripts
+
+    td = tmp_path / "tx"
+    write_transcripts(str(td), 10, 10, 40, seed=5)  # ~100 turns
+
+    probe = TransformersEmbedder()
+    dim = probe.embed(["hello world"]).shape[1]
+    eng = HippoRagEngine(
+        working_dir=str(tmp_path / "wd"),
+        dim=dim,
+        embedder_cls=TransformersEmbedder,
+        embedder_kwargs={},
+        embed_batch_size=16,
+    )
+    info = eng.index(rd.read_parquet(str(td)))
+    assert info["new_chunks"] > 0
+    res = eng.retrieve(["alpha beta"], top_k=3)
+    assert len(res) == 1 and len(res[0]["docs"]) <= 3
+    # store- and query-side embeddings agree for identical content
+    q = probe.embed(["some normalized text"])
+    q2 = probe.embed(["some normalized text"])
+    np.testing.assert_allclose(q, q2, atol=1e-6)
+    eng.close()

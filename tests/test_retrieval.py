@@ -152,3 +152,40 @@ def test_custom_embedder_plugs_into_engine(ray_session, tmp_path):
     res = eng.retrieve(["zebra quokka wombat"], top_k=1)
     assert res[0]["docs"][0] == "zebra quokka wombat"
     eng.close()
+
+
+def test_rerank_hook_filters_facts(ray_session, tmp_path):
+    """The DSPyFilter plug-point (HippoRAG.py:1522-1570): a rerank hook
+    that drops facts changes the ranking; dropping everything falls the
+    query back to DPR."""
+    wd = tmp_path / "rr"
+    eng = HippoRagEngine(working_dir=str(wd))
+    eng.index(_tx(CORPUS_A))
+    base = eng.retrieve(["alpha beta gamma"], top_k=3)
+    eng.close()
+
+    seen = {}
+
+    def drop_top_subject(cand):
+        # deterministic: drop every fact whose subject is the best
+        # fact's subject, forcing different phrase weights
+        top_subj = cand.sort_values(
+            ["score", "subj_key", "obj_key"], ascending=[False, True, True]
+        )["subj_key"].iloc[0]
+        seen["subj"] = top_subj
+        return cand[cand["subj_key"] != top_subj]
+
+    eng2 = HippoRagEngine(working_dir=str(wd), rerank_fn=drop_top_subject)
+    got = eng2.retrieve(["alpha beta gamma"], top_k=3)
+    eng2.close()
+    assert seen, "hook never invoked"
+    assert base[0]["mode"] == "ppr" and got[0]["mode"] == "ppr"
+    assert (
+        base[0]["docs"] != got[0]["docs"]
+        or base[0]["doc_scores"] != got[0]["doc_scores"]
+    )
+
+    eng3 = HippoRagEngine(working_dir=str(wd), rerank_fn=lambda c: c.iloc[0:0])
+    got3 = eng3.retrieve(["alpha beta gamma"], top_k=3)
+    eng3.close()
+    assert got3[0]["mode"] == "dpr_fallback"
