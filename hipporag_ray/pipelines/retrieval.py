@@ -316,11 +316,11 @@ class HippoRagEngine:
             )
 
         keyed = rows.map_batches(add_keys, batch_format="pyarrow")
-        deduped = hash_distinct(keyed.materialize(), "pair_key")
+        deduped = hash_distinct(keyed, "pair_key")
         parts = self._fact_parts()
         if parts:
             stored = rd.read_parquet(parts, columns=["pair_key"])
-            new_rows = hash_join(deduped, stored.materialize(), "pair_key", how="leftanti")
+            new_rows = hash_join(deduped, stored, "pair_key", how="leftanti")
         else:
             new_rows = deduped
         new_rows = new_rows.materialize()

@@ -512,7 +512,7 @@ def dedup_chunks(transcripts: "rd.Dataset") -> "rd.Dataset":
     from .shuffle import hash_distinct
 
     chunks = transcripts.map_batches(_to_chunk_rows, batch_format="pyarrow")
-    return hash_distinct(chunks.materialize(), "chunk_key")
+    return hash_distinct(chunks, "chunk_key")
 
 
 def build_graph(
@@ -546,7 +546,7 @@ def build_graph(
     from .shuffle import hash_distinct, range_sort
 
     vrows = chunks.map_batches(ChunkToVertexRows(min_token_len), batch_format="pyarrow")
-    vdistinct = hash_distinct(vrows.materialize(), "node_key")
+    vdistinct = hash_distinct(vrows, "node_key")
     vertices = assign_dense_ids(vdistinct, "node_key", "vid").materialize()
     n_vertices = vertices.count()
     vertices.write_parquet(os.path.join(out_dir, "vertices"))
@@ -586,7 +586,7 @@ def build_graph(
         partials = _partials_via_join(
             chunks, vertices, int(n_vertices), min_token_len, edge_source
         )
-    agg = int_key_sum(partials.materialize(), "code2", "weight")
+    agg = int_key_sum(partials, "code2", "weight")
 
     n = int(n_vertices)
 
@@ -734,10 +734,9 @@ def delete_chunks_from_graph(
     merged = (
         graph.edges()
         .map_batches(reencode, batch_format="pyarrow")
-        .materialize()
-        .union(rd.from_arrow(neg).materialize())
+        .union(rd.from_arrow(neg))
     )
-    agg = int_key_sum(merged.materialize(), "code2", "weight")
+    agg = int_key_sum(merged, "code2", "weight")
     # counts are integer-valued floats: cancelled records sum to 0.0 exactly
     agg = agg.map_batches(
         lambda b: b.filter(
@@ -777,7 +776,7 @@ def delete_chunks_from_graph(
         ),
         batch_format="pyarrow",
     )
-    passage_dst = int_key_sum(pdst_rows.materialize(), "vid", "one").map_batches(
+    passage_dst = int_key_sum(pdst_rows, "vid", "one").map_batches(
         lambda b: b.select(["vid"]), batch_format="pyarrow"
     )
 
@@ -1090,10 +1089,10 @@ def build_graph_incremental(
         code2 = (src * n + dst) * 2 + (et == "fact").astype(np.int64)
         return pa.table({"code2": pa.array(code2, type=pa.int64()), "weight": batch["weight"]})
 
-    merged = partials_new.materialize().union(
-        graph.edges().map_batches(reencode, batch_format="pyarrow").materialize()
+    merged = partials_new.union(
+        graph.edges().map_batches(reencode, batch_format="pyarrow")
     )
-    agg = int_key_sum(merged.materialize(), "code2", "weight")
+    agg = int_key_sum(merged, "code2", "weight")
 
     def decode(batch: pa.Table) -> pa.Table:
         code2 = batch["code2"].to_numpy(zero_copy_only=False)

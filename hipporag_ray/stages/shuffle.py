@@ -149,33 +149,81 @@ def _auto_partitions(ds, refs, min_rows_per_partition: int = 50_000) -> int:
     return max(1, min(cpus, max(len(refs), 1), max(1, rows // min_rows_per_partition)))
 
 
+_PARTITION_FLOOR_ROWS = 50_000
+
+
+def _streaming_splits(ds, launch_split, num_partitions: int | None):
+    """Consume a Dataset's blocks AS THE STREAMING EXECUTOR PRODUCES
+    them and fan each into ``launch_split(block_ref, k)`` — the input
+    is never pinned whole in the object store (each block ref is
+    dropped as soon as its split task holds it; what stays pinned are
+    the column-pruned / pre-aggregated shards).
+
+    ``k`` selection keeps the _auto_partitions small-input heuristic
+    without a second pass: blocks are buffered until the row volume
+    crosses CPUs x 50k (then k = CPUs and everything streams), or the
+    stream ends first (then k is row-proportional like before).
+    Returns (splits, k); splits is empty for an empty input."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    thresh = cpus * _PARTITION_FLOOR_ROWS
+    k = num_partitions
+    buffered: list = []
+    splits: list = []
+    rows_seen = 0
+    n_blocks = 0
+    for bundle in ds.iter_internal_ref_bundles():
+        for bref, meta in bundle.blocks:
+            n_blocks += 1
+            rows_seen += meta.num_rows or 0
+            if k is None:
+                buffered.append(bref)
+                if rows_seen >= thresh:
+                    k = cpus
+                    splits.extend(launch_split(b, k) for b in buffered)
+                    buffered = []
+            else:
+                splits.append(launch_split(bref, k))
+    if k is None:
+        k = max(
+            1,
+            min(cpus, max(n_blocks, 1), max(1, rows_seen // _PARTITION_FLOOR_ROWS)),
+        )
+        splits.extend(launch_split(b, k) for b in buffered)
+    return splits, k
+
+
+@ray.remote
+def _block_rows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
 def hash_distinct(
     ds: "rd.Dataset", key_col: str, num_partitions: int | None = None
 ) -> "rd.Dataset":
     """Exact first-wins dedup by key (A10): per-block pre-dedup ->
     hash exchange -> per-partition dedup.  Deterministic representative
     = min row in key sort order.  Replaces ``groupby(key).aggregate``
-    (measured order-of-magnitude slower for this shape)."""
-    refs = ds.to_arrow_refs()
-    if not refs:
-        return ds
-    if num_partitions is None:
-        num_partitions = _auto_partitions(ds, refs)
-    k = num_partitions
-    splits = []
-    for r in refs:
+    (measured order-of-magnitude slower for this shape).  Consumes its
+    input streaming; empty output partitions are dropped by a
+    row-count-only probe (no table bytes reach the driver)."""
+
+    def launch(r, k):
         if k > 1:
-            splits.append(_distinct_split.options(num_returns=k).remote(r, key_col, k))
-        else:
-            splits.append([_distinct_split.remote(r, key_col, k)])
+            return _distinct_split.options(num_returns=k).remote(r, key_col, k)
+        return [_distinct_split.remote(r, key_col, k)]
+
+    splits, k = _streaming_splits(ds, launch, num_partitions)
+    if not splits:
+        return ds
     outs = [
-        _distinct_reduce.remote(key_col, *[splits[i][t] for i in range(len(refs))])
+        _distinct_reduce.remote(key_col, *[splits[i][t] for i in range(len(splits))])
         for t in range(k)
     ]
-    tables = [t for t in ray.get(outs) if t.num_rows]
-    if not tables:
+    counts = ray.get([_block_rows.remote(o) for o in outs])
+    keep = [o for o, c in zip(outs, counts) if c]
+    if not keep:
         return rd.from_arrow(_EMPTY_SENTINEL)
-    return rd.from_arrow_refs([ray.put(t) for t in tables])
+    return rd.from_arrow_refs(keep)
 
 
 @ray.remote
@@ -294,33 +342,26 @@ def hash_join(
     "left", or "leftanti" (left rows whose key has no right match — the
     J3 anti-join shape).  Map-side combiners do not apply — rows pass
     through; skewed join keys inherit the key's hash bucket, so salt
-    upstream when a single key dominates."""
-    lrefs = left.to_arrow_refs()
-    rrefs = right.to_arrow_refs()
-    if num_partitions is None:
-        num_partitions = max(
-            _auto_partitions(left, lrefs), _auto_partitions(right, rrefs)
-        )
-    k = num_partitions
+    upstream when a single key dominates.  Both sides are consumed
+    streaming; ``k`` is fixed by the left side (pass ``num_partitions``
+    explicitly when the left side is tiny but the right is not)."""
 
-    def split_all(refs):
-        out = []
-        for r in refs:
-            if k > 1:
-                out.append(_plain_split.options(num_returns=k).remote(r, key_col, k))
-            else:
-                out.append([_plain_split.remote(r, key_col, k)])
-        return out
+    def launch(r, k):
+        if k > 1:
+            return _plain_split.options(num_returns=k).remote(r, key_col, k)
+        return [_plain_split.remote(r, key_col, k)]
 
-    ls = split_all(lrefs)
-    rs = split_all(rrefs)
+    ls, k = _streaming_splits(left, launch, num_partitions)
+    rs, _ = _streaming_splits(right, launch, k if ls else (num_partitions or 1))
+    if not ls:
+        return left
     outs = [
         _join_reduce.remote(
             key_col,
             how,
-            len(lrefs),
-            *[ls[i][t] for i in range(len(lrefs))],
-            *[rs[i][t] for i in range(len(rrefs))],
+            len(ls),
+            *[ls[i][t] for i in range(len(ls))],
+            *[rs[i][t] for i in range(len(rs))],
         )
         for t in range(k)
     ]
@@ -366,23 +407,21 @@ def grouped_pairs(
     reducers regardless of upstream block layout), then each reducer
     expands pairs with the vectorized segment kernel.  ``mode`` as in
     :func:`hipporag_ray.functions.pairs.segment_pairs`;
-    ``include_group`` adds the group value as column ``g``."""
-    refs = ds.to_arrow_refs()
-    if not refs:
-        return ds
-    if num_partitions is None:
-        num_partitions = _auto_partitions(ds, refs)
-    k = num_partitions
-    splits = []
-    for r in refs:
+    ``include_group`` adds the group value as column ``g``.  Streaming
+    input consumption."""
+
+    def launch(r, k):
         if k > 1:
-            splits.append(_plain_split.options(num_returns=k).remote(r, group_col, k))
-        else:
-            splits.append([_plain_split.remote(r, group_col, k)])
+            return _plain_split.options(num_returns=k).remote(r, group_col, k)
+        return [_plain_split.remote(r, group_col, k)]
+
+    splits, k = _streaming_splits(ds, launch, num_partitions)
+    if not splits:
+        return ds
     outs = [
         _grouped_pairs_reduce.remote(
             group_col, val_col, mode, include_group,
-            *[splits[i][t] for i in range(len(refs))],
+            *[splits[i][t] for i in range(len(splits))],
         )
         for t in range(k)
     ]
@@ -405,21 +444,18 @@ def hash_partition(
     output block — the layout guarantee that lets a downstream
     ``map_batches(..., batch_size=None)`` run key-complete vectorized
     kernels (sessionization, as-of joins) without per-group Python
-    dispatch."""
-    refs = ds.to_arrow_refs()
-    if not refs:
-        return ds
-    if num_partitions is None:
-        num_partitions = _auto_partitions(ds, refs)
-    k = num_partitions
-    splits = []
-    for r in refs:
+    dispatch.  Streaming input consumption."""
+
+    def launch(r, k):
         if k > 1:
-            splits.append(_plain_split.options(num_returns=k).remote(r, key_col, k))
-        else:
-            splits.append([_plain_split.remote(r, key_col, k)])
+            return _plain_split.options(num_returns=k).remote(r, key_col, k)
+        return [_plain_split.remote(r, key_col, k)]
+
+    splits, k = _streaming_splits(ds, launch, num_partitions)
+    if not splits:
+        return ds
     outs = [
-        _concat_reduce.remote(*[splits[i][t] for i in range(len(refs))])
+        _concat_reduce.remote(*[splits[i][t] for i in range(len(splits))])
         for t in range(k)
     ]
     return rd.from_arrow_refs(outs)
@@ -432,21 +468,21 @@ def int_key_sum(
     num_partitions: int | None = None,
 ) -> "rd.Dataset":
     """groupby(key_col).sum(weight_col) for an int64 key column; returns
-    a Dataset with columns (key_col, weight_col)."""
-    refs = ds.to_arrow_refs()
-    if not refs:
-        return ds
-    if num_partitions is None:
-        num_partitions = _auto_partitions(ds, refs)
-    k = num_partitions
-    split_refs = []
-    for r in refs:
+    a Dataset with columns (key_col, weight_col).  Consumes its input
+    streaming: map-side pre-aggregation launches per block as the
+    upstream produces it, so the raw partial table is never pinned
+    whole in the object store — only the combined shards are."""
+
+    def launch(r, k):
         if k > 1:
-            split_refs.append(_map_split.options(num_returns=k).remote(r, key_col, weight_col, k))
-        else:
-            split_refs.append([_map_split.remote(r, key_col, weight_col, k)])
+            return _map_split.options(num_returns=k).remote(r, key_col, weight_col, k)
+        return [_map_split.remote(r, key_col, weight_col, k)]
+
+    split_refs, k = _streaming_splits(ds, launch, num_partitions)
+    if not split_refs:
+        return ds
     out_refs = [
-        _reduce.remote(key_col, weight_col, *[split_refs[i][t] for i in range(len(refs))])
+        _reduce.remote(key_col, weight_col, *[split_refs[i][t] for i in range(len(split_refs))])
         for t in range(k)
     ]
     return rd.from_arrow_refs(out_refs)

@@ -294,15 +294,11 @@ class EmbeddingStore:
                 {"hash_id": md5_hex(content, prefix=prefix), "content": content}
             )
 
-        deduped = hash_distinct(
-            ds.map_batches(keyed, batch_format="pyarrow").materialize(), "hash_id"
-        )
+        deduped = hash_distinct(ds.map_batches(keyed, batch_format="pyarrow"), "hash_id")
         parts = self._parts()
         if parts:
             stored_keys = rd.read_parquet(parts, columns=["hash_id"])
-            new_rows = hash_join(
-                deduped, stored_keys.materialize(), "hash_id", how="leftanti"
-            )
+            new_rows = hash_join(deduped, stored_keys, "hash_id", how="leftanti")
         else:
             new_rows = deduped
         # the distinct exchange can emit ONE large block (its partition

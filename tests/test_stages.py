@@ -142,8 +142,9 @@ def test_multimodal_plumbing():
     # deterministic: same payload -> same phash/features
     df2 = decode_pipeline(rd.from_arrow(make_fake_media(50)), fake=True).to_pandas()
     assert df.sort_values("media_id")["phash"].tolist() == df2.sort_values("media_id")["phash"].tolist()
-    # real decoder is explicitly stubbed
-    with pytest.raises(NotImplementedError):
+    # real decoder rejects non-PNG payloads (real decode is covered in
+    # test_png.py over an actual PNG corpus)
+    with pytest.raises(ValueError):
         DecodeImage(fake=False)(make_fake_media(2))
     resized = rd.from_arrow(make_fake_media(20)).map_batches(
         ResizeImage(max_side=16), batch_format="pyarrow"
