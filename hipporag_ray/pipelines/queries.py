@@ -1138,9 +1138,16 @@ def q_tx_eval_recall(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    seeds = band.sort("dst").limit(8).to_pandas()["dst"].to_numpy(np.int64)
+    def _first8(ds):
+        df = ds.sort("dst").limit(8).to_pandas()
+        # all-empty datasets drop the schema in to_pandas — guard
+        if "dst" not in df.columns:
+            return np.zeros(0, np.int64)
+        return df["dst"].to_numpy(np.int64)
+
+    seeds = _first8(band)
     if len(seeds) == 0:
-        seeds = cnt.sort("dst").limit(8).to_pandas()["dst"].to_numpy(np.int64)
+        seeds = _first8(cnt)
     seeds_ref = ray.put(np.sort(seeds))
     gold_df = passage.map_batches(
         lambda b: b.filter(

@@ -43,3 +43,38 @@ def test_join_empty_right():
     right = {"k": [], "b": []}
     got = hash_join(_ds(left, 1), _ds(right, 1), "k").to_pandas()
     assert len(got) == 0
+
+
+def test_exchanges_consume_lazy_streaming_input(ray_session):
+    """The exchanges accept un-materialized (lazy) Datasets and consume
+    block refs as the streaming executor produces them; outputs match
+    the eager path and hash_distinct emits no empty/sentinel blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from hipporag_ray.stages.shuffle import hash_distinct, int_key_sum
+
+    rng = np.random.default_rng(0)
+    tbl = pa.table(
+        {
+            "k": rng.integers(0, 50, 5000),
+            "w": np.ones(5000),
+        }
+    )
+    lazy = (
+        rd.from_arrow(tbl)
+        .repartition(7)
+        .map_batches(lambda b: b, batch_format="pyarrow")  # keeps it lazy
+    )
+    got = int_key_sum(lazy, "k", "w").to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["w"].sum() == 5000 and len(got) == 50
+
+    lazy2 = rd.from_arrow(tbl).repartition(7).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    )
+    dsd = hash_distinct(lazy2, "k")
+    blocks = [ray.get(r) for r in dsd.to_arrow_refs()]
+    assert all(b.num_rows > 0 and "k" in b.column_names for b in blocks)
+    assert sum(b.num_rows for b in blocks) == 50
