@@ -511,12 +511,102 @@ class GraphShard:
 GraphShardActor = ray.remote(GraphShard)
 
 
+def _bounds_from_rowgroup_stats(
+    adj_path: str,
+    n_vertices: int,
+    n_shards: int,
+    hub_min_degree: int | None,
+    max_hubs: int,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Shard bounds + hub list from parquet ROW-GROUP STATISTICS only —
+    the adjacency is src-sorted, so each row group's (min, max, rows)
+    triple locates its edge mass without touching data pages.  This is
+    the cluster-scale path: metadata bytes instead of an O(E) driver
+    column read.  Returns None when any row group lacks src min/max
+    stats (caller falls back to the exact column pass).
+
+    Granularity caveats vs the exact pass: boundaries snap to row-group
+    edges, and only hubs whose edge lists span whole row groups
+    (min == max) are detected — both are performance-, not
+    correctness-affecting (the iteration math is partition-invariant,
+    verified in tests)."""
+    stats: list[tuple[int, int, int]] = []  # (min_src, max_src, rows)
+    for f in pads.dataset(adj_path).files:
+        md = pq.ParquetFile(f).metadata
+        if md.num_row_groups == 0:
+            continue
+        src_idx = None
+        first = md.row_group(0)
+        for j in range(first.num_columns):
+            if first.column(j).path_in_schema == "src":
+                src_idx = j
+                break
+        if src_idx is None:
+            continue
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            col = rg.column(src_idx)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                return None
+            stats.append((int(st.min), int(st.max), int(rg.num_rows)))
+    if not stats:
+        return np.array([0, n_vertices], dtype=np.int64), np.zeros(0, np.int64)
+    stats.sort()
+    rows = np.array([s[2] for s in stats], dtype=np.int64)
+    mins = np.array([s[0] for s in stats], dtype=np.int64)
+    maxs = np.array([s[1] for s in stats], dtype=np.int64)
+    total = int(rows.sum())
+
+    # hubs: accumulate rows of single-vid row groups per vid
+    cap = (
+        hub_min_degree
+        if hub_min_degree is not None
+        else max(4096, (2 * total) // max(n_shards, 1))
+    )
+    single = mins == maxs
+    hubs = np.zeros(0, np.int64)
+    if single.any():
+        vids, inv = np.unique(mins[single], return_inverse=True)
+        deg = np.bincount(inv, weights=rows[single])
+        hub_ids = vids[deg > cap]
+        if len(hub_ids) > max_hubs:
+            hub_ids = hub_ids[np.argsort(-deg[deg > cap], kind="stable")[:max_hubs]]
+        hubs = np.sort(hub_ids).astype(np.int64)
+
+    if n_shards <= 1:
+        return np.array([0, n_vertices], dtype=np.int64), hubs
+    # quantile cuts over non-hub mass, snapped to row-group min_src
+    if len(hubs):
+        keep = ~(single & np.isin(mins, hubs))
+        rows_bal, mins_bal = rows[keep], mins[keep]
+    else:
+        rows_bal, mins_bal = rows, mins
+    if rows_bal.sum() == 0:
+        rows_bal, mins_bal = rows, mins
+    cum = np.cumsum(rows_bal)
+    targets = (np.arange(1, n_shards, dtype=np.int64) * int(cum[-1])) // n_shards
+    idx = np.searchsorted(cum, targets, side="left")
+    cuts = np.unique(mins_bal[np.minimum(idx, len(mins_bal) - 1)])
+    cuts = cuts[(cuts > 0) & (cuts < n_vertices)]
+    return (
+        np.concatenate([[0], cuts, [n_vertices]]).astype(np.int64),
+        hubs,
+    )
+
+
+# row-count threshold above which bounds come from row-group metadata
+# instead of reading the src column (the O(E) driver pass)
+_STATS_BOUNDS_MIN_ROWS = 50_000_000
+
+
 def edge_balanced_bounds(
     adj_path: str,
     n_vertices: int,
     n_shards: int,
     hub_min_degree: int | None = None,
     max_hubs: int = 1024,
+    stats_min_rows: int = _STATS_BOUNDS_MIN_ROWS,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Shard boundaries at edge-count quantiles of the src-sorted
     adjacency (snapped to vertex boundaries), plus the hub-vertex list
@@ -524,11 +614,21 @@ def edge_balanced_bounds(
     explicit ``hub_min_degree``; top ``max_hubs``) whose incoming
     reductions are salted across all shards.
 
-    Reads only the ``src`` column (int64); at cluster scale this pass
-    is replaced by the parquet row-group statistics of the src-sorted
-    files — min/max per row group give the same quantiles without
-    touching data pages."""
-    src = pads.dataset(adj_path).to_table(columns=["src"])["src"].to_numpy(
+    Small inputs read only the ``src`` column (int64, exact quantiles);
+    past ``stats_min_rows`` the pass switches to parquet row-group
+    statistics (:func:`_bounds_from_rowgroup_stats`) — metadata only,
+    no data pages, which is what survives a 100-TB adjacency."""
+    dset = pads.dataset(adj_path)
+    total_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows for f in dset.files
+    )
+    if total_rows >= stats_min_rows:
+        got = _bounds_from_rowgroup_stats(
+            adj_path, n_vertices, n_shards, hub_min_degree, max_hubs
+        )
+        if got is not None:
+            return got
+    src = dset.to_table(columns=["src"])["src"].to_numpy(
         zero_copy_only=False
     )
     if len(src) == 0:
@@ -572,6 +672,7 @@ class ShardedGraph:
         hub_min_degree: int | None = None,
         max_hubs: int = 1024,
         precise: bool = False,
+        bounds_stats_min_rows: int | None = None,
     ):
         if n_shards is None:
             # 2x oversharding: smaller shards keep the broadcast message
@@ -580,8 +681,13 @@ class ShardedGraph:
             # oversharding regresses — message count wins out)
             cpus = int(ray.cluster_resources().get("CPU", 8))
             n_shards = max(1, min(2 * cpus, -(-n_vertices // min_shard_size)))
+        bounds_kw = (
+            {"stats_min_rows": bounds_stats_min_rows}
+            if bounds_stats_min_rows is not None
+            else {}
+        )
         self.bounds, self.hubs = edge_balanced_bounds(
-            adj_path, n_vertices, n_shards, hub_min_degree, max_hubs
+            adj_path, n_vertices, n_shards, hub_min_degree, max_hubs, **bounds_kw
         )
         n_shards = len(self.bounds) - 1
         self.n_vertices = n_vertices

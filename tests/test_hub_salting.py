@@ -189,3 +189,39 @@ def test_hub_salting_balances_shards(skew_graph):
     finally:
         sg_on.shutdown()
     assert max(on) < max(off)  # hub segment no longer concentrates on one shard
+
+
+def test_rowgroup_stats_bounds_partition_invariant(ray_session, tmp_path):
+    """Forcing shard bounds from parquet row-group statistics (the
+    100-TB metadata-only path) yields a valid partition and identical
+    PPR scores — the iteration math is partition-invariant."""
+    import numpy as np
+    import ray.data as rd
+
+    from hipporag_ray.algos.iterate import pagerank
+    from hipporag_ray.stages.graph_build import build_graph
+    from hipporag_ray.state.csr import ShardedGraph, edge_balanced_bounds
+    from hipporag_ray.synth import write_transcripts
+
+    tx = write_transcripts(str(tmp_path / "tx"), 40, 8, 60, seed=9)
+    g = build_graph(rd.read_parquet(tx), str(tmp_path / "g"))
+
+    bounds, hubs = edge_balanced_bounds(
+        g.adj_path, g.n_vertices, 4, stats_min_rows=0
+    )
+    assert bounds[0] == 0 and bounds[-1] == g.n_vertices
+    assert (np.diff(bounds) > 0).all()
+    assert np.all(np.isin(hubs, np.arange(g.n_vertices)))
+
+    def scores(**kw):
+        # float64 messages: partitioning only reorders summation
+        sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=4, precise=True, **kw)
+        try:
+            s, _ = pagerank(sg, tol=0.0, max_iter=5)
+        finally:
+            sg.shutdown()
+        return s[:, 0]
+
+    np.testing.assert_allclose(
+        scores(), scores(bounds_stats_min_rows=0), atol=1e-9
+    )
