@@ -339,6 +339,17 @@ def q_doc_triples(sf_dir: str):
     return extract_triples(_docs(sf_dir), ["doc_id"])
 
 
+def q_doc_openie(sf_dir: str):
+    """Two-pass OpenIE driver (T3, openie_openai.py:135-210 shape):
+    NER stage appends the per-doc entity column, the triple stage
+    consumes it — windows of the raw token sequence kept iff subject
+    and object are NER entities.  Two chained map_batches stages,
+    streaming, no barrier."""
+    from ..stages.openie import openie_pipeline
+
+    return openie_pipeline(_docs(sf_dir), ["doc_id"], min_token_len=3)
+
+
 def q_doc_fact_edges(sf_dir: str):
     """Fact-edge weights counted per triple occurrence
     (HippoRAG.py:756-775): canonical (src < dst) pair counts over the
@@ -1208,6 +1219,7 @@ QUERIES = {
     "doc_vertices": q_doc_vertices,
     "doc_cooccur": q_doc_cooccur,
     "doc_triples": q_doc_triples,
+    "doc_openie": q_doc_openie,
     "doc_fact_edges": q_doc_fact_edges,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_stats": q_doc_stats,
@@ -1382,6 +1394,17 @@ ORACLE_SQL = {
           FROM norm, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
         )
         SELECT DISTINCT doc_id, subj, pred, obj FROM w
+    """,
+    "doc_openie": f"""
+        WITH norm AS (
+          SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' +') AS toks
+          FROM documents
+        ), w AS (
+          SELECT doc_id, toks[i] AS subj, toks[i+1] AS pred, toks[i+2] AS obj
+          FROM norm, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+        )
+        SELECT DISTINCT doc_id, subj, pred, obj FROM w
+        WHERE length(subj) >= 3 AND length(obj) >= 3
     """,
     "doc_fact_edges": f"""
         WITH norm AS (

@@ -1,0 +1,175 @@
+"""Two-pass OpenIE driver (T3): NER stage -> triple stage.
+
+The reference runs OpenIE as two chained LLM passes — a NER pass over
+all chunks, then a triple pass whose prompt is *conditioned on the NER
+output* (/root/reference/src/hipporag/information_extraction/
+openie_openai.py:135-210: ``ner`` then ``triple_extraction(...,
+named_entities=...)``), fanned out with a ThreadPoolExecutor.  The
+Ray-Data re-expression is two chained ``map_batches`` stages — a
+pipeline, no barrier: stage 2 consumes stage 1's ``entities`` column,
+so blocks flow through both stages under the streaming executor, and
+either stage can be an actor pool when a model-backed extractor slots
+in (pass ``concurrency``).
+
+The deterministic stand-ins: NER = per-chunk sorted-distinct normalized
+tokens of length >= ``min_token_len`` (the engine's entity rule);
+triples = consecutive 3-token windows of the RAW normalized token
+sequence kept only when subject AND object are in the chunk's NER
+entity list — the conditioning is real data flow (the triple stage
+never re-derives the entity rule; drop the column and it fails).
+
+Note the semantic difference from ``stages/triples.py::ExtractTriples``
+(the engine's graph substrate): that one windows over the
+*length-filtered* token sequence (every triple element is a graph
+entity); this one windows over the raw sequence and filters by NER
+membership — the reference's conditioning shape.  Both are exact-
+deduped per chunk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions import pool_size
+from ..functions.text import distinct_tokens_per_row, text_processing, tokenize
+
+
+class NerStage:
+    """Pass 1 (openie_openai.py:141-168 analog): append the per-row
+    ``entities`` list column (sorted distinct normalized tokens of
+    length >= min_token_len)."""
+
+    def __init__(self, min_token_len: int = 3, text_col: str = "text"):
+        self.min_token_len = min_token_len
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ents = distinct_tokens_per_row(
+            text_processing(batch[self.text_col]), min_len=max(1, self.min_token_len)
+        )
+        return batch.append_column("entities", ents)
+
+
+def _pair_keys(rows: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    return np.char.add(
+        np.char.add(rows.astype(str), "\x00"), vals.astype(str)
+    )
+
+
+class TripleStage:
+    """Pass 2 (openie_openai.py:170-210 analog): consecutive 3-token
+    windows of the raw normalized sequence, kept iff subject and object
+    are members of THIS row's ``entities`` column (stage-1 output);
+    per-row exact dedup via one lexsort."""
+
+    def __init__(self, id_cols: list[str], text_col: str = "text"):
+        self.id_cols = list(id_cols)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        id_arrays = {c: batch[c].to_numpy(zero_copy_only=False) for c in self.id_cols}
+
+        def empty() -> pa.Table:
+            return pa.table(
+                {
+                    **{
+                        c: pa.array(v[:0], type=batch[c].type)
+                        for c, v in id_arrays.items()
+                    },
+                    "subj": pa.array([], pa.string()),
+                    "pred": pa.array([], pa.string()),
+                    "obj": pa.array([], pa.string()),
+                }
+            )
+
+        toks = tokenize(text_processing(batch[self.text_col]))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_rows = len(offsets) - 1
+        counts = np.diff(offsets)
+        wc = np.maximum(counts - 2, 0)
+        M = int(wc.sum())
+        if M == 0:
+            return empty()
+
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), wc)
+        wstart = np.concatenate([[0], np.cumsum(wc)[:-1]]).astype(np.int64)
+        within = np.arange(M, dtype=np.int64) - wstart[row_of]
+        base = offsets[:-1][row_of] + within
+        s, p, o = flat[base], flat[base + 1], flat[base + 2]
+
+        # conditioning on the NER column: (row, token) membership
+        ent_col = batch["entities"]
+        if isinstance(ent_col, pa.ChunkedArray):
+            ent_col = ent_col.combine_chunks()
+        ent_flat = pc.list_flatten(ent_col).to_numpy(zero_copy_only=False)
+        ent_rows = np.repeat(
+            np.arange(n_rows, dtype=np.int64),
+            pc.list_value_length(ent_col).to_numpy().astype(np.int64),
+        )
+        ekeys = _pair_keys(ent_rows, ent_flat)
+        keep = np.isin(_pair_keys(row_of, s), ekeys) & np.isin(
+            _pair_keys(row_of, o), ekeys
+        )
+        row_of, s, p, o = row_of[keep], s[keep], p[keep], o[keep]
+        if len(s) == 0:
+            return empty()
+
+        order = np.lexsort((o, p, s, row_of))
+        r2, s2, p2, o2 = row_of[order], s[order], p[order], o[order]
+        first = np.concatenate(
+            [
+                [True],
+                (r2[1:] != r2[:-1])
+                | (s2[1:] != s2[:-1])
+                | (p2[1:] != p2[:-1])
+                | (o2[1:] != o2[:-1]),
+            ]
+        )
+        r3 = r2[first]
+        return pa.table(
+            {
+                **{
+                    c: pa.array(v[r3], type=batch[c].type)
+                    for c, v in id_arrays.items()
+                },
+                "subj": pa.array(s2[first], pa.string()),
+                "pred": pa.array(p2[first], pa.string()),
+                "obj": pa.array(o2[first], pa.string()),
+            }
+        )
+
+
+def openie_pipeline(
+    ds: "rd.Dataset",
+    id_cols: list[str],
+    text_col: str = "text",
+    min_token_len: int = 3,
+    concurrency: int | None = None,
+    batch_size: int | None = None,
+) -> "rd.Dataset":
+    """Two chained stages, streaming end to end.  With ``concurrency``
+    both stages run as actor pools (model-backed extractors load once
+    per actor); default is task-based for the deterministic stand-ins."""
+    opts: dict = {"batch_format": "pyarrow", "batch_size": batch_size}
+    if concurrency:
+        s1 = ds.map_batches(
+            NerStage,
+            fn_constructor_kwargs={"min_token_len": min_token_len, "text_col": text_col},
+            concurrency=concurrency,
+            **opts,
+        )
+        return s1.map_batches(
+            TripleStage,
+            fn_constructor_kwargs={"id_cols": id_cols, "text_col": text_col},
+            concurrency=concurrency,
+            **opts,
+        )
+    s1 = ds.map_batches(NerStage(min_token_len, text_col), **opts)
+    return s1.map_batches(TripleStage(id_cols, text_col), **opts)

@@ -1,0 +1,80 @@
+"""Two-pass OpenIE driver (T3): NER stage -> conditioned triple stage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from hipporag_ray.stages.openie import NerStage, TripleStage, openie_pipeline
+from hipporag_ray.stages.triples import extract_triples
+
+
+def _docs(texts):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_stage2_consumes_stage1_column(ray_session):
+    """The triple stage is genuinely conditioned on the NER column:
+    shrinking the entity list shrinks the triples, and a missing
+    column fails (no silent re-derivation)."""
+    tbl = pa.table({"doc_id": pa.array([0], pa.int64()), "text": ["alpha bb gamma delta"]})
+    with_ents = NerStage(min_token_len=3)(tbl)
+    assert "entities" in with_ents.column_names
+    out = TripleStage(["doc_id"])(with_ents)
+    got = set(zip(out["subj"].to_pylist(), out["pred"].to_pylist(), out["obj"].to_pylist()))
+    # raw windows: (alpha,bb,gamma) and (bb,gamma,delta); "bb" is not
+    # an entity, so only the window with entity subj AND obj survives
+    assert got == {("alpha", "bb", "gamma")}
+    # drop the conditioning column -> the stage must fail, not re-derive
+    with pytest.raises(KeyError):
+        TripleStage(["doc_id"])(tbl)
+
+
+def test_two_pass_equals_single_pass_without_filter(ray_session):
+    """With min_token_len=0 every token is an entity, so conditioning
+    is vacuous and the two-pass pipeline equals the single-pass
+    substrate extractor row for row."""
+    texts = ["alpha beta gamma beta alpha", "x y", "solo token run here", ""]
+    ds = _docs(texts)
+    got = (
+        openie_pipeline(ds, ["doc_id"], min_token_len=0)
+        .to_pandas()
+        .sort_values(["doc_id", "subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    want = (
+        extract_triples(_docs(texts), ["doc_id"])
+        .to_pandas()
+        .sort_values(["doc_id", "subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_actor_pool_variant(ray_session):
+    """concurrency>0 runs both stages as actor pools (the model-backed
+    extractor shape) with identical output."""
+    texts = [f"alpha beta gamma doc{i} delta epsilon" for i in range(20)]
+    a = (
+        openie_pipeline(_docs(texts), ["doc_id"], min_token_len=3)
+        .to_pandas()
+        .sort_values(["doc_id", "subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    b = (
+        openie_pipeline(_docs(texts), ["doc_id"], min_token_len=3, concurrency=2)
+        .to_pandas()
+        .sort_values(["doc_id", "subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
