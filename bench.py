@@ -100,9 +100,32 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     # --- 1. graph ETL: read -> extract -> aggregate -> write ---
     out_dir = f"/tmp/hipporag_ray/bench_graph_sf{sf}_cpu{ncpu}"
     shutil.rmtree(out_dir, ignore_errors=True)
+    # sample plasma usage during the build: evidence the streaming
+    # exchanges keep intermediates from pinning the store (peak used =
+    # total - min available, sampled at 50 ms)
+    import threading
+
+    obj_total = float(ray.cluster_resources().get("object_store_memory", 0.0))
+    min_avail = [obj_total]
+    stop_sampling = threading.Event()
+
+    def _sample():
+        while not stop_sampling.is_set():
+            avail = float(
+                ray.available_resources().get("object_store_memory", obj_total)
+            )
+            if avail < min_avail[0]:
+                min_avail[0] = avail
+            stop_sampling.wait(0.05)
+
+    sampler = threading.Thread(target=_sample, daemon=True)
+    sampler.start()
     t0 = time.perf_counter()
     g = build_graph(tx, out_dir)
     timings["graph_build"] = time.perf_counter() - t0
+    stop_sampling.set()
+    sampler.join(timeout=1)
+    extra["build_peak_object_store_mb"] = (obj_total - min_avail[0]) / 2**20
     extra["n_vertices"] = g.n_vertices
     extra["n_edge_records"] = g.n_edges
 
