@@ -77,6 +77,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--min-token-len", type=int, default=0)
 
+    p = sub.add_parser("openie")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--min-token-len", type=int, default=3)
+
     for name in ("pagerank", "cc", "lp", "triangles"):
         p = sub.add_parser(name)
         p.add_argument("--graph", required=True)
@@ -175,6 +180,20 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"out": args.out, "n_triples": out.count()}))
             return 0
 
+        if args.cmd == "openie":
+            import ray.data as rd
+
+            from hipporag_ray.stages.openie import openie_pipeline
+
+            ds = rd.read_parquet(args.input)
+            id_cols = [c for c in ("conv_id", "turn_idx", "doc_id") if c in ds.schema().names]
+            out = openie_pipeline(
+                ds, id_cols, min_token_len=args.min_token_len
+            ).materialize()
+            out.write_parquet(args.out)
+            print(json.dumps({"out": args.out, "n_triples": out.count()}))
+            return 0
+
         # graph algorithms
         from hipporag_ray.stages.graph_build import load_graph
         from hipporag_ray.state.csr import ShardedGraph
@@ -194,37 +213,59 @@ def main(argv: list[str] | None = None) -> int:
         sg = ShardedGraph(g.adj_path, g.n_vertices)
         try:
             ck = {"checkpoint_dir": os.path.join(args.out, "ckpt"), "checkpoint_every": args.checkpoint_every} if getattr(args, "out", None) and getattr(args, "checkpoint_every", 0) else {}
+            # outputs stream from the shard actors as a Dataset (no
+            # vertex-sized driver array — matches the catalog queries)
             if args.cmd == "pagerank":
-                from hipporag_ray.algos.iterate import pagerank
+                from hipporag_ray.algos.iterate import pagerank, scores_dataset
 
-                scores, m = pagerank(sg, **ck)
+                _, m = pagerank(sg, collect=False, **ck)
                 if args.out:
-                    _write_labels(args.out, range(g.n_vertices), scores[:, 0], "score")
+                    scores_dataset(sg, 0).write_parquet(args.out)
                 print(json.dumps({"iters": len(m), "l1_delta": m[-1]["l1_delta"]}))
             elif args.cmd == "ppr":
-                from hipporag_ray.algos.iterate import personalized_pagerank
+                from hipporag_ray.algos.iterate import (
+                    personalized_pagerank,
+                    scores_dataset,
+                )
 
                 seeds = np.array([int(s) for s in args.seeds.split(",")], dtype=np.int64)
-                scores, m = personalized_pagerank(
-                    sg, resets=[(seeds, np.ones(len(seeds)))], n_queries=1, damping=args.damping
+                _, m = personalized_pagerank(
+                    sg, resets=[(seeds, np.ones(len(seeds)))], n_queries=1,
+                    damping=args.damping, collect=False,
                 )
                 if args.out:
-                    _write_labels(args.out, range(g.n_vertices), scores[:, 0], "score")
+                    scores_dataset(sg, 0).write_parquet(args.out)
                 print(json.dumps({"iters": len(m), "l1_delta": m[-1]["l1_delta"]}))
             elif args.cmd == "cc":
-                from hipporag_ray.algos.iterate import connected_components
+                from hipporag_ray.algos.iterate import (
+                    connected_components,
+                    labels_dataset,
+                )
 
-                comp, m = connected_components(sg, **ck)
+                _, m = connected_components(sg, collect=False, **ck)
+                lab = labels_dataset(sg, "component")
                 if args.out:
-                    _write_labels(args.out, range(g.n_vertices), comp, "component")
-                print(json.dumps({"iters": len(m), "n_components": int(len(np.unique(comp)))}))
+                    lab.write_parquet(args.out)
+                n_comp = lab.map_batches(
+                    lambda b: {"component": np.unique(b["component"])},
+                    batch_format="numpy",
+                ).unique("component")
+                print(json.dumps({"iters": len(m), "n_components": int(len(n_comp))}))
             elif args.cmd == "lp":
-                from hipporag_ray.algos.iterate import label_propagation
+                from hipporag_ray.algos.iterate import (
+                    label_propagation,
+                    labels_dataset,
+                )
 
-                labels, m = label_propagation(sg, **ck)
+                _, m = label_propagation(sg, collect=False, **ck)
+                lab = labels_dataset(sg, "label")
                 if args.out:
-                    _write_labels(args.out, range(g.n_vertices), labels, "label")
-                print(json.dumps({"iters": len(m), "n_labels": int(len(np.unique(labels)))}))
+                    lab.write_parquet(args.out)
+                n_lab = lab.map_batches(
+                    lambda b: {"label": np.unique(b["label"])},
+                    batch_format="numpy",
+                ).unique("label")
+                print(json.dumps({"iters": len(m), "n_labels": int(len(n_lab))}))
         finally:
             sg.shutdown()
         return 0
