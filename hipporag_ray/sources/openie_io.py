@@ -1,0 +1,152 @@
+"""OpenIE results JSON interop (S6).
+
+The reference persists OpenIE output as one JSON document
+(HippoRAG.py:954-1008 ``merge_openie_results``/``save_openie_results``):
+
+    {"docs": [{"idx": <chunk key>, "passage": <text>,
+               "extracted_entities": [str, ...],
+               "extracted_triples": [[s, p, o], ...]}, ...],
+     "avg_ent_chars": <float>, "avg_ent_words": <float>}
+
+and reloads it on (re-)indexing (``load_existing_openie``).  A user
+migrating from the reference carries these files; this module reads
+them into a Ray Dataset and writes the engine's deterministic two-pass
+OpenIE output back in the exact same shape, so results round-trip in
+both directions.
+
+``write_openie_json`` streams ``iter_batches`` into the file (the docs
+array is emitted incrementally, stats accumulate during the pass), so
+the full docs list never materializes on the driver.  ``read_openie_json``
+is a single ``json.load`` — import of a reference-produced file is
+inherently one document.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions.hashing import md5_hex
+
+
+def openie_results_ds(
+    ds: "rd.Dataset", text_col: str = "text", min_token_len: int = 3
+) -> "rd.Dataset":
+    """Per-chunk OpenIE rows in the reference's merge shape: (idx,
+    passage, extracted_entities, extracted_triples) — the two-pass
+    NER->triples driver with the triples re-nested per chunk."""
+    from ..stages.openie import NerStage, TripleStage
+
+    ner = NerStage(min_token_len=min_token_len, text_col=text_col)
+
+    def per_chunk(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keyed = batch.append_column(
+            "_row", pa.array(np.arange(n, dtype=np.int64))
+        )
+        with_ents = ner(keyed)
+        trip = TripleStage(["_row"], text_col=text_col)(with_ents)
+        r = trip["_row"].to_numpy(zero_copy_only=False)
+        s = trip["subj"].to_numpy(zero_copy_only=False)
+        p = trip["pred"].to_numpy(zero_copy_only=False)
+        o = trip["obj"].to_numpy(zero_copy_only=False)
+        # TripleStage emits rows grouped by _row (stable lexsort), so
+        # one bincount gives the per-chunk nesting offsets
+        counts = np.bincount(r, minlength=n)
+        inner_vals = pa.array(
+            np.stack([s, p, o], axis=1).reshape(-1) if len(s) else np.array([], object),
+            type=pa.string(),
+        )
+        inner = pa.ListArray.from_arrays(
+            pa.array(np.arange(len(s) + 1, dtype=np.int64) * 3, type=pa.int32()),
+            inner_vals,
+        )
+        outer_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        triples_col = pa.ListArray.from_arrays(
+            pa.array(outer_offsets, type=pa.int32()), inner
+        )
+        return pa.table(
+            {
+                "idx": md5_hex(batch[text_col], prefix="chunk-"),
+                "passage": batch[text_col],
+                "extracted_entities": with_ents["entities"],
+                "extracted_triples": triples_col,
+            }
+        )
+
+    return ds.map_batches(per_chunk, batch_format="pyarrow")
+
+
+def write_openie_json(results: "rd.Dataset", path: str) -> dict:
+    """Stream a (idx, passage, extracted_entities, extracted_triples)
+    Dataset into the reference's JSON document (atomic tmp+rename).
+    Returns the stats dict also embedded in the file."""
+    sum_chars = 0
+    sum_words = 0
+    n_phrases = 0
+    n_docs = 0
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "w") as f:
+        f.write('{"docs": [')
+        first = True
+        for batch in results.iter_batches(batch_format="pyarrow"):
+            idxs = batch["idx"].to_pylist()
+            passages = batch["passage"].to_pylist()
+            ents = batch["extracted_entities"].to_pylist()
+            trips = batch["extracted_triples"].to_pylist()
+            for i in range(batch.num_rows):
+                doc = {
+                    "idx": idxs[i],
+                    "passage": passages[i],
+                    "extracted_entities": ents[i],
+                    "extracted_triples": trips[i],
+                }
+                for e in ents[i]:
+                    sum_chars += len(e)
+                    sum_words += len(e.split())
+                n_phrases += len(ents[i])
+                n_docs += 1
+                if not first:
+                    f.write(", ")
+                json.dump(doc, f)
+                first = False
+        avg_chars = round(sum_chars / n_phrases, 4) if n_phrases else 0
+        avg_words = round(sum_words / n_phrases, 4) if n_phrases else 0
+        f.write(
+            f'], "avg_ent_chars": {avg_chars}, "avg_ent_words": {avg_words}}}'
+        )
+    os.replace(tmp, path)
+    return {"n_docs": n_docs, "avg_ent_chars": avg_chars, "avg_ent_words": avg_words}
+
+
+def read_openie_json(path: str) -> "rd.Dataset":
+    """Reference OpenIE JSON -> Dataset of (idx, passage,
+    extracted_entities, extracted_triples) rows."""
+    with open(path) as f:
+        doc = json.load(f)
+    docs = doc.get("docs", [])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "idx": pa.array([d["idx"] for d in docs], pa.string()),
+                "passage": pa.array([d["passage"] for d in docs], pa.string()),
+                "extracted_entities": pa.array(
+                    [d.get("extracted_entities", []) for d in docs],
+                    pa.list_(pa.string()),
+                ),
+                "extracted_triples": pa.array(
+                    [
+                        [[str(x) for x in t] for t in d.get("extracted_triples", [])]
+                        for d in docs
+                    ],
+                    pa.list_(pa.list_(pa.string())),
+                ),
+            }
+        )
+    )

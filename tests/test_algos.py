@@ -196,3 +196,38 @@ def test_ppr_resume_bit_identical(graph, tmp_path):
         np.testing.assert_array_equal(resumed, full)
     finally:
         sg.shutdown()
+
+
+def test_dataset_readbacks_match_collected(ray_session, tmp_path):
+    """scores_dataset / labels_dataset (the collect=False readback) are
+    row-for-row the collected matrix/vector."""
+    import numpy as np
+    import ray.data as rd
+
+    from hipporag_ray.algos.iterate import (
+        connected_components,
+        labels_dataset,
+        pagerank,
+        scores_dataset,
+    )
+    from hipporag_ray.stages.graph_build import build_graph
+    from hipporag_ray.state.csr import ShardedGraph
+    from hipporag_ray.synth import write_transcripts
+
+    tx = write_transcripts(str(tmp_path / "tx"), 25, 6, 40, seed=3)
+    g = build_graph(rd.read_parquet(tx), str(tmp_path / "g"))
+
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=3)
+    try:
+        scores, _ = pagerank(sg, tol=0.0, max_iter=4)
+        sdf = scores_dataset(sg, 0).to_pandas().sort_values("vid")
+        np.testing.assert_array_equal(sdf["vid"].to_numpy(), np.arange(g.n_vertices))
+        np.testing.assert_allclose(sdf["score"].to_numpy(), scores[:, 0], atol=0)
+
+        comp, _ = connected_components(sg)
+        ldf = labels_dataset(sg, "component").to_pandas().sort_values("vid")
+        np.testing.assert_array_equal(ldf["component"].to_numpy(), comp)
+    finally:
+        sg.shutdown()
+    # refs stay valid after shutdown (driver owns the actor-task returns)
+    assert len(ldf) == g.n_vertices

@@ -1,0 +1,94 @@
+"""OpenIE JSON interop (S6): reference-format export/import roundtrip."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from hipporag_ray.sources.openie_io import (
+    openie_results_ds,
+    read_openie_json,
+    write_openie_json,
+)
+
+
+def _docs(texts):
+    return rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+
+
+def test_openie_json_roundtrip(ray_session, tmp_path):
+    texts = [
+        "alpha beta gamma delta",
+        "xy zz",  # no >=3-char entity pairs in any window
+        "epsilon zeta epsilon zeta epsilon",
+        "",
+    ]
+    res = openie_results_ds(_docs(texts), min_token_len=3)
+    path = str(tmp_path / "openie_results_ner_test.json")
+    stats = write_openie_json(res, path)
+    assert stats["n_docs"] == 4
+
+    # the file is the reference's exact shape
+    with open(path) as f:
+        doc = json.load(f)
+    assert set(doc) == {"docs", "avg_ent_chars", "avg_ent_words"}
+    assert {frozenset(d.keys()) for d in doc["docs"]} == {
+        frozenset({"idx", "passage", "extracted_entities", "extracted_triples"})
+    }
+    by_passage = {d["passage"]: d for d in doc["docs"]}
+    d0 = by_passage["alpha beta gamma delta"]
+    assert d0["idx"].startswith("chunk-")
+    assert d0["extracted_entities"] == ["alpha", "beta", "delta", "gamma"]
+    assert ["alpha", "beta", "gamma"] in d0["extracted_triples"]
+    assert all(len(t) == 3 for t in d0["extracted_triples"])
+    assert by_passage[""]["extracted_entities"] == []
+    assert by_passage[""]["extracted_triples"] == []
+
+    # import: Dataset identical to the export
+    back = read_openie_json(path).to_pandas().set_index("idx")
+    out = res.to_pandas().set_index("idx")
+    assert sorted(back.index) == sorted(out.index)
+    for idx in out.index:
+        assert back.loc[idx, "passage"] == out.loc[idx, "passage"]
+        assert list(back.loc[idx, "extracted_entities"]) == list(
+            out.loc[idx, "extracted_entities"]
+        )
+        assert [list(t) for t in back.loc[idx, "extracted_triples"]] == [
+            list(t) for t in out.loc[idx, "extracted_triples"]
+        ]
+
+    # stats math matches the reference's definition
+    ents = [e for d in doc["docs"] for e in d["extracted_entities"]]
+    assert stats["avg_ent_chars"] == round(
+        sum(len(e) for e in ents) / len(ents), 4
+    )
+
+
+def test_openie_results_triples_match_pipeline(ray_session):
+    """The nested extracted_triples equal the exploded two-pass output."""
+    from hipporag_ray.stages.openie import openie_pipeline
+
+    texts = ["alpha beta gamma delta epsilon", "one two three four"]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(2, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    nested = openie_results_ds(_docs(texts)).to_pandas().set_index("passage")
+    flat = openie_pipeline(ds, ["doc_id"], min_token_len=3).to_pandas()
+    for i, t in enumerate(texts):
+        want = sorted(
+            map(
+                tuple,
+                flat[flat["doc_id"] == i][["subj", "pred", "obj"]].to_numpy(),
+            )
+        )
+        got = sorted(tuple(x) for x in nested.loc[t, "extracted_triples"])
+        assert got == want
