@@ -1,0 +1,112 @@
+"""Minimal pure-numpy WAV (RIFF/PCM) codec — stdlib ``struct`` only.
+
+The multimodal audio stage (stages/multimodal.py::DecodeAudio) uses
+this for ``audio/wav`` payloads: no audio library ships in this
+environment, but PCM WAV is a fixed RIFF container that numpy reads
+directly.  Scope: PCM integer (8/16/32-bit) and IEEE float32, any
+channel count (decoded to mono by channel mean), non-extensible and
+WAVE_FORMAT_EXTENSIBLE headers.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono float samples in [-1, 1] -> 16-bit PCM WAV bytes."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    data = np.round(pcm * 32767.0).astype("<i2").tobytes()
+    n = len(data)
+    hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", n) + data
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (mono float64 samples in [-1, 1], sample_rate)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF header)")
+    pos = 12
+    fmt_code = channels = sample_rate = bits = None
+    samples = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt_code, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_code == 0xFFFE and size >= 26:  # extensible: real code in GUID
+                fmt_code = struct.unpack_from("<H", body, 24)[0]
+        elif tag == b"data":
+            if fmt_code is None:
+                raise ValueError("WAV data chunk before fmt")
+            if fmt_code == 1:  # integer PCM
+                if bits == 16:
+                    raw = np.frombuffer(body, dtype="<i2").astype(np.float64) / 32767.0
+                elif bits == 8:  # unsigned
+                    raw = (
+                        np.frombuffer(body, dtype=np.uint8).astype(np.float64) - 128.0
+                    ) / 128.0
+                elif bits == 32:
+                    raw = (
+                        np.frombuffer(body, dtype="<i4").astype(np.float64) / 2147483648.0
+                    )
+                else:
+                    raise ValueError(f"unsupported PCM bit depth {bits}")
+            elif fmt_code == 3 and bits == 32:  # IEEE float
+                raw = np.frombuffer(body, dtype="<f4").astype(np.float64)
+            else:
+                raise ValueError(f"unsupported WAV format code {fmt_code}/{bits}")
+            if channels and channels > 1:
+                raw = raw[: (len(raw) // channels) * channels]
+                raw = raw.reshape(-1, channels).mean(axis=1)
+            samples = raw
+    if samples is None:
+        raise ValueError("WAV missing data chunk")
+    return samples, int(sample_rate or 0)
+
+
+def audio_features(samples: np.ndarray, sample_rate: int, n_bands: int = 8) -> dict:
+    """Scalar + band features a training-data pipeline filters on:
+    duration, RMS, zero-crossing rate, spectral centroid, and
+    ``n_bands`` log-spaced FFT band energies (L1-normalized)."""
+    n = len(samples)
+    if n == 0:
+        return {
+            "duration_ms": 0.0,
+            "rms": 0.0,
+            "zcr": 0.0,
+            "spectral_centroid_hz": 0.0,
+            "band_energy": np.zeros(n_bands, dtype=np.float32),
+        }
+    rms = float(np.sqrt(np.mean(samples**2)))
+    zcr = float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+    spec = np.abs(np.fft.rfft(samples))
+    freqs = np.fft.rfftfreq(n, d=1.0 / max(sample_rate, 1))
+    power = spec**2
+    total = power.sum()
+    centroid = float((freqs * power).sum() / total) if total > 0 else 0.0
+    # log-spaced bands over (0, nyquist]
+    nyq = max(sample_rate, 2) / 2.0
+    edges = np.concatenate([[0.0], np.geomspace(nyq / 2**(n_bands - 1), nyq, n_bands)])
+    band = np.zeros(n_bands)
+    for b in range(n_bands):
+        m = (freqs > edges[b]) & (freqs <= edges[b + 1])
+        band[b] = power[m].sum()
+    s = band.sum()
+    if s > 0:
+        band /= s
+    return {
+        "duration_ms": 1000.0 * n / max(sample_rate, 1),
+        "rms": rms,
+        "zcr": zcr,
+        "spectral_centroid_hz": centroid,
+        "band_energy": band.astype(np.float32),
+    }

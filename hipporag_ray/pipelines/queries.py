@@ -982,6 +982,31 @@ def q_media_decode_real(sf_dir: str):
     )
 
 
+def q_media_audio(sf_dir: str):
+    """REAL audio decode: a deterministic corpus of valid PCM WAV
+    payloads parsed by the numpy RIFF codec (functions/wav.py) in an
+    actor pool — real waveforms, real RMS/ZCR/centroid/band features."""
+    from ..stages.multimodal import audio_pipeline, make_real_audio
+
+    n = max(50, int(5_000 * sf_of(sf_dir)))
+    media = rd.from_arrow(make_real_audio(n))
+    out = audio_pipeline(media, batch_size=64)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "media_id": b["media_id"],
+                "sample_rate": b["sample_rate"],
+                "duration_ms": pa.array(
+                    _round_away(b["duration_ms"].to_numpy(zero_copy_only=False), 3)
+                ),
+                "rms": pa.array(_round_away(b["rms"].to_numpy(zero_copy_only=False), 6)),
+                "zcr": pa.array(_round_away(b["zcr"].to_numpy(zero_copy_only=False), 6)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_media_frames(sf_dir: str):
     """Multimodal video plumbing: synthetic binary videos -> actor-pool
     uniform frame sampling (deterministic fake codec) -> per-frame
@@ -1256,6 +1281,7 @@ QUERIES = {
     "tx_graph_info": q_tx_graph_info,
     "media_decode": q_media_decode,
     "media_decode_real": q_media_decode_real,
+    "media_audio": q_media_audio,
     "media_frames": q_media_frames,
     "tx_extract": q_tx_extract,
     "tx_pagerank": q_tx_pagerank,

@@ -184,6 +184,93 @@ class ResizeImage:
         return out
 
 
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+        ("sample_rate", pa.int32()),
+    ]
+)
+
+
+def make_real_audio(n: int, seed: int = 13, sample_rate: int = 8000) -> pa.Table:
+    """Deterministic corpus of REAL 16-bit PCM WAV payloads (tone +
+    seeded noise mixes of varying length/frequency)."""
+    from ..functions.wav import encode_wav
+
+    rng = np.random.default_rng(seed)
+    payloads = []
+    for i in range(n):
+        dur = int(rng.integers(sample_rate // 10, sample_rate // 2))
+        t = np.arange(dur) / sample_rate
+        f0 = float(rng.uniform(100, 1500))
+        sig = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.1 * rng.standard_normal(dur)
+        payloads.append(encode_wav(sig / np.max(np.abs(sig)), sample_rate))
+    return pa.table(
+        {
+            "media_id": pa.array([f"a{i:06d}" for i in range(n)]),
+            "mime": pa.array(["audio/wav"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "sample_rate": pa.array(np.full(n, sample_rate, np.int32)),
+        }
+    )
+
+
+class DecodeAudio:
+    """Actor-pool stage: WAV payload -> waveform features.  A REAL
+    decode: the RIFF/PCM container parses with numpy + stdlib struct
+    (functions/wav.py), no audio library needed.  Emits duration, RMS,
+    zero-crossing rate, spectral centroid and log-band energies — the
+    columns an audio training-data pipeline filters and dedups on."""
+
+    def __init__(self, n_bands: int = 8):
+        self.n_bands = n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.wav import audio_features, decode_wav
+
+        payloads = batch["payload"].to_pylist()
+        n = len(payloads)
+        dur = np.zeros(n)
+        rms = np.zeros(n)
+        zcr = np.zeros(n)
+        cent = np.zeros(n)
+        rate = np.zeros(n, np.int32)
+        bands = np.zeros((n, self.n_bands), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            samples, sr = decode_wav(p)
+            f = audio_features(samples, sr, self.n_bands)
+            dur[i], rms[i], zcr[i] = f["duration_ms"], f["rms"], f["zcr"]
+            cent[i] = f["spectral_centroid_hz"]
+            rate[i] = sr
+            bands[i] = f["band_energy"]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "sample_rate": pa.array(rate),
+                "duration_ms": pa.array(dur),
+                "rms": pa.array(rms),
+                "zcr": pa.array(zcr),
+                "spectral_centroid_hz": pa.array(cent),
+                "band_energy": pa.array(list(bands), type=pa.list_(pa.float32())),
+            }
+        )
+
+
+def audio_pipeline(
+    media: "rd.Dataset", batch_size: int = 128, concurrency=None
+) -> "rd.Dataset":
+    """audio table -> waveform feature rows (actor pool, small batches
+    because payloads dominate block size)."""
+    return media.map_batches(
+        DecodeAudio,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or pool_size(),
+    )
+
+
 VIDEO_SCHEMA = pa.schema(
     [
         ("media_id", pa.string()),

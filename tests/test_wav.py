@@ -1,0 +1,82 @@
+"""Pure-numpy WAV codec + real audio decode pipeline."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from hipporag_ray.functions.wav import audio_features, decode_wav, encode_wav
+
+
+def test_wav_roundtrip_16bit():
+    sr = 8000
+    t = np.arange(sr // 4) / sr
+    sig = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    out, got_sr = decode_wav(encode_wav(sig, sr))
+    assert got_sr == sr
+    np.testing.assert_allclose(out, sig, atol=1.0 / 32767)
+
+
+def test_wav_stereo_float_and_8bit():
+    # hand-built stereo IEEE-float WAV: decode averages channels
+    sr = 4000
+    left = np.full(100, 0.5, dtype="<f4")
+    right = np.full(100, -0.1, dtype="<f4")
+    inter = np.empty(200, dtype="<f4")
+    inter[0::2], inter[1::2] = left, right
+    body = inter.tobytes()
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 3, 2, sr, sr * 8, 8, 32)
+    data = b"data" + struct.pack("<I", len(body)) + body
+    wav = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(data)) + b"WAVE" + fmt + data
+    out, got_sr = decode_wav(wav)
+    assert got_sr == sr
+    np.testing.assert_allclose(out, np.full(100, 0.2), atol=1e-6)
+
+    # 8-bit unsigned PCM: 128 is silence
+    body8 = bytes([128] * 50)
+    fmt8 = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr, 1, 8)
+    data8 = b"data" + struct.pack("<I", len(body8)) + body8
+    wav8 = (
+        b"RIFF" + struct.pack("<I", 4 + len(fmt8) + len(data8)) + b"WAVE" + fmt8 + data8
+    )
+    out8, _ = decode_wav(wav8)
+    np.testing.assert_allclose(out8, np.zeros(50), atol=1e-6)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_wav(b"\x01" * 64)
+
+
+def test_audio_features_centroid_tracks_tone():
+    sr = 8000
+    t = np.arange(sr) / sr
+    low = audio_features(np.sin(2 * np.pi * 200.0 * t), sr)
+    high = audio_features(np.sin(2 * np.pi * 2000.0 * t), sr)
+    assert 150 < low["spectral_centroid_hz"] < 300
+    assert 1800 < high["spectral_centroid_hz"] < 2300
+    assert high["zcr"] > low["zcr"]
+    assert low["band_energy"].shape == (8,)
+    np.testing.assert_allclose(low["band_energy"].sum(), 1.0, atol=1e-5)
+
+
+def test_real_audio_pipeline(ray_session):
+    import ray.data as rd
+
+    from hipporag_ray.stages.multimodal import audio_pipeline, make_real_audio
+
+    media = make_real_audio(30)
+    out = audio_pipeline(rd.from_arrow(media), batch_size=8).to_pandas()
+    assert len(out) == 30
+    assert (out["duration_ms"] > 0).all()
+    assert (out["rms"] > 0).all()
+    assert (out["spectral_centroid_hz"] > 0).all()
+    # deterministic
+    out2 = audio_pipeline(rd.from_arrow(make_real_audio(30)), batch_size=8).to_pandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    np.testing.assert_allclose(
+        a["spectral_centroid_hz"].to_numpy(), b["spectral_centroid_hz"].to_numpy()
+    )
