@@ -97,9 +97,13 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    c = _CHANNELS[color_type]
+    return _unfilter(bytes(idat), width, height, _CHANNELS[color_type])
+
+
+def _unfilter(stream: bytes, width: int, height: int, c: int) -> np.ndarray:
+    """One zlib-compressed filtered scanline stream -> uint8 image."""
     stride = width * c
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    raw = np.frombuffer(zlib.decompress(stream), dtype=np.uint8)
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG data length mismatch")
     raw = raw.reshape(height, stride + 1)
@@ -169,3 +173,146 @@ def average_hash64(gray: np.ndarray) -> int:
     for b in bits:
         val = (val << 1) | int(b)
     return val - (1 << 64) if val >= (1 << 63) else val
+
+
+# ---------------------------------------------------------------------------
+# APNG (animated PNG) — the "video" container for the multimodal stage.
+#
+# Scope (what our encoder emits, what SampleFrames needs): every frame is a
+# full-canvas region (x=y=0, frame size == canvas size) with
+# blend_op=SOURCE / dispose_op=NONE, so frames are independent; and per the
+# APNG spec each frame's data chunks (IDAT for frame 0, fdAT runs after)
+# form their OWN complete zlib stream — which is what makes uniform frame
+# sampling cheap: only the selected frames are decompressed + unfiltered.
+# ---------------------------------------------------------------------------
+
+
+def encode_apng(frames: np.ndarray, fps: int = 24) -> bytes:
+    """(n, h, w) | (n, h, w, 3|4) uint8 -> APNG bytes.
+
+    Frame 0 doubles as the default image (fcTL before IDAT); later
+    frames are fcTL + one fdAT each, full-canvas, blend SOURCE.
+    """
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim == 3:
+        color_type, c = 0, 1
+        flat = frames[:, :, :, None]
+    elif frames.ndim == 4 and frames.shape[3] == 3:
+        color_type, c = 2, 3
+        flat = frames
+    elif frames.ndim == 4 and frames.shape[3] == 4:
+        color_type, c = 6, 4
+        flat = frames
+    else:
+        raise ValueError(f"unsupported frame stack shape {frames.shape}")
+    n, h, w = flat.shape[:3]
+    if n == 0:
+        raise ValueError("APNG needs at least one frame")
+
+    def _scanlines(img: np.ndarray) -> bytes:  # filter 0 rows
+        raw = np.empty((h, 1 + w * c), dtype=np.uint8)
+        raw[:, 0] = 0
+        raw[:, 1:] = img.reshape(h, w * c)
+        return zlib.compress(raw.tobytes(), 6)
+
+    out = bytearray(_SIG)
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    out += _chunk(b"acTL", struct.pack(">II", n, 0))  # num_frames, loop forever
+    seq = 0
+    for i in range(n):
+        fctl = struct.pack(">IIIIIHHBB", seq, w, h, 0, 0, 1, fps, 0, 0)
+        seq += 1
+        out += _chunk(b"fcTL", fctl)
+        data = _scanlines(flat[i])
+        if i == 0:
+            out += _chunk(b"IDAT", data)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def apng_info(data: bytes) -> tuple[int, int, int]:
+    """APNG/PNG bytes -> (num_frames, width, height) from the header
+    chunks only (no frame decompression)."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    n_frames = 1
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        if tag == b"IHDR":
+            width, height = struct.unpack_from(">II", data, pos + 8)
+        elif tag == b"acTL":
+            (n_frames,) = struct.unpack_from(">I", data, pos + 8)
+        elif tag in (b"IDAT", b"fdAT", b"IEND"):
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    return n_frames, int(width), int(height)
+
+
+def decode_apng(data: bytes, indices=None) -> list[np.ndarray]:
+    """APNG bytes -> frames as uint8 arrays.
+
+    ``indices`` (iterable of frame numbers, or None for all) selects
+    which frames to decompress — unselected frames cost only the chunk
+    scan.  Only full-canvas SOURCE-blend frames are supported (what
+    ``encode_apng`` writes); anything else raises.
+    """
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = color_type = None
+    streams: list[bytearray] = []  # per-frame zlib streams, in order
+    idat = bytearray()
+    idat_is_frame0 = False
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack_from(
+                ">IIBB", payload
+            )
+            if bit_depth != 8 or color_type not in _CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG (bit depth {bit_depth}, color type {color_type})"
+                )
+        elif tag == b"fcTL":
+            _, fw, fh, fx, fy = struct.unpack_from(">IIIII", payload)
+            blend = payload[25]
+            if (fw, fh, fx, fy) != (width, height, 0, 0) or (streams and blend != 0):
+                raise ValueError("APNG sub-region / OVER-blend frames unsupported")
+            streams.append(bytearray())
+        elif tag == b"IDAT":
+            # belongs to frame 0 iff an fcTL preceded it; otherwise it is
+            # a plain PNG's image or an APNG default image outside the
+            # animation (then frames are fdAT-only).
+            idat_is_frame0 = bool(streams)
+            idat.extend(payload)
+        elif tag == b"fdAT":
+            if not streams:
+                raise ValueError("fdAT before any fcTL")
+            streams[-1].extend(payload[4:])  # strip sequence number
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if not streams:  # plain PNG: single frame
+        streams = [idat]
+    elif idat_is_frame0:
+        streams[0] = idat
+    c = _CHANNELS[color_type]
+    want = range(len(streams)) if indices is None else sorted(set(int(i) for i in indices))
+    out = []
+    for i in want:
+        if i < 0 or i >= len(streams):
+            raise IndexError(f"frame {i} out of range (APNG has {len(streams)})")
+        out.append(_unfilter(bytes(streams[i]), width, height, c))
+    return out

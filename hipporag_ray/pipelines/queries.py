@@ -1018,6 +1018,20 @@ def q_media_frames(sf_dir: str):
     return frame_sample_pipeline(videos, max_frames=4, batch_size=64, fake=True)
 
 
+def q_media_frames_real(sf_dir: str):
+    """REAL video frame sampling: deterministic APNG clips decoded by
+    the numpy codec (functions/png.py) — uniform frame selection
+    decompresses only the sampled frames, emitting real per-frame
+    block features + phash."""
+    from ..stages.multimodal import frame_sample_pipeline, make_real_video
+
+    n = max(30, int(2_000 * sf_of(sf_dir)))
+    videos = rd.from_arrow(make_real_video(n))
+    return frame_sample_pipeline(
+        videos, max_frames=4, batch_size=32, fake=False
+    ).select_columns(["media_id", "frame_idx", "phash"])
+
+
 def q_tx_pagerank(sf_dir: str):
     from ..algos.iterate import pagerank, scores_dataset
     from ..state.csr import ShardedGraph
@@ -1283,6 +1297,7 @@ QUERIES = {
     "media_decode_real": q_media_decode_real,
     "media_audio": q_media_audio,
     "media_frames": q_media_frames,
+    "media_frames_real": q_media_frames_real,
     "tx_extract": q_tx_extract,
     "tx_pagerank": q_tx_pagerank,
     "tx_ppr": q_tx_ppr,

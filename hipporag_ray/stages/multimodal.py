@@ -10,10 +10,18 @@ sizing, output layout — are real and tested.  Codecs:
   ``functions/png.py`` (all five scanline filters) — and emits real
   block-mean features + an 8x8 average perceptual hash;
   ``make_real_media`` synthesizes a deterministic valid-PNG corpus.
+* ``DecodeAudio`` REALLY decodes ``audio/wav`` payloads via the numpy
+  RIFF/PCM codec in ``functions/wav.py`` (duration/RMS/ZCR/centroid/
+  band-energy features); ``make_real_audio`` synthesizes the corpus.
+* ``SampleFrames(fake=False)`` REALLY samples frames from
+  ``video/apng`` payloads — APNG stores each frame as its own zlib
+  stream, so uniform sampling decompresses only the selected frames
+  (functions/png.py ``decode_apng``); ``make_real_video`` synthesizes
+  deterministic moving-square clips.  General codecs (mp4/h264) need
+  ffmpeg, absent here — the container differs, the Ray-side plumbing
+  (flat frame rows, payload dropped, small batches) is identical.
 * ``fake=True`` keeps the hash-seeded deterministic pseudo-decode for
-  payloads that are not real images (the opaque-bytes test tables).
-* video frame extraction still needs ffmpeg (absent) — ``SampleFrames``
-  stays fake-gated.
+  payloads that are not real media (the opaque-bytes test tables).
 
 Batch-size note: binary payloads dominate block size; callers should
 pass ``batch_size`` small (e.g. 32-256) so
@@ -303,32 +311,116 @@ def make_fake_video(n: int, seed: int = 5) -> pa.Table:
     )
 
 
+def make_real_video(n: int, seed: int = 7) -> pa.Table:
+    """Deterministic corpus of REAL APNG clips: a bright square moving
+    across a gradient background, grayscale/RGB alternating, varying
+    size and frame count.  Frame content differs per frame index, so
+    sampled-frame phashes actually discriminate."""
+    from ..functions.png import encode_apng
+
+    rng = np.random.default_rng(seed)
+    payloads, nfs, ws, hs = [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(12, 33))
+        h = int(rng.integers(12, 33))
+        nf = int(rng.integers(6, 41))
+        gx = np.linspace(0, 200, w)[None, :]
+        gy = np.linspace(0, 200, h)[:, None]
+        base = ((gx + gy) / 2).astype(np.uint8)
+        frames = np.repeat(base[None, :, :], nf, axis=0).copy()
+        sq = max(2, min(h, w) // 4)
+        for f in range(nf):  # square slides along the diagonal
+            y0 = (f * max(h - sq, 1)) // max(nf - 1, 1)
+            x0 = (f * max(w - sq, 1)) // max(nf - 1, 1)
+            frames[f, y0 : y0 + sq, x0 : x0 + sq] = 255
+        if i % 2:
+            frames = np.stack(
+                [frames, 255 - frames, np.flip(frames, axis=2)], axis=3
+            )  # RGB variant
+        payloads.append(encode_apng(frames, fps=24))
+        nfs.append(nf)
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array([f"w{i:06d}" for i in range(n)]),
+            "mime": pa.array(["video/apng"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "n_frames": pa.array(np.array(nfs, np.int32)),
+            "fps": pa.array(np.full(n, 24, np.int32)),
+            "width": pa.array(np.array(ws, np.int32)),
+            "height": pa.array(np.array(hs, np.int32)),
+        }
+    )
+
+
 class SampleFrames:
     """Actor-pool stage: video payload -> sampled frame feature rows
     (flat output: one row per sampled frame).
 
     Sampling policy is uniform ``max_frames`` indices over
     ``[0, n_frames)`` — the standard training-data frame-sample shape.
-    Real frame extraction needs ffmpeg (absent here); with
-    ``fake=True`` each (payload, frame_idx) yields a deterministic
-    pseudo-frame (hash-seeded), so downstream stages (per-frame phash,
-    near-dup, feature pooling) run for real.  Payload bytes are dropped
-    from the output — frame rows carry only features + metadata, which
-    is what keeps the blow-up (rows x max_frames) streamable.
+    With ``fake=False`` this is a REAL decode of ``video/apng``
+    payloads: frame count read from the acTL header, only the sampled
+    frames decompressed (each APNG frame is an independent zlib
+    stream), per-frame grayscale block-mean features + 8x8 average
+    phash.  General codecs need ffmpeg (absent); ``fake=True`` yields
+    deterministic hash-seeded pseudo-frames for opaque payloads, so
+    downstream stages (per-frame phash, near-dup, feature pooling) run
+    for real either way.  Payload bytes are dropped from the output —
+    frame rows carry only features + metadata, which is what keeps the
+    blow-up (rows x max_frames) streamable.
     """
 
     def __init__(self, max_frames: int = 8, feature_dim: int = 16, fake: bool = False):
         self.max_frames = max_frames
         self.feature_dim = feature_dim
         self.fake = fake
+        if not fake:
+            grid = int(np.sqrt(feature_dim))
+            if grid * grid != feature_dim:
+                raise ValueError("real decode needs a square feature_dim (grid**2)")
+            self.grid = grid
+
+    def _real(self, batch: pa.Table) -> pa.Table:
+        from ..functions.png import (
+            apng_info,
+            average_hash64,
+            block_mean_features,
+            decode_apng,
+            to_grayscale,
+        )
+
+        payloads = batch["payload"].to_pylist()
+        mids = batch["media_id"].to_numpy(zero_copy_only=False)
+        out_mid: list = []
+        out_idx: list[int] = []
+        out_feat: list[np.ndarray] = []
+        out_phash: list[int] = []
+        for i, p in enumerate(payloads):
+            nf = apng_info(p)[0]  # header scan only
+            k = int(min(self.max_frames, nf))
+            if k == 0:
+                continue
+            idxs = np.unique((np.arange(k) * nf) // k)
+            for fi, frame in zip(idxs, decode_apng(p, idxs)):
+                gray = to_grayscale(frame)
+                out_mid.append(mids[i])
+                out_idx.append(int(fi))
+                out_feat.append(block_mean_features(gray, self.grid))
+                out_phash.append(average_hash64(gray))
+        return pa.table(
+            {
+                "media_id": pa.array(out_mid, pa.string()),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "phash": pa.array(out_phash, pa.int64()),
+                "features": pa.array(out_feat, type=pa.list_(pa.float32())),
+            }
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError(
-                "frame extraction requires ffmpeg, not present in this "
-                "environment; construct SampleFrames(fake=True) for the "
-                "deterministic test decoder"
-            )
+            return self._real(batch)
         payloads = batch["payload"].to_pylist()
         nf = batch["n_frames"].to_numpy(zero_copy_only=False).astype(np.int64)
         mids = batch["media_id"].to_numpy(zero_copy_only=False)

@@ -118,3 +118,40 @@ def test_real_decode_pipeline(ray_session):
     got = out.loc[meta.index]
     np.testing.assert_array_equal(got["width"].to_numpy(), meta["width"].to_numpy())
     np.testing.assert_array_equal(got["height"].to_numpy(), meta["height"].to_numpy())
+
+
+def test_apng_roundtrip_and_sampling():
+    import numpy as np
+    import pytest
+
+    from hipporag_ray.functions.png import (
+        apng_info,
+        decode_apng,
+        encode_apng,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(0)
+    fr = rng.integers(0, 256, (6, 10, 14), dtype=np.uint8)
+    b = encode_apng(fr, fps=12)
+    assert apng_info(b) == (6, 14, 10)
+    dec = decode_apng(b)
+    assert len(dec) == 6
+    for a, d in zip(fr, dec):
+        np.testing.assert_array_equal(a, d)
+    # sampled decode: only the selected frames, same pixels
+    sub = decode_apng(b, [0, 3, 5])
+    np.testing.assert_array_equal(sub[1], fr[3])
+    np.testing.assert_array_equal(sub[2], fr[5])
+    with pytest.raises(IndexError):
+        decode_apng(b, [6])
+    # RGB frames
+    rgb = rng.integers(0, 256, (3, 8, 8, 3), dtype=np.uint8)
+    for a, d in zip(rgb, decode_apng(encode_apng(rgb))):
+        np.testing.assert_array_equal(a, d)
+    # plain PNG through the APNG reader = one frame
+    png = encode_png(fr[0])
+    assert apng_info(png) == (1, 14, 10)
+    np.testing.assert_array_equal(decode_apng(png)[0], fr[0])
+    with pytest.raises(ValueError):
+        decode_apng(b"\x01" * 32)

@@ -216,6 +216,40 @@ def test_frame_sampling_plumbing():
     a = frames.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     b = again.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     assert a["phash"].tolist() == b["phash"].tolist()
-    # real codec is explicitly stubbed
-    with pytest.raises(NotImplementedError):
+    # real path rejects opaque non-APNG payloads
+    with pytest.raises(ValueError):
         SampleFrames(fake=False)(make_fake_video(2))
+
+
+def test_real_frame_sampling():
+    import numpy as np
+
+    from hipporag_ray.functions.png import decode_apng, to_grayscale, average_hash64
+    from hipporag_ray.stages.multimodal import frame_sample_pipeline, make_real_video
+
+    vids = make_real_video(20)
+    frames = frame_sample_pipeline(rd.from_arrow(vids), max_frames=4, fake=False).to_pandas()
+    per = frames.groupby("media_id").size()
+    assert per.max() <= 4 and per.min() >= 1
+    meta = vids.to_pandas().set_index("media_id")
+    for mid, g in frames.groupby("media_id"):
+        assert g["frame_idx"].max() < meta.loc[mid, "n_frames"]
+        assert g["frame_idx"].is_unique
+    # features are real: recompute one row's phash from the payload
+    row = frames.iloc[7]
+    payload = bytes(meta.loc[row["media_id"], "payload"])
+    frame = decode_apng(payload, [int(row["frame_idx"])])[0]
+    assert average_hash64(to_grayscale(frame)) == row["phash"]
+    # moving square -> phash varies across a clip's sampled frames
+    nuniq = frames.groupby("media_id")["phash"].nunique()
+    assert (nuniq > 1).mean() > 0.5
+    # deterministic
+    again = frame_sample_pipeline(
+        rd.from_arrow(make_real_video(20)), max_frames=4, fake=False
+    ).to_pandas()
+    a = frames.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    b = again.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert a["phash"].tolist() == b["phash"].tolist()
+    np.testing.assert_allclose(
+        np.stack(a["features"].to_numpy()), np.stack(b["features"].to_numpy())
+    )
