@@ -93,6 +93,27 @@ def sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.01
 
 
+# Bump when graph-build / synth semantics change: /tmp caches from an
+# older code version must not serve results for the new semantics.
+_CACHE_VERSION = 2
+
+
+def _input_fingerprint(*paths: str) -> str:
+    """Cheap content fingerprint of input files (size + mtime per
+    file, no data read) so caches keyed on it go stale when the driver
+    regenerates testdata at the same sf with different content."""
+    import hashlib
+
+    h = hashlib.md5(f"v{_CACHE_VERSION}".encode())
+    for p in sorted(paths):
+        try:
+            st = os.stat(p)
+            h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            h.update(f"{os.path.basename(p)}:absent".encode())
+    return h.hexdigest()[:12]
+
+
 def synth_transcripts_for(sf_dir: str) -> str:
     """Deterministic transcripts at a scale derived from sf (cached)."""
     from ..synth import write_transcripts
@@ -100,7 +121,7 @@ def synth_transcripts_for(sf_dir: str) -> str:
     sf = sf_of(sf_dir)
     n_convs = max(50, int(100_000 * sf))
     vocab = max(100, int(20_000 * sf))
-    out = f"/tmp/hipporag_ray/tx_sf{sf}"
+    out = f"/tmp/hipporag_ray/tx_sf{sf}_v{_CACHE_VERSION}"
     return write_transcripts(out, n_convs=n_convs, turns_per_conv=10, vocab=vocab, seed=42)
 
 
@@ -121,7 +142,7 @@ def graph_for(sf_dir: str):
     rename, so concurrent query processes never co-write a cache."""
     sf = sf_of(sf_dir)
     tx = synth_transcripts_for(sf_dir)
-    out = f"/tmp/hipporag_ray/graph_sf{sf}"
+    out = f"/tmp/hipporag_ray/graph_sf{sf}_v{_CACHE_VERSION}"
     marker = os.path.join(out, "manifest.json")
     if os.path.exists(marker):
         return load_graph(out)
@@ -145,7 +166,8 @@ def doc_graph_for(sf_dir: str) -> tuple[str, int]:
     from ..stages.graph_build import assign_dense_ids
     from ..stages.shuffle import grouped_pairs, hash_join, int_key_sum, range_sort
 
-    d = f"/tmp/hipporag_ray/docgraph_sf{sf_of(sf_dir)}"
+    fp = _input_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    d = f"/tmp/hipporag_ray/docgraph_sf{sf_of(sf_dir)}_{fp}"
     marker = os.path.join(d, "manifest.json")
     if os.path.exists(marker):
         with open(marker) as f:
