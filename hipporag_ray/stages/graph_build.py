@@ -371,23 +371,26 @@ def _partials_via_join(
     if not ordered:
         pairs = grouped_pairs(m2, "chunk_key", "ent_vid", mode="ne")
     else:
-        refs = m2.to_arrow_refs()
-        from .shuffle import _auto_partitions
+        from .shuffle import _streaming_splits
 
-        k = _auto_partitions(m2, refs)
-        splits = []
-        for r in refs:
+        def launch(r, k):
             if k > 1:
-                splits.append(_plain_split.options(num_returns=k).remote(r, "chunk_key", k))
-            else:
-                splits.append([_plain_split.remote(r, "chunk_key", k)])
-        outs = [
-            _window_pairs_reduce.remote(
-                "chunk_key", "ent_vid", "pos", *[splits[i][t] for i in range(len(refs))]
+                return _plain_split.options(num_returns=k).remote(r, "chunk_key", k)
+            return [_plain_split.remote(r, "chunk_key", k)]
+
+        splits, k = _streaming_splits(m2, launch, None)
+        if not splits:
+            pairs = rd.from_arrow(
+                pa.table({"chunk_key": pa.array([], pa.string())})
             )
-            for t in range(k)
-        ]
-        pairs = rd.from_arrow_refs(outs)
+        else:
+            outs = [
+                _window_pairs_reduce.remote(
+                    "chunk_key", "ent_vid", "pos", *[splits[i][t] for i in range(len(splits))]
+                )
+                for t in range(k)
+            ]
+            pairs = rd.from_arrow_refs(outs)
 
     def fact(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "a" not in batch.column_names:

@@ -140,16 +140,45 @@ def _auto_partitions(ds, refs, min_rows_per_partition: int = 50_000) -> int:
     shuffle doesn't need 32 reducers).  A/B at 2.2M-edge build scale:
     k = CPUs -> 14s, k capped by a 250k-row volume target -> 25s — the
     reduce-side sorts parallelize, so more reducers win until the data
-    is genuinely tiny."""
+    is genuinely tiny.  NOT capped by the input block count: an
+    upstream that emitted 2 big blocks must not serialize the reduce
+    side (map-side parallelism is restored separately by slicing
+    oversized blocks, see _sliced)."""
     cpus = int(ray.cluster_resources().get("CPU", 8))
     try:
         rows = ds.count()
     except Exception:
         rows = min_rows_per_partition * cpus
-    return max(1, min(cpus, max(len(refs), 1), max(1, rows // min_rows_per_partition)))
+    return max(1, min(cpus, max(1, rows // min_rows_per_partition)))
 
 
 _PARTITION_FLOOR_ROWS = 50_000
+# Slice pieces are chunkier than reduce partitions: a map-split task is
+# cheap per row, so ~250k-row pieces amortize task/serialization
+# overhead while still restoring parallelism for few-big-block inputs.
+_SLICE_TARGET_ROWS = 250_000
+
+
+@ray.remote
+def _slice_block(tbl: pa.Table, n: int):
+    """Cut one block into n zero-copy slices.  Ray's Arrow serializer
+    truncates sliced buffers on serialization (verified: a 1k-row slice
+    of a 1M-row table ships ~15KB, not the full backing buffer), so the
+    pieces leave this task at their logical size."""
+    step = -(-tbl.num_rows // n)
+    outs = [tbl.slice(i * step, step) for i in range(n)]
+    return tuple(outs) if n > 1 else (outs[0],)
+
+
+def _sliced(bref, rows: int, cpus: int) -> list:
+    """Fan an oversized block into ~_PARTITION_FLOOR_ROWS-row piece
+    refs so map-side exchange parallelism doesn't collapse when the
+    upstream emitted a few large blocks (e.g. a 1M-row transcript read
+    coalesced into 2 x 128MB blocks).  Small blocks pass through."""
+    n = min(cpus, max(1, int(rows or 0) // _SLICE_TARGET_ROWS))
+    if n <= 1:
+        return [bref]
+    return list(_slice_block.options(num_returns=n).remote(bref, n))
 
 
 def _streaming_splits(ds, launch_split, num_partitions: int | None):
@@ -157,7 +186,9 @@ def _streaming_splits(ds, launch_split, num_partitions: int | None):
     them and fan each into ``launch_split(block_ref, k)`` — the input
     is never pinned whole in the object store (each block ref is
     dropped as soon as its split task holds it; what stays pinned are
-    the column-pruned / pre-aggregated shards).
+    the column-pruned / pre-aggregated shards).  Oversized blocks are
+    first cut into ~50k-row pieces (_sliced) so map-side parallelism
+    tracks data volume, not the upstream's block layout.
 
     ``k`` selection keeps the _auto_partitions small-input heuristic
     without a second pass: blocks are buffered until the row volume
@@ -170,25 +201,28 @@ def _streaming_splits(ds, launch_split, num_partitions: int | None):
     buffered: list = []
     splits: list = []
     rows_seen = 0
-    n_blocks = 0
+
+    def emit(bref, rows):
+        for piece in _sliced(bref, rows, cpus):
+            splits.append(launch_split(piece, k))
+
     for bundle in ds.iter_internal_ref_bundles():
         for bref, meta in bundle.blocks:
-            n_blocks += 1
-            rows_seen += meta.num_rows or 0
+            rows = meta.num_rows or 0
+            rows_seen += rows
             if k is None:
-                buffered.append(bref)
+                buffered.append((bref, rows))
                 if rows_seen >= thresh:
                     k = cpus
-                    splits.extend(launch_split(b, k) for b in buffered)
+                    for b, r in buffered:
+                        emit(b, r)
                     buffered = []
             else:
-                splits.append(launch_split(bref, k))
+                emit(bref, rows)
     if k is None:
-        k = max(
-            1,
-            min(cpus, max(n_blocks, 1), max(1, rows_seen // _PARTITION_FLOOR_ROWS)),
-        )
-        splits.extend(launch_split(b, k) for b in buffered)
+        k = max(1, min(cpus, max(1, rows_seen // _PARTITION_FLOOR_ROWS)))
+        for b, r in buffered:
+            emit(b, r)
     return splits, k
 
 
@@ -264,12 +298,24 @@ def range_sort(
     """Global sort by one key column: deterministic sample -> range cut
     values -> range exchange -> per-partition sort; output blocks are
     globally ordered (block i's keys <= block i+1's).  Replaces
-    ``Dataset.sort`` for the adjacency/vertex layout passes."""
-    refs = ds.to_arrow_refs()
+    ``Dataset.sort`` for the adjacency/vertex layout passes.
+
+    Needs two passes over the blocks (sample, then split), so unlike
+    the hash exchanges the input refs are held; oversized blocks are
+    still sliced so both passes parallelize past the upstream's block
+    layout."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    refs = []
+    rows_seen = 0
+    for bundle in ds.iter_internal_ref_bundles():
+        for bref, meta in bundle.blocks:
+            rows = meta.num_rows or 0
+            rows_seen += rows
+            refs.extend(_sliced(bref, rows, cpus))
     if not refs:
         return ds
     if num_partitions is None:
-        num_partitions = _auto_partitions(ds, refs)
+        num_partitions = max(1, min(cpus, max(1, rows_seen // _PARTITION_FLOOR_ROWS)))
     k = num_partitions
     samples = np.concatenate(
         ray.get([_sample_keys.remote(r, key_col, 97) for r in refs])

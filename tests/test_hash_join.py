@@ -78,3 +78,45 @@ def test_exchanges_consume_lazy_streaming_input(ray_session):
     blocks = [ray.get(r) for r in dsd.to_arrow_refs()]
     assert all(b.num_rows > 0 and "k" in b.column_names for b in blocks)
     assert sum(b.num_rows for b in blocks) == 50
+
+
+def test_exchange_parallelism_survives_few_big_blocks(ray_session):
+    """A single huge input block must not collapse the exchange to one
+    map task / one reducer: oversized blocks are sliced (shuffle._sliced)
+    and k tracks row volume, not the upstream block layout.  Trap this
+    pinned: the 1M-row transcript read coalesces to 2 x 128MB blocks and
+    r2's build ran its hottest exchange at parallelism 2 on 32 CPUs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from hipporag_ray.stages.shuffle import (
+        _PARTITION_FLOOR_ROWS,
+        hash_distinct,
+        int_key_sum,
+        range_sort,
+    )
+
+    n = 12 * _PARTITION_FLOOR_ROWS  # 600k rows, one block
+    rng = np.random.default_rng(1)
+    keys = rng.integers(0, 100_000, n)
+    one_block = rd.from_arrow(
+        pa.table({"k": keys.astype(np.int64), "w": np.ones(n)})
+    ).repartition(1)
+
+    summed = int_key_sum(one_block, "k", "w")
+    assert summed.num_blocks() > 1  # reduce side parallelized
+    got = summed.to_pandas()
+    assert got["w"].sum() == n and len(got) == len(np.unique(keys))
+
+    dsd = hash_distinct(one_block, "k")
+    assert dsd.num_blocks() > 1
+    assert sum(b.num_rows for b in (ray.get(r) for r in dsd.to_arrow_refs())) == len(
+        np.unique(keys)
+    )
+
+    srt = range_sort(one_block, "k")
+    assert srt.num_blocks() > 1
+    out = srt.to_pandas()["k"].to_numpy()
+    assert len(out) == n and (np.diff(out) >= 0).all()
