@@ -71,6 +71,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--min-token-len", type=int, default=3)
     p.add_argument("--edge-source", choices=["cooccur", "triples"], default="cooccur")
+    p.add_argument(
+        "--resumable",
+        action="store_true",
+        help="two-phase build: per-input-shard extraction partitions with "
+        "lineage under OUT/chunks; a re-run skips finished shards",
+    )
 
     p = sub.add_parser("triples")
     p.add_argument("--input", required=True)
@@ -125,8 +131,31 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "build-graph":
             import ray.data as rd
 
-            from hipporag_ray.stages.graph_build import build_graph
+            from hipporag_ray.stages.graph_build import (
+                build_graph,
+                build_graph_resumable,
+            )
 
+            if args.resumable:
+                g, lineage = build_graph_resumable(
+                    args.input,
+                    args.out,
+                    min_token_len=args.min_token_len,
+                    edge_source=args.edge_source,
+                )
+                skipped = sum(1 for m in lineage if m["skipped"])
+                print(
+                    json.dumps(
+                        {
+                            "n_vertices": g.n_vertices,
+                            "n_edges": g.n_edges,
+                            "out": args.out,
+                            "shards": len(lineage),
+                            "shards_skipped": skipped,
+                        }
+                    )
+                )
+                return 0
             g = build_graph(
                 rd.read_parquet(args.input, columns=["text"]),
                 args.out,

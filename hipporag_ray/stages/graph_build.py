@@ -518,17 +518,134 @@ def dedup_chunks(transcripts: "rd.Dataset") -> "rd.Dataset":
     return hash_distinct(chunks, "chunk_key")
 
 
+# ---------------------------------------------------------------------------
+# resumable extraction (phase A of a restartable build)
+# ---------------------------------------------------------------------------
+
+
+def _file_fingerprint(path: str) -> dict:
+    st = os.stat(path)
+    return {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
+
+
+@ray.remote
+def _extract_shard(in_file: str, part_dir: str, text_col: str) -> dict:
+    """Extract one input parquet file into one chunk partition,
+    atomically (write to <part_dir>.tmp.<pid>, rename into place).
+
+    Per-file pre-dedup on chunk_key shrinks the partition but global
+    dedup still happens in the build's hash exchange — a chunk
+    appearing in two input files is only resolved there."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    tbl = pq.read_table(in_file, columns=[text_col])
+    if text_col != "text":
+        tbl = tbl.rename_columns(["text"])
+    rows_in = tbl.num_rows
+    chunks = _to_chunk_rows(tbl)
+    keys = chunks["chunk_key"].to_numpy(zero_copy_only=False)
+    _, first = np.unique(keys, return_index=True)
+    chunks = chunks.take(pa.array(np.sort(first)))
+    tmp = f"{part_dir}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(chunks, os.path.join(tmp, "part-0.parquet"))
+    meta = {
+        "input": in_file,
+        "fingerprint": _file_fingerprint(in_file),
+        "rows_in": int(rows_in),
+        "rows_out": int(chunks.num_rows),
+        "wall_sec": round(_time.perf_counter() - t0, 4),
+    }
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    if os.path.isdir(part_dir):  # a concurrent/previous attempt won
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp)
+    else:
+        os.rename(tmp, part_dir)
+    return meta
+
+
+def extract_chunks_resumable(
+    tx_path: str, chunks_dir: str, text_col: str = "text"
+) -> list[dict]:
+    """Phase A of a resumable graph build: per-input-file chunk
+    extraction with per-partition lineage.
+
+    Each input parquet file under ``tx_path`` maps to exactly one
+    output partition ``chunks_dir/shard=<stem>/`` (the builder-brief
+    "one directory per input shard" resumable layout).  A partition
+    whose recorded input fingerprint (size + mtime) still matches is
+    skipped, so a failed 100-TB extraction re-run only pays for the
+    shards that never finished; a changed or new input file is
+    (re-)extracted.  Every run appends one lineage entry per shard
+    (input file, rows in/out, wall time, skipped flag) to
+    ``chunks_dir/_lineage.jsonl`` (underscore prefix: parquet dataset
+    discovery skips it).
+
+    Returns this run's lineage entries.  Feed the result to
+    :func:`build_graph` with ``pre_chunked=True`` via
+    ``rd.read_parquet(chunks_dir)``.
+    """
+    import pyarrow.dataset as pads
+
+    os.makedirs(chunks_dir, exist_ok=True)
+    files = sorted(pads.dataset(tx_path).files)
+    if not files:
+        raise ValueError(f"no parquet files under {tx_path!r}")
+
+    pending: list[tuple[str, str]] = []
+    entries: list[dict] = []
+    for in_file in files:
+        stem = os.path.splitext(os.path.basename(in_file))[0]
+        part_dir = os.path.join(chunks_dir, f"shard={stem}")
+        meta_path = os.path.join(part_dir, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                old = json.load(f)
+            if old.get("fingerprint") == _file_fingerprint(in_file):
+                entries.append({**old, "skipped": True})
+                continue
+            import shutil as _shutil
+
+            _shutil.rmtree(part_dir)  # stale partition: input changed
+        pending.append((in_file, part_dir))
+
+    done = ray.get(
+        [_extract_shard.remote(f, d, text_col) for f, d in pending]
+    )
+    entries.extend({**m, "skipped": False} for m in done)
+    with open(os.path.join(chunks_dir, "_lineage.jsonl"), "a") as f:
+        for m in entries:
+            f.write(json.dumps(m) + "\n")
+    return entries
+
+
 def build_graph(
     transcripts: "rd.Dataset",
     out_dir: str,
     min_token_len: int = 3,
     edge_source: str = "cooccur",
     broadcast_vertex_limit: int = 5_000_000,
+    pre_chunked: bool = False,
 ) -> GraphTables:
-    """Full graph build; writes vertices/, edges/, adj/ + manifest.json."""
+    """Full graph build; writes vertices/, edges/, adj/ + manifest.json.
+
+    ``pre_chunked=True`` means the input already has (chunk_key, text)
+    columns (phase-A output of :func:`extract_chunks_resumable`); only
+    the global dedup exchange runs, not the hash map."""
     os.makedirs(out_dir, exist_ok=True)
 
-    chunks = dedup_chunks(transcripts).materialize()
+    if pre_chunked:
+        from .shuffle import hash_distinct as _hd
+
+        chunks = _hd(
+            transcripts.select_columns(["chunk_key", "text"]), "chunk_key"
+        ).materialize()
+    else:
+        chunks = dedup_chunks(transcripts).materialize()
     if chunks.count() == 0:
         from .. import schema as _schema
 
@@ -639,6 +756,28 @@ def build_graph(
             f,
         )
     return GraphTables(out_dir=out_dir, n_vertices=int(n_vertices), n_edges=int(n_edges))
+
+
+def build_graph_resumable(
+    tx_path: str,
+    out_dir: str,
+    chunks_dir: str | None = None,
+    **build_kw,
+) -> tuple[GraphTables, list[dict]]:
+    """Restartable two-phase build: resumable per-input-shard chunk
+    extraction (:func:`extract_chunks_resumable`), then the normal
+    exchange-based build over the extracted partitions.  A re-run after
+    a failure skips every finished extraction shard; the shuffle phase
+    re-runs (it is the cheap part relative to a 100-TB input scan and
+    has no per-partition identity until the exchange).  Returns the
+    graph tables plus this run's extraction lineage."""
+    if chunks_dir is None:
+        chunks_dir = os.path.join(out_dir, "chunks")
+    lineage = extract_chunks_resumable(tx_path, chunks_dir)
+    g = build_graph(
+        rd.read_parquet(chunks_dir), out_dir, pre_chunked=True, **build_kw
+    )
+    return g, lineage
 
 
 def load_graph(out_dir: str) -> GraphTables:

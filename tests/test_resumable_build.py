@@ -1,0 +1,101 @@
+"""Resumable two-phase graph build: per-input-shard extraction with
+lineage (the "one directory per input shard, skip finished partitions"
+layout the 100-TB brief requires), equivalent to the direct build."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+
+def _read_lineage(chunks_dir):
+    with open(os.path.join(chunks_dir, "_lineage.jsonl")) as f:
+        return [json.loads(line) for line in f]
+
+
+@pytest.fixture()
+def tx_dir(tmp_path):
+    from hipporag_ray.synth import write_transcripts
+
+    return write_transcripts(
+        str(tmp_path / "tx"), n_convs=30, turns_per_conv=10, vocab=80, seed=7, shards=4
+    )
+
+
+def test_resumable_matches_direct_build(ray_session, tx_dir, tmp_path):
+    import ray.data as rd
+
+    from hipporag_ray.stages.graph_build import build_graph, build_graph_resumable
+
+    direct = build_graph(
+        rd.read_parquet(tx_dir, columns=["text"]), str(tmp_path / "direct")
+    )
+    resumed, lineage = build_graph_resumable(tx_dir, str(tmp_path / "resumable"))
+
+    assert resumed.n_vertices == direct.n_vertices
+    assert resumed.n_edges == direct.n_edges
+    dv = direct.vertices().to_pandas().sort_values("node_key").reset_index(drop=True)
+    rv = resumed.vertices().to_pandas().sort_values("node_key").reset_index(drop=True)
+    assert dv.equals(rv)
+    de = direct.edges().to_pandas().sort_values(["src", "dst", "etype"]).reset_index(drop=True)
+    re_ = resumed.edges().to_pandas().sort_values(["src", "dst", "etype"]).reset_index(drop=True)
+    assert de.equals(re_)
+
+    # one partition per input file, all freshly extracted with metrics
+    n_files = len([f for f in os.listdir(tx_dir) if f.endswith(".parquet")])
+    assert len(lineage) == n_files
+    assert all(not m["skipped"] for m in lineage)
+    assert all(m["rows_in"] > 0 and m["rows_out"] > 0 and m["wall_sec"] >= 0 for m in lineage)
+
+
+def test_rerun_skips_finished_shards(ray_session, tx_dir, tmp_path):
+    from hipporag_ray.stages.graph_build import build_graph_resumable
+
+    out = str(tmp_path / "g")
+    g1, lin1 = build_graph_resumable(tx_dir, out)
+    assert all(not m["skipped"] for m in lin1)
+
+    g2, lin2 = build_graph_resumable(tx_dir, out)
+    assert all(m["skipped"] for m in lin2)
+    assert g2.n_vertices == g1.n_vertices and g2.n_edges == g1.n_edges
+
+    # lineage journal accumulates one entry per shard per run
+    chunks_dir = os.path.join(out, "chunks")
+    assert len(_read_lineage(chunks_dir)) == len(lin1) + len(lin2)
+
+
+def test_changed_input_reextracts_only_that_shard(ray_session, tx_dir, tmp_path):
+    from hipporag_ray.stages.graph_build import build_graph_resumable
+
+    out = str(tmp_path / "g")
+    build_graph_resumable(tx_dir, out)
+
+    victim = sorted(f for f in os.listdir(tx_dir) if f.endswith(".parquet"))[0]
+    path = os.path.join(tx_dir, victim)
+    with open(path, "rb") as f:
+        payload = f.read()
+    os.utime(path, ns=(os.stat(path).st_atime_ns, os.stat(path).st_mtime_ns + 10**9))
+    with open(path, "wb") as f:
+        f.write(payload)  # same content, new size-preserving rewrite + mtime
+
+    _, lin = build_graph_resumable(tx_dir, out)
+    fresh = [m for m in lin if not m["skipped"]]
+    assert len(fresh) == 1 and fresh[0]["input"].endswith(victim)
+
+
+def test_missing_partition_reextracted(ray_session, tx_dir, tmp_path):
+    from hipporag_ray.stages.graph_build import build_graph_resumable, load_graph
+
+    out = str(tmp_path / "g")
+    g1, _ = build_graph_resumable(tx_dir, out)
+    chunks_dir = os.path.join(out, "chunks")
+    victim = sorted(d for d in os.listdir(chunks_dir) if d.startswith("shard="))[1]
+    shutil.rmtree(os.path.join(chunks_dir, victim))
+
+    g2, lin = build_graph_resumable(tx_dir, out)
+    fresh = [m for m in lin if not m["skipped"]]
+    assert len(fresh) == 1
+    assert g2.n_vertices == g1.n_vertices and g2.n_edges == g1.n_edges
