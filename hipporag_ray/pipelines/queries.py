@@ -626,21 +626,33 @@ def q_doc_merge_by_first_token(sf_dir: str):
         first = pc.list_element(pc.split_pattern(batch["text"], " "), 0)
         return pa.table({"first_tok": first, "doc_id": batch["doc_id"], "text": batch["text"]})
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        return pd.DataFrame(
+    def merge_part(batch: pa.Table) -> pa.Table:
+        # key-complete block from the hash exchange: one pandas groupby
+        # per partition, not one Python dispatch per group
+        if batch.num_rows == 0 or "first_tok" not in batch.column_names:
+            return pa.table(
+                {
+                    "first_tok": pa.array([], pa.string()),
+                    "merged": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        df = batch.to_pandas().sort_values(["first_tok", "doc_id"])
+        g = df.groupby("first_tok", sort=True)
+        merged = g["text"].agg("\n".join)
+        return pa.table(
             {
-                "first_tok": [g["first_tok"].iloc[0]],
-                "merged": ["\n".join(g["text"])],
-                "n_docs": [len(g)],
+                "first_tok": pa.array(merged.index.to_numpy(), pa.string()),
+                "merged": pa.array(merged.to_numpy(), pa.string()),
+                "n_docs": pa.array(g.size().to_numpy(), pa.int64()),
             }
         )
 
-    return (
-        _docs(sf_dir)
-        .map_batches(keyed, batch_format="pyarrow")
-        .groupby("first_tok")
-        .map_groups(merge, batch_format="pandas")
+    from ..stages.shuffle import hash_partition
+
+    keyed_ds = _docs(sf_dir).map_batches(keyed, batch_format="pyarrow")
+    return hash_partition(keyed_ds, "first_tok").map_batches(
+        merge_part, batch_format="pyarrow", batch_size=None
     )
 
 
