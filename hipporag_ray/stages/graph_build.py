@@ -598,8 +598,13 @@ def extract_chunks_resumable(
 
     pending: list[tuple[str, str]] = []
     entries: list[dict] = []
+    root = os.path.abspath(tx_path)
     for in_file in files:
-        stem = os.path.splitext(os.path.basename(in_file))[0]
+        # shard name from the tx-relative path, not the basename: two
+        # input files part-0.parquet in different subdirectories must
+        # map to two distinct partitions
+        rel = os.path.relpath(os.path.abspath(in_file), root)
+        stem = os.path.splitext(rel)[0].replace(os.sep, "__")
         part_dir = os.path.join(chunks_dir, f"shard={stem}")
         meta_path = os.path.join(part_dir, "_meta.json")
         if os.path.exists(meta_path):

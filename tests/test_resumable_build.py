@@ -99,3 +99,21 @@ def test_missing_partition_reextracted(ray_session, tx_dir, tmp_path):
     fresh = [m for m in lin if not m["skipped"]]
     assert len(fresh) == 1
     assert g2.n_vertices == g1.n_vertices and g2.n_edges == g1.n_edges
+
+
+def test_nested_input_files_get_distinct_partitions(ray_session, tmp_path):
+    """Two input files with the same basename in different
+    subdirectories must map to two partitions, not collide."""
+    from hipporag_ray.stages.graph_build import extract_chunks_resumable
+    from hipporag_ray.synth import write_transcripts
+
+    tx = tmp_path / "tx"
+    write_transcripts(str(tx / "a"), n_convs=5, turns_per_conv=4, vocab=30, seed=1, shards=1)
+    write_transcripts(str(tx / "b"), n_convs=5, turns_per_conv=4, vocab=30, seed=2, shards=1)
+
+    lin = extract_chunks_resumable(str(tx), str(tmp_path / "chunks"))
+    assert len(lin) == 2
+    parts = sorted(
+        d for d in os.listdir(tmp_path / "chunks") if d.startswith("shard=")
+    )
+    assert len(parts) == 2 and parts[0] != parts[1]
