@@ -747,7 +747,10 @@ def build_graph(
         )
         return pa.concat_tables([batch, rev])
 
-    adj = range_sort(edges.map_batches(expand, batch_format="pyarrow").materialize(), "src")
+    # no materialize: range_sort consumes the lazy expansion via ref
+    # bundles and holds only its own (sliced) refs — materializing
+    # first would pin a second full copy of the adjacency in plasma
+    adj = range_sort(edges.map_batches(expand, batch_format="pyarrow"), "src")
     adj.write_parquet(os.path.join(out_dir, "adj"))
 
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
@@ -1067,7 +1070,10 @@ def delete_chunks_from_graph(
         )
         return pa.concat_tables([batch, rev])
 
-    adj = range_sort(edges.map_batches(expand, batch_format="pyarrow").materialize(), "src")
+    # no materialize: range_sort consumes the lazy expansion via ref
+    # bundles and holds only its own (sliced) refs — materializing
+    # first would pin a second full copy of the adjacency in plasma
+    adj = range_sort(edges.map_batches(expand, batch_format="pyarrow"), "src")
     adj.write_parquet(os.path.join(out_dir, "adj"))
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(
@@ -1269,7 +1275,10 @@ def build_graph_incremental(
         )
         return pa.concat_tables([batch, rev])
 
-    adj = range_sort(edges.map_batches(expand, batch_format="pyarrow").materialize(), "src")
+    # no materialize: range_sort consumes the lazy expansion via ref
+    # bundles and holds only its own (sliced) refs — materializing
+    # first would pin a second full copy of the adjacency in plasma
+    adj = range_sort(edges.map_batches(expand, batch_format="pyarrow"), "src")
     adj.write_parquet(os.path.join(out_dir, "adj"))
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(
