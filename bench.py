@@ -111,8 +111,11 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
 
     def _sample():
         while not stop_sampling.is_set():
+            # a fully-used resource is OMITTED from available_resources,
+            # so the default must be 0.0 (defaulting to obj_total would
+            # hide exactly the peak this sampler exists to catch)
             avail = float(
-                ray.available_resources().get("object_store_memory", obj_total)
+                ray.available_resources().get("object_store_memory", 0.0)
             )
             if avail < min_avail[0]:
                 min_avail[0] = avail

@@ -642,6 +642,14 @@ def build_graph(
     columns (phase-A output of :func:`extract_chunks_resumable`); only
     the global dedup exchange runs, not the hash map."""
     os.makedirs(out_dir, exist_ok=True)
+    # Ray's write_parquet APPENDS into an existing directory: a rebuild
+    # into the same out_dir (the resume-after-failure path) would
+    # otherwise leave two full copies of every table behind a manifest
+    # claiming the fresh counts
+    import shutil as _shutil
+
+    for sub in ("vertices", "edges", "adj"):
+        _shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
 
     if pre_chunked:
         from .shuffle import hash_distinct as _hd

@@ -181,6 +181,42 @@ def _sliced(bref, rows: int, cpus: int) -> list:
     return list(_slice_block.options(num_returns=n).remote(bref, n))
 
 
+def _splits_or_buffer(ds, launch_split, num_partitions: int | None):
+    """Like :func:`_streaming_splits`, but a small input (stream ends
+    below the volume threshold with no explicit k) is returned
+    UN-launched so the caller can pick k from another stream's volume
+    too (hash_join sizes the exchange by the larger side).
+
+    Returns ``(splits, k, buffered, rows_seen)``: ``k`` is None iff the
+    input stayed buffered (then ``splits`` is empty and ``buffered``
+    holds ``(block_ref, rows)`` pairs)."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    thresh = cpus * _PARTITION_FLOOR_ROWS
+    k = num_partitions
+    buffered: list = []
+    splits: list = []
+    rows_seen = 0
+
+    def emit(bref, rows):
+        for piece in _sliced(bref, rows, cpus):
+            splits.append(launch_split(piece, k))
+
+    for bundle in ds.iter_internal_ref_bundles():
+        for bref, meta in bundle.blocks:
+            rows = meta.num_rows or 0
+            rows_seen += rows
+            if k is None:
+                buffered.append((bref, rows))
+                if rows_seen >= thresh:
+                    k = cpus
+                    for b, r in buffered:
+                        emit(b, r)
+                    buffered = []
+            else:
+                emit(bref, rows)
+    return splits, k, buffered, rows_seen
+
+
 def _streaming_splits(ds, launch_split, num_partitions: int | None):
     """Consume a Dataset's blocks AS THE STREAMING EXECUTOR PRODUCES
     them and fan each into ``launch_split(block_ref, k)`` — the input
@@ -389,18 +425,35 @@ def hash_join(
     J3 anti-join shape).  Map-side combiners do not apply — rows pass
     through; skewed join keys inherit the key's hash bucket, so salt
     upstream when a single key dominates.  Both sides are consumed
-    streaming; ``k`` is fixed by the left side (pass ``num_partitions``
-    explicitly when the left side is tiny but the right is not)."""
+    streaming; ``k`` tracks the LARGER side's volume (a small insert
+    batch anti-joined against a multi-million-row store must not
+    collapse the store side into one reduce task), via deferred launch
+    of a small side's buffered blocks."""
 
     def launch(r, k):
         if k > 1:
             return _plain_split.options(num_returns=k).remote(r, key_col, k)
         return [_plain_split.remote(r, key_col, k)]
 
-    ls, k = _streaming_splits(left, launch, num_partitions)
-    rs, _ = _streaming_splits(right, launch, k if ls else (num_partitions or 1))
-    if not ls:
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    ls, l_k, l_buf, l_rows = _splits_or_buffer(left, launch, num_partitions)
+    if not ls and not l_buf:
         return left
+    rs, r_k, r_buf, r_rows = _splits_or_buffer(right, launch, l_k)
+    if l_k is not None:
+        k = l_k
+    elif r_k is not None:  # left small, right big: right's k (== cpus)
+        k = r_k
+    else:  # both sides small and fully buffered: larger side's volume
+        k = max(
+            1, min(cpus, max(1, max(l_rows, r_rows) // _PARTITION_FLOOR_ROWS))
+        )
+    for b, r in l_buf:
+        for piece in _sliced(b, r, cpus):
+            ls.append(launch(piece, k))
+    for b, r in r_buf:
+        for piece in _sliced(b, r, cpus):
+            rs.append(launch(piece, k))
     outs = [
         _join_reduce.remote(
             key_col,

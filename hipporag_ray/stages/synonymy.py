@@ -34,10 +34,9 @@ def _syn_prep(tbl: pa.Table):
     only the small one: (vids, eligible, unit-norm matrix) for the tile
     tasks, and (centroid, radius) for tile gating."""
     if tbl.num_rows == 0 or "embedding" not in tbl.column_names:
-        return (
-            (np.zeros(0, np.int64), np.zeros(0, bool), np.zeros((0, 1))),
-            (np.zeros(1), 0.0),
-        )
+        # meta None: the driver drops this block from the tile grid
+        # (a zeros-centroid would break the np.stack over centroids)
+        return (np.zeros(0, np.int64), np.zeros(0, bool), np.zeros((0, 1))), None
     vids = tbl["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
     names = tbl["content"].to_numpy(zero_copy_only=False)
     elig = np.array([sum(ch.isalnum() for ch in s) > 2 for s in names])
@@ -125,13 +124,21 @@ def synonymy_edges_ds(
     clustered = hash_partition(
         joined.map_batches(sign, batch_format="pyarrow").materialize(), "bucket"
     )
-    blocks = clustered.materialize().to_arrow_refs()
+    mat = clustered.materialize()
+    blocks = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for bref, bmeta in bundle.blocks:
+            if bmeta.num_rows:  # hash partitions with no bucket are empty
+                blocks.append(bref)
     prep, meta = [], []
     for r in blocks:
         d, mt = _syn_prep.remote(r)
         prep.append(d)
         meta.append(mt)
-    metas = ray.get(meta)
+    got = ray.get(meta)
+    keep = [i for i, m in enumerate(got) if m is not None]
+    prep = [prep[i] for i in keep]
+    metas = [got[i] for i in keep]
     C = np.stack([m[0] for m in metas]) if metas else np.zeros((0, 1))
     R = np.array([m[1] for m in metas])
     if len(metas):

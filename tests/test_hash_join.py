@@ -120,3 +120,28 @@ def test_exchange_parallelism_survives_few_big_blocks(ray_session):
     assert srt.num_blocks() > 1
     out = srt.to_pandas()["k"].to_numpy()
     assert len(out) == n and (np.diff(out) >= 0).all()
+
+
+def test_join_k_tracks_larger_side(ray_session):
+    """A tiny left batch anti-joined against a big right store must not
+    collapse the store side into one reduce task: k follows the larger
+    side (the EmbeddingStore.insert_strings / incremental-fallback
+    shape at scale)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hipporag_ray.stages.shuffle import _PARTITION_FLOOR_ROWS, hash_join
+
+    n_big = 12 * _PARTITION_FLOOR_ROWS
+    left = rd.from_arrow(
+        pa.table({"k": np.arange(100, dtype=np.int64)})
+    ).repartition(1)
+    right = rd.from_arrow(
+        pa.table({"k": np.arange(50, n_big + 50, dtype=np.int64)})
+    ).repartition(1)
+
+    out = hash_join(left, right, "k", how="leftanti")
+    assert out.num_blocks() > 1
+    got = sorted(out.to_pandas()["k"])
+    assert got == list(range(50))

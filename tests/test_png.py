@@ -88,8 +88,12 @@ def test_phash_and_features_stable():
     assert average_hash64(g) == average_hash64(g)
     f = block_mean_features(g, grid=4)
     assert f.shape == (16,) and (0 <= f).all() and (f <= 1).all()
-    # flipping the image changes the hash (not degenerate)
-    assert average_hash64(np.flipud(g).copy()) != average_hash64(g) or True
+    # flipping the image changes the hash (not degenerate): probe with
+    # a structured image whose flip provably moves above-mean pixels
+    s = np.zeros((32, 32), dtype=np.uint8)
+    s[:16] = 255
+    gs = to_grayscale(s)
+    assert average_hash64(np.flipud(gs).copy()) != average_hash64(gs)
 
 
 def test_real_decode_pipeline(ray_session):

@@ -117,3 +117,25 @@ def test_nested_input_files_get_distinct_partitions(ray_session, tmp_path):
         d for d in os.listdir(tmp_path / "chunks") if d.startswith("shard=")
     )
     assert len(parts) == 2 and parts[0] != parts[1]
+
+
+def test_rebuild_into_same_dir_does_not_duplicate(ray_session, tx_dir, tmp_path):
+    """Ray's write_parquet appends into existing directories; a rebuild
+    into the same out_dir (crash-then-retry) must not leave two copies
+    of vertices/edges/adj behind a fresh-looking manifest."""
+    import ray.data as rd
+
+    from hipporag_ray.stages.graph_build import build_graph, load_graph
+
+    out = str(tmp_path / "g")
+    tx = rd.read_parquet(tx_dir, columns=["text"])
+    g1 = build_graph(tx, out)
+    g2 = build_graph(rd.read_parquet(tx_dir, columns=["text"]), out)
+    assert (g1.n_vertices, g1.n_edges) == (g2.n_vertices, g2.n_edges)
+
+    # reload from disk and COUNT THE ROWS — the manifest alone can lie
+    g = load_graph(out)
+    assert g.vertices().count() == g1.n_vertices
+    assert g.edges().count() == g1.n_edges
+    vids = g.vertices().to_pandas()["vid"]
+    assert vids.is_unique and len(vids) == g1.n_vertices

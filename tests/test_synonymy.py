@@ -76,3 +76,33 @@ def test_synonymy_ds_matches_array_path(ray_session):
     pd.testing.assert_frame_equal(w, g)
     m = want.merge(got, on=cols)
     np.testing.assert_allclose(m["weight_x"], m["weight_y"], atol=1e-6)
+
+
+def test_syn_prep_empty_block_meta_is_none(ray_session):
+    """Empty hash partitions (few LSH buckets hashed into many
+    partitions at scale) must not poison the centroid stack: _syn_prep
+    marks them with meta None and the driver drops them."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from hipporag_ray.stages.synonymy import _syn_prep
+
+    data_ref, meta_ref = _syn_prep.remote(pa.table({}))
+    assert ray.get(meta_ref) is None
+    vids, elig, m = ray.get(data_ref)
+    assert len(vids) == 0 and len(elig) == 0 and m.shape[0] == 0
+
+    # non-empty block still returns a (centroid, radius) pair
+    tbl = pa.table(
+        {
+            "vid": pa.array([0, 1], pa.int64()),
+            "content": pa.array(["alpha one", "beta two"]),
+            "embedding": pa.array(
+                [np.ones(4) / 2.0, -np.ones(4) / 2.0], pa.list_(pa.float64())
+            ),
+        }
+    )
+    _, meta2 = _syn_prep.remote(tbl)
+    c, r = ray.get(meta2)
+    assert c.shape == (4,) and r >= 0.0
