@@ -53,6 +53,39 @@ WITH norm AS (
 """
 
 
+def _langid_sql() -> str:
+    """DuckDB twin of stages/textstats.py::LangId: per-language
+    stopword-hit counts over normalized whitespace tokens, argmax with
+    alphabetical tie-break, 'und' when no hits (or no tokens)."""
+    from ..stages.textstats import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    hit_cols = ",\n            ".join(
+        "SUM(CASE WHEN tok IN ({}) THEN 1 ELSE 0 END) AS h_{}".format(
+            ", ".join("'" + w + "'" for w in sorted(_STOPWORDS[lang])), lang
+        )
+        for lang in langs
+    )
+    m = "greatest({})".format(", ".join(f"h_{lang}" for lang in langs))
+    case = " ".join(f"WHEN h.h_{lang} = h.m THEN '{lang}'" for lang in langs)
+    return f"""
+        WITH norm AS (
+          SELECT doc_id, {_NORM_SQL} AS t FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(t, ' +')) AS tok
+          FROM norm WHERE t <> ''
+        ), hits AS (
+          SELECT doc_id,
+            {hit_cols},
+            {m} AS m
+          FROM tok GROUP BY doc_id
+        )
+        SELECT n.doc_id,
+               CASE WHEN h.m IS NULL OR h.m = 0 THEN 'und' {case} END AS lang_pred
+        FROM norm n LEFT JOIN hits h USING (doc_id)
+    """
+
+
 def _docs(sf_dir: str) -> "rd.Dataset":
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -1575,6 +1608,7 @@ ORACLE_SQL = {
         FROM documents d
         LEFT JOIN (SELECT doc_id, min(h) AS fp FROM sh GROUP BY doc_id) s USING (doc_id)
     """,
+    "doc_langid": _langid_sql(),
     "doc_ngram_jaccard": f"""
         WITH norm AS (
           SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' +') AS toks FROM documents
