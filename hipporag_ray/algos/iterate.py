@@ -61,7 +61,13 @@ def _resets_to_dense(sg: ShardedGraph, resets, n_queries: int) -> np.ndarray | N
         return resets.astype(np.float64)
     dense = np.zeros((sg.n_vertices, n_queries))
     for b, (vids, weights) in enumerate(resets):
-        dense[np.asarray(vids, dtype=np.int64), b] = np.asarray(weights, dtype=np.float64)
+        # np.add.at, not assignment: duplicate vids in one seed list sum,
+        # matching the streaming path (ppr_init_sparse np.add.at)
+        np.add.at(
+            dense[:, b],
+            np.asarray(vids, dtype=np.int64),
+            np.asarray(weights, dtype=np.float64),
+        )
     return dense
 
 
@@ -127,6 +133,7 @@ class _Checkpointer:
             os.makedirs(ckpt_dir, exist_ok=True)
             self.manifest_path = os.path.join(ckpt_dir, "manifest.json")
             self.metrics_path = os.path.join(ckpt_dir, "metrics.jsonl")
+            self._param_keys = [k for k in meta if k != "max_iter"]
             self.manifest = {
                 "algo": algo,
                 "n_vertices": sg.n_vertices,
@@ -158,6 +165,13 @@ class _Checkpointer:
             or manifest.get("bounds") != self.sg.bounds.tolist()
         ):
             return None
+        # run parameters are lineage too: resuming under a different
+        # n_queries crashes the shard kernels, a different damping/tol
+        # or reset would silently mix two iteration dynamics.  max_iter
+        # is exempt (resuming with a higher cap extends the run).
+        for key in self._param_keys:
+            if manifest.get(key) != self.manifest.get(key):
+                return None
         return manifest
 
     def shard_path(self, it: int, shard: int) -> str:
@@ -196,6 +210,17 @@ class _Checkpointer:
                 os.path.exists(self.shard_path(it, i)) for i in range(self.sg.n_shards)
             ):
                 return entry
+        if manifest["iters"]:
+            import warnings
+
+            warnings.warn(
+                "checkpoint manifest lists iterations but no complete "
+                "shard set is visible from this process — checkpoint_dir "
+                "must live on storage shared by the driver and every "
+                "shard actor (multi-node clusters need NFS/object "
+                "storage); restarting from scratch",
+                stacklevel=2,
+            )
         return None
 
 
@@ -224,19 +249,7 @@ def personalized_pagerank(
     ``collect=False`` skips assembling the dense score matrix on the
     driver — consume results via the actors' ``topk_chunk_scores`` /
     ``scores_table`` instead."""
-    P = sg.n_shards
     dense = _resets_to_dense(sg, resets, n_queries)
-
-    ck = _Checkpointer(
-        sg,
-        checkpoint_dir,
-        "ppr",
-        {"n_queries": n_queries, "damping": damping, "tol": tol, "max_iter": max_iter},
-    )
-
-    start_iter = 0
-    active = np.arange(n_queries)
-    resumed = ck.latest_complete() if resume else None
 
     if reset_dataset is not None:
         routed = route_reset_dataset(sg, reset_dataset)
@@ -257,6 +270,30 @@ def personalized_pagerank(
         )
     totals = np.sum(sums, axis=0)
     ray.get([a.ppr_normalize_reset.remote(totals) for a in sg.actors])
+
+    # reset identity in the lineage: the per-shard reset column sums
+    # are already in hand and distinguish different seed sets cheaply
+    # (no dense matrix or dataset hash needed)
+    import hashlib
+
+    reset_fp = hashlib.md5(
+        np.ascontiguousarray(np.asarray(sums, dtype=np.float64)).tobytes()
+    ).hexdigest()[:16]
+    ck = _Checkpointer(
+        sg,
+        checkpoint_dir,
+        "ppr",
+        {
+            "n_queries": n_queries,
+            "damping": damping,
+            "tol": tol,
+            "max_iter": max_iter,
+            "reset_fp": reset_fp,
+        },
+    )
+    start_iter = 0
+    active = np.arange(n_queries)
+    resumed = ck.latest_complete() if resume else None
 
     if resumed is not None:
         start_iter = resumed["iter"]
@@ -327,7 +364,6 @@ def connected_components(
     large-star/small-star variant would shrink that — the substrate
     (scatter min / gather min) stays the same.
     """
-    P = sg.n_shards
     ck = _Checkpointer(sg, checkpoint_dir, "cc", {"max_iter": max_iter})
     start_iter = 0
     resumed = ck.latest_complete() if resume else None
@@ -375,7 +411,6 @@ def label_propagation(
     collect: bool = True,
 ) -> tuple[np.ndarray | None, list[dict]]:
     """Synchronous weighted label propagation (deterministic tie-break)."""
-    P = sg.n_shards
     ck = _Checkpointer(sg, checkpoint_dir, "lp", {"max_iter": max_iter})
     start_iter = 0
     resumed = ck.latest_complete() if resume else None

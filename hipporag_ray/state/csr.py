@@ -352,8 +352,17 @@ class GraphShard:
                     block = buf[:m, :B]
                     np.take(msg, other_local[a:b], axis=0, out=block)
                     np.multiply(block, w32[a:b], out=block)
-                else:  # lone oversized segment (hub vertex)
-                    block = msg[other_local[a:b]] * w32[a:b]
+                else:
+                    # lone oversized segment (high-degree vertex):
+                    # escalate to float64 — a sequential float32
+                    # reduceat over a degree-d segment has O(d)*eps32
+                    # worst-case error, so the float32 message error
+                    # bound (~6e-8) only holds for segments capped by
+                    # the chunk size; big segments pay the cast, which
+                    # is rare by construction (hubs are salted out)
+                    block = msg[other_local[a:b]].astype(np.float64) * w_s[
+                        a:b, None
+                    ]
                 nxt[uniq[s0:s1]] += np.add.reduceat(block, starts[s0:s1] - a, axis=0)
                 s0 = s1
         old = self.scores[:, active]
@@ -517,6 +526,7 @@ def _bounds_from_rowgroup_stats(
     n_shards: int,
     hub_min_degree: int | None,
     max_hubs: int,
+    file_metas: list | None = None,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Shard bounds + hub list from parquet ROW-GROUP STATISTICS only —
     the adjacency is src-sorted, so each row group's (min, max, rows)
@@ -531,8 +541,11 @@ def _bounds_from_rowgroup_stats(
     correctness-affecting (the iteration math is partition-invariant,
     verified in tests)."""
     stats: list[tuple[int, int, int]] = []  # (min_src, max_src, rows)
-    for f in pads.dataset(adj_path).files:
-        md = pq.ParquetFile(f).metadata
+    if file_metas is None:
+        file_metas = [
+            pq.ParquetFile(f).metadata for f in pads.dataset(adj_path).files
+        ]
+    for md in file_metas:
         if md.num_row_groups == 0:
             continue
         src_idx = None
@@ -619,12 +632,19 @@ def edge_balanced_bounds(
     statistics (:func:`_bounds_from_rowgroup_stats`) — metadata only,
     no data pages, which is what survives a 100-TB adjacency."""
     dset = pads.dataset(adj_path)
-    total_rows = sum(
-        pq.ParquetFile(f).metadata.num_rows for f in dset.files
-    )
+    # one footer pass: the same per-file metadata feeds the row-count
+    # gate AND the stats-based bounds (a 100-TB adjacency in tens of
+    # thousands of files pays one metadata round-trip per file, not two)
+    file_metas = [pq.ParquetFile(f).metadata for f in dset.files]
+    total_rows = sum(md.num_rows for md in file_metas)
     if total_rows >= stats_min_rows:
         got = _bounds_from_rowgroup_stats(
-            adj_path, n_vertices, n_shards, hub_min_degree, max_hubs
+            adj_path,
+            n_vertices,
+            n_shards,
+            hub_min_degree,
+            max_hubs,
+            file_metas=file_metas,
         )
         if got is not None:
             return got

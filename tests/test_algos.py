@@ -9,6 +9,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+import ray
 import ray.data as rd
 
 from hipporag_ray.algos.iterate import (
@@ -231,3 +232,105 @@ def test_dataset_readbacks_match_collected(ray_session, tmp_path):
         sg.shutdown()
     # refs stay valid after shutdown (driver owns the actor-task returns)
     assert len(ldf) == g.n_vertices
+
+
+def test_ppr_resume_rejects_param_mismatch(graph, tmp_path):
+    """Resuming under different run parameters (n_queries, damping, or
+    reset identity) must restart cleanly, not crash or silently mix two
+    iteration dynamics."""
+    g, e = graph
+    ck = str(tmp_path / "ck_params")
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=3)
+    try:
+        personalized_pagerank(
+            sg, n_queries=2, max_iter=4, checkpoint_dir=ck, checkpoint_every=2
+        )
+    finally:
+        sg.shutdown()
+
+    src, dst, w = _edge_arrays(e)
+    for kw in (
+        {"n_queries": 1},
+        {"n_queries": 2, "damping": 0.85},
+        {
+            "n_queries": 2,
+            "resets": [
+                (np.array([0]), np.array([1.0])),
+                (np.array([1]), np.array([1.0])),
+            ],
+        },
+    ):
+        sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=3)
+        try:
+            scores, metrics = personalized_pagerank(
+                sg, checkpoint_dir=ck, checkpoint_every=2, resume=True, **kw
+            )
+            assert metrics[0]["iter"] == 1  # restarted from scratch
+            want = ppr_oracle(
+                g.n_vertices,
+                src,
+                dst,
+                w,
+                damping=kw.get("damping", 0.5),
+                reset=(
+                    None
+                    if "resets" not in kw
+                    else np.eye(g.n_vertices)[:, 0]
+                ),
+            )
+            if "resets" not in kw:
+                np.testing.assert_allclose(scores[:, 0], want, atol=1e-6)
+        finally:
+            sg.shutdown()
+
+
+def test_ppr_duplicate_reset_vids_sum(graph):
+    """Duplicate (vid, weight) entries in one seed list sum — matching
+    the streaming reset path's np.add.at semantics."""
+    g, e = graph
+    src, dst, w = _edge_arrays(e)
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=2)
+    try:
+        dup, _ = personalized_pagerank(
+            sg,
+            resets=[(np.array([1, 1, 3]), np.array([0.5, 0.5, 1.0]))],
+            n_queries=1,
+        )
+        reset = np.zeros(g.n_vertices)
+        reset[1], reset[3] = 1.0, 1.0
+        want = ppr_oracle(g.n_vertices, src, dst, w, reset=reset)
+        np.testing.assert_allclose(dup[:, 0], want, atol=1e-6)
+    finally:
+        sg.shutdown()
+
+
+def test_oversized_segment_float64_path(graph, tmp_path, monkeypatch):
+    """Segments longer than the pull chunk take the float64 escalation
+    path (the high-degree-vertex branch).  Driven through PLAIN
+    GraphShards in-process (an actor pool would not see the patched
+    chunk size), manual contrib/pull loop, compared to the oracle."""
+    from hipporag_ray.state.csr import GraphShard
+
+    g, e = graph
+    src, dst, w = _edge_arrays(e)
+    want = pagerank_oracle(g.n_vertices, src, dst, w)
+
+    # buf rows = _PULL_CHUNK + 1024; a negative chunk gives a 0-row
+    # buffer so EVERY segment takes the oversized float64 branch
+    monkeypatch.setattr(GraphShard, "_PULL_CHUNK", -1024)
+    n = g.n_vertices
+    bounds = np.array([0, n // 2, n], dtype=np.int64)
+    shards = [GraphShard(g.adj_path, i, bounds, n) for i in range(2)]
+    sums = [s.ppr_init(None, 1) for s in shards]
+    totals = np.sum(sums, axis=0)
+    for s in shards:
+        s.ppr_normalize_reset(totals)
+    active = np.arange(1)
+    for _ in range(100):
+        msgs = [s.ppr_contrib(0.5, active) for s in shards]
+        refs = [ray.put(m) for m in msgs]
+        deltas = [s.ppr_pull(0.5, active, refs) for s in shards]
+        if np.sum(deltas) < 1e-6:
+            break
+    got = np.concatenate([s.scores[:, 0] for s in shards])
+    np.testing.assert_allclose(got, want, atol=1e-6)
