@@ -1616,11 +1616,19 @@ ORACLE_SQL = {
           SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
           FROM norm, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
           WHERE len(toks) >= 3
+        ), cold AS (
+          -- mirror the engine's stop-shingle guard: shingles in more
+          -- than max_bucket (1000) docs are excluded from BOTH the
+          -- intersections and the sizes
+          SELECT sh.* FROM sh
+          JOIN (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+          ) ok USING (shingle)
         ), sizes AS (
-          SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+          SELECT doc_id, count(*) AS n FROM cold GROUP BY doc_id
         ), inter AS (
           SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2
         )
         SELECT i.a, i.b,

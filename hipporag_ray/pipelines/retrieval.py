@@ -56,6 +56,7 @@ from ..functions.hashing import md5_hex
 from ..functions.text import text_processing
 from ..algos.iterate import personalized_pagerank
 from ..stages.extract import ExtractMentions
+from ..stages.similarity import topk_tie_rows
 from ..stages.graph_build import build_graph, load_graph
 from ..state.csr import ShardedGraph
 from ..state.embedding_store import EmbeddingStore, HashEmbedder
@@ -98,6 +99,7 @@ def _surviving_fact_keys_in_part(path: str, probe_arr) -> list[str]:
         zero_copy_only=False
     )
     return fk[np.isin(fk, probe_arr)].tolist()
+
 
 
 class HippoRagEngine:
@@ -245,7 +247,8 @@ class HippoRagEngine:
             "new_chunks": n_chunks,
             "new_entities": n_entities,
             "n_vertices": g.n_vertices,
-            "n_edges": g.n_edges,
+            # match the on-disk manifest, which _add_synonymy_edges bumps
+            "n_edges": g.n_edges + n_syn,
             "n_syn_edges": n_syn,
         }
 
@@ -366,7 +369,8 @@ class HippoRagEngine:
             "new_chunks": n_chunks,
             "new_entities": n_entities,
             "n_vertices": g.n_vertices,
-            "n_edges": g.n_edges,
+            # match the on-disk manifest, which _add_synonymy_edges bumps
+            "n_edges": g.n_edges + n_syn,
             "n_syn_edges": n_syn,
         }
 
@@ -613,8 +617,12 @@ class HippoRagEngine:
             )
 
         ext = chunk_joined.map_batches(extrema_tile, batch_format="pyarrow").to_pandas()
-        lo = ext.groupby("query_idx")["lo"].min().reindex(range(B)).to_numpy()
-        hi = ext.groupby("query_idx")["hi"].max().reindex(range(B)).to_numpy()
+        if "query_idx" not in ext.columns:  # all-empty view drops schema
+            lo = np.zeros(B)
+            hi = np.zeros(B)
+        else:
+            lo = ext.groupby("query_idx")["lo"].min().reindex(range(B)).to_numpy()
+            hi = ext.groupby("query_idx")["hi"].max().reindex(range(B)).to_numpy()
         rng_ref = ray.put((lo, hi, self.passage_node_weight))
 
         def dpr_tile(batch: pa.Table) -> pa.Table:
@@ -646,24 +654,32 @@ class HippoRagEngine:
 
         t_link = _time.perf_counter() - t_all
         t0 = _time.perf_counter()
-        sg = self._sharded()
-        personalized_pagerank(
-            sg,
-            n_queries=B,
-            damping=self.damping,
-            reset_dataset=reset_ds,
-            collect=False,
-        )
+        # queries already in the DPR-fallback set never read their PPR
+        # scores: skip the iteration entirely when EVERY query fell
+        # back, and never launch per-shard top-k tasks for them
+        non_fallback = [qi for qi in range(B) if qi not in fallback]
+        if non_fallback:
+            sg = self._sharded()
+            personalized_pagerank(
+                sg,
+                n_queries=B,
+                damping=self.damping,
+                reset_dataset=reset_ds,
+                collect=False,
+            )
         t_ppr = _time.perf_counter() - t0
 
         # --- per-shard top-k, merged on the driver (K6) ---
-        if not getattr(self, "_kinds_loaded", False):
-            ray.get([a.load_kinds.remote(g.vertices_path) for a in sg.actors])
-            self._kinds_loaded = True
         results = []
-        top_refs = [
-            [a.topk_chunk_scores.remote(qi, top_k) for a in sg.actors] for qi in range(B)
-        ]
+        top_refs: dict[int, list] = {}
+        if non_fallback:
+            if not getattr(self, "_kinds_loaded", False):
+                ray.get([a.load_kinds.remote(g.vertices_path) for a in sg.actors])
+                self._kinds_loaded = True
+            top_refs = {
+                qi: [a.topk_chunk_scores.remote(qi, top_k) for a in sg.actors]
+                for qi in non_fallback
+            }
         # fallback queries get pure DPR ranking (HippoRAG.py:417-419)
         dpr_ranks = (
             self._dpr_topk(q_ref, chunk_joined, sorted(fallback), top_k)
@@ -822,15 +838,11 @@ class HippoRagEngine:
             ok = batch["obj_key"].to_numpy(zero_copy_only=False)
             sims = qm @ m.T  # (B, rows)
             blo, bhi = sims.min(axis=1), sims.max(axis=1)
-            kk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            nq = sims.shape[0]
-            qid = np.repeat(np.arange(nq), kk)
-            flat = idx.reshape(-1)
+            qid, flat = topk_tie_rows(sims, k)
             return pa.table(
                 {
                     "query_idx": pa.array(qid, pa.int64()),
-                    "score": pa.array(sims[np.repeat(np.arange(nq), kk), flat]),
+                    "score": pa.array(sims[qid, flat]),
                     "subj_key": pa.array(sk[flat], pa.string()),
                     "obj_key": pa.array(ok[flat], pa.string()),
                     "blo": pa.array(blo[qid]),
@@ -897,6 +909,8 @@ class HippoRagEngine:
             return batch.filter(pa.array(mask)).select(["node_key", "vid", "n_chunks"])
 
         resolved = ent_full.map_batches(pick, batch_format="pyarrow").to_pandas()
+        if "node_key" not in resolved.columns:  # all-empty view drops schema
+            return empty, set(range(B))
         merged = phrases.merge(resolved, on="node_key", how="inner")
         if merged.empty:
             return empty, set(range(B))
@@ -934,11 +948,7 @@ class HippoRagEngine:
                 batch["n_chunks"].to_numpy(zero_copy_only=False).astype(np.float64), nan=1.0
             )
             sims = qm @ m.T  # (B, rows)
-            kk = min(self.link_top_k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            nq = sims.shape[0]
-            flat = idx.reshape(-1)
-            rows = np.repeat(np.arange(nq), kk)
+            rows, flat = topk_tie_rows(sims, self.link_top_k)
             return pa.table(
                 {
                     "query_idx": pa.array(rows, type=pa.int64()),
@@ -949,6 +959,12 @@ class HippoRagEngine:
             )
 
         link = ent_full.map_batches(link_tile, batch_format="pyarrow").to_pandas()
+        if "query_idx" not in link.columns:  # all-empty view drops schema
+            return pd.DataFrame(
+                {"vid": pd.Series([], dtype="int64"),
+                 "query_idx": pd.Series([], dtype="int64"),
+                 "weight": pd.Series([], dtype="float64")}
+            )
         link = link.sort_values(["query_idx", "score", "vid"], ascending=[True, False, True])
         link = link.groupby("query_idx", as_index=False).head(self.link_top_k)
         # per-phrase damping 1/|chunks(entity)| (A5, HippoRAG.py:1463-1464)
@@ -978,21 +994,21 @@ class HippoRagEngine:
             m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
             vids = batch["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
             sims = qm[qs] @ m.T  # (Q, rows)
-            kk = min(top_k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            nq = sims.shape[0]
-            qid = np.repeat(qs, kk)
-            flat = idx.reshape(-1)
+            qrow, flat = topk_tie_rows(sims, top_k)
             return pa.table(
                 {
-                    "query_idx": pa.array(qid, pa.int64()),
+                    "query_idx": pa.array(qs[qrow], pa.int64()),
                     "vid": pa.array(vids[flat], pa.int64()),
-                    "score": pa.array(sims[np.repeat(np.arange(nq), kk), flat]),
+                    "score": pa.array(sims[qrow, flat]),
                 }
             )
 
         out = chunk_joined.map_batches(tile, batch_format="pyarrow").to_pandas()
         ranks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        if "query_idx" not in out.columns:  # all-empty view drops schema
+            return {
+                qi: (np.zeros(0, np.int64), np.zeros(0)) for qi in q_indices
+            }
         for qi in q_indices:
             sub = out[out["query_idx"] == qi]
             vids = sub["vid"].to_numpy(np.int64)

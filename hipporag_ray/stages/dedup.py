@@ -171,7 +171,6 @@ def ngram_jaccard_pairs(
     from .shuffle import grouped_pairs
 
     sh = shingle_table(ds, text_col, id_col, n).materialize()
-    sizes = sh.groupby(id_col).aggregate(Count(alias_name="n_sh"))
     sh_counts = sh.groupby("shingle").aggregate(Count(alias_name="n_docs"))
     def hot_filter(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "shingle" not in b.column_names:
@@ -191,6 +190,13 @@ def ngram_jaccard_pairs(
         sh_cold = sh.map_batches(drop_hot, batch_format="pyarrow").materialize()
     else:
         sh_cold = sh
+    # sizes over the SAME (hot-filtered) shingle universe as the
+    # intersections: mixing filtered intersections with unfiltered
+    # sizes would underestimate jaccard for docs sharing boilerplate
+    # (two identical docs could score far below 1.0 and be dropped).
+    # Semantics: jaccard over non-hot shingles — exact whenever no
+    # shingle exceeds max_bucket.
+    sizes = sh_cold.groupby(id_col).aggregate(Count(alias_name="n_sh"))
     inter = (
         grouped_pairs(sh_cold, "shingle", id_col, mode="lt")
         .groupby(["a", "b"])
@@ -585,13 +591,10 @@ def embedding_neardup_lsh(
 
     from .shuffle import hash_partition
 
-    _EMPTY = pa.table(
-        {
-            "a": pa.array([], pa.int64()),
-            "b": pa.array([], pa.int64()),
-            "cosine": pa.array([], pa.float64()),
-        }
-    )
+    # zero-column sentinel, NOT an int64-typed empty: the id column
+    # keeps its native type (string hash-ids work like int vec-ids),
+    # and downstream consumers guard on missing columns
+    _EMPTY = pa.table({})
 
     def verify(batch: pa.Table) -> pa.Table:
         """Exact cosine verify per bucket segment — one vectorized pass
@@ -625,8 +628,8 @@ def embedding_neardup_lsh(
             return _EMPTY
         return pa.table(
             {
-                "a": pa.array(np.concatenate([o[0] for o in outs]), pa.int64()),
-                "b": pa.array(np.concatenate([o[1] for o in outs]), pa.int64()),
+                "a": pa.array(np.concatenate([o[0] for o in outs])),
+                "b": pa.array(np.concatenate([o[1] for o in outs])),
                 "cosine": pa.array(np.concatenate([o[2] for o in outs])),
             }
         )
@@ -649,8 +652,8 @@ def embedding_neardup_lsh(
         first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
         return pa.table(
             {
-                "a": pa.array(a[first], pa.int64()),
-                "b": pa.array(b[first], pa.int64()),
+                "a": pa.array(a[first]),
+                "b": pa.array(b[first]),
                 "cosine": pa.array(c[first]),
             }
         )

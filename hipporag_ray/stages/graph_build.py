@@ -507,6 +507,24 @@ class GraphTables:
         return rd.read_parquet(self.adj_path)
 
 
+
+def _write_table_dir(ds: "rd.Dataset", path: str, which: str) -> None:
+    """write_parquet that guarantees the directory exists even for a
+    0-row Dataset (Ray creates nothing then): a graph with vertices but
+    zero edges must still leave edges/ and adj/ on disk, or every
+    subsequent load crashes with FileNotFoundError."""
+    from .. import schema as _schema
+
+    ds.write_parquet(path)
+    has_part = os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+    if not has_part:
+        sch = _schema.VERTICES if which == "vertices" else _schema.EDGES
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(sch.empty_table(), os.path.join(path, "part-0.parquet"))
+
+
 def dedup_chunks(transcripts: "rd.Dataset") -> "rd.Dataset":
     """transcripts -> distinct (chunk_key, text): exact first-wins
     dedup on the content hash (rows in a group are byte-identical since
@@ -682,7 +700,7 @@ def build_graph(
     vdistinct = hash_distinct(vrows, "node_key")
     vertices = assign_dense_ids(vdistinct, "node_key", "vid").materialize()
     n_vertices = vertices.count()
-    vertices.write_parquet(os.path.join(out_dir, "vertices"))
+    _write_table_dir(vertices, os.path.join(out_dir, "vertices"), "vertices")
 
     # vertex dictionary: broadcast once (ray.put) while it fits; beyond
     # ``broadcast_vertex_limit`` switch to the bucketed hash-join path
@@ -740,7 +758,7 @@ def build_graph(
 
     edges = agg.map_batches(decode, batch_format="pyarrow").materialize()
     n_edges = edges.count()
-    edges.write_parquet(os.path.join(out_dir, "edges"))
+    _write_table_dir(edges, os.path.join(out_dir, "edges"), "edges")
 
     # --- adjacency: directed expansion, sorted by src for row-group
     # pruning by CSR shard actors (SimpleGraph.kt:141-147 undirected walk) ---
@@ -759,7 +777,7 @@ def build_graph(
     # bundles and holds only its own (sliced) refs — materializing
     # first would pin a second full copy of the adjacency in plasma
     adj = range_sort(edges.map_batches(expand, batch_format="pyarrow"), "src")
-    adj.write_parquet(os.path.join(out_dir, "adj"))
+    _write_table_dir(adj, os.path.join(out_dir, "adj"), "adj")
 
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(
@@ -1059,18 +1077,22 @@ def delete_chunks_from_graph(
 
     for sub in ("vertices", "edges", "adj"):
         _sh.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
-    surv_ids.map_batches(
-        lambda b: pa.table(
-            {
-                "node_key": b["node_key"],
-                "kind": b["kind"],
-                "content": b["content"],
-                "vid": b["new_vid"],
-            }
+    _write_table_dir(
+        surv_ids.map_batches(
+            lambda b: pa.table(
+                {
+                    "node_key": b["node_key"],
+                    "kind": b["kind"],
+                    "content": b["content"],
+                    "vid": b["new_vid"],
+                }
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
-    ).write_parquet(os.path.join(out_dir, "vertices"))
-    edges.write_parquet(os.path.join(out_dir, "edges"))
+        os.path.join(out_dir, "vertices"),
+        "vertices",
+    )
+    _write_table_dir(edges, os.path.join(out_dir, "edges"), "edges")
 
     def expand(batch: pa.Table) -> pa.Table:
         rev = pa.table(
@@ -1082,7 +1104,7 @@ def delete_chunks_from_graph(
     # bundles and holds only its own (sliced) refs — materializing
     # first would pin a second full copy of the adjacency in plasma
     adj = range_sort(edges.map_batches(expand, batch_format="pyarrow"), "src")
-    adj.write_parquet(os.path.join(out_dir, "adj"))
+    _write_table_dir(adj, os.path.join(out_dir, "adj"), "adj")
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(
             {
@@ -1222,7 +1244,7 @@ def build_graph_incremental(
         import shutil as _sh
 
         _sh.rmtree(vdir, ignore_errors=True)
-    vertices.write_parquet(vdir)
+    _write_table_dir(vertices, vdir, "vertices")
 
     # --- new partials + re-encoded old edges, one merged sum ---
     # vertex resolution: broadcast while the dictionary fits, bucketed
@@ -1275,7 +1297,7 @@ def build_graph_incremental(
         import shutil as _sh
 
         _sh.rmtree(d, ignore_errors=True)
-    edges.write_parquet(os.path.join(out_dir, "edges"))
+    _write_table_dir(edges, os.path.join(out_dir, "edges"), "edges")
 
     def expand(batch: pa.Table) -> pa.Table:
         rev = pa.table(
@@ -1287,7 +1309,7 @@ def build_graph_incremental(
     # bundles and holds only its own (sliced) refs — materializing
     # first would pin a second full copy of the adjacency in plasma
     adj = range_sort(edges.map_batches(expand, batch_format="pyarrow"), "src")
-    adj.write_parquet(os.path.join(out_dir, "adj"))
+    _write_table_dir(adj, os.path.join(out_dir, "adj"), "adj")
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(
             {

@@ -28,6 +28,29 @@ import ray
 import ray.data as rd
 
 
+
+def topk_tie_rows(sims: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-k candidate indices INCLUDING boundary ties: bare
+    argpartition picks arbitrary members of a tied boundary, which
+    would make a per-block top-k depend on block layout (the two-level
+    merge then diverges from a global sort — GraphShard.topk_chunk_scores
+    keeps the same contract).  Returns (row_idx, col_idx) of every
+    candidate with sims >= the row's k-th largest value."""
+    nq, nr = sims.shape
+    kk = min(k, nr)
+    if kk >= nr:
+        return np.repeat(np.arange(nq), nr), np.tile(np.arange(nr), nq)
+    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    kth = sims[np.arange(nq)[:, None], part].min(axis=1)
+    rows, cols = np.nonzero(sims >= kth[:, None])
+    return rows, cols
+
+
+def _topk_tie_1d(sims: np.ndarray, k: int) -> np.ndarray:
+    rows, cols = topk_tie_rows(sims[None, :], k)
+    return cols
+
+
 def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
@@ -56,11 +79,7 @@ def knn_topk(
         if metric == "cosine":
             m = _norm_rows(m)
         sims = qm @ m.T  # (Q, B)
-        kk = min(k + len(excl), sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        nq = sims.shape[0]
-        flat = idx.reshape(-1)
-        rows = np.repeat(np.arange(nq), kk)
+        rows, flat = topk_tie_rows(sims, k + len(excl))
         return pa.table(
             {
                 "query_idx": pa.array(rows, type=pa.int64()),
@@ -144,12 +163,7 @@ def ivf_ann_topk(
                 continue
             sims = qm[qi] @ m[mask].T
             sub_ids = ids[mask]
-            kk = min(k + len(excl), len(sub_ids))
-            idx = (
-                np.argpartition(-sims, kk - 1)[:kk]
-                if kk < len(sub_ids)
-                else np.arange(len(sub_ids))
-            )
+            idx = _topk_tie_1d(sims, k + len(excl))
             out_q.extend([qi] * len(idx))
             out_id.extend(sub_ids[idx])
             out_s.extend(sims[idx])
@@ -215,8 +229,7 @@ def lsh_ann_topk(
                 continue
             sims = qm[qi] @ m[mask].T
             sub_ids = ids[mask]
-            kk = min(k + len(excl), len(sub_ids))
-            idx = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sub_ids) else np.arange(len(sub_ids))
+            idx = _topk_tie_1d(sims, k + len(excl))
             out_q.extend([qi] * len(idx))
             out_id.extend(sub_ids[idx])
             out_s.extend(sims[idx])

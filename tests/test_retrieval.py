@@ -189,3 +189,37 @@ def test_rerank_hook_filters_facts(ray_session, tmp_path):
     got3 = eng3.retrieve(["alpha beta gamma"], top_k=3)
     eng3.close()
     assert got3[0]["mode"] == "dpr_fallback"
+
+
+def test_zero_edge_graph_still_loads_and_retrieves(ray_session, tmp_path):
+    """A corpus whose tokens are all below min_token_len builds a graph
+    with vertices but zero edges; edges/ and adj/ must still exist on
+    disk and retrieve() must degrade gracefully, not FileNotFoundError
+    (regression: write_parquet on a 0-row Dataset creates no dir)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hipporag_ray.pipelines.retrieval import HippoRagEngine
+
+    turns = pd.DataFrame(
+        {
+            "conv_id": ["c0", "c0"],
+            "turn_idx": [0, 1],
+            "role": ["user", "assistant"],
+            "text": ["ab cd", "ef gh"],  # every token < min_token_len=3
+            "tool": ["", ""],
+            "ts": pd.to_datetime(["2026-01-01", "2026-01-01"]),
+        }
+    )
+    eng = HippoRagEngine(str(tmp_path / "wd"))
+    try:
+        stats = eng.index(rd.from_pandas(turns))
+        assert stats["n_edges"] == 0
+        import os
+
+        assert os.path.isdir(os.path.join(str(tmp_path / "wd"), "graph", "edges"))
+        assert os.path.isdir(os.path.join(str(tmp_path / "wd"), "graph", "adj"))
+        res = eng.retrieve(["ab cd"], top_k=2)
+        assert isinstance(res, list) and len(res) == 1
+    finally:
+        eng.close()

@@ -253,3 +253,58 @@ def test_real_frame_sampling():
     np.testing.assert_allclose(
         np.stack(a["features"].to_numpy()), np.stack(b["features"].to_numpy())
     )
+
+
+def test_ngram_jaccard_hot_shingles_consistent_sizes(ray_session):
+    """Intersections and sizes must share the hot-filtered shingle
+    universe: two identical docs that also share boilerplate with many
+    others must still score jaccard 1.0 (regression: sizes from the
+    unfiltered table underestimated boilerplate-heavy pairs)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hipporag_ray.stages.dedup import ngram_jaccard_pairs
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq = [f"uniq{i} tail{i} word{i} mark{i} fin{i}" for i in range(12)]
+    texts = [f"{boiler} {u}" for u in uniq]
+    texts.append(texts[0])  # doc 12 is byte-identical to doc 0
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    out = ngram_jaccard_pairs(
+        ds, "text", "doc_id", n=3, threshold=0.9, max_bucket=5
+    )
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 12) in pairs
+    got = out[(out["a"] == 0) & (out["b"] == 12)]["jaccard"].iloc[0]
+    assert got == 1.0
+
+
+def test_embedding_neardup_lsh_string_ids(ray_session):
+    """The LSH near-dup path must handle non-integer id columns the
+    same as the exact path (regression: hard-coded int64 id arrays)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hipporag_ray.stages.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(6):
+        v = base + 0.01 * rng.standard_normal(16) if i < 2 else rng.standard_normal(16)
+        rows.append({"vec_id": f"v{i}", "embedding": v.tolist()})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+
+    exact = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.95)
+    lsh = embedding_neardup_lsh(
+        ds, "embedding", "vec_id", threshold=0.95, n_bits=4, n_tables=8
+    )
+    assert ("v0", "v1") in set(zip(exact["a"], exact["b"]))
+    assert set(zip(lsh["a"], lsh["b"])) <= set(zip(exact["a"], exact["b"]))
+    assert ("v0", "v1") in set(zip(lsh["a"], lsh["b"]))
