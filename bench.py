@@ -210,6 +210,30 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     dd.embedding_neardup_pairs(embs, "embedding", "vec_id", threshold=0.45)
     timings["emb_neardup"] = time.perf_counter() - t0
 
+    # --- 7b. synonymy KNN over the embeddings table (A3: centroid-bound
+    # tile gating + hash-partition per-source cap) ---
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from hipporag_ray.stages.synonymy import synonymy_edges_ds
+
+    syn_in = embs.map_batches(
+        lambda b: pa.table(
+            {
+                "vid": b["vec_id"],
+                "content": pc.cast(b["vec_id"], pa.string()),
+                "embedding": b["embedding"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # threshold 0.35 (not the production 0.8): the synthetic embeddings
+    # are near-orthogonal, so a high cut yields zero candidates and the
+    # cap exchange would be benched on empty work
+    t0 = time.perf_counter()
+    n_syn = synonymy_edges_ds(syn_in, threshold=0.35).count()
+    timings["synonymy_knn"] = time.perf_counter() - t0
+    extra["n_syn_edges"] = n_syn
+
     # --- 8. engine retrieval: index a bounded corpus, then one batched
     # retrieve (fact linking -> reset Dataset -> 32-query PPR -> top-k) ---
     from hipporag_ray.pipelines.retrieval import HippoRagEngine

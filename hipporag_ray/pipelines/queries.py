@@ -197,7 +197,13 @@ def doc_graph_for(sf_dir: str) -> tuple[str, int]:
     import json
 
     from ..stages.graph_build import assign_dense_ids
-    from ..stages.shuffle import grouped_pairs, hash_join, int_key_sum, range_sort
+    from ..stages.shuffle import (
+        grouped_pairs,
+        hash_distinct,
+        hash_join,
+        int_key_sum,
+        range_sort,
+    )
 
     fp = _input_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     d = f"/tmp/hipporag_ray/docgraph_sf{sf_of(sf_dir)}_{fp}"
@@ -207,12 +213,19 @@ def doc_graph_for(sf_dir: str) -> tuple[str, int]:
             return d, json.load(f)["n_vertices"]
     tmp_d = f"{d}.tmp.{os.getpid()}"  # publish by atomic rename below
     m = q_doc_mentions(sf_dir).materialize()
-    distinct = m.groupby("entity").aggregate(Count(alias_name="_n")).select_columns(["entity"])
+    distinct = hash_distinct(m, "entity").select_columns(["entity"])
     verts = assign_dense_ids(distinct, "entity", "vid").materialize()
     n = verts.count()
     os.makedirs(tmp_d, exist_ok=True)
     verts.write_parquet(os.path.join(tmp_d, "vertices"))
-    mv = hash_join(m, verts, "entity").select_columns(["doc_id", "vid"])
+
+    def docvid(b: pa.Table) -> pa.Table:
+        e = _empty_or(b, ("doc_id", "vid"), {"doc_id": pa.int64(), "vid": pa.int64()})
+        if e is not None:
+            return e
+        return pa.table({"doc_id": b["doc_id"], "vid": b["vid"]})
+
+    mv = hash_join(m, verts, "entity").map_batches(docvid, batch_format="pyarrow")
     pairs = grouped_pairs(mv.materialize(), "doc_id", "vid", mode="ne")
     coded = pairs.map_batches(
         lambda b: pa.table(
@@ -274,7 +287,16 @@ def _label_entities(d: str, lab_ds: "rd.Dataset", col: str) -> "rd.Dataset":
         to_cvid, batch_format="pyarrow"
     )
     label_names = verts.map_batches(name_label, batch_format="pyarrow")
-    return hash_join(named, label_names, "cvid").select_columns(["entity", col])
+
+    def final(b: pa.Table) -> pa.Table:
+        e = _empty_or(b, ("entity", col), {"entity": pa.string(), col: pa.string()})
+        if e is not None:
+            return e
+        return pa.table({"entity": b["entity"], col: b[col]})
+
+    return hash_join(named, label_names, "cvid").map_batches(
+        final, batch_format="pyarrow"
+    )
 
 
 def _named_scores(d: str, scores_ds: "rd.Dataset") -> "rd.Dataset":
@@ -355,8 +377,10 @@ def q_doc_vertices(sf_dir: str):
     """A11 sorted distinct + dense vid over document tokens."""
     from ..stages.graph_build import assign_dense_ids
 
+    from ..stages.shuffle import hash_distinct
+
     m = q_doc_mentions(sf_dir)
-    distinct = m.groupby("entity").aggregate(Count(alias_name="_n")).select_columns(["entity"])
+    distinct = hash_distinct(m, "entity").select_columns(["entity"])
     out = assign_dense_ids(distinct, "entity", "vid")
     return out.select_columns(["entity", "vid"])
 
@@ -558,8 +582,22 @@ def q_orders_by_segment(sf_dir: str):
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
     joined = hash_join(orders.materialize(), cust.materialize(), "c_custkey")
+
+    def guard(b: pa.Table) -> pa.Table:
+        e = _empty_or(
+            b,
+            ("c_mktsegment", "o_totalprice"),
+            {"c_mktsegment": pa.string(), "o_totalprice": pa.float64()},
+        )
+        if e is not None:
+            return e
+        return pa.table(
+            {"c_mktsegment": b["c_mktsegment"], "o_totalprice": b["o_totalprice"]}
+        )
+
     out = (
-        joined.groupby("c_mktsegment")
+        joined.map_batches(guard, batch_format="pyarrow")
+        .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
         .to_pandas()
     )
@@ -991,8 +1029,9 @@ def q_doc_lp(sf_dir: str):
 
 
 def q_doc_sample(sf_dir: str):
-    """Deterministic systematic sample (every 10th doc) with the
-    predicate pushed into the parquet read."""
+    """Deterministic systematic sample (every 8th doc: doc_id & 7 == 0,
+    matching the SQL oracle's doc_id % 8 = 0) with the predicate pushed
+    into the parquet read."""
     import pyarrow.dataset as pads
 
     ds = rd.read_parquet(
@@ -1135,22 +1174,40 @@ def q_tx_ppr(sf_dir: str):
 
     g = graph_for(sf_dir)
     # seed selection: distributed degree count ⋈ entity vertices, then a
-    # sort+limit(5) — only the 5 seed rows reach the driver
-    deg = (
-        g.adj()
-        .groupby("src")
-        .aggregate(Count(alias_name="deg"))
-        .map_batches(
-            lambda b: pa.table({"vid": b["src"], "deg": b["deg"]}),
-            batch_format="pyarrow",
-        )
+    # sort+limit(5) — only the 5 seed rows reach the driver.  Degrees
+    # go through the int-key sum exchange (the groupby-count shape it
+    # replaces is the measured slow path; see shuffle.py header).
+    from ..stages.shuffle import int_key_sum
+
+    ones = g.adj().map_batches(
+        lambda b: pa.table(
+            {"src": b["src"], "deg": pa.array(np.ones(b.num_rows, np.float64))}
+        ),
+        batch_format="pyarrow",
+    )
+    deg = int_key_sum(ones, "src", "deg").map_batches(
+        lambda b: pa.table(
+            {
+                "vid": b["src"],
+                "deg": pc.cast(pc.round(b["deg"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
     )
     ent = g.vertices().map_batches(
         lambda b: b.filter(pc.equal(b["kind"], "entity")).select(["vid"]),
         batch_format="pyarrow",
     )
+
+    def seed_guard(b: pa.Table) -> pa.Table:
+        e = _empty_or(b, ("vid", "deg"), {"vid": pa.int64(), "deg": pa.int64()})
+        if e is not None:
+            return e
+        return pa.table({"vid": b["vid"], "deg": b["deg"]})
+
     seeds = (
         hash_join(deg, ent, "vid")
+        .map_batches(seed_guard, batch_format="pyarrow")
         .sort(["deg", "vid"], descending=[True, True])
         .limit(5)
         .to_pandas()["vid"]

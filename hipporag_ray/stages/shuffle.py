@@ -109,9 +109,9 @@ def _first_per_key(tbl: pa.Table, key_col: str) -> pa.Table:
 
 @ray.remote
 def _distinct_split(tbl: pa.Table, key_col: str, k: int):
-    tbl = _first_per_key(tbl, key_col)
     if tbl.num_rows == 0 or key_col not in tbl.column_names:
         return tuple([tbl] * k) if k > 1 else (tbl,)
+    tbl = _first_per_key(tbl, key_col)
     h = (_hash_codes(tbl, key_col) % np.uint64(k)).astype(np.int64)
     order = np.argsort(h, kind="stable")
     hs = h[order]
@@ -134,24 +134,14 @@ def _distinct_reduce(key_col: str, *shards) -> pa.Table:
 _EMPTY_SENTINEL = pa.table({})
 
 
-
-def _auto_partitions(ds, refs, min_rows_per_partition: int = 50_000) -> int:
-    """One partition per CPU, floored for tiny inputs (a 10k-row
-    shuffle doesn't need 32 reducers).  A/B at 2.2M-edge build scale:
-    k = CPUs -> 14s, k capped by a 250k-row volume target -> 25s — the
-    reduce-side sorts parallelize, so more reducers win until the data
-    is genuinely tiny.  NOT capped by the input block count: an
-    upstream that emitted 2 big blocks must not serialize the reduce
-    side (map-side parallelism is restored separately by slicing
-    oversized blocks, see _sliced)."""
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    try:
-        rows = ds.count()
-    except Exception:
-        rows = min_rows_per_partition * cpus
-    return max(1, min(cpus, max(1, rows // min_rows_per_partition)))
-
-
+# k selection: one partition per CPU, floored for tiny inputs (a
+# 10k-row shuffle doesn't need 32 reducers).  A/B at 2.2M-edge build
+# scale: k = CPUs -> 14s, k capped by a 250k-row volume target -> 25s —
+# the reduce-side sorts parallelize, so more reducers win until the
+# data is genuinely tiny.  NOT capped by the input block count: an
+# upstream that emitted 2 big blocks must not serialize the reduce side
+# (map-side parallelism is restored separately by slicing oversized
+# blocks, see _sliced).
 _PARTITION_FLOOR_ROWS = 50_000
 # Slice pieces are chunkier than reduce partitions: a map-split task is
 # cheap per row, so ~250k-row pieces amortize task/serialization
@@ -171,7 +161,7 @@ def _slice_block(tbl: pa.Table, n: int):
 
 
 def _sliced(bref, rows: int, cpus: int) -> list:
-    """Fan an oversized block into ~_PARTITION_FLOOR_ROWS-row piece
+    """Fan an oversized block into ~_SLICE_TARGET_ROWS-row piece
     refs so map-side exchange parallelism doesn't collapse when the
     upstream emitted a few large blocks (e.g. a 1M-row transcript read
     coalesced into 2 x 128MB blocks).  Small blocks pass through."""
@@ -203,7 +193,12 @@ def _splits_or_buffer(ds, launch_split, num_partitions: int | None):
 
     for bundle in ds.iter_internal_ref_bundles():
         for bref, meta in bundle.blocks:
-            rows = meta.num_rows or 0
+            rows = meta.num_rows
+            if rows is None:
+                # unknown metadata must not read as "tiny": a
+                # multi-million-row block counted as 0 would collapse k
+                # to 1 and skip slicing
+                rows = ray.get(_block_rows.remote(bref))
             rows_seen += rows
             if k is None:
                 buffered.append((bref, rows))
@@ -223,42 +218,21 @@ def _streaming_splits(ds, launch_split, num_partitions: int | None):
     is never pinned whole in the object store (each block ref is
     dropped as soon as its split task holds it; what stays pinned are
     the column-pruned / pre-aggregated shards).  Oversized blocks are
-    first cut into ~50k-row pieces (_sliced) so map-side parallelism
-    tracks data volume, not the upstream's block layout.
+    first cut into ~_SLICE_TARGET_ROWS-row pieces (_sliced) so map-side
+    parallelism tracks data volume, not the upstream's block layout.
 
-    ``k`` selection keeps the _auto_partitions small-input heuristic
-    without a second pass: blocks are buffered until the row volume
-    crosses CPUs x 50k (then k = CPUs and everything streams), or the
-    stream ends first (then k is row-proportional like before).
+    ``k`` selection needs no second pass: blocks are buffered until the
+    row volume crosses CPUs x _PARTITION_FLOOR_ROWS (then k = CPUs and
+    everything streams), or the stream ends first (then k is
+    row-proportional for the tiny input).
     Returns (splits, k); splits is empty for an empty input."""
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    thresh = cpus * _PARTITION_FLOOR_ROWS
-    k = num_partitions
-    buffered: list = []
-    splits: list = []
-    rows_seen = 0
-
-    def emit(bref, rows):
-        for piece in _sliced(bref, rows, cpus):
-            splits.append(launch_split(piece, k))
-
-    for bundle in ds.iter_internal_ref_bundles():
-        for bref, meta in bundle.blocks:
-            rows = meta.num_rows or 0
-            rows_seen += rows
-            if k is None:
-                buffered.append((bref, rows))
-                if rows_seen >= thresh:
-                    k = cpus
-                    for b, r in buffered:
-                        emit(b, r)
-                    buffered = []
-            else:
-                emit(bref, rows)
+    splits, k, buffered, rows_seen = _splits_or_buffer(ds, launch_split, num_partitions)
     if k is None:
         k = max(1, min(cpus, max(1, rows_seen // _PARTITION_FLOOR_ROWS)))
-        for b, r in buffered:
-            emit(b, r)
+        for bref, rows in buffered:
+            for piece in _sliced(bref, rows, cpus):
+                splits.append(launch_split(piece, k))
     return splits, k
 
 
@@ -371,6 +345,13 @@ def range_sort(
         _range_reduce.remote(key_col, *[splits[i][t] for i in range(len(refs))])
         for t in range(k)
     ]
+    # duplicate cuts under key skew guarantee empty partitions whose
+    # zero-column sentinel would break downstream schema unification
+    # (assign_dense_ids emits id-only blocks for them) — drop them
+    counts = ray.get([_block_rows.remote(r) for r in outs])
+    outs = [r for r, c in zip(outs, counts) if c]
+    if not outs:
+        return ds
     return rd.from_arrow_refs(outs)
 
 
@@ -389,11 +370,25 @@ def _join_reduce(key_col: str, how: str, n_left: int, *shards) -> pa.Table:
             seen = pd.concat(right, ignore_index=True)[key_col]
             lf = lf[~lf[key_col].isin(seen)]
         return pa.Table.from_pandas(lf, preserve_index=False)
-    rf = (
-        pd.concat(right, ignore_index=True)
-        if right
-        else pd.DataFrame({key_col: pd.Series([], dtype=lf[key_col].dtype)})
-    )
+    if right:
+        rf = pd.concat(right, ignore_index=True)
+    else:
+        # an empty right bucket must not drop the right-side columns
+        # from a how='left' output (schema would then depend on data
+        # distribution); empty shards still carry the right schema
+        typed = next(
+            (
+                sh
+                for sh in shards[n_left:]
+                if sh.num_columns and key_col in sh.column_names
+            ),
+            None,
+        )
+        rf = (
+            typed.to_pandas()
+            if typed is not None
+            else pd.DataFrame({key_col: pd.Series([], dtype=lf[key_col].dtype)})
+        )
     out = lf.merge(rf, on=key_col, how=how)
     return pa.Table.from_pandas(out, preserve_index=False)
 

@@ -80,14 +80,23 @@ def write_transcripts(
     shards: int = 4,
 ) -> str:
     """Write sharded transcript parquet under ``out_dir`` (idempotent:
-    skipped when a matching ``_SYNTH_OK`` marker exists)."""
+    skipped when a matching ``_SYNTH_OK`` marker exists).  Parts land
+    in a pid-suffixed temp dir and publish by atomic rename, so a
+    concurrent reader never sees a half-written parquet file."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
     sig = f"{n_convs}/{turns_per_conv}/{vocab}/{entities_per_turn}/{zipf_a}/{seed}/{shards}"
-    if os.path.exists(marker):
-        with open(marker) as f:
-            if f.read().strip() == sig:
-                return out_dir
-    os.makedirs(out_dir, exist_ok=True)
+
+    def _marker_matches() -> bool:
+        try:
+            with open(marker) as f:
+                return f.read().strip() == sig
+        except OSError:
+            return False
+
+    if _marker_matches():
+        return out_dir
+    tmp = f"{out_dir}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
     per_shard = max(1, n_convs // shards)
     off = 0
     shard_i = 0
@@ -96,9 +105,22 @@ def write_transcripts(
         tbl = make_transcripts_table(
             cnt, turns_per_conv, vocab, entities_per_turn, zipf_a, seed, conv_offset=off
         )
-        pq.write_table(tbl, os.path.join(out_dir, f"part-{shard_i:05d}.parquet"))
+        pq.write_table(tbl, os.path.join(tmp, f"part-{shard_i:05d}.parquet"))
         off += cnt
         shard_i += 1
-    with open(marker, "w") as f:
+    with open(os.path.join(tmp, "_SYNTH_OK"), "w") as f:
         f.write(sig)
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        import shutil
+
+        if _marker_matches():
+            # a concurrent builder won the race with the same params
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # stale cache from mismatched params: move it aside (never
+            # delete a dir another process may be reading), then publish
+            shutil.move(out_dir, f"{out_dir}.stale.{os.getpid()}")
+            os.rename(tmp, out_dir)
     return out_dir
