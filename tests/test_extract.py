@@ -91,3 +91,47 @@ def test_extract_deterministic(small_transcripts):
     pa_a = a.sort_values(key).reset_index(drop=True)
     pa_b = b.sort_values(key).reset_index(drop=True)
     assert pa_a.equals(pa_b)
+
+
+def test_write_transcripts_atomic_publish(tmp_path):
+    """Synth output publishes by atomic rename: the final dir appears
+    only complete (marker + parts together), re-running with the same
+    params is a no-op, and mismatched params replace the stale cache
+    without deleting it out from under a concurrent reader."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hipporag_ray.synth import write_transcripts
+
+    out = str(tmp_path / "tx")
+    write_transcripts(out, n_convs=5, turns_per_conv=3, vocab=50, seed=1)
+    assert os.path.exists(os.path.join(out, "_SYNTH_OK"))
+    n1 = sum(
+        pq.ParquetFile(os.path.join(out, f)).metadata.num_rows
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    assert n1 == 15
+    mtime = os.path.getmtime(os.path.join(out, "_SYNTH_OK"))
+
+    # same params: marker matches, nothing rewritten
+    write_transcripts(out, n_convs=5, turns_per_conv=3, vocab=50, seed=1)
+    assert os.path.getmtime(os.path.join(out, "_SYNTH_OK")) == mtime
+
+    # changed params: replaced atomically, stale dir moved aside intact
+    write_transcripts(out, n_convs=7, turns_per_conv=3, vocab=50, seed=1)
+    n2 = sum(
+        pq.ParquetFile(os.path.join(out, f)).metadata.num_rows
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    assert n2 == 21
+    stale = [d for d in os.listdir(tmp_path) if d.startswith("tx.stale.")]
+    assert len(stale) == 1
+    n_stale = sum(
+        pq.ParquetFile(str(tmp_path / stale[0] / f)).metadata.num_rows
+        for f in os.listdir(tmp_path / stale[0])
+        if f.endswith(".parquet")
+    )
+    assert n_stale == 15

@@ -145,3 +145,70 @@ def test_join_k_tracks_larger_side(ray_session):
     assert out.num_blocks() > 1
     got = sorted(out.to_pandas()["k"])
     assert got == list(range(50))
+
+
+def test_left_join_empty_right_bucket_keeps_schema(ray_session):
+    """A how='left' bucket whose right side is empty must still emit
+    the right-side columns (the per-block schema cannot depend on data
+    distribution): with k=8 buckets and a single right key, seven
+    buckets see an empty right and previously emitted left-only
+    blocks, crashing downstream map_batches on the missing column."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from hipporag_ray.stages.shuffle import hash_join
+
+    left = rd.from_arrow(
+        pa.table({"k": list(range(64)), "a": list(range(64))})
+    ).materialize()
+    right = rd.from_arrow(pa.table({"k": [3], "b": [99]})).materialize()
+    out = hash_join(left, right, "k", how="left", num_partitions=8)
+    for ref in out.to_arrow_refs():
+        blk = ray.get(ref)
+        if blk.num_rows:
+            assert "b" in blk.column_names
+    df = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(df) == 64
+    assert df.loc[df["k"] == 3, "b"].tolist() == [99]
+    assert df.loc[df["k"] != 3, "b"].isna().all()
+
+
+def test_range_sort_skewed_key_drops_empty_partitions(ray_session):
+    """Under heavy key skew the sampled range cuts repeat and some
+    partitions are empty by construction; those zero-column sentinel
+    blocks must be dropped, not emitted (downstream schema unification
+    breaks on them)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from hipporag_ray.stages.shuffle import range_sort
+
+    # 95% of rows share one key -> duplicate cuts guaranteed at k=8
+    keys = np.concatenate([np.full(950, 7), np.arange(50)]).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": keys})).repartition(4).materialize()
+    out = range_sort(ds, "k", num_partitions=8)
+    blocks = [ray.get(r) for r in out.to_arrow_refs()]
+    assert all(b.num_rows > 0 and "k" in b.column_names for b in blocks)
+    vals = out.to_pandas()["k"].to_numpy()
+    assert len(vals) == 1000 and (np.diff(vals) >= 0).all()
+
+
+def test_hash_distinct_tolerates_schemaless_blocks(ray_session):
+    """A block lacking the key column (the zero-column sentinel an
+    upstream exchange can emit) must take the graceful pass-through
+    branch, not crash inside the per-block pre-dedup."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hipporag_ray.stages.shuffle import hash_distinct
+
+    good = rd.from_arrow(pa.table({"k": [1, 1, 2, 3]}))
+    sentinel = rd.from_arrow(pa.table({"x": [0]})).map_batches(
+        lambda b: pa.table({}), batch_format="pyarrow"
+    )
+    ds = good.union(sentinel).materialize()
+    out = hash_distinct(ds, "k").to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 2, 3]
