@@ -93,9 +93,12 @@ _ARTICLES = "(a|an|the)"
 
 def normalize_answer(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
     """QA answer normalization (eval_utils.py:4-31): lower, strip
-    punctuation, drop articles, collapse whitespace."""
+    punctuation, drop articles, collapse whitespace.  Punctuation is
+    exactly ``string.punctuation`` (the reference's remove_punc): the
+    four ASCII ranges below — NOT ``[^\\w\\s]``, which would also strip
+    non-ASCII letters ('café' -> 'caf') and keep underscores."""
     out = pc.utf8_lower(arr)
-    out = pc.replace_substring_regex(out, pattern=r"[^\w\s]", replacement="")
+    out = pc.replace_substring_regex(out, pattern=r"[!-/:-@\[-`{-~]", replacement="")
     out = pc.replace_substring_regex(
         out, pattern=rf"\b{_ARTICLES}\b", replacement=" "
     )

@@ -39,6 +39,11 @@ def salted_sum(
     Phase 1 aggregates (keys + salt) — hub keys split across ``salt``
     reducers; phase 2 aggregates the at-most-``salt`` partials per key.
     """
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    sch = ds.schema(fetch_if_missing=False)  # no execution for lazy inputs
+    if sch is not None and "_salt" in sch.names:
+        raise ValueError("input already has a '_salt' column")
     alias = alias or value
     phase1 = (
         ds.map_batches(_add_salt(salt), batch_format="pyarrow")

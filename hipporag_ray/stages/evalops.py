@@ -37,8 +37,11 @@ def recall_at_k(
         for k in ks:
             vals = []
             for p, g in zip(preds, golds):
-                gs = set(g)
-                vals.append(len(set(p[:k]) & gs) / len(gs) if gs else 0.0)
+                # null gold (unanswerable) or null pred scores 0 — one
+                # bad row must not abort the whole metric pass
+                gs = set(g) if g else set()
+                ps = set(p[:k]) if p else set()
+                vals.append(len(ps & gs) / len(gs) if gs else 0.0)
             cols[f"recall_{k}"] = pa.array(vals, type=pa.float64())
         return pa.table(cols)
 
@@ -66,9 +69,27 @@ def qa_scores(
     def fn(batch: pa.Table) -> pa.Table:
         preds = normalize_answer(batch[pred_col]).to_pylist()
         golds_raw = batch[gold_col].to_pylist()
+        # one normalization kernel pass over every gold string in the
+        # batch (not one pa.array + three regex kernels per row)
+        flat: list[str] = []
+        seg = [0]
+        for golds in golds_raw:
+            if golds:
+                flat.extend(g for g in golds if g is not None)
+            seg.append(len(flat))
+        flat_norm = (
+            normalize_answer(pa.array(flat, type=pa.string())).to_pylist()
+            if flat
+            else []
+        )
         em, f1 = [], []
-        for p, golds in zip(preds, golds_raw):
-            gnorm = normalize_answer(pa.array(golds)).to_pylist() if golds else []
+        for i, p in enumerate(preds):
+            gnorm = flat_norm[seg[i] : seg[i + 1]]
+            if p is None:
+                # null prediction (model returned nothing) scores 0
+                em.append(0.0)
+                f1.append(0.0)
+                continue
             em.append(float(any(p == g for g in gnorm)))
             pt = p.split()
             f1.append(

@@ -133,7 +133,20 @@ class DecodeImage:
         if self._pil is not None:
             import io
 
-            return np.asarray(self._pil.open(io.BytesIO(payload)))
+            # normalize to the numpy codec's output space (8-bit L /
+            # RGB / RGBA): a palette PNG otherwise leaks palette
+            # indices into the luma features and a 16-bit PNG leaks
+            # >255 values; decode failures re-raise as the ValueError
+            # the numpy codec contract (and the tests) specify
+            try:
+                img = self._pil.open(io.BytesIO(payload))
+                if img.mode not in ("L", "RGB", "RGBA"):
+                    img = img.convert("RGBA" if "A" in img.mode else "RGB")
+                return np.asarray(img)
+            except ValueError:
+                raise
+            except Exception as e:
+                raise ValueError(f"undecodable image payload: {e}") from e
         return decode_png(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -185,10 +198,15 @@ class ResizeImage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
         h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
-        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        # guard the degenerate rows: 0x0 must not divide by zero, and a
+        # nonzero side must never truncate to 0 (a 1x100 image at
+        # max_side 32 scales its short side to int(0.32) = 0 otherwise)
+        scale = np.minimum(1.0, self.max_side / np.maximum(np.maximum(w, h), 1.0))
+        nw = np.where(w > 0, np.maximum((w * scale).astype(np.int32), 1), 0)
+        nh = np.where(h > 0, np.maximum((h * scale).astype(np.int32), 1), 0)
         out = batch.drop_columns(["width", "height"])
-        out = out.append_column("width", pa.array((w * scale).astype(np.int32)))
-        out = out.append_column("height", pa.array((h * scale).astype(np.int32)))
+        out = out.append_column("width", pa.array(nw.astype(np.int32)))
+        out = out.append_column("height", pa.array(nh.astype(np.int32)))
         return out
 
 

@@ -28,6 +28,26 @@ _STOPWORDS = {
 }
 
 
+def _segment_sums(vals: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Per-row sums of a flattened list column's value array.  Rows
+    with empty (or null) segments get 0 — including TRAILING empties,
+    where a bare ``np.add.reduceat(vals, offs[:-1])`` raises IndexError
+    because the start offset equals ``len(vals)``.
+    Reduce only over the nonempty rows' starts (strictly increasing,
+    all < len(vals)): empty segments between them contribute nothing,
+    so each reduceat span equals the corresponding row's true segment
+    (clipping trailing starts instead would corrupt the LAST nonempty
+    row's sum by splitting its span)."""
+    n = len(offs) - 1
+    sums = np.zeros(n, dtype=np.float64)
+    nonempty_rows = np.diff(offs) > 0
+    if len(vals) and nonempty_rows.any():
+        sums[nonempty_rows] = np.add.reduceat(
+            vals.astype(np.float64), offs[:-1][nonempty_rows]
+        )
+    return sums
+
+
 def token_count(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
     """(id, n_tokens): whitespace tokens of normalized text."""
 
@@ -39,12 +59,7 @@ def token_count(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
         words = toks.flatten()
         # splitting '' yields [''] — count only non-empty tokens
         nonempty = (pc.utf8_length(words).to_numpy(zero_copy_only=False) > 0).astype(np.int64)
-        counts = (
-            np.add.reduceat(nonempty, offs[:-1])
-            if len(words)
-            else np.zeros(len(offs) - 1, dtype=np.int64)
-        )
-        counts[np.diff(offs) == 0] = 0
+        counts = _segment_sums(nonempty, offs).astype(np.int64)
         return pa.table({id_col: batch[id_col], "n_tokens": pa.array(counts)})
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -91,15 +106,10 @@ def quality_score(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
         # '' yields [''] so count only non-empty tokens
         wlen = np.array([len(w) for w in words], dtype=np.float64)
         nonempty = (wlen > 0).astype(np.int64)
-        counts = (
-            np.add.reduceat(nonempty, offs[:-1])
-            if len(words)
-            else np.zeros(len(offs) - 1, dtype=np.int64)
-        )
+        counts = _segment_sums(nonempty, offs).astype(np.int64)
         isstop = np.array([w in stop_en for w in words], dtype=np.float64)
-        starts = offs[:-1]
-        tot_len = np.add.reduceat(wlen, starts) if len(words) else np.zeros(len(counts))
-        tot_stop = np.add.reduceat(isstop, starts) if len(words) else np.zeros(len(counts))
+        tot_len = _segment_sums(wlen, offs)
+        tot_stop = _segment_sums(isstop, offs)
         tot_len[counts == 0] = 0
         tot_stop[counts == 0] = 0
         denom = np.maximum(counts, 1).astype(np.float64)
@@ -136,7 +146,8 @@ class LangId:
         norm = text_processing(batch[self.text_col]).to_pylist()
         preds = []
         for t in norm:
-            toks = t.split()
+            toks = t.split() if t else []  # null text -> 'und', matching
+            # the SQL oracle's LEFT JOIN m IS NULL branch
             hits = [sum(w in tab for w in toks) for tab in self.tables]
             best = max(hits)
             preds.append(self.langs[hits.index(best)] if best > 0 else "und")
@@ -166,14 +177,25 @@ def fingerprint(
 
     def fn(batch: pa.Table) -> pa.Table:
         norm = text_processing(batch[text_col]).to_pylist()
-        fps = []
+        # ONE md5 kernel call over every shingle in the batch (per-row
+        # md5_hex paid a pa.array build + dictionary_encode per row),
+        # then a per-row min over the flat digest list
+        flat: list[str] = []
+        seg = [0]
         for t in norm:
-            toks = t.split()
-            if len(toks) < n:
-                fps.append("")
-                continue
-            shingles = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
-            fps.append(min(md5_hex(np.array(shingles, dtype=object)).to_pylist()))
+            toks = t.split() if t else []
+            if len(toks) >= n:
+                flat.extend(
+                    " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+                )
+            seg.append(len(flat))
+        digests = (
+            md5_hex(np.array(flat, dtype=object)).to_pylist() if flat else []
+        )
+        fps = [
+            min(digests[seg[i] : seg[i + 1]]) if seg[i + 1] > seg[i] else ""
+            for i in range(len(norm))
+        ]
         return pa.table({id_col: batch[id_col], "fp": pa.array(fps, type=pa.string())})
 
     return ds.map_batches(fn, batch_format="pyarrow")

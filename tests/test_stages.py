@@ -308,3 +308,97 @@ def test_embedding_neardup_lsh_string_ids(ray_session):
     assert ("v0", "v1") in set(zip(exact["a"], exact["b"]))
     assert set(zip(lsh["a"], lsh["b"])) <= set(zip(exact["a"], exact["b"]))
     assert ("v0", "v1") in set(zip(lsh["a"], lsh["b"]))
+
+
+def test_textstats_null_text_rows(ray_session):
+    """Null text (including in the trailing rows of a batch, where the
+    segment reduce previously indexed out of bounds) yields zero-token
+    stats, 'und' language, and an empty fingerprint — never a crash."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                ["hello world the", None, "", "one two", None], pa.string()
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    tc = ts.token_count(ds, "text", "doc_id").to_pandas().sort_values("doc_id")
+    assert tc["n_tokens"].tolist() == [3, 0, 0, 2, 0]
+    q = ts.quality_score(ds, "text", "doc_id").to_pandas().sort_values("doc_id")
+    assert q["n_tokens"].tolist() == [3, 0, 0, 2, 0]
+    assert q["avg_token_len"].tolist()[0] == pytest.approx(13 / 3)
+    lid = ts.lang_id(ds, "text", "doc_id").to_pandas().sort_values("doc_id")
+    assert lid["lang_pred"].tolist() == ["en", "und", "und", "und", "und"]
+    fp = ts.fingerprint(ds, "text", "doc_id", n=2).to_pandas().sort_values("doc_id")
+    assert [len(x) for x in fp["fp"]] == [32, 0, 0, 32, 0]
+
+
+def test_evalops_null_rows_score_zero(ray_session):
+    """A null gold list (unanswerable) or null prediction scores 0
+    instead of aborting the whole metric pass."""
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "pred": pa.array([[1, 2], [3], None], pa.list_(pa.int64())),
+                "gold": pa.array([[1], None, [2]], pa.list_(pa.int64())),
+            }
+        )
+    )
+    r = evalops.recall_at_k(ev, "pred", "gold", ks=(1,))
+    assert r["recall_1"] == pytest.approx(1 / 3)
+    qa = rd.from_arrow(
+        pa.table(
+            {
+                "answer": pa.array(["The Fox!", None], pa.string()),
+                "gold_answers": pa.array(
+                    [["fox", "wolf"], None], pa.list_(pa.string())
+                ),
+            }
+        )
+    )
+    s = evalops.qa_scores(qa)
+    assert s["em"] == pytest.approx(0.5) and s["f1"] == pytest.approx(0.5)
+
+
+def test_normalize_answer_reference_parity():
+    """normalize_answer strips exactly string.punctuation (underscores
+    go, non-ASCII letters stay), matching the reference eval_utils.py
+    remove_punc on every case — not the ASCII [^\\w\\s] approximation."""
+    import re
+    import string
+
+    from hipporag_ray.functions.text import normalize_answer
+
+    def ref(answer: str) -> str:
+        ex = set(string.punctuation)
+        t = "".join(ch for ch in answer.lower() if ch not in ex)
+        t = re.sub(r"\b(a|an|the)\b", " ", t)
+        return " ".join(t.split())
+
+    cases = [
+        "café au lait",
+        "foo_bar",
+        "naïve answer",
+        "The  Quick, Brown Fox!",
+        "100%",
+        "ümlaut ÜBER",
+        "",
+    ]
+    got = normalize_answer(pa.array(cases)).to_pylist()
+    assert got == [ref(c) for c in cases]
+
+
+def test_resize_image_degenerate_dims():
+    """A nonzero side never truncates to 0 and 0x0 rows pass through
+    without dividing by zero."""
+    rt = pa.table(
+        {
+            "media_id": ["a", "b", "c"],
+            "width": pa.array([1, 0, 100], pa.int32()),
+            "height": pa.array([100, 0, 50], pa.int32()),
+        }
+    )
+    out = ResizeImage(max_side=32)(rt).to_pandas()
+    assert out["width"].tolist() == [1, 0, 32]
+    assert out["height"].tolist() == [32, 0, 16]
