@@ -533,7 +533,13 @@ def dedup_chunks(transcripts: "rd.Dataset") -> "rd.Dataset":
     from .shuffle import hash_distinct
 
     chunks = transcripts.map_batches(_to_chunk_rows, batch_format="pyarrow")
-    return hash_distinct(chunks, "chunk_key")
+    # one reduce partition per CPU even when the deduped volume is
+    # modest: every downstream build stage fans out per TOKEN (~16x the
+    # chunk rows), so the volume-based k here (e.g. 2 at 100k deduped
+    # chunks) would serialize the vertex-row and edge-partial maps —
+    # the block count, not the row count, is their parallelism
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return hash_distinct(chunks, "chunk_key", num_partitions=cpus)
 
 
 # ---------------------------------------------------------------------------
@@ -672,8 +678,12 @@ def build_graph(
     if pre_chunked:
         from .shuffle import hash_distinct as _hd
 
+        # per-CPU partitions for the same reason as dedup_chunks: the
+        # downstream maps' parallelism is this exchange's block count
         chunks = _hd(
-            transcripts.select_columns(["chunk_key", "text"]), "chunk_key"
+            transcripts.select_columns(["chunk_key", "text"]),
+            "chunk_key",
+            num_partitions=int(ray.cluster_resources().get("CPU", 8)),
         ).materialize()
     else:
         chunks = dedup_chunks(transcripts).materialize()
