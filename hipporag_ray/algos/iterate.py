@@ -77,6 +77,16 @@ def _route_reset_block(tbl, bounds: np.ndarray, k: int):
     vids = tbl["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
     qidx = tbl["query_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
     w = tbl["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+    bad = (vids < bounds[0]) | (vids >= bounds[-1])
+    if bad.any():
+        # stale seeds from a different graph build would otherwise be
+        # dropped silently, and ppr_normalize_reset renormalizes the
+        # remainder — masking the lost reset mass entirely
+        raise ValueError(
+            f"{int(bad.sum())} reset vids outside [{int(bounds[0])}, "
+            f"{int(bounds[-1])}) — seeds do not match this graph "
+            f"(e.g. {vids[bad][:5].tolist()})"
+        )
     shard = np.searchsorted(bounds, vids, side="right") - 1
     order = np.argsort(shard, kind="stable")
     vids, qidx, w, shard = vids[order], qidx[order], w[order], shard[order]
@@ -198,6 +208,27 @@ class _Checkpointer:
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
+    def reset_metrics(self, start_iter: int) -> None:
+        """Drop metrics records past ``start_iter`` so a resumed (or
+        restarted) run appends without duplicating iteration records —
+        a crash at iter 12 resumed from the iter-10 checkpoint would
+        otherwise leave iters 11-12 twice in metrics.jsonl and any
+        aggregation over it double-counts."""
+        if not self.dir or not os.path.exists(self.metrics_path):
+            return
+        kept = []
+        with open(self.metrics_path) as f:
+            for line in f:
+                try:
+                    if json.loads(line).get("iter", 0) <= start_iter:
+                        kept.append(line)
+                except ValueError:
+                    pass
+        tmp = self.metrics_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.writelines(kept)
+        os.replace(tmp, self.metrics_path)
+
     def latest_complete(self) -> dict | None:
         """Latest manifest iteration whose every shard partition exists
         (algo + input + partitioning lineage must all match)."""
@@ -271,14 +302,14 @@ def personalized_pagerank(
     totals = np.sum(sums, axis=0)
     ray.get([a.ppr_normalize_reset.remote(totals) for a in sg.actors])
 
-    # reset identity in the lineage: the per-shard reset column sums
-    # are already in hand and distinguish different seed sets cheaply
-    # (no dense matrix or dataset hash needed)
+    # reset identity in the lineage: per-shard CONTENT digests of the
+    # normalized reset slices (column sums alone collide for different
+    # seed sets with equal per-shard mass, and a colliding fingerprint
+    # makes resume serve a different query's checkpoint)
     import hashlib
 
-    reset_fp = hashlib.md5(
-        np.ascontiguousarray(np.asarray(sums, dtype=np.float64)).tobytes()
-    ).hexdigest()[:16]
+    digests = ray.get([a.reset_digest.remote() for a in sg.actors])
+    reset_fp = hashlib.md5("".join(digests).encode()).hexdigest()[:16]
     ck = _Checkpointer(
         sg,
         checkpoint_dir,
@@ -304,6 +335,7 @@ def personalized_pagerank(
                 for i, a in enumerate(sg.actors)
             ]
         )
+    ck.reset_metrics(start_iter)
 
     metrics: list[dict] = []
     for it in range(start_iter, max_iter):
@@ -350,6 +382,66 @@ def pagerank(sg: ShardedGraph, **kw) -> tuple[np.ndarray, list[dict]]:
 # ---------------------------------------------------------------------------
 
 
+def _label_fixpoint(
+    sg: ShardedGraph,
+    algo: str,
+    init_attr: str,
+    msg_attr: str,
+    pull_attr: str,
+    label_col: str,
+    max_iter: int,
+    checkpoint_dir: str | None,
+    checkpoint_every: int,
+    resume: bool,
+    collect: bool,
+) -> tuple[np.ndarray | None, list[dict]]:
+    """Shared driver for the label-fixpoint algorithms (CC min-label,
+    LP weighted max-vote): init -> (msg broadcast, pull, count changed)
+    until changed == 0, with the same checkpoint/resume/metrics
+    contract as PPR.  One definition so a fix to the loop (resume
+    ordering, metrics truncation, cadence) cannot diverge between the
+    two algorithms."""
+    ck = _Checkpointer(sg, checkpoint_dir, algo, {"max_iter": max_iter})
+    start_iter = 0
+    resumed = ck.latest_complete() if resume else None
+    ray.get([getattr(a, init_attr).remote() for a in sg.actors])
+    if resumed is not None:
+        start_iter = resumed["iter"]
+        ray.get(
+            [
+                a.load_state.remote(ck.shard_path(start_iter, i), 0)
+                for i, a in enumerate(sg.actors)
+            ]
+        )
+    ck.reset_metrics(start_iter)
+    metrics: list[dict] = []
+    for it in range(start_iter, max_iter):
+        t0 = time.perf_counter()
+        label_refs = [getattr(a, msg_attr).remote() for a in sg.actors]
+        changed = sum(
+            ray.get([getattr(a, pull_attr).remote(label_refs) for a in sg.actors])
+        )
+        wall = time.perf_counter() - t0
+        rec = {
+            "iter": it + 1,
+            "algo": algo,
+            "changed": int(changed),
+            "edge_records_scanned": sg.edge_count,
+            "wall_s": wall,
+        }
+        metrics.append(rec)
+        ck.metric(rec)
+        if checkpoint_dir and checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ck.save(it + 1, {"changed": int(changed)})
+        if changed == 0:
+            break
+    if not collect:
+        return None, metrics
+    tables = ray.get([a.labels_table.remote(label_col) for a in sg.actors])
+    labels = np.concatenate([t[label_col].to_numpy() for t in tables])
+    return labels, metrics
+
+
 def connected_components(
     sg: ShardedGraph,
     max_iter: int = 200,
@@ -364,42 +456,19 @@ def connected_components(
     large-star/small-star variant would shrink that — the substrate
     (scatter min / gather min) stays the same.
     """
-    ck = _Checkpointer(sg, checkpoint_dir, "cc", {"max_iter": max_iter})
-    start_iter = 0
-    resumed = ck.latest_complete() if resume else None
-    ray.get([a.cc_init.remote() for a in sg.actors])
-    if resumed is not None:
-        start_iter = resumed["iter"]
-        ray.get(
-            [
-                a.load_state.remote(ck.shard_path(start_iter, i), 0)
-                for i, a in enumerate(sg.actors)
-            ]
-        )
-    metrics: list[dict] = []
-    for it in range(start_iter, max_iter):
-        t0 = time.perf_counter()
-        label_refs = [a.labels_msg.remote() for a in sg.actors]
-        changed = sum(ray.get([a.cc_pull.remote(label_refs) for a in sg.actors]))
-        wall = time.perf_counter() - t0
-        rec = {
-            "iter": it + 1,
-            "algo": "cc",
-            "changed": int(changed),
-            "edge_records_scanned": sg.edge_count,
-            "wall_s": wall,
-        }
-        metrics.append(rec)
-        ck.metric(rec)
-        if checkpoint_dir and checkpoint_every and (it + 1) % checkpoint_every == 0:
-            ck.save(it + 1, {"changed": int(changed)})
-        if changed == 0:
-            break
-    if not collect:
-        return None, metrics
-    tables = ray.get([a.labels_table.remote("component") for a in sg.actors])
-    labels = np.concatenate([t["component"].to_numpy() for t in tables])
-    return labels, metrics
+    return _label_fixpoint(
+        sg,
+        "cc",
+        "cc_init",
+        "labels_msg",
+        "cc_pull",
+        "component",
+        max_iter,
+        checkpoint_dir,
+        checkpoint_every,
+        resume,
+        collect,
+    )
 
 
 def label_propagation(
@@ -411,39 +480,16 @@ def label_propagation(
     collect: bool = True,
 ) -> tuple[np.ndarray | None, list[dict]]:
     """Synchronous weighted label propagation (deterministic tie-break)."""
-    ck = _Checkpointer(sg, checkpoint_dir, "lp", {"max_iter": max_iter})
-    start_iter = 0
-    resumed = ck.latest_complete() if resume else None
-    ray.get([a.lp_init.remote() for a in sg.actors])
-    if resumed is not None:
-        start_iter = resumed["iter"]
-        ray.get(
-            [
-                a.load_state.remote(ck.shard_path(start_iter, i), 0)
-                for i, a in enumerate(sg.actors)
-            ]
-        )
-    metrics: list[dict] = []
-    for it in range(start_iter, max_iter):
-        t0 = time.perf_counter()
-        label_refs = [a.lp_msg.remote() for a in sg.actors]
-        changed = sum(ray.get([a.lp_pull.remote(label_refs) for a in sg.actors]))
-        wall = time.perf_counter() - t0
-        rec = {
-            "iter": it + 1,
-            "algo": "lp",
-            "changed": int(changed),
-            "edge_records_scanned": sg.edge_count,
-            "wall_s": wall,
-        }
-        metrics.append(rec)
-        ck.metric(rec)
-        if checkpoint_dir and checkpoint_every and (it + 1) % checkpoint_every == 0:
-            ck.save(it + 1, {"changed": int(changed)})
-        if changed == 0:
-            break
-    if not collect:
-        return None, metrics
-    tables = ray.get([a.labels_table.remote("label") for a in sg.actors])
-    labels = np.concatenate([t["label"].to_numpy() for t in tables])
-    return labels, metrics
+    return _label_fixpoint(
+        sg,
+        "lp",
+        "lp_init",
+        "lp_msg",
+        "lp_pull",
+        "label",
+        max_iter,
+        checkpoint_dir,
+        checkpoint_every,
+        resume,
+        collect,
+    )

@@ -32,11 +32,18 @@ def _as_string_array(values) -> pa.Array:
 
 
 def md5_hex(values, prefix: str = "") -> pa.Array:
-    """Vectorized ``prefix + md5(v)`` over a string array -> string array."""
+    """Vectorized ``prefix + md5(v)`` over a string array -> string
+    array.  Nulls hash as the empty string (the normalizers upstream
+    fill nulls the same way, and a null-keyed ingest row must not kill
+    the whole insert with an IndexError from the dictionary path)."""
     arr = _as_string_array(values)
     n = len(arr)
     if n == 0:
         return pa.array([], type=pa.string())
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        arr = pc.fill_null(arr, "")
     md5 = hashlib.md5
     avg_len = arr.nbytes / n
     if avg_len <= _DICT_MAX_AVG_LEN:
@@ -72,6 +79,10 @@ def stable_hash64(values) -> np.ndarray:
     n = len(arr)
     if n == 0:
         return np.zeros(0, np.uint64)
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        arr = pc.fill_null(arr, "")  # nulls hash as "" (see md5_hex)
     md5 = hashlib.md5
     fb = int.from_bytes
     avg_len = arr.nbytes / n

@@ -284,6 +284,18 @@ class GraphShard:
         out[:, ~nz] = 1.0 / max(self.n_vertices, 1)
         self.reset = out
 
+    def reset_digest(self) -> str:
+        """Content digest of this shard's (normalized) reset slice —
+        checkpoint lineage identity for the seed set.  Per-shard column
+        SUMS are not enough: two different seed sets with equal
+        per-shard mass would collide and resume would silently serve a
+        different query's scores."""
+        import hashlib
+
+        return hashlib.md5(
+            np.ascontiguousarray(self.reset, dtype=np.float64).tobytes()
+        ).hexdigest()
+
     def ppr_contrib(self, damping: float, active: np.ndarray):
         """Publish (contrib (local_n, B_active), dangling (B_active,)):
         contrib = damping * score / out_weight (0 for dangling rows)."""
@@ -520,6 +532,15 @@ class GraphShard:
 GraphShardActor = ray.remote(GraphShard)
 
 
+
+def _hub_cap(total_rows: int, n_shards: int, hub_min_degree: int | None) -> int:
+    """Hub-degree threshold — ONE definition for both the exact and the
+    row-group-stats bounds paths, so the same graph classifies hubs
+    identically on either side of the stats_min_rows cutover."""
+    if hub_min_degree is not None:
+        return hub_min_degree
+    return max(4096, (2 * total_rows) // max(n_shards, 1))
+
 def _bounds_from_rowgroup_stats(
     adj_path: str,
     n_vertices: int,
@@ -572,11 +593,7 @@ def _bounds_from_rowgroup_stats(
     total = int(rows.sum())
 
     # hubs: accumulate rows of single-vid row groups per vid
-    cap = (
-        hub_min_degree
-        if hub_min_degree is not None
-        else max(4096, (2 * total) // max(n_shards, 1))
-    )
+    cap = _hub_cap(total, n_shards, hub_min_degree)
     single = mins == maxs
     hubs = np.zeros(0, np.int64)
     if single.any():
@@ -654,11 +671,7 @@ def edge_balanced_bounds(
     if len(src) == 0:
         return np.array([0, n_vertices], dtype=np.int64), np.zeros(0, np.int64)
     deg = np.bincount(src.astype(np.int64), minlength=n_vertices)
-    cap = (
-        hub_min_degree
-        if hub_min_degree is not None
-        else max(4096, (2 * len(src)) // max(n_shards, 1))
-    )
+    cap = _hub_cap(len(src), n_shards, hub_min_degree)
     hub_ids = np.nonzero(deg > cap)[0]
     if len(hub_ids) > max_hubs:
         hub_ids = hub_ids[np.argsort(-deg[hub_ids], kind="stable")[:max_hubs]]

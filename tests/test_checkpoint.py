@@ -155,3 +155,101 @@ def test_save_after_resume_extends_history(small_transcripts, tmp_path):
         after = [e["iter"] for e in json.load(f)["iters"]]
     assert after[: len(before)] == before  # history preserved
     assert len(after) > len(before)  # and extended past the resume point
+
+
+def test_ppr_resume_rejects_different_seed_set(small_transcripts, tmp_path):
+    """The reset fingerprint is a CONTENT digest: two seed sets with
+    equal per-shard mass must not share a lineage, or resume would
+    serve query A's checkpoint to query B."""
+    from hipporag_ray.algos.iterate import personalized_pagerank
+
+    g = build_graph(rd.read_parquet(small_transcripts), str(tmp_path / "g"))
+    ck = str(tmp_path / "ck")
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=2)
+    try:
+        # seeds 0 and 1 land in the same shard with identical mass
+        s_a, _ = personalized_pagerank(
+            sg,
+            resets=[(np.array([0]), np.array([1.0]))],
+            n_queries=1,
+            checkpoint_dir=ck,
+            checkpoint_every=1,
+        )
+        s_b, m_b = personalized_pagerank(
+            sg,
+            resets=[(np.array([1]), np.array([1.0]))],
+            n_queries=1,
+            checkpoint_dir=ck,
+            checkpoint_every=1,
+            resume=True,
+        )
+        assert m_b[0]["iter"] == 1  # fresh run: lineage did not match
+        assert not np.allclose(s_a, s_b)  # and the scores differ
+    finally:
+        sg.shutdown()
+
+
+def test_resume_truncates_stale_metrics(small_transcripts, tmp_path):
+    """metrics.jsonl drops the abandoned tail on resume so per-iter
+    records never appear twice."""
+    import json as _json
+    import os as _os
+
+    g = build_graph(rd.read_parquet(small_transcripts), str(tmp_path / "g"))
+    ck = str(tmp_path / "ck")
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=3)
+    try:
+        connected_components(sg, max_iter=3, checkpoint_dir=ck, checkpoint_every=2)
+    finally:
+        sg.shutdown()
+    # checkpoints exist for iter 2 only at cadence 2 (run stopped at 3);
+    # metrics hold iters 1..3 — the resume point is 2, so iter 3 is stale
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=3)
+    try:
+        connected_components(sg, checkpoint_dir=ck, checkpoint_every=2, resume=True)
+    finally:
+        sg.shutdown()
+    with open(_os.path.join(ck, "metrics.jsonl")) as f:
+        iters = [_json.loads(l)["iter"] for l in f]
+    assert iters == sorted(set(iters)), f"duplicate iteration records: {iters}"
+
+
+def test_route_reset_rejects_out_of_range_vids(small_transcripts, tmp_path):
+    """Stale seeds from a different graph raise instead of silently
+    losing reset mass."""
+    import ray
+
+    from hipporag_ray.algos.iterate import personalized_pagerank
+
+    g = build_graph(rd.read_parquet(small_transcripts), str(tmp_path / "g"))
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=2)
+    bad = rd.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array([0, g.n_vertices + 7], pa.int64()),
+                "query_idx": pa.array([0, 0], pa.int64()),
+                "weight": pa.array([1.0, 1.0], pa.float64()),
+            }
+        )
+    )
+    try:
+        with pytest.raises(ray.exceptions.RayTaskError, match="outside"):
+            personalized_pagerank(sg, reset_dataset=bad, n_queries=1)
+    finally:
+        sg.shutdown()
+
+
+def test_md5_hex_null_tolerant():
+    """Null strings hash as '' on both the dictionary and long-string
+    paths (a null ingest row must not kill insert_strings)."""
+    from hipporag_ray.functions.hashing import md5_hex, stable_hash64
+
+    short = pa.array(["a", None, "b"], pa.string())
+    got = md5_hex(short).to_pylist()
+    want_empty = md5_hex(pa.array([""], pa.string())).to_pylist()[0]
+    assert got[1] == want_empty and got[0] != got[1]
+    long_vals = pa.array(["x" * 100, None], pa.string())
+    got_long = md5_hex(long_vals).to_pylist()
+    assert got_long[1] == want_empty
+    h = stable_hash64(pa.array(["a", None], pa.string()))
+    assert h[1] == stable_hash64(pa.array([""], pa.string()))[0]
