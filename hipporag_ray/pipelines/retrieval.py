@@ -272,10 +272,9 @@ class HippoRagEngine:
         return n_chunks, n_entities
 
     def _fact_parts(self) -> list[str]:
-        out = []
-        for root, _dirs, files in os.walk(self.facts_dir):
-            out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
-        return sorted(out)
+        from ..state.parts import walk_parts
+
+        return walk_parts(self.facts_dir)
 
     def _insert_facts(self, ds: "rd.Dataset") -> int:
         """Extract deterministic triples from the new turns, dedup by
@@ -287,7 +286,7 @@ class HippoRagEngine:
         node keys) so query-time fact->entity mapping
         (HippoRAG.py:1446-1481) is a plain join, never a re-parse."""
         from ..functions.hashing import entity_key as _ekey
-        from ..stages.shuffle import hash_distinct, hash_join
+        from ..state.parts import new_rows_vs_parts, next_batch_dir
         from ..stages.triples import extract_triples, fact_rows
 
         with_ck = ds.map_batches(
@@ -319,30 +318,12 @@ class HippoRagEngine:
             )
 
         keyed = rows.map_batches(add_keys, batch_format="pyarrow")
-        deduped = hash_distinct(keyed, "pair_key")
-        parts = self._fact_parts()
-        if parts:
-            stored = rd.read_parquet(parts, columns=["pair_key"])
-            new_rows = hash_join(deduped, stored, "pair_key", how="leftanti")
-        else:
-            new_rows = deduped
-        new_rows = new_rows.materialize()
+        new_rows = new_rows_vs_parts(
+            keyed, "pair_key", self._fact_parts()
+        ).materialize()
         n_new = new_rows.count()
         if n_new:
-            n_batches = (
-                len(
-                    [
-                        d
-                        for d in os.listdir(self.facts_dir)
-                        if os.path.isdir(os.path.join(self.facts_dir, d))
-                    ]
-                )
-                if os.path.isdir(self.facts_dir)
-                else 0
-            )
-            new_rows.write_parquet(
-                os.path.join(self.facts_dir, f"batch-{n_batches:05d}")
-            )
+            new_rows.write_parquet(next_batch_dir(self.facts_dir))
             self.fact_store.insert_strings(
                 new_rows.map_batches(
                     lambda b: pa.table({"content": b["content"]}),

@@ -246,10 +246,9 @@ class EmbeddingStore:
         os.makedirs(self.dir, exist_ok=True)
 
     def _parts(self) -> list[str]:
-        out = []
-        for root, _dirs, files in os.walk(self.dir):
-            out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
-        return sorted(out)
+        from .parts import walk_parts
+
+        return walk_parts(self.dir)
 
     def count(self) -> int:
         return sum(pq.ParquetFile(p).metadata.num_rows for p in self._parts())
@@ -284,7 +283,7 @@ class EmbeddingStore:
         the incoming batch.  Returns the number of new rows written."""
         import ray
 
-        from ..stages.shuffle import hash_distinct, hash_join
+        from .parts import new_rows_vs_parts
 
         prefix = self.prefix
 
@@ -294,13 +293,9 @@ class EmbeddingStore:
                 {"hash_id": md5_hex(content, prefix=prefix), "content": content}
             )
 
-        deduped = hash_distinct(ds.map_batches(keyed, batch_format="pyarrow"), "hash_id")
-        parts = self._parts()
-        if parts:
-            stored_keys = rd.read_parquet(parts, columns=["hash_id"])
-            new_rows = hash_join(deduped, stored_keys, "hash_id", how="leftanti")
-        else:
-            new_rows = deduped
+        new_rows = new_rows_vs_parts(
+            ds.map_batches(keyed, batch_format="pyarrow"), "hash_id", self._parts()
+        )
         # the distinct exchange can emit ONE large block (its partition
         # heuristic optimizes the shuffle, not this consumer) — an
         # explicit batch_size splits it so embedding parallelizes.
@@ -330,10 +325,9 @@ class EmbeddingStore:
         if n_new == 0:
             return 0
         # streamed append: one subdirectory of parts per insert call
-        n_batches = len(
-            [d for d in os.listdir(self.dir) if os.path.isdir(os.path.join(self.dir, d))]
-        )
-        embedded.write_parquet(os.path.join(self.dir, f"batch-{n_batches:05d}"))
+        from .parts import next_batch_dir
+
+        embedded.write_parquet(next_batch_dir(self.dir))
         return n_new
 
     def delete(self, hash_ids: set[str]) -> int:

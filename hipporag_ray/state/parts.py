@@ -1,0 +1,60 @@
+"""Shared helpers for append-only keyed parquet stores.
+
+Both persistent stores in the engine — the embedding store
+(state/embedding_store.py, reference embedding_store.py:63-90) and the
+fact table (pipelines/retrieval.py) — follow the same pattern: parquet
+parts accumulate under batch-NNNNN subdirectories, and an insert is
+first-wins dedup of the incoming rows plus a distributed left anti
+join against the stored key column.  One definition here so behavior
+fixes (part discovery rules, batch numbering, the anti-join shape)
+cannot diverge between the two stores.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+
+def walk_parts(root: str) -> list[str]:
+    """All .parquet part files under ``root``, sorted (stable read
+    order across processes)."""
+    out: list[str] = []
+    for r, _dirs, files in os.walk(root):
+        out.extend(os.path.join(r, f) for f in files if f.endswith(".parquet"))
+    return sorted(out)
+
+
+def next_batch_dir(root: str) -> str:
+    """Path for the next ``batch-NNNNN`` append directory.  Counts only
+    subDIRECTORIES: a stray file (e.g. a leftover .tmp) must not skew
+    the numbering into colliding with an existing batch."""
+    n = (
+        len(
+            [
+                d
+                for d in os.listdir(root)
+                if os.path.isdir(os.path.join(root, d))
+            ]
+        )
+        if os.path.isdir(root)
+        else 0
+    )
+    return os.path.join(root, f"batch-{n:05d}")
+
+
+def new_rows_vs_parts(
+    ds: "rd.Dataset", key_col: str, parts: list[str]
+) -> "rd.Dataset":
+    """First-wins dedup of ``ds`` by ``key_col``, then a distributed
+    left anti join against the stored parts' key column (J3) — the
+    stored keys are column-pruned at the read and never collected to
+    the driver."""
+    from ..stages.shuffle import hash_distinct, hash_join
+
+    deduped = hash_distinct(ds, key_col)
+    if not parts:
+        return deduped
+    stored = rd.read_parquet(parts, columns=[key_col])
+    return hash_join(deduped, stored, key_col, how="leftanti")
