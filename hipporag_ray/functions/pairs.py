@@ -51,3 +51,41 @@ def segment_pairs(
     else:  # pragma: no cover - caller bug
         raise ValueError(f"unknown mode {mode!r}")
     return values[i_idx[keep]], values[j_idx[keep]]
+
+
+def segment_windows_dedup(
+    values: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-segment consecutive 3-windows over ``values`` (segment i
+    holds ``counts[i]`` consecutive values), exact-deduped per segment
+    by (s, p, o) with ONE global lexsort — no Python loop over
+    segments.  Returns ``(seg, s, p, o)`` sorted by (seg, s, p, o).
+
+    The single definition of the window/dedup index arithmetic shared
+    by the broadcast edge path (vid windows), the join-path window
+    reduce, and the triple extractor (string windows) — these three
+    must stay byte-equivalent for the build paths to agree (tests
+    assert the equality).  Works on int64 and object (string) value
+    arrays (np.lexsort handles object dtype)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    wc = np.maximum(counts - 2, 0)
+    M = int(wc.sum())
+    if M == 0:
+        return np.zeros(0, dtype=np.int64), values[:0], values[:0], values[:0]
+    seg = np.repeat(np.arange(len(counts), dtype=np.int64), wc)
+    wstart = np.concatenate([[0], np.cumsum(wc)[:-1]]).astype(np.int64)
+    base = offs[:-1][seg] + (np.arange(M, dtype=np.int64) - wstart[seg])
+    s, p, o = values[base], values[base + 1], values[base + 2]
+    order = np.lexsort((o, p, s, seg))
+    g2, s2, p2, o2 = seg[order], s[order], p[order], o[order]
+    first = np.concatenate(
+        [
+            [True],
+            (g2[1:] != g2[:-1])
+            | (s2[1:] != s2[:-1])
+            | (p2[1:] != p2[:-1])
+            | (o2[1:] != o2[:-1]),
+        ]
+    )
+    return g2[first], s2[first], p2[first], o2[first]

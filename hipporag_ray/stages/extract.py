@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -57,14 +58,26 @@ class ExtractMentions:
         out_ent = entities
 
         if self.include_role_tool:
-            # role is always present; tool only when non-empty.  These are
-            # normalized through the same rule so downstream treats them
-            # uniformly.  They are the intentional hub entities.
-            role = text_processing(batch["role"]).to_numpy(zero_copy_only=False)
-            tool = text_processing(batch["tool"]).to_numpy(zero_copy_only=False)
-            tool_mask = np.array([t != "" for t in tool])
-            extra_ent = np.concatenate([role, tool[tool_mask]])
-            extra_rows = np.concatenate([np.arange(len(batch)), np.nonzero(tool_mask)[0]])
+            # role/tool mention rows only when non-empty after
+            # normalization (the schema is nullable and a punctuation-only
+            # role would otherwise become an artificial empty-string hub
+            # entity).  Normalized through the same rule so downstream
+            # treats them uniformly.  They are the intentional hub
+            # entities.  fill_null: a null must neither crash np.unique
+            # nor emit a mention.  dtype=bool: an empty batch otherwise
+            # yields a float64 mask that crashes fancy indexing.
+            role = pc.fill_null(text_processing(batch["role"]), "").to_numpy(
+                zero_copy_only=False
+            )
+            tool = pc.fill_null(text_processing(batch["tool"]), "").to_numpy(
+                zero_copy_only=False
+            )
+            role_mask = np.array([r != "" for r in role], dtype=bool)
+            tool_mask = np.array([t != "" for t in tool], dtype=bool)
+            extra_ent = np.concatenate([role[role_mask], tool[tool_mask]])
+            extra_rows = np.concatenate(
+                [np.nonzero(role_mask)[0], np.nonzero(tool_mask)[0]]
+            )
             out_conv = np.concatenate([out_conv, conv[extra_rows]])
             out_tidx = np.concatenate([out_tidx, tidx[extra_rows]])
             out_ckey = np.concatenate([out_ckey, ckey[extra_rows]])

@@ -56,6 +56,21 @@ def _to_chunk_rows(batch: pa.Table) -> pa.Table:
     return pa.table({"chunk_key": md5_hex(text, prefix="chunk-"), "text": text})
 
 
+
+def _check_code_capacity(n_vertices: int) -> None:
+    """The single-int64 shuffle key ``(src*n + dst)*2 + flag`` needs
+    ``2*n^2 < 2^63`` (n < ~2.1e9).  numpy int64 wraps SILENTLY past
+    that, merging unrelated edges — raise instead.  The documented
+    scale path beyond this is a (src, dst, etype) struct key through
+    the same exchanges (not yet implemented)."""
+    n = int(n_vertices)
+    if n and 2 * n * n >= 2**63:
+        raise NotImplementedError(
+            f"n_vertices={n} overflows the int64 edge code "
+            "(needs 2*n^2 < 2^63); the struct-key shuffle path for "
+            ">2.1e9-vertex graphs is not implemented"
+        )
+
 class ChunkToIntEdgePartials:
     """Deduped chunk batch -> locally pre-aggregated *vid-coded* edge
     partial rows.
@@ -71,8 +86,9 @@ class ChunkToIntEdgePartials:
       aggregation shuffle entirely;
     * fact partial rows coded ``src_vid * n_vertices + dst_vid``
       (both orientations, no self-loops, per-batch pre-summed with
-      np.unique) — requires ``n_vertices**2 < 2**63``; beyond that the
-      code column becomes the (src, dst) pair itself.
+      np.unique) — requires ``2*n_vertices**2 < 2**63`` (checked at
+      construction; the struct-key path beyond ~2.1e9 vertices is not
+      implemented).
     """
 
     def __init__(
@@ -94,6 +110,7 @@ class ChunkToIntEdgePartials:
           Windows run over the min_token_len-filtered token sequence so
           every subject/object is a graph entity.
         """
+        _check_code_capacity(n_vertices)
         self.vmap_ref = vmap_ref
         self.n = n_vertices
         self.min_token_len = min_token_len
@@ -139,8 +156,7 @@ class ChunkToIntEdgePartials:
             code_n = np.zeros(0, dtype=np.int64)
 
         # single int64 shuffle key: (src*n + dst) * 2 + is_fact
-        # (requires 2*n^2 < 2^63, i.e. n < 2.1e9; beyond that the key
-        # becomes a (src, dst, etype) struct in the same shuffle)
+        # (2*n^2 < 2^63 checked by _check_code_capacity at construction)
         code2 = np.concatenate([p_code * 2, code_u * 2 + 1])
         w = np.concatenate([np.ones(len(p_code)), code_n.astype(np.float64)])
         return pa.table(
@@ -165,6 +181,8 @@ class ChunkToIntEdgePartials:
 
         from ..functions.text import tokenize
 
+        from ..functions.pairs import segment_windows_dedup
+
         toks = tokenize(norm)
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
@@ -176,30 +194,8 @@ class ChunkToIntEdgePartials:
         keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) >= self.min_token_len
         words, rows = words[keep], rows[keep]
         counts = np.bincount(rows, minlength=n_rows)
-        offs2 = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         vid_seq = uniq_vids[np.searchsorted(uniq_ents, words)]
-        wc = np.maximum(counts - 2, 0)
-        M = int(wc.sum())
-        if M == 0:
-            z = np.zeros(0, dtype=np.int64)
-            return z, z
-        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), wc)
-        wstart = np.concatenate([[0], np.cumsum(wc)[:-1]]).astype(np.int64)
-        within = np.arange(M, dtype=np.int64) - wstart[row_of]
-        base = offs2[:-1][row_of] + within
-        s, p, o = vid_seq[base], vid_seq[base + 1], vid_seq[base + 2]
-        order = np.lexsort((o, p, s, row_of))
-        r2, s2, p2, o2 = row_of[order], s[order], p[order], o[order]
-        first = np.concatenate(
-            [
-                [True],
-                (r2[1:] != r2[:-1])
-                | (s2[1:] != s2[:-1])
-                | (p2[1:] != p2[:-1])
-                | (o2[1:] != o2[:-1]),
-            ]
-        )
-        s3, o3 = s2[first], o2[first]
+        _, s3, _, o3 = segment_windows_dedup(vid_seq, counts)
         ne = s3 != o3  # no self loops (HippoRAG.py:1064)
         s3, o3 = s3[ne], o3[ne]
         return np.concatenate([s3, o3]), np.concatenate([o3, s3])
@@ -270,6 +266,8 @@ def _window_pairs_reduce(group_col: str, val_col: str, pos_col: str, *shards) ->
     shards = [s for s in shards if s.num_rows]
     if not shards:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    from ..functions.pairs import segment_windows_dedup
+
     tbl = pa.concat_tables(shards).combine_chunks()
     g = tbl[group_col].to_numpy(zero_copy_only=False)
     v = tbl[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -278,26 +276,7 @@ def _window_pairs_reduce(group_col: str, val_col: str, pos_col: str, *shards) ->
     g, v = g[order], v[order]
     gstarts = np.concatenate([[0], np.nonzero(g[1:] != g[:-1])[0] + 1]).astype(np.int64)
     counts = np.diff(np.concatenate([gstarts, [len(g)]]))
-    wc = np.maximum(counts - 2, 0)
-    M = int(wc.sum())
-    if M == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    seg = np.repeat(np.arange(len(counts), dtype=np.int64), wc)
-    wstart = np.concatenate([[0], np.cumsum(wc)[:-1]]).astype(np.int64)
-    base = gstarts[seg] + (np.arange(M, dtype=np.int64) - wstart[seg])
-    s, pr, o = v[base], v[base + 1], v[base + 2]
-    order2 = np.lexsort((o, pr, s, seg))
-    g2, s2, p2, o2 = seg[order2], s[order2], pr[order2], o[order2]
-    first = np.concatenate(
-        [
-            [True],
-            (g2[1:] != g2[:-1])
-            | (s2[1:] != s2[:-1])
-            | (p2[1:] != p2[:-1])
-            | (o2[1:] != o2[:-1]),
-        ]
-    )
-    s3, o3 = s2[first], o2[first]
+    _, s3, _, o3 = segment_windows_dedup(v, counts)
     ne = s3 != o3
     s3, o3 = s3[ne], o3[ne]
     return pa.table(
@@ -322,6 +301,7 @@ def _partials_via_join(
     ChunkToIntEdgePartials (verified equal in tests)."""
     from .shuffle import _plain_split, grouped_pairs, hash_join
 
+    _check_code_capacity(n_vertices)
     n = int(n_vertices)
     ordered = edge_source == "triples"
     ment = chunks.map_batches(
@@ -623,13 +603,21 @@ def extract_chunks_resumable(
     pending: list[tuple[str, str]] = []
     entries: list[dict] = []
     root = os.path.abspath(tx_path)
+    expected_dirs: set[str] = set()
     for in_file in files:
         # shard name from the tx-relative path, not the basename: two
         # input files part-0.parquet in different subdirectories must
-        # map to two distinct partitions
+        # map to two distinct partitions.  A short path hash makes the
+        # stem injective — `a/b.parquet` and `a__b.parquet` would
+        # otherwise collide on one partition and clobber each other
+        # every run
+        from ..functions.hashing import md5_hex as _md5
+
         rel = os.path.relpath(os.path.abspath(in_file), root)
-        stem = os.path.splitext(rel)[0].replace(os.sep, "__")
+        tag = _md5([rel]).to_pylist()[0][:8]
+        stem = f"{os.path.splitext(rel)[0].replace(os.sep, '__')}-{tag}"
         part_dir = os.path.join(chunks_dir, f"shard={stem}")
+        expected_dirs.add(os.path.basename(part_dir))
         meta_path = os.path.join(part_dir, "_meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
@@ -641,6 +629,14 @@ def extract_chunks_resumable(
 
             _shutil.rmtree(part_dir)  # stale partition: input changed
         pending.append((in_file, part_dir))
+
+    # prune partitions whose input file no longer exists — a deleted
+    # input must not keep contributing chunks to every later build
+    import shutil as _shutil
+
+    for d in os.listdir(chunks_dir):
+        if d.startswith("shard=") and d not in expected_dirs:
+            _shutil.rmtree(os.path.join(chunks_dir, d), ignore_errors=True)
 
     done = ray.get(
         [_extract_shard.remote(f, d, text_col) for f, d in pending]
@@ -852,10 +848,15 @@ def delete_chunks_from_graph(
     from .shuffle import int_key_sum, range_sort
 
     os.makedirs(out_dir, exist_ok=True)
-    # the graph's manifest records how its fact edges were produced —
+    # the graph's manifest records how its edges were produced — the
     # incremental math must match it regardless of the caller's config
+    # (a mismatched min_token_len would generate entity keys absent
+    # from the stored vertex table, or silently skip short-token
+    # partials from the subtraction)
     with open(os.path.join(graph.out_dir, "manifest.json")) as _f:
-        edge_source = json.load(_f).get("edge_source", edge_source)
+        _m = json.load(_f)
+    edge_source = _m.get("edge_source", edge_source)
+    min_token_len = _m.get("min_token_len", min_token_len)
     n = int(graph.n_vertices)
 
     del_tbl = pa.table({"text": pa.array(sorted(set(texts)), type=pa.string())})
@@ -1157,10 +1158,14 @@ def build_graph_incremental(
     from .shuffle import hash_distinct, int_key_sum, range_sort
 
     os.makedirs(out_dir, exist_ok=True)
-    # the graph's manifest records how its fact edges were produced —
+    # the graph's manifest records how its edges were produced — the
     # incremental math must match it regardless of the caller's config
+    # (min_token_len too: a mismatch desyncs the new partials from the
+    # stored vertex vocabulary)
     with open(os.path.join(graph.out_dir, "manifest.json")) as _f:
-        edge_source = json.load(_f).get("edge_source", edge_source)
+        _m = json.load(_f)
+    edge_source = _m.get("edge_source", edge_source)
+    min_token_len = _m.get("min_token_len", min_token_len)
     old_vertices = graph.vertices().materialize()
     n_old_keys = int(graph.n_vertices)
     broadcast_keys = n_old_keys <= broadcast_vertex_limit
@@ -1250,10 +1255,14 @@ def build_graph_incremental(
     vertices = old_vertices.union(vnew_ids.select_columns(old_vertices.schema().names)).materialize()
     n_vertices = vertices.count()
     vdir = os.path.join(out_dir, "vertices")
-    if os.path.abspath(out_dir) == os.path.abspath(graph.out_dir):
-        import shutil as _sh
+    # clear unconditionally (not only for in-place rebuilds): Ray's
+    # write_parquet APPENDS, so a retry into a pre-existing out_dir
+    # would otherwise leave two full copies of every vertex row behind
+    # a manifest claiming the fresh count — the same hazard the
+    # edges/adj writes below already guard against
+    import shutil as _sh
 
-        _sh.rmtree(vdir, ignore_errors=True)
+    _sh.rmtree(vdir, ignore_errors=True)
     _write_table_dir(vertices, vdir, "vertices")
 
     # --- new partials + re-encoded old edges, one merged sum ---

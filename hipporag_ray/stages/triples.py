@@ -97,50 +97,22 @@ class ExtractTriples:
             counts = np.bincount(rows, minlength=n_rows)
             offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         counts = np.diff(offsets)
-        wc = np.maximum(counts - 2, 0)  # 3-token windows per row
-        M = int(wc.sum())
         id_arrays = {c: batch[c].to_numpy(zero_copy_only=False) for c in self.id_cols}
-        if M == 0:
-            return pa.table(
-                {
-                    **{
-                        c: pa.array(v[:0], type=batch[c].type)
-                        for c, v in id_arrays.items()
-                    },
-                    "subj": pa.array([], pa.string()),
-                    "pred": pa.array([], pa.string()),
-                    "obj": pa.array([], pa.string()),
-                }
-            )
-        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), wc)
-        wstart = np.concatenate([[0], np.cumsum(wc)[:-1]]).astype(np.int64)
-        within = np.arange(M, dtype=np.int64) - wstart[row_of]
-        base = offsets[:-1][row_of] + within
-        s, p, o = flat[base], flat[base + 1], flat[base + 2]
+        # per-row consecutive 3-windows + exact dedup
+        # (filter_invalid_triples semantics) via the shared kernel —
+        # one global lexsort, no Python loop over rows
+        from ..functions.pairs import segment_windows_dedup
 
-        # per-row exact dedup (filter_invalid_triples semantics; one
-        # global lexsort, no Python loop over rows)
-        order = np.lexsort((o, p, s, row_of))
-        r2, s2, p2, o2 = row_of[order], s[order], p[order], o[order]
-        first = np.concatenate(
-            [
-                [True],
-                (r2[1:] != r2[:-1])
-                | (s2[1:] != s2[:-1])
-                | (p2[1:] != p2[:-1])
-                | (o2[1:] != o2[:-1]),
-            ]
-        )
-        r3 = r2[first]
+        r3, s3, p3, o3 = segment_windows_dedup(flat, counts)
         return pa.table(
             {
                 **{
                     c: pa.array(v[r3], type=batch[c].type)
                     for c, v in id_arrays.items()
                 },
-                "subj": pa.array(s2[first], pa.string()),
-                "pred": pa.array(p2[first], pa.string()),
-                "obj": pa.array(o2[first], pa.string()),
+                "subj": pa.array(s3, pa.string()),
+                "pred": pa.array(p3, pa.string()),
+                "obj": pa.array(o3, pa.string()),
             }
         )
 
@@ -233,7 +205,8 @@ def triple_to_docs(triples: "rd.Dataset", doc_col: str) -> "rd.Dataset":
             }
         )
 
+    # no materialize: hash_distinct consumes streaming block refs, so
+    # the _pair-augmented table (this operator's largest intermediate)
+    # is never pinned whole in the object store
     out = triples.map_batches(fn, batch_format="pyarrow")
-    return hash_distinct(out.materialize(), "_pair").select_columns(
-        ["fact_key", doc_col]
-    )
+    return hash_distinct(out, "_pair").select_columns(["fact_key", doc_col])

@@ -135,3 +135,42 @@ def test_write_transcripts_atomic_publish(tmp_path):
         if f.endswith(".parquet")
     )
     assert n_stale == 15
+
+
+def test_extract_mentions_null_role_tool_and_empty_batch():
+    """Null role/tool (nullable schema), punctuation-only role, null
+    text, and a zero-row batch all pass through ExtractMentions: no
+    crash, no empty-string hub entity."""
+    import pyarrow as pa
+
+    from hipporag_ray.stages.extract import ExtractMentions
+
+    def mk(rows):
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+                "tool": pa.array([r[4] for r in rows], pa.string()),
+            }
+        )
+
+    em = ExtractMentions()
+    out = em(
+        mk(
+            [
+                ("c", 0, "user", "hello world entityaaa", None),
+                ("c", 1, None, "foo barbar baz", "search"),
+                ("c", 2, "???", "xyzzy quux", ""),
+                ("c", 3, "user", None, "python"),
+            ]
+        )
+    ).to_pandas()
+    assert "" not in set(out["entity"])
+    ents_by_turn = out.groupby("turn_idx")["entity"].apply(set).to_dict()
+    assert ents_by_turn[0] == {"hello", "world", "entityaaa", "user"}
+    assert ents_by_turn[1] == {"foo", "barbar", "baz", "search"}  # no role
+    assert ents_by_turn[2] == {"xyzzy", "quux"}  # punct-only role dropped
+    assert ents_by_turn[3] == {"user", "python"}  # null text ok
+    assert len(em(mk([]))) == 0

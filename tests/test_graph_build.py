@@ -185,3 +185,93 @@ def test_incremental_join_path_matches_broadcast(ray_session, tmp_path):
             a = want[2].sort_values(cols).reset_index(drop=True)
             b = g.edges().to_pandas().sort_values(cols).reset_index(drop=True)
             pd.testing.assert_frame_equal(a, b)
+
+
+def test_incremental_config_follows_manifest(small_transcripts, tmp_path, ray_session):
+    """delete/incremental read min_token_len (like edge_source) from the
+    graph manifest: a caller default that differs from the build's must
+    not desync the subtraction from the stored vertex vocabulary."""
+    from hipporag_ray.stages.graph_build import delete_chunks_from_graph
+
+    tx = rd.read_parquet(small_transcripts)
+    g = build_graph(tx, str(tmp_path / "g4"), min_token_len=4)
+    texts = tx.take(3)
+    # caller passes the (wrong) default min_token_len=3 — manifest wins
+    g2 = delete_chunks_from_graph(
+        [r["text"] for r in texts], g, str(tmp_path / "g4_del")
+    )
+    rebuilt = build_graph(
+        tx.filter(lambda r: r["text"] not in {t["text"] for t in texts}),
+        str(tmp_path / "g4_rebuild"),
+        min_token_len=4,
+    )
+    assert g2.n_vertices == rebuilt.n_vertices
+    assert g2.n_edges == rebuilt.n_edges
+
+
+def test_incremental_retry_does_not_duplicate_vertices(
+    small_transcripts, tmp_path, ray_session
+):
+    import os
+    """A retried incremental build into the SAME fresh out_dir must not
+    append a second copy of the vertex table (write_parquet appends)."""
+    from hipporag_ray.stages.graph_build import build_graph_incremental
+
+    tx = rd.read_parquet(small_transcripts).materialize()
+    base = build_graph(tx.limit(100).materialize(), str(tmp_path / "base"))
+    new = tx.limit(150).materialize()
+    out = str(tmp_path / "inc")
+    g1 = build_graph_incremental(new, base, out)
+    g2 = build_graph_incremental(new, base, out)  # retry into same dir
+    assert g2.n_vertices == g1.n_vertices
+    import pyarrow.parquet as pq
+    import glob
+
+    rows = sum(
+        pq.ParquetFile(p).metadata.num_rows
+        for p in glob.glob(os.path.join(out, "vertices", "**", "*.parquet"), recursive=True)
+    )
+    assert rows == g2.n_vertices
+
+
+def test_resumable_extract_prunes_deleted_inputs(tmp_path, ray_session):
+    """A shard partition whose input file was deleted must not keep
+    contributing chunks to later builds; and two relative paths that
+    collapse to the same '__'-joined stem get distinct partitions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import os
+
+    from hipporag_ray.stages.graph_build import extract_chunks_resumable
+
+    txd = tmp_path / "tx"
+    (txd / "a").mkdir(parents=True)
+    pq.write_table(pa.table({"text": ["alpha bravo charlie"]}), str(txd / "a" / "b.parquet"))
+    pq.write_table(pa.table({"text": ["delta echo foxtrot"]}), str(txd / "a__b.parquet"))
+    cd = str(tmp_path / "chunks")
+    entries = extract_chunks_resumable(str(txd), cd)
+    shard_dirs = sorted(d for d in os.listdir(cd) if d.startswith("shard="))
+    assert len(shard_dirs) == 2  # stems injective despite the collision
+    assert rd.read_parquet(cd).count() == 2
+    # delete one input; its partition must be pruned on the next run
+    os.remove(str(txd / "a__b.parquet"))
+    extract_chunks_resumable(str(txd), cd)
+    assert rd.read_parquet(cd).count() == 1
+
+
+def test_edge_code_capacity_guard():
+    """n_vertices past the int64 code range raises instead of silently
+    wrapping and merging unrelated edges."""
+    import pytest as _pytest
+
+    from hipporag_ray.stages.graph_build import (
+        ChunkToIntEdgePartials,
+        _check_code_capacity,
+    )
+
+    _check_code_capacity(2_000_000_000)  # fits
+    with _pytest.raises(NotImplementedError, match="overflows"):
+        _check_code_capacity(3_000_000_000)
+    with _pytest.raises(NotImplementedError):
+        ChunkToIntEdgePartials(None, 3_000_000_000)
