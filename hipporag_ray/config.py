@@ -9,7 +9,7 @@ fields have no analog.  Defaults mirror the reference where one exists
 
 from __future__ import annotations
 
-from dataclasses import asdict, dataclass, field, fields
+from dataclasses import asdict, dataclass, fields
 
 
 @dataclass(frozen=True)

@@ -32,30 +32,40 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
+
+def _normalize_channels(arr: np.ndarray, ndim_gray: int):
+    """Gray / RGB / RGBA dispatch shared by encode_png and encode_apng
+    (``ndim_gray`` = rank of the grayscale form): returns
+    ``(color_type, channels, array-with-channel-axis)``."""
+    if arr.ndim == ndim_gray:
+        return 0, 1, arr[..., None]
+    if arr.ndim == ndim_gray + 1 and arr.shape[-1] == 3:
+        return 2, 3, arr
+    if arr.ndim == ndim_gray + 1 and arr.shape[-1] == 4:
+        return 6, 4, arr
+    raise ValueError(f"unsupported image shape {arr.shape}")
+
+
+def _filter0_deflate(img: np.ndarray, h: int, w: int, c: int) -> bytes:
+    """Filter-0 scanlines (one 0 byte per row) + deflate — the ONE
+    definition of the compressed-image-data layout used by both the
+    single-image and the APNG encoder."""
+    raw = np.empty((h, 1 + w * c), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = img.reshape(h, w * c)
+    return zlib.compress(raw.tobytes(), 6)
+
+
 def encode_png(img: np.ndarray) -> bytes:
     """(h, w) | (h, w, 3) | (h, w, 4) uint8 -> PNG bytes (filter 0)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        color_type, c = 0, 1
-        flat = img[:, :, None]
-    elif img.ndim == 3 and img.shape[2] == 3:
-        color_type, c = 2, 3
-        flat = img
-    elif img.ndim == 3 and img.shape[2] == 4:
-        color_type, c = 6, 4
-        flat = img
-    else:
-        raise ValueError(f"unsupported image shape {img.shape}")
+    color_type, c, flat = _normalize_channels(img, 2)
     h, w = flat.shape[:2]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    # filter byte 0 prepended to each scanline
-    raw = np.empty((h, 1 + w * c), dtype=np.uint8)
-    raw[:, 0] = 0
-    raw[:, 1:] = flat.reshape(h, w * c)
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _chunk(b"IDAT", _filter0_deflate(flat, h, w, c))
         + _chunk(b"IEND", b"")
     )
 
@@ -91,6 +101,10 @@ def decode_png(data: bytes) -> np.ndarray:
                 )
             if interlace:
                 raise ValueError("interlaced PNG unsupported")
+            if width == 0 or height == 0:
+                # invalid per spec; a (h, 0) image would otherwise
+                # "decode" and poison downstream features with NaN
+                raise ValueError(f"invalid PNG dimensions {width}x{height}")
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
@@ -194,26 +208,10 @@ def encode_apng(frames: np.ndarray, fps: int = 24) -> bytes:
     frames are fcTL + one fdAT each, full-canvas, blend SOURCE.
     """
     frames = np.ascontiguousarray(frames, dtype=np.uint8)
-    if frames.ndim == 3:
-        color_type, c = 0, 1
-        flat = frames[:, :, :, None]
-    elif frames.ndim == 4 and frames.shape[3] == 3:
-        color_type, c = 2, 3
-        flat = frames
-    elif frames.ndim == 4 and frames.shape[3] == 4:
-        color_type, c = 6, 4
-        flat = frames
-    else:
-        raise ValueError(f"unsupported frame stack shape {frames.shape}")
+    color_type, c, flat = _normalize_channels(frames, 3)
     n, h, w = flat.shape[:3]
     if n == 0:
         raise ValueError("APNG needs at least one frame")
-
-    def _scanlines(img: np.ndarray) -> bytes:  # filter 0 rows
-        raw = np.empty((h, 1 + w * c), dtype=np.uint8)
-        raw[:, 0] = 0
-        raw[:, 1:] = img.reshape(h, w * c)
-        return zlib.compress(raw.tobytes(), 6)
 
     out = bytearray(_SIG)
     out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
@@ -223,7 +221,7 @@ def encode_apng(frames: np.ndarray, fps: int = 24) -> bytes:
         fctl = struct.pack(">IIIIIHHBB", seq, w, h, 0, 0, 1, fps, 0, 0)
         seq += 1
         out += _chunk(b"fcTL", fctl)
-        data = _scanlines(flat[i])
+        data = _filter0_deflate(flat[i], h, w, c)
         if i == 0:
             out += _chunk(b"IDAT", data)
         else:

@@ -61,7 +61,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 else:
                     raise ValueError(f"unsupported PCM bit depth {bits}")
             elif fmt_code == 3 and bits == 32:  # IEEE float
-                raw = np.frombuffer(body, dtype="<f4").astype(np.float64)
+                # clip: IEEE-float WAV legally carries samples outside
+                # [-1, 1]; the documented return contract is [-1, 1]
+                # (encode_wav clips on the way in, so round-trips agree)
+                raw = np.clip(
+                    np.frombuffer(body, dtype="<f4").astype(np.float64), -1.0, 1.0
+                )
             else:
                 raise ValueError(f"unsupported WAV format code {fmt_code}/{bits}")
             if channels and channels > 1:
@@ -89,12 +94,16 @@ def audio_features(samples: np.ndarray, sample_rate: int, n_bands: int = 8) -> d
     rms = float(np.sqrt(np.mean(samples**2)))
     zcr = float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
     spec = np.abs(np.fft.rfft(samples))
-    freqs = np.fft.rfftfreq(n, d=1.0 / max(sample_rate, 1))
+    # one effective rate for BOTH the frequency grid and the band
+    # edges: a declared rate < 2 would otherwise put the upper bands
+    # entirely above the highest representable frequency
+    eff_rate = max(sample_rate, 2)
+    freqs = np.fft.rfftfreq(n, d=1.0 / eff_rate)
     power = spec**2
     total = power.sum()
     centroid = float((freqs * power).sum() / total) if total > 0 else 0.0
     # log-spaced bands over (0, nyquist]
-    nyq = max(sample_rate, 2) / 2.0
+    nyq = eff_rate / 2.0
     edges = np.concatenate([[0.0], np.geomspace(nyq / 2**(n_bands - 1), nyq, n_bands)])
     band = np.zeros(n_bands)
     for b in range(n_bands):

@@ -67,21 +67,33 @@ def read_samples_jsonl(path: str, limit: int | None = None) -> list[dict]:
     out = []
     with open(path) as f:
         for line in f:
+            if limit is not None and len(out) >= limit:
+                break
             line = line.strip()
             if not line:
                 continue
             out.append(json.loads(line))
-            if limit is not None and len(out) >= limit:
-                break
     return out
 
 
-def get_gold_docs(samples: list[dict], dataset_name: str = "") -> list[list[str]]:
+def get_gold_docs(
+    samples: list[dict], dataset_name: str | None = None
+) -> list[list[str]]:
     """Gold supporting docs per sample — the three shapes of
-    main.py:17-42 (dedup via set, as the reference does)."""
+    main.py:17-42 (dedup via set, as the reference does).
+
+    ``dataset_name`` is REQUIRED for supporting_facts-shaped samples
+    (hotpotqa joins gold sentences with '', 2wiki with ' '): defaulting
+    one way would silently produce gold strings that never match the
+    other dataset's corpus docs and recall would evaluate to 0."""
     gold_docs = []
     for sample in samples:
         if "supporting_facts" in sample:  # hotpotqa / 2wiki
+            if dataset_name is None:
+                raise ValueError(
+                    "dataset_name is required for supporting_facts samples "
+                    "(hotpotqa vs 2wiki gold formatting differs)"
+                )
             gold_title = {item[0] for item in sample["supporting_facts"]}
             picked = [item for item in sample["context"] if item[0] in gold_title]
             if dataset_name.startswith("hotpotqa"):

@@ -62,6 +62,7 @@ def test_corpus_and_jsonl_readers(tmp_path):
     jl.write_text("\n".join(json.dumps({"question": f"q{i}", "answer": f"a{i}"}) for i in range(5)))
     assert len(read_samples_jsonl(str(jl))) == 5
     assert len(read_samples_jsonl(str(jl), limit=2)) == 2
+    assert read_samples_jsonl(str(jl), limit=0) == []
 
 
 def test_gold_extractors():
@@ -93,6 +94,14 @@ def test_gold_extractors():
     assert docs[2] == ["C\ntc"]
     answers = get_gold_answers(samples)
     assert answers[0] == {"ans"}
+    # supporting_facts samples REQUIRE a dataset name (hotpotqa joins
+    # gold sentences with '', 2wiki with ' ' — a silent default would
+    # produce gold docs that never match the corpus)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dataset_name"):
+        get_gold_docs(samples)
+    assert get_gold_docs(samples, "2wikimultihopqa")[0] == ["T1\ns1  s2"]
     assert answers[1] == {"a1", "a2"}
     assert answers[2] == {"r"}
 
