@@ -156,8 +156,10 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 )
                 return 0
+            from hipporag_ray.sources.readers import read_transcripts
+
             g = build_graph(
-                rd.read_parquet(args.input, columns=["text"]),
+                read_transcripts(args.input, columns=["text"]),
                 args.out,
                 args.min_token_len,
                 edge_source=args.edge_source,
@@ -170,8 +172,13 @@ def main(argv: list[str] | None = None) -> int:
 
             from hipporag_ray.pipelines.retrieval import HippoRagEngine
 
+            from hipporag_ray.sources.readers import read_transcripts
+
             eng = HippoRagEngine(args.workdir)
-            stats = eng.index(rd.read_parquet(args.input))
+            # full rows (index persists the corpus batch as-is), but
+            # schema-validated so a malformed input fails with a clear
+            # error instead of deep inside tokenization
+            stats = eng.index(read_transcripts(args.input))
             eng.close()
             print(json.dumps(stats))
             return 0
@@ -204,7 +211,11 @@ def main(argv: list[str] | None = None) -> int:
 
             ds = rd.read_parquet(args.input)
             id_cols = [c for c in ("conv_id", "turn_idx") if c in ds.schema().names]
-            out = extract_triples(ds, id_cols, min_token_len=args.min_token_len)
+            # materialize once: write + count would otherwise each
+            # re-execute the whole extraction over the input
+            out = extract_triples(
+                ds, id_cols, min_token_len=args.min_token_len
+            ).materialize()
             out.write_parquet(args.out)
             print(json.dumps({"out": args.out, "n_triples": out.count()}))
             return 0

@@ -131,9 +131,12 @@ def triangle_count(
     codes = u.astype(np.int64) * n_vertices + v
     csr_ref = ray.put((indptr, v, np.sort(codes)))
 
+    # one table -> one block -> ONE map task; repartition so the
+    # O(m*sqrt(m)) wedge-count stage (the dominant cost) parallelizes
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     oriented = rd.from_arrow(
         pa.table({"u": pa.array(u, type=pa.int64()), "v": pa.array(v, type=pa.int64())})
-    )
+    ).repartition(min(cpus, max(1, len(u) // 4096)))
 
     def count_batch(batch: pa.Table) -> pa.Table:
         """Fully vectorized wedge check: for each oriented edge (u, v),

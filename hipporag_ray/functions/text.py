@@ -56,10 +56,12 @@ def distinct_tokens_per_row(
     lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
     words = flat.to_numpy(zero_copy_only=False)
     row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offsets))
-    if min_len > 1:
-        keep = lens >= min_len
-        words = words[keep]
-        row_ids = row_ids[keep]
+    # always drop length-0 tokens: Arrow's split of '' yields [''] (not
+    # [] like str.split), so min_len <= 1 would otherwise emit a
+    # phantom empty-string entity for every empty/punct-only row
+    keep = lens >= max(min_len, 1)
+    words = words[keep]
+    row_ids = row_ids[keep]
     if len(words) == 0:
         return pa.ListArray.from_arrays(
             pa.array(np.zeros(n_rows + 1, dtype=np.int64), type=pa.int32()),

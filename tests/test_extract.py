@@ -174,3 +174,18 @@ def test_extract_mentions_null_role_tool_and_empty_batch():
     assert ents_by_turn[2] == {"xyzzy", "quux"}  # punct-only role dropped
     assert ents_by_turn[3] == {"user", "python"}  # null text ok
     assert len(em(mk([]))) == 0
+
+
+def test_distinct_tokens_no_phantom_empty_token():
+    """Arrow's split of '' yields [''], unlike str.split(); at
+    min_len <= 1 the kernel must still drop length-0 tokens or every
+    empty/punct-only row grows a phantom '' entity."""
+    import pyarrow as pa
+
+    from hipporag_ray.functions.text import distinct_tokens_per_row, text_processing
+
+    norm = text_processing(pa.array(["", "...!!", "a bb a", None]))
+    toks = distinct_tokens_per_row(norm, min_len=1)
+    assert toks.to_pylist() == [[], [], ["a", "bb"], []]
+    toks0 = distinct_tokens_per_row(norm, min_len=0)
+    assert toks0.to_pylist() == [[], [], ["a", "bb"], []]
