@@ -879,6 +879,148 @@ def q_events_user_value_salted(sf_dir: str):
     return _round(out, {"sum_value": 2})
 
 
+def q_doc_pii_redact(sf_dir: str):
+    """PII scrub (email/IPv4/phone -> typed placeholders) — the
+    standard pre-training redaction stage, vectorized RE2 kernels
+    (stages/textstats.py::pii_redact)."""
+    return ts.pii_redact(_docs(sf_dir), "text", "doc_id")
+
+
+def q_doc_tfidf(sf_dir: str):
+    """Full (doc, term) TF-IDF table: one tokenizing scan + ONE term
+    hash exchange (df = in-partition group size, idf join free)."""
+    docs = _docs(sf_dir)
+    n_docs = docs.count()
+    out = ts.tfidf(docs, "text", "doc_id", n_docs).to_pandas()
+    return _round(out, {"tfidf": 6})
+
+
+def q_events_quantiles(sf_dir: str):
+    """Exact per-type p50/p90/p99 of events.value via distributed
+    histogram refinement (stages/agg.py::group_quantiles) — no sort,
+    no per-group collection; percentile_disc semantics so the result
+    is an actual data value (bit-exact vs the SQL oracle)."""
+    from ..stages.agg import group_quantiles
+
+    tbl = group_quantiles(
+        _events(sf_dir).select_columns(["event_type", "value"]),
+        "event_type",
+        "value",
+        [0.5, 0.9, 0.99],
+    )
+    return tbl.to_pandas()
+
+
+def q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, hour): all prefix aggregation levels
+    in one scan + one exchange (stages/agg.py::rollup_sum_count);
+    rolled-up keys surface as '(all)'."""
+    from ..stages.agg import rollup_sum_count
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        # cast to second precision first: Arrow's %S renders the
+        # fractional part for sub-second timestamp units
+        hour = pc.strftime(
+            pc.floor_temporal(batch["ts"], unit="hour").cast(pa.timestamp("s")),
+            format="%Y-%m-%d %H:%M:%S",
+        )
+        return pa.table(
+            {"event_type": batch["event_type"], "hour": hour, "value": batch["value"]}
+        )
+
+    out = (
+        rollup_sum_count(
+            _events(sf_dir).map_batches(keyed, batch_format="pyarrow"),
+            ["event_type", "hour"],
+            "value",
+        )
+        .to_pandas()
+    )
+    out["event_type"] = out["event_type"].fillna("(all)")
+    out["hour"] = out["hour"].fillna("(all)")
+    return _round(out, {"sum_value": 2})
+
+
+def q_events_moving_avg(sf_dir: str):
+    """Sliding-window mean (3 preceding + current) per user ordered by
+    (ts, event_id): hash exchange on user, then one vectorized
+    shifted-add kernel per key-complete partition — the ROWS BETWEEN
+    window shape without per-group dispatch."""
+    from ..stages.shuffle import hash_partition
+
+    ev = _events(sf_dir).select_columns(["user_id", "ts", "event_id", "value"])
+    parts = hash_partition(ev.materialize(), "user_id")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()), "mov_avg": pa.array([], pa.float64())}
+            )
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = batch["ts"].to_numpy(zero_copy_only=False)
+        e = batch["event_id"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((e, t, u))
+        u, e, v = u[order], e[order], v[order]
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        ustart = np.zeros(len(u), dtype=np.int64)
+        idx = np.nonzero(new_user)[0]
+        ustart[idx] = idx
+        ustart = np.maximum.accumulate(ustart)
+        pos = np.arange(len(u), dtype=np.int64) - ustart
+        # forward-order shifted adds = sequential v[i-3]+v[i-2]+v[i-1]+v[i]
+        s = np.zeros(len(u), dtype=np.float64)
+        for back in (3, 2, 1, 0):
+            m = pos >= back
+            s[m] += v[np.nonzero(m)[0] - back]
+        w = np.minimum(pos + 1, 4).astype(np.float64)
+        return pa.table(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "mov_avg": pa.array(_round_away(s / w, 6), pa.float64()),
+            }
+        )
+
+    return parts.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+
+
+def q_events_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: 2 rows per event_type, chosen
+    by md5(event_id) order — reproducible sampling whose SQL twin is a
+    row_number() window, one hash exchange + a vectorized per-partition
+    top-n."""
+    from ..functions.hashing import md5_hex
+    from ..stages.shuffle import hash_partition
+
+    ev = _events(sf_dir).select_columns(["event_type", "event_id"])
+    parts = hash_partition(ev.materialize(), "event_type")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()), "event_id": pa.array([], pa.int64())}
+            )
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        h = md5_hex(eid.astype(str).astype(object)).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, h, et))
+        et, eid = et[order], eid[order]
+        new = np.concatenate([[True], et[1:] != et[:-1]])
+        starts = np.zeros(len(et), dtype=np.int64)
+        idx = np.nonzero(new)[0]
+        starts[idx] = idx
+        starts = np.maximum.accumulate(starts)
+        keep = (np.arange(len(et)) - starts) < 2
+        return pa.table(
+            {
+                "event_type": pa.array(et[keep], pa.string()),
+                "event_id": pa.array(eid[keep], pa.int64()),
+            }
+        )
+
+    return parts.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no SQL equivalent; verified by pytest oracles)
 # ---------------------------------------------------------------------------
@@ -1429,6 +1571,12 @@ QUERIES = {
     "tx_lp": q_tx_lp,
     "tx_triangles": q_tx_triangles,
     "tx_eval_recall": q_tx_eval_recall,
+    "doc_pii_redact": q_doc_pii_redact,
+    "doc_tfidf": q_doc_tfidf,
+    "events_quantiles": q_events_quantiles,
+    "events_rollup": q_events_rollup,
+    "events_moving_avg": q_events_moving_avg,
+    "events_stratified_sample": q_events_stratified_sample,
 }
 
 
@@ -1788,5 +1936,85 @@ ORACLE_SQL = {
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
     """,
     "tx_triangles": None,  # pytest oracle (triangles_oracle)
+    # PII rules applied in sequence; counts run against the
+    # progressively redacted text exactly like the Ray kernel
+    "doc_pii_redact": r"""
+        WITH r1 AS (
+          SELECT doc_id, text,
+                 len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+                 regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '[EMAIL]', 'g') AS t1
+          FROM documents
+        ), r2 AS (
+          SELECT doc_id, c1,
+                 len(regexp_extract_all(t1,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c2,
+                 regexp_replace(t1,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                     '[IP]', 'g') AS t2
+          FROM r1
+        )
+        SELECT doc_id,
+               regexp_replace(t2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b',
+                              '[PHONE]', 'g') AS redacted,
+               CAST(c1 + c2 + len(regexp_extract_all(t2,
+                    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_pii
+        FROM r2
+    """,
+    "doc_tfidf": f"""
+        {_TOK_CTE},
+        tc AS (
+          SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY 1, 2
+        ), dft AS (
+          SELECT term, count(*) AS df FROM tc GROUP BY 1
+        )
+        SELECT tc.doc_id, tc.term,
+               CAST(tc.tf AS BIGINT) AS tf,
+               CAST(dft.df AS BIGINT) AS df,
+               round(tc.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                                / dft.df), 6) AS tfidf
+        FROM tc JOIN dft USING (term)
+    """,
+    "events_quantiles": """
+        SELECT event_type, 0.5 AS q, quantile_disc(value, 0.5) AS value
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 0.9 AS q, quantile_disc(value, 0.9) AS value
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 0.99 AS q, quantile_disc(value, 0.99) AS value
+        FROM events GROUP BY event_type
+    """,
+    "events_rollup": """
+        WITH e AS (
+          SELECT event_type,
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                 value
+          FROM events
+        )
+        SELECT coalesce(event_type, '(all)') AS event_type,
+               coalesce(hour, '(all)') AS hour,
+               round(sum(value), 2) AS sum_value,
+               CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY ROLLUP(event_type, hour)
+    """,
+    "events_moving_avg": """
+        SELECT event_id,
+               round(avg(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+        FROM events
+    """,
+    "events_stratified_sample": """
+        SELECT event_type, event_id FROM (
+          SELECT event_type, event_id,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+          FROM events
+        ) WHERE rn <= 2
+    """,
 }
 ORACLE_SQL = {k: v for k, v in ORACLE_SQL.items() if v is not None}

@@ -55,3 +55,339 @@ def salted_sum(
         .groupby(keys)
         .aggregate(Sum(alias, alias_name=alias))
     )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP (multi-level) sum+count
+# ---------------------------------------------------------------------------
+
+_RK_SEP = "\x1f"
+_RK_NULL = "\x00"
+
+
+def rollup_sum_count(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value: str,
+    alias: str = "sum_value",
+    count_alias: str = "n",
+) -> "ray.data.Dataset":
+    """SQL ``GROUP BY ROLLUP(keys...)`` over string key columns:
+    sum(value) + count(*) at every key prefix level, rolled-up levels
+    carrying NULL keys (the grand total has every key NULL).
+
+    One input scan: the map side pre-aggregates every level per batch
+    (len(keys)+1 tiny pandas groupbys over the batch), so the exchange
+    moves at most ``(levels x distinct keys)`` partial rows per block —
+    the single-pass cube-prefix pattern, not one shuffle per level.
+    Reduce side combines partials key-complete after a hash exchange on
+    the composite (level, keys...) string."""
+    import pandas as pd
+
+    from .shuffle import hash_partition
+
+    levels = len(keys) + 1
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # no grand-total partial from empty blocks: an empty INPUT
+            # yields an empty result (vs SQL's one NULL-sum total row)
+            return pa.table(
+                {
+                    **{k: pa.array([], pa.string()) for k in keys},
+                    alias: pa.array([], pa.float64()),
+                    count_alias: pa.array([], pa.int64()),
+                    "_rk": pa.array([], pa.string()),
+                }
+            )
+        df = batch.select(keys + [value]).to_pandas()
+        outs = []
+        for lv in range(levels):
+            cols = keys[:lv]
+            if cols:
+                g = df.groupby(cols, sort=False, dropna=False)[value].agg(
+                    ["sum", "count"]
+                ).reset_index()
+            else:
+                g = pd.DataFrame(
+                    {"sum": [df[value].sum()], "count": [len(df)]}
+                )
+            part = pd.DataFrame(index=range(len(g)))
+            for k in keys:
+                part[k] = g[k].to_numpy() if k in cols else None
+            part[alias] = g["sum"].astype(float).to_numpy()
+            part[count_alias] = g["count"].astype("int64").to_numpy()
+            rk = np.full(len(g), str(lv), dtype=object)
+            for k in cols:
+                rk = rk + _RK_SEP + g[k].astype(str).to_numpy(dtype=object)
+            part["_rk"] = rk
+            outs.append(part)
+        out = pd.concat(outs, ignore_index=True)
+        return pa.table(
+            {
+                **{k: pa.array(out[k], type=pa.string()) for k in keys},
+                alias: pa.array(out[alias], type=pa.float64()),
+                count_alias: pa.array(out[count_alias], type=pa.int64()),
+                "_rk": pa.array(out["_rk"], type=pa.string()),
+            }
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                **{k: pa.array([], pa.string()) for k in keys},
+                alias: pa.array([], pa.float64()),
+                count_alias: pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "_rk" not in batch.column_names:
+            return empty
+        df = batch.to_pandas()
+        g = df.groupby("_rk", sort=True, dropna=False)
+        agg = g.agg(
+            **{alias: (alias, "sum"), count_alias: (count_alias, "sum")},
+            **{k: (k, "first") for k in keys},
+        ).reset_index(drop=True)
+        return pa.table(
+            {
+                **{k: pa.array(agg[k], type=pa.string()) for k in keys},
+                alias: pa.array(agg[alias], type=pa.float64()),
+                count_alias: pa.array(agg[count_alias], type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    return hash_partition(parts, "_rk").map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact grouped quantiles (histogram refinement)
+# ---------------------------------------------------------------------------
+
+
+def _disc_rank(q: float, n: int) -> int:
+    """0-based rank of the discrete quantile (percentile_disc /
+    DuckDB quantile_disc): smallest value whose cumulative share is
+    >= q, i.e. ``ceil(q*n) - 1`` — with a snap for q*n values that are
+    mathematically integral but land just above the integer in float."""
+    import math
+
+    x = q * n
+    if abs(x - round(x)) < 1e-9:
+        x = round(x)
+    return max(0, int(math.ceil(x)) - 1)
+
+
+def group_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    n_buckets: int = 1024,
+    exact_threshold: int = 262_144,
+    max_rounds: int = 16,
+) -> "pa.Table":
+    """Exact per-group discrete quantiles (percentile_disc semantics)
+    over an unbounded value column WITHOUT ever sorting or collecting a
+    group: iterative histogram refinement.
+
+    Pass 0 scans once for per-group (count, min, max).  Each round then
+    scans once, bucketing every still-unresolved (group, q) target's
+    candidate interval into ``n_buckets`` counted sub-ranges (plus each
+    bucket's true min/max, so runs of duplicates resolve immediately);
+    the driver walks the tiny histogram to find the bucket holding the
+    target rank and shrinks the interval.  A target whose candidate
+    count drops below ``exact_threshold`` is resolved by one final
+    filtered selection pass shared by all such targets.  Driver state is
+    O(groups x qs); every scan is a full-parallel map_batches — the
+    shape that survives a 100-TB value column with a handful of huge
+    groups (the opposite skew of salted_sum's many-small-groups).
+
+    Designed for modest group cardinality (stats fan-in is
+    O(groups x blocks)); very-high-cardinality group keys should use a
+    per-group sort instead.  Returns an arrow table
+    (group_col, q, value) sorted by (group, q)."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+
+    # ---- pass 0: per-group count/min/max (map partials + tiny combine)
+    def stats_partials(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False).astype(str)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        g, v = g[ok], v[ok]
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "vmin": pa.array([], pa.float64()),
+                    "vmax": pa.array([], pa.float64()),
+                }
+            )
+        order = np.argsort(g, kind="stable")
+        g, v = g[order], v[order]
+        starts = np.concatenate([[0], np.nonzero(g[1:] != g[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [len(g)]])
+        return pa.table(
+            {
+                "g": pa.array(g[starts], pa.string()),
+                "cnt": pa.array(ends - starts, pa.int64()),
+                "vmin": pa.array(np.minimum.reduceat(v, starts), pa.float64()),
+                "vmax": pa.array(np.maximum.reduceat(v, starts), pa.float64()),
+            }
+        )
+
+    import pandas as pd
+
+    stats_df = ds.map_batches(stats_partials, batch_format="pyarrow").to_pandas()
+    if stats_df.empty:  # all-empty dataset loses its schema on to_pandas
+        return pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "q": pa.array([], pa.float64()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    stats = (
+        stats_df.groupby("g")
+        .agg(cnt=("cnt", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max"))
+        .sort_index()
+    )
+
+    # targets: one per (group, q); resolved[value] filled as they finish
+    targets = []  # dicts: g, q, rank (residual, 0-based within interval), lo, hi
+    results: dict[tuple[str, float], float] = {}
+    for gname, row in stats.iterrows():
+        n = int(row["cnt"])
+        for q in qs:
+            r = _disc_rank(q, n)
+            if row["vmin"] == row["vmax"]:
+                results[(gname, q)] = float(row["vmin"])
+            else:
+                targets.append(
+                    {
+                        "g": gname,
+                        "q": q,
+                        "rank": r,
+                        "lo": float(row["vmin"]),
+                        "hi": float(row["vmax"]),
+                        "cand": n,
+                    }
+                )
+
+    def hist_round(active: list[dict]) -> np.ndarray:
+        """One counting scan; returns (T, n_buckets) counts plus per-
+        bucket min/max, stacked as (T*K,) arrays keyed by code."""
+        spec = [(t["g"], t["lo"], t["hi"]) for t in active]
+        K = n_buckets
+
+        def fn(batch: pa.Table) -> pa.Table:
+            g = batch[group_col].to_numpy(zero_copy_only=False).astype(str)
+            v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            codes, cnts, vmins, vmaxs = [], [], [], []
+            for ti, (gname, lo, hi) in enumerate(spec):
+                m = (g == gname) & (v >= lo) & (v <= hi)
+                if not m.any():
+                    continue
+                vv = v[m]
+                edges = np.linspace(lo, hi, K + 1)
+                b = np.clip(np.searchsorted(edges, vv, side="right") - 1, 0, K - 1)
+                order = np.argsort(b, kind="stable")
+                b, vv = b[order], vv[order]
+                starts = np.concatenate([[0], np.nonzero(b[1:] != b[:-1])[0] + 1])
+                ends = np.concatenate([starts[1:], [len(b)]])
+                codes.append(ti * K + b[starts])
+                cnts.append(ends - starts)
+                vmins.append(np.minimum.reduceat(vv, starts))
+                vmaxs.append(np.maximum.reduceat(vv, starts))
+            if not codes:
+                return pa.table(
+                    {
+                        "code": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                        "vmin": pa.array([], pa.float64()),
+                        "vmax": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "code": pa.array(np.concatenate(codes), pa.int64()),
+                    "cnt": pa.array(np.concatenate(cnts), pa.int64()),
+                    "vmin": pa.array(np.concatenate(vmins), pa.float64()),
+                    "vmax": pa.array(np.concatenate(vmaxs), pa.float64()),
+                }
+            )
+
+        hist = (
+            ds.map_batches(fn, batch_format="pyarrow")
+            .to_pandas()
+            .groupby("code")
+            .agg(cnt=("cnt", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max"))
+        )
+        return hist
+
+    for _ in range(max_rounds):
+        active = [t for t in targets if (t["g"], t["q"]) not in results]
+        # exact-selection targets are handled after the loop
+        active = [t for t in active if t["cand"] > exact_threshold]
+        if not active:
+            break
+        hist = hist_round(active)
+        K = n_buckets
+        for ti, t in enumerate(active):
+            sub = hist.loc[(hist.index >= ti * K) & (hist.index < (ti + 1) * K)]
+            cum = 0
+            for code, row in sub.iterrows():
+                c = int(row["cnt"])
+                if t["rank"] < cum + c:
+                    if row["vmin"] == row["vmax"]:
+                        results[(t["g"], t["q"])] = float(row["vmin"])
+                    else:
+                        t["lo"], t["hi"] = float(row["vmin"]), float(row["vmax"])
+                        t["rank"] -= cum
+                        t["cand"] = c
+                    break
+                cum += c
+
+    # ---- final exact pass, shared by all small-candidate targets ----
+    pend = [t for t in targets if (t["g"], t["q"]) not in results]
+    if pend:
+        spec = [(t["g"], t["lo"], t["hi"]) for t in pend]
+
+        def collect(batch: pa.Table) -> pa.Table:
+            g = batch[group_col].to_numpy(zero_copy_only=False).astype(str)
+            v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            tis, vals = [], []
+            for ti, (gname, lo, hi) in enumerate(spec):
+                m = (g == gname) & (v >= lo) & (v <= hi)
+                if m.any():
+                    vals.append(v[m])
+                    tis.append(np.full(int(m.sum()), ti, dtype=np.int64))
+            if not tis:
+                return pa.table(
+                    {"ti": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {
+                    "ti": pa.array(np.concatenate(tis), pa.int64()),
+                    "v": pa.array(np.concatenate(vals), pa.float64()),
+                }
+            )
+
+        cand = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+        for ti, t in enumerate(pend):
+            vv = np.sort(cand.loc[cand["ti"] == ti, "v"].to_numpy())
+            results[(t["g"], t["q"])] = float(vv[t["rank"]])
+
+    gs = sorted({g for g, _ in results})
+    rows = [(g, q, results[(g, q)]) for g in gs for q in sorted(qs)]
+    return pa.table(
+        {
+            group_col: pa.array([r[0] for r in rows], pa.string()),
+            "q": pa.array([r[1] for r in rows], pa.float64()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )

@@ -199,3 +199,137 @@ def fingerprint(
         return pa.table({id_col: batch[id_col], "fp": pa.array(fps, type=pa.string())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# RE2 patterns (identical engine in Arrow and DuckDB, so the SQL oracle
+# is `regexp_replace(..., 'g')` with the same strings); ORDER MATTERS —
+# email before phone so the local part's digits never half-match
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+]
+
+
+def pii_redact(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
+    """(id, redacted, n_pii): replace emails / IPv4s / phone numbers
+    with typed placeholders; ``n_pii`` counts the matches removed.
+    Fully vectorized (one ``replace_substring_regex`` +
+    ``count_substring_regex`` kernel pair per rule per batch) — the
+    standard pre-training scrub stage."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n = np.zeros(len(batch), dtype=np.int64)
+        for pat, repl in PII_RULES:
+            n += (
+                pc.count_substring_regex(txt, pat)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            txt = pc.replace_substring_regex(txt, pat, repl)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "redacted": txt,
+                "n_pii": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def tfidf(
+    ds: "rd.Dataset", text_col: str, id_col: str, n_docs: int
+) -> "rd.Dataset":
+    """(id, term, tf, df, tfidf): term frequency x ln(N/df) over the
+    normalized whitespace tokens of each document.
+
+    Plan: one tokenizing scan emits complete per-document term counts
+    (a document is one row, so tf needs no combine), then ONE hash
+    exchange on term co-locates every posting of a term — df is the
+    group size and the idf join is free (same block), so the whole op
+    is one shuffle.  ``n_docs`` is the corpus size for idf (a count()
+    the caller already has)."""
+    from .shuffle import hash_partition
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        norm = text_processing(batch[text_col])
+        toks = tokenize(norm)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(batch), dtype=np.int64), np.diff(offs))
+        # an all-empty text row tokenizes to one '' token — not a term
+        keep = flat != ""
+        flat, rows = flat[keep], rows[keep]
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch[id_col].type),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        # count (row, term) pairs in one lexsort pass
+        order = np.lexsort((flat, rows))
+        r, t = rows[order], flat[order]
+        new = np.concatenate([[True], (r[1:] != r[:-1]) | (t[1:] != t[:-1])])
+        starts = np.nonzero(new)[0]
+        cnt = np.diff(np.concatenate([starts, [len(r)]]))
+        return pa.table(
+            {
+                id_col: pa.array(ids[r[starts]]),
+                "term": pa.array(t[starts], pa.string()),
+                "tf": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "tfidf": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0 or "term" not in batch.column_names:
+            return empty
+        terms = batch["term"].to_numpy(zero_copy_only=False)
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(terms, kind="stable")
+        t = terms[order]
+        starts = np.concatenate([[0], np.nonzero(t[1:] != t[:-1])[0] + 1])
+        sizes = np.diff(np.concatenate([starts, [len(t)]]))
+        df = np.empty(len(t), dtype=np.int64)
+        df[order] = np.repeat(sizes, sizes)
+        val = tf * np.log(n_docs / df)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "term": batch["term"],
+                "tf": batch["tf"],
+                "df": pa.array(df, pa.int64()),
+                "tfidf": pa.array(val, pa.float64()),
+            }
+        )
+
+    parts = hash_partition(
+        ds.map_batches(term_counts, batch_format="pyarrow"), "term"
+    )
+    return parts.map_batches(score, batch_format="pyarrow", batch_size=None)

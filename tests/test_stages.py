@@ -402,3 +402,139 @@ def test_resize_image_degenerate_dims():
     out = ResizeImage(max_side=32)(rt).to_pandas()
     assert out["width"].tolist() == [1, 0, 32]
     assert out["height"].tolist() == [32, 0, 16]
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redact_rules():
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "mail bob.smith+x@corp.example.COM now"},
+            {"doc_id": 2, "text": "from 10.0.0.1 to 192.168.255.3."},
+            {"doc_id": 3, "text": "call 555-123-4567 or 555.987.6543"},
+            {"doc_id": 4, "text": "clean row, nothing to scrub"},
+            {"doc_id": 5, "text": "a@b.io at 127.0.0.1 dials 111-222-3333"},
+        ]
+    )
+    out = (
+        ts.pii_redact(ds, "text", "doc_id").to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[1, "redacted"] == "mail [EMAIL] now"
+    assert out.loc[2, "redacted"] == "from [IP] to [IP]."
+    assert out.loc[3, "redacted"] == "call [PHONE] or [PHONE]"
+    assert out.loc[4, "redacted"] == "clean row, nothing to scrub"
+    assert out.loc[5, "redacted"] == "[EMAIL] at [IP] dials [PHONE]"
+    assert out["n_pii"].tolist() == [1, 2, 2, 0, 3]
+
+
+def test_tfidf_matches_formula():
+    docs = [
+        {"doc_id": 0, "text": "alpha beta beta"},
+        {"doc_id": 1, "text": "alpha gamma"},
+        {"doc_id": 2, "text": "delta!"},
+        {"doc_id": 3, "text": ""},
+    ]
+    out = (
+        ts.tfidf(rd.from_items(docs), "text", "doc_id", n_docs=4)
+        .to_pandas()
+        .set_index(["doc_id", "term"])
+        .sort_index()
+    )
+    # alpha: df=2; beta: df=1 tf=2; delta: df=1
+    assert out.loc[(0, "beta"), "tf"] == 2
+    assert out.loc[(0, "beta"), "df"] == 1
+    assert np.isclose(out.loc[(0, "beta"), "tfidf"], 2 * np.log(4 / 1))
+    assert out.loc[(0, "alpha"), "df"] == 2
+    assert np.isclose(out.loc[(1, "alpha"), "tfidf"], np.log(4 / 2))
+    # normalization strips punctuation -> 'delta'
+    assert out.loc[(2, "delta"), "tf"] == 1
+    assert len(out) == 5  # (0,alpha) (0,beta) (1,alpha) (1,gamma) (2,delta)
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact quantiles / rollup
+# ---------------------------------------------------------------------------
+
+
+def _disc_oracle(vals: np.ndarray, q: float) -> float:
+    import math
+
+    x = q * len(vals)
+    if abs(x - round(x)) < 1e-9:
+        x = round(x)
+    return float(np.sort(vals)[max(0, int(math.ceil(x)) - 1)])
+
+
+def test_group_quantiles_exact_vs_sort():
+    from hipporag_ray.stages.agg import group_quantiles
+
+    rng = np.random.default_rng(7)
+    rows = []
+    data = {}
+    for g, n in (("a", 997), ("b", 1024), ("c", 3)):
+        v = np.round(rng.normal(size=n) * 100, 3)
+        data[g] = v
+        rows += [{"g": g, "v": float(x)} for x in v]
+    # duplicate-heavy group: histogram must resolve via bucket min==max
+    data["d"] = np.array([5.0] * 500 + [9.0] * 500)
+    rows += [{"g": "d", "v": float(x)} for x in data["d"]]
+    ds = rd.from_items(rows)
+    qs = [0.5, 0.9, 0.99, 0.25]
+    # tiny exact_threshold + few buckets forces multiple histogram rounds
+    tbl = group_quantiles(
+        ds, "g", "v", qs, n_buckets=8, exact_threshold=16, max_rounds=32
+    ).to_pandas()
+    for _, r in tbl.iterrows():
+        assert r["value"] == _disc_oracle(data[r["g"]], r["q"]), (
+            r["g"],
+            r["q"],
+        )
+    assert len(tbl) == 4 * len(qs)
+
+
+def test_group_quantiles_single_value_group():
+    from hipporag_ray.stages.agg import group_quantiles
+
+    ds = rd.from_items([{"g": "x", "v": 2.5}] * 10)
+    tbl = group_quantiles(ds, "g", "v", [0.5, 0.99]).to_pandas()
+    assert tbl["value"].tolist() == [2.5, 2.5]
+
+
+def test_rollup_sum_count_vs_pandas():
+    from hipporag_ray.stages.agg import rollup_sum_count
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k1": rng.choice(["x", "y", "z"], n),
+            "k2": rng.choice(["p", "q"], n),
+            "v": np.round(rng.uniform(0, 10, n), 2),
+        }
+    )
+    out = (
+        rollup_sum_count(rd.from_pandas(df), ["k1", "k2"], "v")
+        .to_pandas()
+        .fillna("(all)")
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    # level 2
+    lv2 = df.groupby(["k1", "k2"])["v"].agg(["sum", "count"]).reset_index()
+    for _, r in lv2.iterrows():
+        row = out[(out["k1"] == r["k1"]) & (out["k2"] == r["k2"])]
+        assert len(row) == 1
+        assert np.isclose(row["sum_value"].iloc[0], r["sum"])
+        assert row["n"].iloc[0] == r["count"]
+    # level 1 + grand total
+    lv1 = df.groupby("k1")["v"].sum()
+    for k1, s in lv1.items():
+        row = out[(out["k1"] == k1) & (out["k2"] == "(all)")]
+        assert np.isclose(row["sum_value"].iloc[0], s)
+    gt = out[(out["k1"] == "(all)") & (out["k2"] == "(all)")]
+    assert np.isclose(gt["sum_value"].iloc[0], df["v"].sum())
+    assert gt["n"].iloc[0] == n
+    assert len(out) == len(lv2) + len(lv1) + 1
