@@ -168,16 +168,6 @@ def test_hub_salting_balances_shards(skew_graph):
 
         return _ray.get([rows(a) for a in sg.actors])
 
-    # expose group sizes via a tiny helper on the actor
-    from hipporag_ray.state import csr as csr_mod
-
-    if not hasattr(csr_mod.GraphShard, "get_group_rows"):
-        def get_group_rows(self):
-            return int(sum(len(g[0]) for g in self.groups))
-
-        csr_mod.GraphShard.get_group_rows = get_group_rows
-        csr_mod.GraphShardActor = ray.remote(csr_mod.GraphShard)
-
     sg_off = ShardedGraph(path, n, n_shards=4, hub_min_degree=10**9)
     try:
         off = group_rows(sg_off)
@@ -225,3 +215,33 @@ def test_rowgroup_stats_bounds_partition_invariant(ray_session, tmp_path):
     np.testing.assert_allclose(
         scores(), scores(bounds_stats_min_rows=0), atol=1e-9
     )
+
+
+def test_multi_shard_hosting_matches_flat(skew_graph):
+    """shards_per_host=2 (packed host processes) is numerically
+    identical to the default dedicated-process pool across PPR, CC and
+    LP — hosting changes process placement only, never the math."""
+    path, n, src, dst, w, hub = skew_graph
+    rng = np.random.default_rng(11)
+    resets = [(rng.choice(n, size=4, replace=False), np.ones(4)) for _ in range(3)]
+
+    def run(**kw):
+        sg = ShardedGraph(path, n, n_shards=4, precise=True, **kw)
+        try:
+            assert len({id(h) for h in getattr(sg, "_hosts")}) == (
+                4 if kw.get("shards_per_host", 1) == 1 else 2
+            )
+            s, _ = personalized_pagerank(
+                sg, resets=resets, n_queries=3, max_iter=8, tol=0.0
+            )
+            c, _ = connected_components(sg)
+            l, _ = label_propagation(sg, max_iter=5)
+            return s, c, l
+        finally:
+            sg.shutdown()
+
+    s1, c1, l1 = run()
+    s2, c2, l2 = run(shards_per_host=2)
+    np.testing.assert_array_equal(s1, s2)  # float64 precise: bit-identical
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(l1, l2)
