@@ -114,6 +114,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--workdir", required=True)
     p.add_argument("--text", action="append", required=True)
 
+    p = sub.add_parser(
+        "query", help="run a catalog pipeline from queries() by name"
+    )
+    p.add_argument("name", nargs="?", default=None, help="omit to list names")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--out", default=None, help="write result parquet here")
+    p.add_argument("--limit", type=int, default=10, help="rows to print")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "synth":
@@ -202,6 +210,46 @@ def main(argv: list[str] | None = None) -> int:
             stats = eng.delete(args.text)
             eng.close()
             print(json.dumps(stats))
+            return 0
+
+        if args.cmd == "query":
+            import pandas as pd
+            import pyarrow as pa
+
+            from hipporag_ray.pipelines.queries import QUERIES
+
+            if args.name is None:
+                print(json.dumps(sorted(QUERIES)))
+                return 0
+            if args.name not in QUERIES:
+                print(json.dumps({"error": f"unknown query {args.name!r}"}))
+                return 2
+            res = QUERIES[args.name](args.sf_dir)
+            if isinstance(res, pa.Table):
+                res = res.to_pandas()
+            elif hasattr(res, "to_pandas") and not isinstance(res, pd.DataFrame):
+                res = res.to_pandas()
+            if args.out:
+                os.makedirs(args.out, exist_ok=True)
+                import pyarrow.parquet as pq
+
+                pq.write_table(
+                    pa.Table.from_pandas(res, preserve_index=False),
+                    os.path.join(args.out, "part-0.parquet"),
+                )
+            print(
+                json.dumps(
+                    {
+                        "name": args.name,
+                        "rows": int(len(res)),
+                        "columns": list(map(str, res.columns)),
+                        "head": json.loads(
+                            res.head(args.limit).to_json(orient="records")
+                        ),
+                        **({"out": args.out} if args.out else {}),
+                    }
+                )
+            )
             return 0
 
         if args.cmd == "triples":

@@ -895,6 +895,17 @@ def q_doc_tfidf(sf_dir: str):
     return _round(out, {"tfidf": 6})
 
 
+_BM25_TERMS = ["table", "fast", "merge", "window"]
+
+
+def q_doc_bm25(sf_dir: str):
+    """Okapi BM25 of every document against a fixed query term set
+    (stages/textstats.py::bm25_score): one posting-pruned corpus scan,
+    tiny df/avgdl aggregates, per-doc int-key sum."""
+    out = ts.bm25_score(_docs(sf_dir), "text", "doc_id", _BM25_TERMS).to_pandas()
+    return _round(out, {"bm25": 6})
+
+
 def q_events_quantiles(sf_dir: str):
     """Exact per-type p50/p90/p99 of events.value via distributed
     histogram refinement (stages/agg.py::group_quantiles) — no sort,
@@ -1573,6 +1584,7 @@ QUERIES = {
     "tx_eval_recall": q_tx_eval_recall,
     "doc_pii_redact": q_doc_pii_redact,
     "doc_tfidf": q_doc_tfidf,
+    "doc_bm25": q_doc_bm25,
     "events_quantiles": q_events_quantiles,
     "events_rollup": q_events_rollup,
     "events_moving_avg": q_events_moving_avg,
@@ -1977,14 +1989,44 @@ ORACLE_SQL = {
                                 / dft.df), 6) AS tfidf
         FROM tc JOIN dft USING (term)
     """,
+    "doc_bm25": f"""
+        {_TOK_CTE},
+        dl AS (
+          SELECT d.doc_id, count(t.tok) AS dl
+          FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+          GROUP BY 1
+        ), stats AS (
+          SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+        ), tf AS (
+          SELECT doc_id, tok AS term, count(*) AS tf FROM tok
+          WHERE tok IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)})
+          GROUP BY 1, 2
+        ), dft AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY 1
+        )
+        SELECT tf.doc_id,
+               round(sum(
+                 ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
+                 * tf.tf * (1.2 + 1)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               ), 6) AS bm25
+        FROM tf
+        JOIN dft USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY 1
+    """,
     "events_quantiles": """
-        SELECT event_type, 0.5 AS q, quantile_disc(value, 0.5) AS value
+        SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+               quantile_disc(value, 0.5) AS value
         FROM events GROUP BY event_type
         UNION ALL
-        SELECT event_type, 0.9 AS q, quantile_disc(value, 0.9) AS value
+        SELECT event_type, CAST(0.9 AS DOUBLE) AS q,
+               quantile_disc(value, 0.9) AS value
         FROM events GROUP BY event_type
         UNION ALL
-        SELECT event_type, 0.99 AS q, quantile_disc(value, 0.99) AS value
+        SELECT event_type, CAST(0.99 AS DOUBLE) AS q,
+               quantile_disc(value, 0.99) AS value
         FROM events GROUP BY event_type
     """,
     "events_rollup": """

@@ -333,3 +333,123 @@ def tfidf(
         ds.map_batches(term_counts, batch_format="pyarrow"), "term"
     )
     return parts.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def bm25_score(
+    ds: "rd.Dataset",
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "rd.Dataset":
+    """(id, bm25): Okapi BM25 of each document against a fixed query
+    term set, idf = ln((N - df + 0.5) / (df + 0.5) + 1) (the Lucene
+    form), over normalized whitespace tokens.
+
+    ONE corpus scan emits a per-doc length row plus a (doc, term, tf,
+    dl) posting row per matched query term — postings are pruned to the
+    query vocabulary at the scan, so everything downstream is
+    O(matched postings), not O(corpus terms).  N / avgdl / per-term df
+    are tiny aggregates of that table; the final per-doc sum is an
+    int-key exchange.  Docs containing no query term score nothing and
+    are omitted (the SQL twin's join semantics)."""
+    import ray as _ray
+
+    from .shuffle import int_key_sum
+
+    qset = np.array(sorted(set(query_terms)))
+
+    def postings(batch: pa.Table) -> pa.Table:
+        norm = text_processing(batch[text_col])
+        toks = tokenize(norm)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(len(batch), dtype=np.int64), np.diff(offs))
+        nz = flat != ""  # all-empty text tokenizes to one '' token
+        flat, rows = flat[nz], rows[nz]
+        dl = np.bincount(rows, minlength=len(batch)).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        pos = np.searchsorted(qset, flat)
+        pos[pos >= len(qset)] = len(qset) - 1
+        m = qset[pos] == flat
+        qrows, qterms = rows[m], flat[m]
+        if len(qrows):
+            order = np.lexsort((qterms, qrows))
+            r, t = qrows[order], qterms[order]
+            new = np.concatenate([[True], (r[1:] != r[:-1]) | (t[1:] != t[:-1])])
+            starts = np.nonzero(new)[0]
+            tf = np.diff(np.concatenate([starts, [len(r)]]))
+            p_doc, p_term = r[starts], t[starts]
+        else:
+            tf = np.zeros(0, dtype=np.int64)
+            p_doc = np.zeros(0, dtype=np.int64)
+            p_term = np.zeros(0, dtype=object)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.concatenate([ids, ids[p_doc]]), pa.int64()
+                ),
+                "term": pa.array(
+                    np.concatenate([np.full(len(batch), "", dtype=object), p_term]),
+                    pa.string(),
+                ),
+                "tf": pa.array(
+                    np.concatenate([np.zeros(len(batch), np.int64), tf]), pa.int64()
+                ),
+                "dl": pa.array(
+                    np.concatenate([dl, dl[p_doc]]), pa.int64()
+                ),
+            }
+        )
+
+    P = ds.map_batches(postings, batch_format="pyarrow").materialize()
+
+    # tiny aggregates: corpus size + avg doc length from the per-doc
+    # rows; per-query-term df from the posting rows
+    from ray.data.aggregate import Count, Sum
+
+    doc_rows = P.filter(expr="term == ''")
+    st = doc_rows.aggregate(Count(), Sum("dl"))
+    n_docs = int(st["count()"])
+    avgdl = (float(st["sum(dl)"]) / n_docs) if n_docs else 0.0
+    dfs = (
+        P.filter(expr="term != ''")
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .to_pandas()
+    )
+    idf = {
+        t: float(np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0))
+        for t, d in zip(dfs["term"], dfs["df"])
+    }
+    idf_ref = _ray.put(idf)
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_numpy(zero_copy_only=False)
+        m = terms != ""
+        if not m.any():
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "bm25": pa.array([], pa.float64())}
+            )
+        imap = _ray.get(idf_ref)
+        tf = batch["tf"].to_numpy(zero_copy_only=False)[m].astype(np.float64)
+        dl = batch["dl"].to_numpy(zero_copy_only=False)[m].astype(np.float64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[m]
+        w = np.array([imap[t] for t in terms[m]])
+        s = w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return pa.table(
+            {id_col: pa.array(ids, pa.int64()), "bm25": pa.array(s, pa.float64())}
+        )
+
+    return int_key_sum(
+        P.map_batches(contrib, batch_format="pyarrow"), id_col, "bm25"
+    )

@@ -33,3 +33,28 @@ def test_engine_from_config(tmp_path):
         str(tmp_path), EngineConfig.from_dict({"embedding_dim": 16, "damping": 0.7})
     )
     assert eng.dim == 16 and eng.damping == 0.7
+
+
+def test_cli_query_subcommand(tmp_path, capsys):
+    """The `query` subcommand exposes the whole catalog by name: list,
+    run with parquet out, and a clean error for unknown names."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from hipporag_ray.__main__ import main
+
+    assert main(["query"]) == 0
+    names = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "doc_stats" in names and "events_quantiles" in names
+
+    out = str(tmp_path / "q_out")
+    rc = main(
+        ["query", "doc_stats", "--sf-dir", "/root/testdata/sf0.001", "--out", out]
+    )
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["rows"] > 0 and rec["out"] == out
+    assert pq.read_table(out).num_rows == rec["rows"]
+
+    assert main(["query", "nosuch"]) == 2

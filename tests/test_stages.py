@@ -538,3 +538,28 @@ def test_rollup_sum_count_vs_pandas():
     assert np.isclose(gt["sum_value"].iloc[0], df["v"].sum())
     assert gt["n"].iloc[0] == n
     assert len(out) == len(lv2) + len(lv1) + 1
+
+
+def test_bm25_matches_formula():
+    docs = [
+        {"doc_id": 0, "text": "table fast table merge"},
+        {"doc_id": 1, "text": "slow row scan"},
+        {"doc_id": 2, "text": "table"},
+        {"doc_id": 3, "text": ""},
+    ]
+    out = (
+        ts.bm25_score(rd.from_items(docs), "text", "doc_id", ["table", "merge"])
+        .to_pandas()
+        .set_index("doc_id")["bm25"]
+        .sort_index()
+    )
+    # N=4 (empty doc counts), df(table)=2, df(merge)=1, avgdl=(4+3+1+0)/4=2
+    def idf(df):
+        return np.log((4 - df + 0.5) / (df + 0.5) + 1)
+
+    def sc(tf, dl, w):
+        return w * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 2.0))
+
+    assert set(out.index) == {0, 2}  # docs without query terms omitted
+    assert np.isclose(out.loc[0], sc(2, 4, idf(2)) + sc(1, 4, idf(1)))
+    assert np.isclose(out.loc[2], sc(1, 1, idf(2)))
