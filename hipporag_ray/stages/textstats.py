@@ -427,11 +427,16 @@ def bm25_score(
         .aggregate(Count(alias_name="df"))
         .to_pandas()
     )
-    idf = {
-        t: float(np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0))
-        for t, d in zip(dfs["term"], dfs["df"])
-    }
-    idf_ref = _ray.put(idf)
+    # sorted (terms, idf) arrays: the per-batch lookup is a vectorized
+    # searchsorted, not a Python dict probe per posting row
+    t_sorted = np.sort(dfs["term"].to_numpy(dtype=object))
+    d_by_t = (
+        dfs.set_index("term").loc[t_sorted, "df"].to_numpy(dtype=np.float64)
+        if len(dfs)
+        else np.zeros(0)
+    )
+    idf_sorted = np.log((n_docs - d_by_t + 0.5) / (d_by_t + 0.5) + 1.0)
+    idf_ref = _ray.put((t_sorted, idf_sorted))
 
     def contrib(batch: pa.Table) -> pa.Table:
         terms = batch["term"].to_numpy(zero_copy_only=False)
@@ -440,11 +445,11 @@ def bm25_score(
             return pa.table(
                 {id_col: pa.array([], pa.int64()), "bm25": pa.array([], pa.float64())}
             )
-        imap = _ray.get(idf_ref)
+        t_arr, i_arr = _ray.get(idf_ref)
         tf = batch["tf"].to_numpy(zero_copy_only=False)[m].astype(np.float64)
         dl = batch["dl"].to_numpy(zero_copy_only=False)[m].astype(np.float64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)[m]
-        w = np.array([imap[t] for t in terms[m]])
+        w = i_arr[np.searchsorted(t_arr, terms[m])]
         s = w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
         return pa.table(
             {id_col: pa.array(ids, pa.int64()), "bm25": pa.array(s, pa.float64())}
