@@ -72,9 +72,11 @@ def rollup_sum_count(
     alias: str = "sum_value",
     count_alias: str = "n",
 ) -> "ray.data.Dataset":
-    """SQL ``GROUP BY ROLLUP(keys...)`` over string key columns:
-    sum(value) + count(*) at every key prefix level, rolled-up levels
-    carrying NULL keys (the grand total has every key NULL).
+    """SQL ``GROUP BY ROLLUP(keys...)`` over NON-NULL string key
+    columns: sum(value) + count(*) at every key prefix level, rolled-up
+    levels carrying NULL keys (the grand total has every key NULL) —
+    so a NULL in an INPUT key is reserved and must be sentinel-encoded
+    by the caller first.
 
     One input scan: the map side pre-aggregates every level per batch
     (len(keys)+1 tiny pandas groupbys over the batch), so the exchange

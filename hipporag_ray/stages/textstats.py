@@ -350,7 +350,8 @@ def bm25_score(
 ) -> "rd.Dataset":
     """(id, bm25): Okapi BM25 of each document against a fixed query
     term set, idf = ln((N - df + 0.5) / (df + 0.5) + 1) (the Lucene
-    form), over normalized whitespace tokens.
+    form), over normalized whitespace tokens.  ``id_col`` must be
+    integer-typed (it rides the int-key sum exchange).
 
     ONE corpus scan emits a per-doc length row plus a (doc, term, tf,
     dl) posting row per matched query term — postings are pruned to the
