@@ -205,6 +205,24 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     t0 = time.perf_counter()
     dd.simhash(docs, "text", "doc_id").count()
     timings["simhash"] = time.perf_counter() - t0
+    # text-analytics family: TF-IDF / BM25 over documents, exact
+    # distributed grouped quantiles over events
+    from hipporag_ray.stages import textstats as _ts
+    from hipporag_ray.stages.agg import group_quantiles as _gq
+
+    t0 = time.perf_counter()
+    _ts.tfidf(docs, "text", "doc_id", docs.count()).count()
+    timings["tfidf"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ts.bm25_score(docs, "text", "doc_id", ["table", "fast", "merge", "window"]).count()
+    timings["bm25"] = time.perf_counter() - t0
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    t0 = time.perf_counter()
+    _gq(ev, "event_type", "value", [0.5, 0.9, 0.99])
+    timings["events_quantiles"] = time.perf_counter() - t0
+
     embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).materialize()
     t0 = time.perf_counter()
     dd.embedding_neardup_pairs(embs, "embedding", "vec_id", threshold=0.45)
