@@ -62,3 +62,23 @@ def test_cc_oracle_is_equivalence(n, m, seed):
     for v in range(n):
         assert comp[comp[v]] == comp[v]
         assert comp[v] <= v
+
+
+@given(
+    st.floats(min_value=0.001, max_value=1.0),
+    st.integers(min_value=1, max_value=10_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_disc_rank_is_percentile_disc(q, n):
+    """_disc_rank(q, n) = smallest 0-based index i with (i+1)/n >= q —
+    the percentile_disc / DuckDB quantile_disc definition — including
+    the float snap for mathematically-integral q*n."""
+    from hipporag_ray.stages.agg import _disc_rank
+
+    r = _disc_rank(q, n)
+    assert 0 <= r < n
+    # cumulative share at r reaches q (within the snap tolerance)...
+    assert (r + 1) / n >= q - 1e-9
+    # ...and r is minimal
+    if r > 0:
+        assert r / n < q + 1e-9
