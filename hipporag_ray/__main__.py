@@ -8,6 +8,8 @@
     python -m hipporag_ray index       --workdir DIR --input TX_DIR
     python -m hipporag_ray retrieve    --workdir DIR --query "..." [--top-k 10] [--dpr]
     python -m hipporag_ray delete      --workdir DIR --text "..." [--text ...]
+    python -m hipporag_ray eval        --workdir DIR --samples F.jsonl [--dataset hotpotqa] [--top-k 10]
+    python -m hipporag_ray query       [NAME] [--sf-dir DIR] [--out DIR]
     python -m hipporag_ray triples     --input TX_DIR --out OUT_DIR
     python -m hipporag_ray synth       --out DIR --convs 100 --turns 10 --vocab 300
 
@@ -115,6 +117,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--text", action="append", required=True)
 
     p = sub.add_parser(
+        "eval",
+        help="retrieval evaluation over a JSONL sample file "
+        "(main.py analog: retrieve per question, Recall@k vs gold docs; "
+        "EM/F1 when samples carry predicted_answer)",
+    )
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--samples", required=True, help="JSONL with question/gold fields")
+    p.add_argument("--dataset", default=None, help="hotpotqa|2wikimultihopqa|musique")
+    p.add_argument("--top-k", type=int, default=10)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--dpr", action="store_true", help="DPR-only baseline")
+
+    p = sub.add_parser(
         "query", help="run a catalog pipeline from queries() by name"
     )
     p.add_argument("name", nargs="?", default=None, help="omit to list names")
@@ -210,6 +225,52 @@ def main(argv: list[str] | None = None) -> int:
             stats = eng.delete(args.text)
             eng.close()
             print(json.dumps(stats))
+            return 0
+
+        if args.cmd == "eval":
+            import ray.data as rd
+
+            from hipporag_ray.pipelines.retrieval import HippoRagEngine
+            from hipporag_ray.sources.readers import (
+                get_gold_answers,
+                get_gold_docs,
+                read_samples_jsonl,
+            )
+            from hipporag_ray.stages.evalops import qa_scores, recall_at_k
+
+            samples = read_samples_jsonl(args.samples, limit=args.limit)
+            questions = [s.get("question", "") for s in samples]
+            try:
+                gold_docs = get_gold_docs(samples, args.dataset)
+            except (KeyError, ValueError):
+                gold_docs = None
+            eng = HippoRagEngine(args.workdir)
+            if args.dpr:
+                results = eng.dpr_retrieve(questions, top_k=args.top_k)
+            else:
+                results = eng.retrieve(questions, top_k=args.top_k)
+            eng.close()
+            report: dict = {"n_samples": len(samples), "top_k": args.top_k}
+            if gold_docs is not None:
+                pairs = rd.from_items(
+                    [
+                        {"pred": r["docs"], "gold": g}
+                        for r, g in zip(results, gold_docs)
+                    ]
+                )
+                report["recall"] = recall_at_k(
+                    pairs, ks=[k for k in (1, 5, args.top_k) if k <= args.top_k]
+                )
+            if all("predicted_answer" in s for s in samples) and samples:
+                gold_answers = get_gold_answers(samples)
+                qa = rd.from_items(
+                    [
+                        {"answer": s["predicted_answer"], "gold_answers": sorted(g)}
+                        for s, g in zip(samples, gold_answers)
+                    ]
+                )
+                report["qa"] = qa_scores(qa)
+            print(json.dumps(report))
             return 0
 
         if args.cmd == "query":

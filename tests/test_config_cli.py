@@ -58,3 +58,66 @@ def test_cli_query_subcommand(tmp_path, capsys):
     assert pq.read_table(out).num_rows == rec["rows"]
 
     assert main(["query", "nosuch"]) == 2
+
+
+def test_cli_eval_subcommand(tmp_path, capsys):
+    """`eval` is the reference main.py analog: index a crafted corpus,
+    retrieve per sample question, report Recall@k (and EM/F1 when the
+    samples carry predicted answers)."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hipporag_ray.__main__ import main
+
+    texts = [
+        "doc0\nalpha beta gamma delta",
+        "doc1\nepsilon zeta eta theta",
+        "doc2\niota kappa lambda mood",
+    ]
+    tx = pa.table(
+        {
+            "conv_id": pa.array(["c0", "c0", "c1"], pa.string()),
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "role": pa.array(["user"] * 3, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array([""] * 3, pa.string()),
+            "ts": pa.array(
+                np.array([0, 1, 2], dtype="datetime64[us]"), pa.timestamp("us")
+            ),
+        }
+    )
+    tx_dir = tmp_path / "tx"
+    tx_dir.mkdir()
+    pq.write_table(tx, str(tx_dir / "part-0.parquet"))
+    wd = str(tmp_path / "wd")
+    assert main(["index", "--workdir", wd, "--input", str(tx_dir)]) == 0
+    capsys.readouterr()
+
+    samples = [
+        {
+            "question": "alpha beta gamma",
+            "contexts": [
+                {
+                    "title": "doc0",
+                    "text": "alpha beta gamma delta",
+                    "is_supporting": True,
+                }
+            ],
+            "answer": "alpha",
+            "predicted_answer": "Alpha!",
+        }
+    ]
+    sf = tmp_path / "samples.jsonl"
+    sf.write_text("\n".join(json.dumps(s) for s in samples))
+    rc = main(
+        ["eval", "--workdir", wd, "--samples", str(sf), "--top-k", "3"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # gold "doc0\n..." equals the indexed turn text -> perfect recall
+    assert rep["recall"]["recall_3"] == 1.0
+    # normalize_answer maps "Alpha!" -> "alpha" == gold
+    assert rep["qa"]["em"] == 1.0 and rep["qa"]["f1"] == 1.0
