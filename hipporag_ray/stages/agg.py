@@ -289,9 +289,16 @@ def group_quantiles(
         def fn(batch: pa.Table) -> pa.Table:
             g = batch[group_col].to_numpy(zero_copy_only=False).astype(str)
             v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            # factorize the group column ONCE; per-target work is then
+            # integer compares, not a string-array scan per target
+            uniq_g, g_code = np.unique(g, return_inverse=True)
+            code_of = {name: i for i, name in enumerate(uniq_g)}
             codes, cnts, vmins, vmaxs = [], [], [], []
             for ti, (gname, lo, hi) in enumerate(spec):
-                m = (g == gname) & (v >= lo) & (v <= hi)
+                gc = code_of.get(gname)
+                if gc is None:
+                    continue
+                m = (g_code == gc) & (v >= lo) & (v <= hi)
                 if not m.any():
                     continue
                 vv = v[m]
@@ -362,9 +369,14 @@ def group_quantiles(
         def collect(batch: pa.Table) -> pa.Table:
             g = batch[group_col].to_numpy(zero_copy_only=False).astype(str)
             v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            uniq_g, g_code = np.unique(g, return_inverse=True)
+            code_of = {name: i for i, name in enumerate(uniq_g)}
             tis, vals = [], []
             for ti, (gname, lo, hi) in enumerate(spec):
-                m = (g == gname) & (v >= lo) & (v <= hi)
+                gc = code_of.get(gname)
+                if gc is None:
+                    continue
+                m = (g_code == gc) & (v >= lo) & (v <= hi)
                 if m.any():
                     vals.append(v[m])
                     tis.append(np.full(int(m.sum()), ti, dtype=np.int64))
