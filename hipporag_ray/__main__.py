@@ -239,11 +239,19 @@ def main(argv: list[str] | None = None) -> int:
             from hipporag_ray.stages.evalops import qa_scores, recall_at_k
 
             samples = read_samples_jsonl(args.samples, limit=args.limit)
+            if not samples:
+                print(json.dumps({"n_samples": 0, "top_k": args.top_k}))
+                return 0
             questions = [s.get("question", "") for s in samples]
-            try:
-                gold_docs = get_gold_docs(samples, args.dataset)
-            except (KeyError, ValueError):
-                gold_docs = None
+            # gold only when every sample carries a gold-doc shape;
+            # extraction errors (e.g. a supporting_facts file without
+            # --dataset) must stay LOUD — readers.py raises them
+            # deliberately so gold formatting is never silently wrong
+            has_gold = all(
+                any(k in s for k in ("supporting_facts", "contexts", "paragraphs"))
+                for s in samples
+            )
+            gold_docs = get_gold_docs(samples, args.dataset) if has_gold else None
             eng = HippoRagEngine(args.workdir)
             if args.dpr:
                 results = eng.dpr_retrieve(questions, top_k=args.top_k)
@@ -251,7 +259,7 @@ def main(argv: list[str] | None = None) -> int:
                 results = eng.retrieve(questions, top_k=args.top_k)
             eng.close()
             report: dict = {"n_samples": len(samples), "top_k": args.top_k}
-            if gold_docs is not None:
+            if gold_docs:
                 pairs = rd.from_items(
                     [
                         {"pred": r["docs"], "gold": g}
@@ -259,9 +267,10 @@ def main(argv: list[str] | None = None) -> int:
                     ]
                 )
                 report["recall"] = recall_at_k(
-                    pairs, ks=[k for k in (1, 5, args.top_k) if k <= args.top_k]
+                    pairs,
+                    ks=sorted({k for k in (1, 5, args.top_k) if k <= args.top_k}),
                 )
-            if all("predicted_answer" in s for s in samples) and samples:
+            if all("predicted_answer" in s for s in samples):
                 gold_answers = get_gold_answers(samples)
                 qa = rd.from_items(
                     [

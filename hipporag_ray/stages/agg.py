@@ -61,10 +61,6 @@ def salted_sum(
 # ROLLUP (multi-level) sum+count
 # ---------------------------------------------------------------------------
 
-_RK_SEP = "\x1f"
-_RK_NULL = "\x00"
-
-
 def rollup_sum_count(
     ds: "ray.data.Dataset",
     keys: list[str],
@@ -119,9 +115,18 @@ def rollup_sum_count(
                 part[k] = g[k].to_numpy() if k in cols else None
             part[alias] = g["sum"].astype(float).to_numpy()
             part[count_alias] = g["count"].astype("int64").to_numpy()
+            # length-prefixed composite key: "lv|len:value|len:value" —
+            # unambiguous for ANY key contents (no separator escaping)
             rk = np.full(len(g), str(lv), dtype=object)
             for k in cols:
-                rk = rk + _RK_SEP + g[k].astype(str).to_numpy(dtype=object)
+                s = g[k].astype(str)
+                rk = (
+                    rk
+                    + "|"
+                    + s.str.len().astype(str).to_numpy(dtype=object)
+                    + ":"
+                    + s.to_numpy(dtype=object)
+                )
             part["_rk"] = rk
             outs.append(part)
         out = pd.concat(outs, ignore_index=True)

@@ -264,6 +264,11 @@ def tfidf(
     the caller already has)."""
     from .shuffle import hash_partition
 
+    # id type for empty reducer blocks (the exchange's zero-column
+    # sentinel): read from metadata so string ids round-trip too
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
     def term_counts(batch: pa.Table) -> pa.Table:
         norm = text_processing(batch[text_col])
         toks = tokenize(norm)
@@ -301,7 +306,7 @@ def tfidf(
     def score(batch: pa.Table) -> pa.Table:
         empty = pa.table(
             {
-                id_col: pa.array([], pa.int64()),
+                id_col: pa.array([], id_type),
                 "term": pa.array([], pa.string()),
                 "tf": pa.array([], pa.int64()),
                 "df": pa.array([], pa.int64()),
@@ -364,6 +369,8 @@ def bm25_score(
 
     from .shuffle import int_key_sum
 
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     qset = np.array(sorted(set(query_terms)))
 
     def postings(batch: pa.Table) -> pa.Table:

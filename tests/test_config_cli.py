@@ -121,3 +121,18 @@ def test_cli_eval_subcommand(tmp_path, capsys):
     assert rep["recall"]["recall_3"] == 1.0
     # normalize_answer maps "Alpha!" -> "alpha" == gold
     assert rep["qa"]["em"] == 1.0 and rep["qa"]["f1"] == 1.0
+
+
+def test_cli_eval_empty_samples(tmp_path, capsys):
+    """An empty samples file reports n_samples=0 instead of crashing in
+    the metric aggregates."""
+    import json
+
+    from hipporag_ray.__main__ import main
+
+    sf = tmp_path / "empty.jsonl"
+    sf.write_text("")
+    rc = main(["eval", "--workdir", str(tmp_path / "nowd"), "--samples", str(sf)])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"n_samples": 0, "top_k": 10}

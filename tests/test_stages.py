@@ -563,3 +563,41 @@ def test_bm25_matches_formula():
     assert set(out.index) == {0, 2}  # docs without query terms omitted
     assert np.isclose(out.loc[0], sc(2, 4, idf(2)) + sc(1, 4, idf(1)))
     assert np.isclose(out.loc[2], sc(1, 1, idf(2)))
+
+
+def test_rollup_separator_keys_do_not_collide():
+    """Key values containing the old separator byte (or any '|'/':')
+    must stay distinct groups — the composite key is length-prefixed,
+    not separator-joined."""
+    from hipporag_ray.stages.agg import rollup_sum_count
+
+    df = pd.DataFrame(
+        {
+            "k1": ["a\x1fb", "a", "x|1", "x"],
+            "k2": ["c", "b\x1fc", "2:y", "1:2:y"],
+            "v": [1.0, 10.0, 100.0, 1000.0],
+        }
+    )
+    out = (
+        rollup_sum_count(rd.from_pandas(df), ["k1", "k2"], "v")
+        .to_pandas()
+        .fillna("(all)")
+    )
+    lv2 = out[(out["k1"] != "(all)") & (out["k2"] != "(all)")]
+    assert len(lv2) == 4  # no merged groups
+    assert set(lv2["sum_value"]) == {1.0, 10.0, 100.0, 1000.0}
+    gt = out[(out["k1"] == "(all)") & (out["k2"] == "(all)")]
+    assert gt["n"].iloc[0] == 4
+
+
+def test_bm25_empty_query_terms_rejected():
+    with pytest.raises(ValueError):
+        ts.bm25_score(rd.from_items([{"doc_id": 0, "text": "x"}]), "text", "doc_id", [])
+
+
+def test_tfidf_string_ids():
+    """String id columns survive empty reducer blocks (the exchange's
+    zero-column sentinel must not force int64)."""
+    docs = [{"doc_id": f"u{i}", "text": "alpha beta"} for i in range(3)]
+    out = ts.tfidf(rd.from_items(docs), "text", "doc_id", n_docs=3).to_pandas()
+    assert sorted(set(out["doc_id"])) == ["u0", "u1", "u2"]
