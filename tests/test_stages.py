@@ -601,3 +601,44 @@ def test_tfidf_string_ids():
     docs = [{"doc_id": f"u{i}", "text": "alpha beta"} for i in range(3)]
     out = ts.tfidf(rd.from_items(docs), "text", "doc_id", n_docs=3).to_pandas()
     assert sorted(set(out["doc_id"])) == ["u0", "u1", "u2"]
+
+
+def test_moving_avg_matches_pandas_rolling(tmp_path):
+    """q_events_moving_avg == pandas groupby.rolling(4) on random data
+    with duplicate timestamps (event_id tie-break)."""
+    import pyarrow.parquet as pq
+
+    from hipporag_ray.pipelines.queries import _round_away, q_events_moving_avg
+
+    rng = np.random.default_rng(17)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 25, n),
+            "ts": pd.to_datetime(rng.integers(0, 50, n), unit="m"),
+            "event_type": "view",
+            "value": np.round(rng.uniform(0, 100, n), 2),
+            "props": "{}",
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = (
+        q_events_moving_avg(str(tmp_path))
+        .to_pandas()
+        .set_index("event_id")["mov_avg"]
+        .sort_index()
+    )
+    s = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    want = (
+        s.groupby("user_id")["value"]
+        .rolling(4, min_periods=1)
+        .mean()
+        .reset_index(level=0, drop=True)
+    )
+    want.index = s["event_id"].to_numpy()
+    want = want.sort_index()
+    np.testing.assert_allclose(
+        got.to_numpy(), _round_away(want.to_numpy(), 6), atol=1e-6
+    )
