@@ -979,16 +979,23 @@ def q_events_moving_avg(sf_dir: str):
         ustart[idx] = idx
         ustart = np.maximum.accumulate(ustart)
         pos = np.arange(len(u), dtype=np.int64) - ustart
-        # forward-order shifted adds = sequential v[i-3]+v[i-2]+v[i-1]+v[i]
+        # forward-order shifted adds = sequential v[i-3]+v[i-2]+v[i-1]+v[i];
+        # NULL values are skipped from BOTH numerator and denominator
+        # (SQL window avg semantics) — an all-null window yields NULL
+        valid = ~np.isnan(v)
+        vz = np.where(valid, v, 0.0)
         s = np.zeros(len(u), dtype=np.float64)
+        cnt = np.zeros(len(u), dtype=np.int64)
         for back in (3, 2, 1, 0):
             m = pos >= back
-            s[m] += v[np.nonzero(m)[0] - back]
-        w = np.minimum(pos + 1, 4).astype(np.float64)
+            src = np.nonzero(m)[0] - back
+            s[m] += vz[src]
+            cnt[m] += valid[src]
+        mov = _round_away(s / np.maximum(cnt, 1), 6)
         return pa.table(
             {
                 "event_id": pa.array(e, pa.int64()),
-                "mov_avg": pa.array(_round_away(s / w, 6), pa.float64()),
+                "mov_avg": pa.array(mov, pa.float64(), mask=(cnt == 0)),
             }
         )
 

@@ -102,10 +102,15 @@ def rollup_sum_count(
         outs = []
         for lv in range(levels):
             cols = keys[:lv]
+            # count = count(*) row count (pandas "size"), NOT non-null
+            # value count — else levels disagree with the grand total
+            # (and with SQL) whenever the value column has nulls
             if cols:
-                g = df.groupby(cols, sort=False, dropna=False)[value].agg(
-                    ["sum", "count"]
-                ).reset_index()
+                g = (
+                    df.groupby(cols, sort=False, dropna=False)
+                    .agg(sum=(value, "sum"), count=(value, "size"))
+                    .reset_index()
+                )
             else:
                 g = pd.DataFrame(
                     {"sum": [df[value].sum()], "count": [len(df)]}
@@ -182,7 +187,10 @@ def _disc_rank(q: float, n: int) -> int:
     import math
 
     x = q * n
-    if abs(x - round(x)) < 1e-9:
+    # RELATIVE snap tolerance: at n ~ 1e9 an intended-integral q*n
+    # (e.g. 0.1 * 1e9) drifts more than an absolute 1e-9 above the
+    # integer and ceil would land one rank too high
+    if abs(x - round(x)) < 1e-9 * max(1.0, abs(x)):
         x = round(x)
     return max(0, int(math.ceil(x)) - 1)
 
@@ -351,16 +359,24 @@ def group_quantiles(
             break
         hist = hist_round(active)
         K = n_buckets
+        # groupby("code") leaves the index sorted — slice each target's
+        # code range by binary search (a boolean mask per target over
+        # the whole histogram is O(T^2 K) driver work)
+        h_codes = hist.index.to_numpy()
+        h_cnt = hist["cnt"].to_numpy()
+        h_vmin = hist["vmin"].to_numpy()
+        h_vmax = hist["vmax"].to_numpy()
         for ti, t in enumerate(active):
-            sub = hist.loc[(hist.index >= ti * K) & (hist.index < (ti + 1) * K)]
+            a = int(np.searchsorted(h_codes, ti * K))
+            z = int(np.searchsorted(h_codes, (ti + 1) * K))
             cum = 0
-            for code, row in sub.iterrows():
-                c = int(row["cnt"])
+            for i in range(a, z):
+                c = int(h_cnt[i])
                 if t["rank"] < cum + c:
-                    if row["vmin"] == row["vmax"]:
-                        results[(t["g"], t["q"])] = float(row["vmin"])
+                    if h_vmin[i] == h_vmax[i]:
+                        results[(t["g"], t["q"])] = float(h_vmin[i])
                     else:
-                        t["lo"], t["hi"] = float(row["vmin"]), float(row["vmax"])
+                        t["lo"], t["hi"] = float(h_vmin[i]), float(h_vmax[i])
                         t["rank"] -= cum
                         t["cand"] = c
                     break

@@ -250,6 +250,34 @@ def pii_redact(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
 # ---------------------------------------------------------------------------
 
 
+def _flat_tokens(batch: pa.Table, text_col: str) -> tuple[np.ndarray, np.ndarray, int]:
+    """Normalized whitespace tokens of a batch, flattened: returns
+    (tokens, row_index, n_rows) with the phantom '' token of all-empty
+    texts already dropped.  ONE definition shared by tfidf and
+    bm25_score so a tokenization edge-case fix cannot drift between
+    them."""
+    norm = text_processing(batch[text_col])
+    toks = tokenize(norm)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = np.repeat(np.arange(len(batch), dtype=np.int64), np.diff(offs))
+    keep = flat != ""
+    return flat[keep], rows[keep], len(batch)
+
+
+def _id_type(ds: "rd.Dataset", id_col: str):
+    """Arrow type of ``id_col`` without re-executing a lazy upstream:
+    metadata first, else a one-block bounded peek (a bare .schema()
+    would execute the whole pipeline once just for the type — the
+    double-execution trap)."""
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is None:
+        sch = ds.limit(1).schema()
+    return dict(zip(sch.names, sch.types))[id_col]
+
+
 def tfidf(
     ds: "rd.Dataset", text_col: str, id_col: str, n_docs: int
 ) -> "rd.Dataset":
@@ -265,22 +293,12 @@ def tfidf(
     from .shuffle import hash_partition
 
     # id type for empty reducer blocks (the exchange's zero-column
-    # sentinel): read from metadata so string ids round-trip too
-    sch = ds.schema()
-    id_type = dict(zip(sch.names, sch.types))[id_col]
+    # sentinel): from metadata so string ids round-trip too
+    id_type = _id_type(ds, id_col)
 
     def term_counts(batch: pa.Table) -> pa.Table:
-        norm = text_processing(batch[text_col])
-        toks = tokenize(norm)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, rows, _ = _flat_tokens(batch, text_col)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        rows = np.repeat(np.arange(len(batch), dtype=np.int64), np.diff(offs))
-        # an all-empty text row tokenizes to one '' token — not a term
-        keep = flat != ""
-        flat, rows = flat[keep], rows[keep]
         if len(flat) == 0:
             return pa.table(
                 {
@@ -374,16 +392,8 @@ def bm25_score(
     qset = np.array(sorted(set(query_terms)))
 
     def postings(batch: pa.Table) -> pa.Table:
-        norm = text_processing(batch[text_col])
-        toks = tokenize(norm)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        rows = np.repeat(np.arange(len(batch), dtype=np.int64), np.diff(offs))
-        nz = flat != ""  # all-empty text tokenizes to one '' token
-        flat, rows = flat[nz], rows[nz]
-        dl = np.bincount(rows, minlength=len(batch)).astype(np.int64)
+        flat, rows, n_rows = _flat_tokens(batch, text_col)
+        dl = np.bincount(rows, minlength=n_rows).astype(np.int64)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
 
         pos = np.searchsorted(qset, flat)
@@ -407,11 +417,11 @@ def bm25_score(
                     np.concatenate([ids, ids[p_doc]]), pa.int64()
                 ),
                 "term": pa.array(
-                    np.concatenate([np.full(len(batch), "", dtype=object), p_term]),
+                    np.concatenate([np.full(n_rows, "", dtype=object), p_term]),
                     pa.string(),
                 ),
                 "tf": pa.array(
-                    np.concatenate([np.zeros(len(batch), np.int64), tf]), pa.int64()
+                    np.concatenate([np.zeros(n_rows, np.int64), tf]), pa.int64()
                 ),
                 "dl": pa.array(
                     np.concatenate([dl, dl[p_doc]]), pa.int64()

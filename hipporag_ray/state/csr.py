@@ -534,9 +534,6 @@ class GraphShard:
             self.labels = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
 
 
-GraphShardActor = ray.remote(GraphShard)
-
-
 class GraphShardHost:
     """One actor PROCESS hosting one or more GraphShard partitions.
 

@@ -642,3 +642,53 @@ def test_moving_avg_matches_pandas_rolling(tmp_path):
     np.testing.assert_allclose(
         got.to_numpy(), _round_away(want.to_numpy(), 6), atol=1e-6
     )
+
+
+def test_moving_avg_skips_null_values(tmp_path):
+    """SQL window-avg semantics: NULL values drop out of both numerator
+    and denominator; an all-null window is NULL (not NaN-poisoned)."""
+    import pyarrow.parquet as pq
+
+    from hipporag_ray.pipelines.queries import q_events_moving_avg
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "user_id": np.zeros(5, dtype=np.int64),
+            "ts": pd.to_datetime(np.arange(5), unit="m"),
+            "event_type": "view",
+            "value": [2.0, None, 6.0, None, None],
+            "props": "{}",
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = (
+        q_events_moving_avg(str(tmp_path))
+        .to_pandas()
+        .set_index("event_id")["mov_avg"]
+        .sort_index()
+    )
+    # windows: [2], [2,N], [2,N,6], [2,N,6,N], [N,6,N,N]
+    assert got.loc[0] == 2.0 and got.loc[1] == 2.0
+    assert got.loc[2] == 4.0 and got.loc[3] == 4.0 and got.loc[4] == 6.0
+
+
+def test_rollup_count_star_with_null_values():
+    """count is count(*) at EVERY level (rows, not non-null values), so
+    levels sum to the grand total even with nulls in the value column."""
+    from hipporag_ray.stages.agg import rollup_sum_count
+
+    df = pd.DataFrame(
+        {"k": ["a", "a", "b"], "v": [1.0, None, 3.0]}
+    )
+    out = (
+        rollup_sum_count(rd.from_pandas(df), ["k"], "v")
+        .to_pandas()
+        .fillna("(all)")
+        .set_index("k")
+    )
+    assert out.loc["a", "n"] == 2
+    assert out.loc["b", "n"] == 1
+    assert out.loc["(all)", "n"] == 3
+    assert out.loc["a", "sum_value"] == 1.0  # sum skips NULL (SQL)
