@@ -1044,6 +1044,22 @@ def q_events_stratified_sample(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_events_quantiles_sketch(sf_dir: str):
+    """Approximate per-type quantiles via the mergeable bottom-k-by-hash
+    sketch (stages/agg.py::grouped_quantile_sketch) — the unbounded-
+    group-cardinality companion to the exact histogram refinement;
+    approx by design, so rows-only (pytest bounds the rank error)."""
+    from ..stages.agg import grouped_quantile_sketch
+
+    return grouped_quantile_sketch(
+        _events(sf_dir).select_columns(["event_type", "value", "event_id"]),
+        "event_type",
+        "value",
+        "event_id",
+        [0.5, 0.9, 0.99],
+    )
+
+
 def q_doc_minhash_lsh(sf_dir: str):
     out = dd.minhash_lsh_pairs(_docs(sf_dir), "text", "doc_id", n=3, threshold=0.2)
     return _round(out, {"jaccard": 6})
@@ -1593,6 +1609,7 @@ QUERIES = {
     "doc_tfidf": q_doc_tfidf,
     "doc_bm25": q_doc_bm25,
     "events_quantiles": q_events_quantiles,
+    "events_quantiles_sketch": q_events_quantiles_sketch,
     "events_rollup": q_events_rollup,
     "events_moving_avg": q_events_moving_avg,
     "events_stratified_sample": q_events_stratified_sample,

@@ -426,3 +426,147 @@ def group_quantiles(
             "value": pa.array([r[2] for r in rows], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate grouped quantiles: mergeable bottom-k-by-hash sketch
+# ---------------------------------------------------------------------------
+
+_SKM1 = np.uint64(0xBF58476D1CE4E5B9)
+_SKM2 = np.uint64(0x94D049BB133111EB)
+_SKGOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _sk_splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants)."""
+    with np.errstate(over="ignore"):
+        x = (x + _SKGOLD).astype(np.uint64)
+        x ^= x >> np.uint64(30)
+        x *= _SKM1
+        x ^= x >> np.uint64(27)
+        x *= _SKM2
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def grouped_quantile_sketch(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    qs: list[float],
+    k: int = 1024,
+) -> "pa.Table":
+    """Approximate per-group quantiles for UNBOUNDED group cardinality —
+    the shape :func:`group_quantiles` documents as out of scope (its
+    driver state is O(groups); this sketch's is O(1) per group sample).
+
+    A deterministic bottom-k-by-hash reservoir per group: each row gets
+    priority splitmix64(row id), the k smallest priorities per group
+    form a uniform sample, and bottom-k sets merge associatively
+    (union -> bottom-k), so per-batch partials exchange by group hash
+    and reduce with one vectorized lexsort per partition.  Quantiles are
+    the discrete quantiles of the sample (rank error ~ O(1/sqrt(k))).
+    No RNG: the same input always produces the same sketch.
+
+    Returns (group_col, q, value, n) — ``n`` the group's TRUE row count
+    (summed exactly alongside the sketch)."""
+    import pandas as pd
+
+    from .shuffle import hash_partition
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.string()),
+                "pri": pa.array([], pa.uint64()),
+                "v": pa.array([], pa.float64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        g = batch[group_col].to_numpy(zero_copy_only=False).astype(str)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        rid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ok = ~np.isnan(v)
+        g, v, rid = g[ok], v[ok], rid[ok]
+        if len(g) == 0:
+            return empty
+        pri = _sk_splitmix64(rid)
+        order = np.lexsort((pri, g))
+        g, v, pri = g[order], v[order], pri[order]
+        starts = np.concatenate([[0], np.nonzero(g[1:] != g[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [len(g)]])
+        # bottom-k rows per group + one count row per group (pri=MAX,
+        # v=NaN marks it; counts sum exactly across partials); keep =
+        # position-within-group < k, one vectorized pass
+        gstart = np.repeat(starts, ends - starts)
+        keep = (np.arange(len(g), dtype=np.int64) - gstart) < k
+        cnt_rows = pa.table(
+            {
+                "g": pa.array(g[starts], pa.string()),
+                "pri": pa.array(
+                    np.full(len(starts), np.iinfo(np.uint64).max, np.uint64)
+                ),
+                "v": pa.array(np.full(len(starts), np.nan), pa.float64()),
+                "cnt": pa.array(ends - starts, pa.int64()),
+            }
+        )
+        data_rows = pa.table(
+            {
+                "g": pa.array(g[keep], pa.string()),
+                "pri": pa.array(pri[keep], pa.uint64()),
+                "v": pa.array(v[keep], pa.float64()),
+                "cnt": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            }
+        )
+        return pa.concat_tables([data_rows, cnt_rows])
+
+    def merge(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "q": pa.array([], pa.float64()),
+                "value": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "g" not in batch.column_names:
+            return empty
+        g = batch["g"].to_numpy(zero_copy_only=False).astype(str)
+        pri = batch["pri"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pri, g))
+        g, pri, v, cnt = g[order], pri[order], v[order], cnt[order]
+        starts = np.concatenate([[0], np.nonzero(g[1:] != g[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [len(g)]])
+        out: dict[str, list] = {group_col: [], "q": [], "value": [], "n": []}
+        for a, b in zip(starts, ends):
+            is_cnt = np.isnan(v[a:b])
+            n_true = int(cnt[a:b][is_cnt].sum())
+            sample = np.sort(v[a:b][~is_cnt][:k])  # bottom-k of the union
+            if len(sample) == 0:
+                continue
+            for q in qs:
+                out[group_col].append(g[a])
+                out["q"].append(q)
+                out["value"].append(float(sample[_disc_rank(q, len(sample))]))
+                out["n"].append(n_true)
+        return pa.table(
+            {
+                group_col: pa.array(out[group_col], pa.string()),
+                "q": pa.array(out["q"], pa.float64()),
+                "value": pa.array(out["value"], pa.float64()),
+                "n": pa.array(out["n"], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    return hash_partition(parts, "g").map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )

@@ -692,3 +692,49 @@ def test_rollup_count_star_with_null_values():
     assert out.loc["b", "n"] == 1
     assert out.loc["(all)", "n"] == 3
     assert out.loc["a", "sum_value"] == 1.0  # sum skips NULL (SQL)
+
+
+def test_grouped_quantile_sketch_bounds_and_determinism():
+    """Bottom-k-by-hash sketch: exact when a group fits in the sample,
+    rank error within ~3/sqrt(k) otherwise, deterministic across runs,
+    and true counts exact."""
+    from hipporag_ray.stages.agg import grouped_quantile_sketch, _disc_rank
+
+    rng = np.random.default_rng(23)
+    rows = []
+    small = np.round(rng.normal(size=200) * 10, 3)  # fits k -> exact
+    big = np.round(rng.uniform(0, 1000, 20_000), 3)  # sampled
+    rows += [
+        {"g": "small", "v": float(x), "rid": int(i)} for i, x in enumerate(small)
+    ]
+    rows += [
+        {"g": "big", "v": float(x), "rid": int(1_000_000 + i)}
+        for i, x in enumerate(big)
+    ]
+    ds = rd.from_items(rows)
+    qs = [0.5, 0.9]
+    out1 = (
+        grouped_quantile_sketch(ds, "g", "v", "rid", qs, k=1024)
+        .to_pandas()
+        .set_index(["g", "q"])
+        .sort_index()
+    )
+    out2 = (
+        grouped_quantile_sketch(ds, "g", "v", "rid", qs, k=1024)
+        .to_pandas()
+        .set_index(["g", "q"])
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(out1, out2)  # no RNG anywhere
+    assert out1.loc[("small", 0.5), "n"] == 200
+    assert out1.loc[("big", 0.9), "n"] == 20_000
+    # small group: sample == population -> exact percentile_disc
+    sv = np.sort(small)
+    for q in qs:
+        assert out1.loc[("small", q), "value"] == sv[_disc_rank(q, len(sv))]
+    # big group: rank error bound ~ 3/sqrt(k)
+    bv = np.sort(big)
+    for q in qs:
+        est = out1.loc[("big", q), "value"]
+        true_rank = np.searchsorted(bv, est) / len(bv)
+        assert abs(true_rank - q) < 3 / np.sqrt(1024)
