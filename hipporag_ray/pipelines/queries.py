@@ -952,6 +952,74 @@ def q_events_rollup(sf_dir: str):
     return _round(out, {"sum_value": 2})
 
 
+def q_events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, hour): all four grouping sets in the
+    same single-scan machinery as ROLLUP (stages/agg.py::cube_sum_count)."""
+    from ..stages.agg import cube_sum_count
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        hour = pc.strftime(
+            pc.floor_temporal(batch["ts"], unit="hour").cast(pa.timestamp("s")),
+            format="%Y-%m-%d %H:%M:%S",
+        )
+        return pa.table(
+            {"event_type": batch["event_type"], "hour": hour, "value": batch["value"]}
+        )
+
+    out = (
+        cube_sum_count(
+            _events(sf_dir).map_batches(keyed, batch_format="pyarrow"),
+            ["event_type", "hour"],
+            "value",
+        )
+        .to_pandas()
+    )
+    out["event_type"] = out["event_type"].fillna("(all)")
+    out["hour"] = out["hour"].fillna("(all)")
+    return _round(out, {"sum_value": 2})
+
+
+def q_events_grouped_topk(sf_dir: str):
+    """Grouped top-k: the 2 highest-value events per type
+    (deterministic event_id tie-break) — hash exchange on the group,
+    one vectorized per-partition selection (the row_number()<=k window
+    shape)."""
+    from ..stages.shuffle import hash_partition
+
+    ev = _events(sf_dir).select_columns(["event_type", "event_id", "value"])
+    parts = hash_partition(ev.materialize(), "event_type")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "event_id": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((eid, -v, et))
+        et, eid, v = et[order], eid[order], v[order]
+        new = np.concatenate([[True], et[1:] != et[:-1]])
+        starts = np.zeros(len(et), dtype=np.int64)
+        idx = np.nonzero(new)[0]
+        starts[idx] = idx
+        starts = np.maximum.accumulate(starts)
+        keep = (np.arange(len(et)) - starts) < 2
+        return pa.table(
+            {
+                "event_type": pa.array(et[keep], pa.string()),
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "value": pa.array(v[keep], pa.float64()),
+            }
+        )
+
+    return parts.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+
+
 def q_events_moving_avg(sf_dir: str):
     """Sliding-window mean (3 preceding + current) per user ordered by
     (ts, event_id): hash exchange on user, then one vectorized
@@ -1611,6 +1679,8 @@ QUERIES = {
     "events_quantiles": q_events_quantiles,
     "events_quantiles_sketch": q_events_quantiles_sketch,
     "events_rollup": q_events_rollup,
+    "events_cube": q_events_cube,
+    "events_grouped_topk": q_events_grouped_topk,
     "events_moving_avg": q_events_moving_avg,
     "events_stratified_sample": q_events_stratified_sample,
 }
@@ -2065,6 +2135,28 @@ ORACLE_SQL = {
                round(sum(value), 2) AS sum_value,
                CAST(count(*) AS BIGINT) AS n
         FROM e GROUP BY ROLLUP(event_type, hour)
+    """,
+    "events_cube": """
+        WITH e AS (
+          SELECT event_type,
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                 value
+          FROM events
+        )
+        SELECT coalesce(event_type, '(all)') AS event_type,
+               coalesce(hour, '(all)') AS hour,
+               round(sum(value), 2) AS sum_value,
+               CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY CUBE(event_type, hour)
+    """,
+    "events_grouped_topk": """
+        SELECT event_type, event_id, value FROM (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC, event_id) AS rn
+          FROM events
+        ) WHERE rn <= 2
     """,
     "events_moving_avg": """
         SELECT event_id,

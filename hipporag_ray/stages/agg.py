@@ -68,23 +68,58 @@ def rollup_sum_count(
     alias: str = "sum_value",
     count_alias: str = "n",
 ) -> "ray.data.Dataset":
-    """SQL ``GROUP BY ROLLUP(keys...)`` over NON-NULL string key
-    columns: sum(value) + count(*) at every key prefix level, rolled-up
-    levels carrying NULL keys (the grand total has every key NULL) —
-    so a NULL in an INPUT key is reserved and must be sentinel-encoded
-    by the caller first.
+    """SQL ``GROUP BY ROLLUP(keys...)``: every key PREFIX level (see
+    :func:`grouping_sets_sum_count` for the contract)."""
+    sets = [keys[:lv] for lv in range(len(keys) + 1)]
+    return grouping_sets_sum_count(ds, keys, value, sets, alias, count_alias)
 
-    One input scan: the map side pre-aggregates every level per batch
-    (len(keys)+1 tiny pandas groupbys over the batch), so the exchange
-    moves at most ``(levels x distinct keys)`` partial rows per block —
-    the single-pass cube-prefix pattern, not one shuffle per level.
-    Reduce side combines partials key-complete after a hash exchange on
-    the composite (level, keys...) string."""
+
+def cube_sum_count(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value: str,
+    alias: str = "sum_value",
+    count_alias: str = "n",
+) -> "ray.data.Dataset":
+    """SQL ``GROUP BY CUBE(keys...)``: every key SUBSET (2^len(keys)
+    grouping sets — same single-scan machinery as ROLLUP)."""
+    from itertools import combinations
+
+    sets = [
+        [keys[i] for i in combo]
+        for r in range(len(keys) + 1)
+        for combo in combinations(range(len(keys)), r)
+    ]
+    return grouping_sets_sum_count(ds, keys, value, sets, alias, count_alias)
+
+
+def grouping_sets_sum_count(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value: str,
+    sets: list[list[str]],
+    alias: str = "sum_value",
+    count_alias: str = "n",
+) -> "ray.data.Dataset":
+    """SQL ``GROUP BY GROUPING SETS(...)`` over NON-NULL string key
+    columns: sum(value) + count(*) per grouping set, unused keys
+    carrying NULL — so a NULL in an INPUT key is reserved and must be
+    sentinel-encoded by the caller first.
+
+    One input scan: the map side pre-aggregates every set per batch
+    (len(sets) tiny pandas groupbys over the batch), so the exchange
+    moves at most ``(sets x distinct keys)`` partial rows per block —
+    never one shuffle per set.  Reduce side combines partials
+    key-complete after a hash exchange on the composite (set id,
+    keys...) string."""
     import pandas as pd
 
     from .shuffle import hash_partition
 
-    levels = len(keys) + 1
+    for s in sets:
+        unknown = set(s) - set(keys)
+        if unknown:
+            raise ValueError(f"grouping set {s} has unknown keys {sorted(unknown)}")
 
     def partials(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -100,10 +135,9 @@ def rollup_sum_count(
             )
         df = batch.select(keys + [value]).to_pandas()
         outs = []
-        for lv in range(levels):
-            cols = keys[:lv]
+        for lv, cols in enumerate(sets):
             # count = count(*) row count (pandas "size"), NOT non-null
-            # value count — else levels disagree with the grand total
+            # value count — else sets disagree with the grand total
             # (and with SQL) whenever the value column has nulls
             if cols:
                 g = (
@@ -120,7 +154,7 @@ def rollup_sum_count(
                 part[k] = g[k].to_numpy() if k in cols else None
             part[alias] = g["sum"].astype(float).to_numpy()
             part[count_alias] = g["count"].astype("int64").to_numpy()
-            # length-prefixed composite key: "lv|len:value|len:value" —
+            # length-prefixed composite key: "set|len:value|len:value" —
             # unambiguous for ANY key contents (no separator escaping)
             rk = np.full(len(g), str(lv), dtype=object)
             for k in cols:

@@ -738,3 +738,27 @@ def test_grouped_quantile_sketch_bounds_and_determinism():
         est = out1.loc[("big", q), "value"]
         true_rank = np.searchsorted(bv, est) / len(bv)
         assert abs(true_rank - q) < 3 / np.sqrt(1024)
+
+
+def test_cube_covers_all_subsets():
+    from hipporag_ray.stages.agg import cube_sum_count
+
+    df = pd.DataFrame(
+        {"k1": ["x", "x", "y"], "k2": ["p", "q", "p"], "v": [1.0, 2.0, 4.0]}
+    )
+    out = (
+        cube_sum_count(rd.from_pandas(df), ["k1", "k2"], "v")
+        .to_pandas()
+        .fillna("(all)")
+    )
+    # 2^2 grouping sets: (), (k1), (k2), (k1,k2)
+    def get(k1, k2):
+        r = out[(out["k1"] == k1) & (out["k2"] == k2)]
+        assert len(r) == 1
+        return float(r["sum_value"].iloc[0])
+
+    assert get("(all)", "(all)") == 7.0
+    assert get("x", "(all)") == 3.0
+    assert get("(all)", "p") == 5.0  # the CUBE-only set ROLLUP lacks
+    assert get("x", "q") == 2.0
+    assert len(out) == 1 + 2 + 2 + 3
