@@ -102,3 +102,22 @@ def stable_hash64(values) -> np.ndarray:
         dtype=np.uint64,
         count=n,
     )
+
+
+# splitmix64 (public-domain constants) — ONE definition for every
+# consumer (deterministic embeddings, sketch priorities); vectorized
+_SM_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array."""
+    with np.errstate(over="ignore"):
+        x = (x + _SM_GOLD).astype(np.uint64)
+        x ^= x >> np.uint64(30)
+        x *= _SM_M1
+        x ^= x >> np.uint64(27)
+        x *= _SM_M2
+        x ^= x >> np.uint64(31)
+    return x

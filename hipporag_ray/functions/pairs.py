@@ -89,3 +89,19 @@ def segment_windows_dedup(
         ]
     )
     return g2[first], s2[first], p2[first], o2[first]
+
+
+def pos_in_group(g_sorted: np.ndarray) -> np.ndarray:
+    """0-based position of each row within its group, for an array
+    already sorted so equal group keys are contiguous — the shared
+    segment-position kernel behind grouped top-n / window selections
+    (one boundary scan + cumulative max, no per-group dispatch)."""
+    n = len(g_sorted)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    new = np.concatenate([[True], g_sorted[1:] != g_sorted[:-1]])
+    starts = np.zeros(n, dtype=np.int64)
+    idx = np.nonzero(new)[0]
+    starts[idx] = idx
+    starts = np.maximum.accumulate(starts)
+    return np.arange(n, dtype=np.int64) - starts

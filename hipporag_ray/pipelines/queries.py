@@ -928,9 +928,21 @@ def q_events_rollup(sf_dir: str):
     rolled-up keys surface as '(all)'."""
     from ..stages.agg import rollup_sum_count
 
+    out = rollup_sum_count(
+        _events_hourly_keyed(sf_dir), ["event_type", "hour"], "value"
+    ).to_pandas()
+    out["event_type"] = out["event_type"].fillna("(all)")
+    out["hour"] = out["hour"].fillna("(all)")
+    return _round(out, {"sum_value": 2})
+
+
+def _events_hourly_keyed(sf_dir: str):
+    """(event_type, hour-string, value) rows — the shared input shape
+    of the ROLLUP and CUBE queries.  The cast to second precision
+    matters: Arrow's %S renders the fractional part for sub-second
+    timestamp units, which would break the strftime oracle parity."""
+
     def keyed(batch: pa.Table) -> pa.Table:
-        # cast to second precision first: Arrow's %S renders the
-        # fractional part for sub-second timestamp units
         hour = pc.strftime(
             pc.floor_temporal(batch["ts"], unit="hour").cast(pa.timestamp("s")),
             format="%Y-%m-%d %H:%M:%S",
@@ -939,17 +951,7 @@ def q_events_rollup(sf_dir: str):
             {"event_type": batch["event_type"], "hour": hour, "value": batch["value"]}
         )
 
-    out = (
-        rollup_sum_count(
-            _events(sf_dir).map_batches(keyed, batch_format="pyarrow"),
-            ["event_type", "hour"],
-            "value",
-        )
-        .to_pandas()
-    )
-    out["event_type"] = out["event_type"].fillna("(all)")
-    out["hour"] = out["hour"].fillna("(all)")
-    return _round(out, {"sum_value": 2})
+    return _events(sf_dir).map_batches(keyed, batch_format="pyarrow")
 
 
 def q_events_cube(sf_dir: str):
@@ -957,23 +959,9 @@ def q_events_cube(sf_dir: str):
     same single-scan machinery as ROLLUP (stages/agg.py::cube_sum_count)."""
     from ..stages.agg import cube_sum_count
 
-    def keyed(batch: pa.Table) -> pa.Table:
-        hour = pc.strftime(
-            pc.floor_temporal(batch["ts"], unit="hour").cast(pa.timestamp("s")),
-            format="%Y-%m-%d %H:%M:%S",
-        )
-        return pa.table(
-            {"event_type": batch["event_type"], "hour": hour, "value": batch["value"]}
-        )
-
-    out = (
-        cube_sum_count(
-            _events(sf_dir).map_batches(keyed, batch_format="pyarrow"),
-            ["event_type", "hour"],
-            "value",
-        )
-        .to_pandas()
-    )
+    out = cube_sum_count(
+        _events_hourly_keyed(sf_dir), ["event_type", "hour"], "value"
+    ).to_pandas()
     out["event_type"] = out["event_type"].fillna("(all)")
     out["hour"] = out["hour"].fillna("(all)")
     return _round(out, {"sum_value": 2})
@@ -998,17 +986,14 @@ def q_events_grouped_topk(sf_dir: str):
                     "value": pa.array([], pa.float64()),
                 }
             )
+        from ..functions.pairs import pos_in_group
+
         et = batch["event_type"].to_numpy(zero_copy_only=False)
         eid = batch["event_id"].to_numpy(zero_copy_only=False)
         v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
         order = np.lexsort((eid, -v, et))
         et, eid, v = et[order], eid[order], v[order]
-        new = np.concatenate([[True], et[1:] != et[:-1]])
-        starts = np.zeros(len(et), dtype=np.int64)
-        idx = np.nonzero(new)[0]
-        starts[idx] = idx
-        starts = np.maximum.accumulate(starts)
-        keep = (np.arange(len(et)) - starts) < 2
+        keep = pos_in_group(et) < 2
         return pa.table(
             {
                 "event_type": pa.array(et[keep], pa.string()),
@@ -1039,14 +1024,11 @@ def q_events_moving_avg(sf_dir: str):
         t = batch["ts"].to_numpy(zero_copy_only=False)
         e = batch["event_id"].to_numpy(zero_copy_only=False)
         v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        from ..functions.pairs import pos_in_group
+
         order = np.lexsort((e, t, u))
         u, e, v = u[order], e[order], v[order]
-        new_user = np.concatenate([[True], u[1:] != u[:-1]])
-        ustart = np.zeros(len(u), dtype=np.int64)
-        idx = np.nonzero(new_user)[0]
-        ustart[idx] = idx
-        ustart = np.maximum.accumulate(ustart)
-        pos = np.arange(len(u), dtype=np.int64) - ustart
+        pos = pos_in_group(u)
         # forward-order shifted adds = sequential v[i-3]+v[i-2]+v[i-1]+v[i];
         # NULL values are skipped from BOTH numerator and denominator
         # (SQL window avg semantics) — an all-null window yields NULL
@@ -1088,15 +1070,12 @@ def q_events_stratified_sample(sf_dir: str):
             )
         et = batch["event_type"].to_numpy(zero_copy_only=False)
         eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        from ..functions.pairs import pos_in_group
+
         h = md5_hex(eid.astype(str).astype(object)).to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, h, et))
         et, eid = et[order], eid[order]
-        new = np.concatenate([[True], et[1:] != et[:-1]])
-        starts = np.zeros(len(et), dtype=np.int64)
-        idx = np.nonzero(new)[0]
-        starts[idx] = idx
-        starts = np.maximum.accumulate(starts)
-        keep = (np.arange(len(et)) - starts) < 2
+        keep = pos_in_group(et) < 2
         return pa.table(
             {
                 "event_type": pa.array(et[keep], pa.string()),

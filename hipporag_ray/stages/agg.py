@@ -466,22 +466,6 @@ def group_quantiles(
 # Approximate grouped quantiles: mergeable bottom-k-by-hash sketch
 # ---------------------------------------------------------------------------
 
-_SKM1 = np.uint64(0xBF58476D1CE4E5B9)
-_SKM2 = np.uint64(0x94D049BB133111EB)
-_SKGOLD = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _sk_splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer (public-domain constants)."""
-    with np.errstate(over="ignore"):
-        x = (x + _SKGOLD).astype(np.uint64)
-        x ^= x >> np.uint64(30)
-        x *= _SKM1
-        x ^= x >> np.uint64(27)
-        x *= _SKM2
-        x ^= x >> np.uint64(31)
-    return x
-
 
 def grouped_quantile_sketch(
     ds: "ray.data.Dataset",
@@ -490,7 +474,7 @@ def grouped_quantile_sketch(
     id_col: str,
     qs: list[float],
     k: int = 1024,
-) -> "pa.Table":
+) -> "ray.data.Dataset":
     """Approximate per-group quantiles for UNBOUNDED group cardinality —
     the shape :func:`group_quantiles` documents as out of scope (its
     driver state is O(groups); this sketch's is O(1) per group sample).
@@ -503,8 +487,9 @@ def grouped_quantile_sketch(
     the discrete quantiles of the sample (rank error ~ O(1/sqrt(k))).
     No RNG: the same input always produces the same sketch.
 
-    Returns (group_col, q, value, n) — ``n`` the group's TRUE row count
-    (summed exactly alongside the sketch)."""
+    Returns a Dataset of (group_col, q, value, n) rows — ``n`` the
+    group's exact count of NON-NULL values (the same population the
+    quantiles describe; null-value rows are outside the sketch)."""
     import pandas as pd
 
     from .shuffle import hash_partition
@@ -530,7 +515,9 @@ def grouped_quantile_sketch(
         g, v, rid = g[ok], v[ok], rid[ok]
         if len(g) == 0:
             return empty
-        pri = _sk_splitmix64(rid)
+        from ..functions.hashing import splitmix64
+
+        pri = splitmix64(rid)
         order = np.lexsort((pri, g))
         g, v, pri = g[order], v[order], pri[order]
         starts = np.concatenate([[0], np.nonzero(g[1:] != g[:-1])[0] + 1])

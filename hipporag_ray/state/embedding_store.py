@@ -42,21 +42,13 @@ from ..functions import pool_size
 from ..functions.text import text_processing
 
 
+from ..functions.hashing import splitmix64 as _splitmix64
+
+# mixing constants for the per-dimension base hash (the finalizer
+# itself is the shared functions.hashing.splitmix64)
 _SM1 = np.uint64(0xBF58476D1CE4E5B9)
 _SM2 = np.uint64(0x94D049BB133111EB)
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer (public-domain constants)."""
-    with np.errstate(over="ignore"):
-        x = (x + _GOLD).astype(np.uint64)
-        x ^= x >> np.uint64(30)
-        x *= _SM1
-        x ^= x >> np.uint64(27)
-        x *= _SM2
-        x ^= x >> np.uint64(31)
-    return x
 
 
 class HashEmbedder:
