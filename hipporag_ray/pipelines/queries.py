@@ -1005,6 +1005,104 @@ def q_events_grouped_topk(sf_dir: str):
     return parts.map_batches(kernel, batch_format="pyarrow", batch_size=None)
 
 
+def q_events_distinct_users(sf_dir: str):
+    """COUNT(DISTINCT user_id) per event_type: one hash-distinct
+    exchange on the pair key, then a vectorized per-partition group
+    count — no second shuffle (the distinct exchange already
+    co-locates a pair's rows, and a pair's TYPE rides along)."""
+    from ..stages.shuffle import hash_distinct
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(et.astype(str), "\x00"), uid.astype(str))
+        return pa.table(
+            {"pair": pa.array(key, pa.string()), "event_type": batch["event_type"]}
+        )
+
+    pairs = hash_distinct(
+        _events(sf_dir)
+        .select_columns(["event_type", "user_id"])
+        .map_batches(pair_key, batch_format="pyarrow"),
+        "pair",
+    )
+
+    def count_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()), "n_part": pa.array([], pa.int64())}
+            )
+        et = batch["event_type"].to_numpy(zero_copy_only=False).astype(str)
+        uniq, cnt = np.unique(et, return_counts=True)
+        return pa.table(
+            {"event_type": pa.array(uniq, pa.string()), "n_part": pa.array(cnt, pa.int64())}
+        )
+
+    out = (
+        pairs.map_batches(count_part, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .aggregate(Sum("n_part", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot: per-user event counts, one column per event type
+    (conditional aggregation) — per-batch (user, type) bincount
+    partials, then ONE user-keyed exchange carrying the whole packed
+    count matrix (never a shuffle per pivot column)."""
+    from ..stages.shuffle import hash_partition
+
+    tarr = np.array(_PIVOT_TYPES)  # sorted; searchsorted = vectorized code lookup
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False).astype(str)
+        code = np.searchsorted(tarr, et)
+        code[code >= len(tarr)] = len(tarr) - 1
+        bad = tarr[code] != et
+        if bad.any():
+            raise ValueError(f"unknown event_type values: {sorted(set(et[bad]))[:5]}")
+        uniq, inv = np.unique(uid, return_inverse=True)
+        mat = np.zeros((len(uniq), len(_PIVOT_TYPES)), dtype=np.int64)
+        np.add.at(mat, (inv, code), 1)
+        cols = {"user_id": pa.array(uniq, pa.int64())}
+        for i, t in enumerate(_PIVOT_TYPES):
+            cols[f"n_{t}"] = pa.array(mat[:, i], pa.int64())
+        return pa.table(cols)
+
+    parts = hash_partition(
+        _events(sf_dir)
+        .select_columns(["user_id", "event_type"])
+        .map_batches(partials, batch_format="pyarrow"),
+        "user_id",
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                **{f"n_{t}": pa.array([], pa.int64()) for t in _PIVOT_TYPES},
+            }
+        )
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return empty
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        cols = {"user_id": pa.array(uniq, pa.int64())}
+        for t in _PIVOT_TYPES:
+            v = batch[f"n_{t}"].to_numpy(zero_copy_only=False)
+            cols[f"n_{t}"] = pa.array(np.bincount(inv, weights=v).astype(np.int64))
+        return pa.table(cols)
+
+    return parts.map_batches(combine, batch_format="pyarrow", batch_size=None)
+
+
 def q_events_moving_avg(sf_dir: str):
     """Sliding-window mean (3 preceding + current) per user ordered by
     (ts, event_id): hash exchange on user, then one vectorized
@@ -1662,6 +1760,8 @@ QUERIES = {
     "events_grouped_topk": q_events_grouped_topk,
     "events_moving_avg": q_events_moving_avg,
     "events_stratified_sample": q_events_stratified_sample,
+    "events_distinct_users": q_events_distinct_users,
+    "events_pivot": q_events_pivot,
 }
 
 
@@ -2136,6 +2236,19 @@ ORACLE_SQL = {
                    ORDER BY value DESC, event_id) AS rn
           FROM events
         ) WHERE rn <= 2
+    """,
+    "events_distinct_users": """
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1
+    """,
+    "events_pivot": """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events GROUP BY 1
     """,
     "events_moving_avg": """
         SELECT event_id,
