@@ -1205,6 +1205,20 @@ def q_events_quantiles_sketch(sf_dir: str):
     )
 
 
+def q_events_distinct_users_sketch(sf_dir: str):
+    """Approximate grouped distinct count via the KMV bottom-k sketch
+    (stages/agg.py::grouped_distinct_sketch) — exact below k distinct,
+    ~1/sqrt(k) relative error above; approx by design, rows-only
+    (pytest bounds the error; the exact twin is events_distinct_users)."""
+    from ..stages.agg import grouped_distinct_sketch
+
+    return grouped_distinct_sketch(
+        _events(sf_dir).select_columns(["event_type", "user_id"]),
+        "event_type",
+        "user_id",
+    )
+
+
 def q_doc_minhash_lsh(sf_dir: str):
     out = dd.minhash_lsh_pairs(_docs(sf_dir), "text", "doc_id", n=3, threshold=0.2)
     return _round(out, {"jaccard": 6})
@@ -1761,6 +1775,7 @@ QUERIES = {
     "events_moving_avg": q_events_moving_avg,
     "events_stratified_sample": q_events_stratified_sample,
     "events_distinct_users": q_events_distinct_users,
+    "events_distinct_users_sketch": q_events_distinct_users_sketch,
     "events_pivot": q_events_pivot,
 }
 

@@ -591,3 +591,89 @@ def grouped_quantile_sketch(
     return hash_partition(parts, "g").map_batches(
         merge, batch_format="pyarrow", batch_size=None
     )
+
+
+def grouped_distinct_sketch(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    k: int = 1024,
+) -> "ray.data.Dataset":
+    """Approximate COUNT(DISTINCT value) per group for unbounded group
+    AND value cardinality: the KMV (k-minimum-values) estimator over
+    the deterministic md5-based value hash.
+
+    Per batch: hash the values, dedupe within the batch, keep each
+    group's k smallest hashes.  Bottom-k sets merge associatively
+    (union -> dedupe -> bottom-k), so partials exchange by group hash
+    and reduce vectorized.  If a group's merged set holds fewer than k
+    distinct hashes the count is EXACT; otherwise the estimate is
+    (k-1) * 2^64 / h_(k) (relative error ~ 1/sqrt(k)).  No RNG —
+    deterministic for a given input."""
+    from ..functions.hashing import stable_hash64
+
+    from .shuffle import hash_partition
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"g": pa.array([], pa.string()), "h": pa.array([], pa.uint64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        g = batch[group_col].to_numpy(zero_copy_only=False).astype(str)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(str)
+        h = stable_hash64(np.array(v, dtype=object))
+        # dedupe (group, hash) within the batch, then bottom-k per group
+        order = np.lexsort((h, g))
+        g, h = g[order], h[order]
+        keep_u = np.concatenate([[True], (g[1:] != g[:-1]) | (h[1:] != h[:-1])])
+        g, h = g[keep_u], h[keep_u]
+        starts = np.concatenate([[0], np.nonzero(g[1:] != g[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [len(g)]])
+        gstart = np.repeat(starts, ends - starts)
+        keep = (np.arange(len(g), dtype=np.int64) - gstart) < k
+        return pa.table(
+            {"g": pa.array(g[keep], pa.string()), "h": pa.array(h[keep], pa.uint64())}
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "n_distinct": pa.array([], pa.int64()),
+                "exact": pa.array([], pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0 or "g" not in batch.column_names:
+            return empty
+        g = batch["g"].to_numpy(zero_copy_only=False).astype(str)
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, g))
+        g, h = g[order], h[order]
+        keep_u = np.concatenate([[True], (g[1:] != g[:-1]) | (h[1:] != h[:-1])])
+        g, h = g[keep_u], h[keep_u]
+        starts = np.concatenate([[0], np.nonzero(g[1:] != g[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [len(g)]])
+        names, counts, exact = [], [], []
+        for a, b in zip(starts, ends):
+            m = b - a
+            names.append(g[a])
+            if m < k:
+                counts.append(m)
+                exact.append(True)
+            else:
+                hk = float(h[a + k - 1])  # k-th smallest hash
+                counts.append(int(round((k - 1) * (2.0**64) / hk)))
+                exact.append(False)
+        return pa.table(
+            {
+                group_col: pa.array(names, pa.string()),
+                "n_distinct": pa.array(counts, pa.int64()),
+                "exact": pa.array(exact, pa.bool_()),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    return hash_partition(parts, "g").map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )

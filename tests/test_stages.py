@@ -762,3 +762,34 @@ def test_cube_covers_all_subsets():
     assert get("(all)", "p") == 5.0  # the CUBE-only set ROLLUP lacks
     assert get("x", "q") == 2.0
     assert len(out) == 1 + 2 + 2 + 3
+
+
+def test_grouped_distinct_sketch_exact_and_estimate():
+    """KMV distinct sketch: exact below k, ~1/sqrt(k)-relative estimate
+    above, deterministic."""
+    from hipporag_ray.stages.agg import grouped_distinct_sketch
+
+    rows = []
+    # small group: 100 distinct values, lots of duplicates
+    rows += [{"g": "small", "v": f"s{i % 100}"} for i in range(1000)]
+    # big group: 50_000 distinct values
+    rows += [{"g": "big", "v": f"b{i}"} for i in range(50_000)]
+    ds = rd.from_items(rows)
+    out1 = (
+        grouped_distinct_sketch(ds, "g", "v", k=1024)
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    out2 = (
+        grouped_distinct_sketch(ds, "g", "v", k=1024)
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(out1, out2)
+    assert out1.loc["small", "n_distinct"] == 100
+    assert bool(out1.loc["small", "exact"])
+    est = out1.loc["big", "n_distinct"]
+    assert not bool(out1.loc["big", "exact"])
+    assert abs(est - 50_000) / 50_000 < 4 / np.sqrt(1024)  # ~12.5% bound
