@@ -1015,7 +1015,10 @@ def q_events_distinct_users(sf_dir: str):
     def pair_key(batch: pa.Table) -> pa.Table:
         et = batch["event_type"].to_numpy(zero_copy_only=False)
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        key = np.char.add(np.char.add(et.astype(str), "\x00"), uid.astype(str))
+        # "|" separator ("\x00" is stripped as numpy fixed-width
+        # padding, leaving NO delimiter — prefix-related type names
+        # would silently collide); uids are digits, so "|" is safe
+        key = np.char.add(np.char.add(et.astype(str), "|"), uid.astype(str))
         return pa.table(
             {"pair": pa.array(key, pa.string()), "event_type": batch["event_type"]}
         )
@@ -1044,6 +1047,13 @@ def q_events_distinct_users(sf_dir: str):
         .aggregate(Sum("n_part", alias_name="n_users"))
         .to_pandas()
     )
+    if "n_users" not in out.columns:  # all-empty to_pandas drops schema
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=object),
+                "n_users": pd.Series([], dtype="int64"),
+            }
+        )
     out["n_users"] = out["n_users"].astype("int64")
     return out
 

@@ -610,9 +610,23 @@ def grouped_distinct_sketch(
     distinct hashes the count is EXACT; otherwise the estimate is
     (k-1) * 2^64 / h_(k) (relative error ~ 1/sqrt(k)).  No RNG —
     deterministic for a given input."""
+    import pyarrow.compute as pc
+
     from ..functions.hashing import stable_hash64
 
     from .shuffle import hash_partition
+
+    def _sorted_distinct_segments(g, h):
+        """lexsort by (group, hash), drop duplicate (group, hash) rows,
+        return (g, h, group segment starts, ends) — ONE definition for
+        the map and reduce sides of the sketch."""
+        order = np.lexsort((h, g))
+        g, h = g[order], h[order]
+        keep_u = np.concatenate([[True], (g[1:] != g[:-1]) | (h[1:] != h[:-1])])
+        g, h = g[keep_u], h[keep_u]
+        starts = np.concatenate([[0], np.nonzero(g[1:] != g[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [len(g)]])
+        return g, h, starts, ends
 
     def partials(batch: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -621,15 +635,11 @@ def grouped_distinct_sketch(
         if batch.num_rows == 0:
             return empty
         g = batch[group_col].to_numpy(zero_copy_only=False).astype(str)
-        v = batch[value_col].to_numpy(zero_copy_only=False).astype(str)
-        h = stable_hash64(np.array(v, dtype=object))
-        # dedupe (group, hash) within the batch, then bottom-k per group
-        order = np.lexsort((h, g))
-        g, h = g[order], h[order]
-        keep_u = np.concatenate([[True], (g[1:] != g[:-1]) | (h[1:] != h[:-1])])
-        g, h = g[keep_u], h[keep_u]
-        starts = np.concatenate([[0], np.nonzero(g[1:] != g[:-1])[0] + 1])
-        ends = np.concatenate([starts[1:], [len(g)]])
+        # one vectorized C cast straight into the hash kernel (which
+        # also keeps its dictionary-encoding fast path), not a numpy
+        # unicode copy + per-element object re-boxing
+        h = stable_hash64(pc.cast(batch[value_col].combine_chunks(), pa.string()))
+        g, h, starts, ends = _sorted_distinct_segments(g, h)
         gstart = np.repeat(starts, ends - starts)
         keep = (np.arange(len(g), dtype=np.int64) - gstart) < k
         return pa.table(
@@ -648,12 +658,7 @@ def grouped_distinct_sketch(
             return empty
         g = batch["g"].to_numpy(zero_copy_only=False).astype(str)
         h = batch["h"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((h, g))
-        g, h = g[order], h[order]
-        keep_u = np.concatenate([[True], (g[1:] != g[:-1]) | (h[1:] != h[:-1])])
-        g, h = g[keep_u], h[keep_u]
-        starts = np.concatenate([[0], np.nonzero(g[1:] != g[:-1])[0] + 1])
-        ends = np.concatenate([starts[1:], [len(g)]])
+        g, h, starts, ends = _sorted_distinct_segments(g, h)
         names, counts, exact = [], [], []
         for a, b in zip(starts, ends):
             m = b - a

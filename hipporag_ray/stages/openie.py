@@ -55,8 +55,13 @@ class NerStage:
 
 
 def _pair_keys(rows: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    # "|" separator, NOT "\x00": numpy fixed-width unicode treats a
+    # trailing NUL as padding and silently strips it, which would
+    # concatenate the parts with no delimiter at all (row 12 + "3ab"
+    # colliding with row 1 + "23ab").  Row ids are digits and vals are
+    # normalized [a-z0-9 ] tokens, so "|" is unambiguous.
     return np.char.add(
-        np.char.add(rows.astype(str), "\x00"), vals.astype(str)
+        np.char.add(rows.astype(str), "|"), vals.astype(str)
     )
 
 

@@ -196,7 +196,10 @@ def triple_to_docs(triples: "rd.Dataset", doc_col: str) -> "rd.Dataset":
         )
         keys = md5_hex(content, prefix="fact-").to_numpy(zero_copy_only=False)
         docs = batch[doc_col].to_numpy(zero_copy_only=False)
-        pair = np.char.add(np.char.add(keys.astype(str), "\x00"), docs.astype(str))
+        # "|" separator: numpy strips a trailing "\x00" as fixed-width
+        # padding (no delimiter at all); the fact key is fixed-length
+        # ("fact-" + 32 hex) so any printable separator is unambiguous
+        pair = np.char.add(np.char.add(keys.astype(str), "|"), docs.astype(str))
         return pa.table(
             {
                 "fact_key": pa.array(keys, pa.string()),

@@ -793,3 +793,28 @@ def test_grouped_distinct_sketch_exact_and_estimate():
     est = out1.loc["big", "n_distinct"]
     assert not bool(out1.loc["big", "exact"])
     assert abs(est - 50_000) / 50_000 < 4 / np.sqrt(1024)  # ~12.5% bound
+
+
+def test_distinct_users_prefix_type_names_no_collision(tmp_path):
+    """Regression: the pair key must carry a real delimiter — numpy
+    strips a trailing '\\x00' as fixed-width padding, and with NO
+    delimiter ('a', 12) and ('a1', 2) collide into one distinct pair."""
+    import pyarrow.parquet as pq
+
+    from hipporag_ray.pipelines.queries import q_events_distinct_users
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "user_id": np.array([12, 2, 7, 7], dtype=np.int64),
+            "ts": pd.to_datetime([0, 1, 2, 3], unit="s"),
+            "event_type": ["a", "a1", "a", "a1"],
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = q_events_distinct_users(str(tmp_path)).set_index("event_type")
+    assert out.loc["a", "n_users"] == 2  # users 12 and 7
+    assert out.loc["a1", "n_users"] == 2  # users 2 and 7
