@@ -815,10 +815,24 @@ class ShardedGraph:
         # holds: threads >= hosted shards, so every hosted shard's msg
         # task STARTS before any pull task can occupy all threads.
         max_cc = max(len(ids) for ids in assign)
-        # fractional reservation when hosts outnumber cores (explicit
-        # shards_per_host=1 with n_shards > cpus): a pool that outsizes
-        # the cluster at num_cpus=1 deadlocks the loading barrier below
-        cpu_per_host = 1 if n_hosts <= cpus else cpus / n_hosts
+        # Reservation rules:
+        # * fractional when hosts outnumber cores — a pool that
+        #   outsizes the cluster at num_cpus=1 deadlocks the loading
+        #   barrier below;
+        # * NEVER the whole cluster — dataset readbacks while the pool
+        #   is alive (scores_dataset/labels_dataset via
+        #   from_arrow_refs, reset routing tasks) submit default
+        #   1.0-CPU Ray tasks, and a pool holding cpus/cpus CPUs
+        #   starves them forever (observed: q_tx_pagerank deadlocked
+        #   an 8-CPU session inside from_arrow_refs' metadata task
+        #   while 10 hosts held 10 x 0.8 CPUs).  Reservations don't
+        #   bind threads, so leaving one core of headroom costs no
+        #   iteration throughput.
+        if n_hosts < cpus:
+            cpu_per_host = 1
+        else:
+            cpu_per_host = max(cpus - 1, 1) / n_hosts
+        self.cpu_per_host = cpu_per_host  # introspectable (tests assert headroom)
         self._hosts = [
             GraphShardHostActor.options(
                 num_cpus=cpu_per_host, max_concurrency=max_cc

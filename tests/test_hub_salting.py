@@ -245,3 +245,23 @@ def test_multi_shard_hosting_matches_flat(skew_graph):
     np.testing.assert_array_equal(s1, s2)  # float64 precise: bit-identical
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_array_equal(l1, l2)
+
+
+def test_pool_reservation_leaves_scheduler_headroom(skew_graph):
+    """The pool must NEVER reserve every cluster CPU: dataset readbacks
+    while the pool is alive (scores_dataset -> from_arrow_refs metadata
+    tasks, reset routing) submit 1.0-CPU Ray tasks that would starve
+    forever behind a full reservation (observed 8-CPU deadlock)."""
+    from hipporag_ray.algos.iterate import pagerank, scores_dataset
+
+    path, n, src, dst, w, hub = skew_graph
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # force more hosts than cores so the fractional branch is exercised
+    sg = ShardedGraph(path, n, n_shards=2 * cpus + 2)
+    try:
+        assert sg.cpu_per_host * len(sg._hosts) < cpus
+        # end-to-end: a Ray Data readback completes while the pool is up
+        pagerank(sg, tol=0.0, max_iter=2, collect=False)
+        assert scores_dataset(sg, 0).count() == n
+    finally:
+        sg.shutdown()
