@@ -36,7 +36,19 @@ import numpy as np
 
 import ray
 
-from ..state.csr import ShardedGraph
+from ..state.csr import ShardedGraph, assemble_labels, assemble_ppr
+
+
+@ray.remote
+def _assemble_ppr_task(*msgs):
+    """One task per iteration: merge the per-shard contrib messages into
+    the single broadcast object every pull reads (see csr.assemble_ppr)."""
+    return assemble_ppr(msgs)
+
+
+@ray.remote
+def _assemble_labels_task(*msgs):
+    return assemble_labels(msgs)
 
 
 # ---------------------------------------------------------------------------
@@ -302,26 +314,25 @@ def personalized_pagerank(
     totals = np.sum(sums, axis=0)
     ray.get([a.ppr_normalize_reset.remote(totals) for a in sg.actors])
 
-    # reset identity in the lineage: per-shard CONTENT digests of the
-    # normalized reset slices (column sums alone collide for different
-    # seed sets with equal per-shard mass, and a colliding fingerprint
-    # makes resume serve a different query's checkpoint)
-    import hashlib
+    meta = {
+        "n_queries": n_queries,
+        "damping": damping,
+        "tol": tol,
+        "max_iter": max_iter,
+    }
+    if checkpoint_dir:
+        # reset identity in the lineage: per-shard CONTENT digests of the
+        # normalized reset slices (column sums alone collide for different
+        # seed sets with equal per-shard mass, and a colliding fingerprint
+        # makes resume serve a different query's checkpoint).  Only when
+        # checkpointing — the digest is an extra actor round-trip plus an
+        # md5 over the full reset (~100 MB hashed per 128-query batch at
+        # sf0.1), pure waste on the retrieval hot path.
+        import hashlib
 
-    digests = ray.get([a.reset_digest.remote() for a in sg.actors])
-    reset_fp = hashlib.md5("".join(digests).encode()).hexdigest()[:16]
-    ck = _Checkpointer(
-        sg,
-        checkpoint_dir,
-        "ppr",
-        {
-            "n_queries": n_queries,
-            "damping": damping,
-            "tol": tol,
-            "max_iter": max_iter,
-            "reset_fp": reset_fp,
-        },
-    )
+        digests = ray.get([a.reset_digest.remote() for a in sg.actors])
+        meta["reset_fp"] = hashlib.md5("".join(digests).encode()).hexdigest()[:16]
+    ck = _Checkpointer(sg, checkpoint_dir, "ppr", meta)
     start_iter = 0
     active = np.arange(n_queries)
     resumed = ck.latest_complete() if resume else None
@@ -342,11 +353,17 @@ def personalized_pagerank(
         if len(active) == 0:
             break
         t0 = time.perf_counter()
-        # pull model: one (contrib, dangling) message per shard, then every
-        # owner segment-reduces its incoming edges against the broadcast
+        # pull model: one (contrib, dangling) message per shard, merged by
+        # ONE assemble task into the iteration's broadcast object; every
+        # owner segment-reduces its incoming edges against it.  Passing
+        # the single assembled ref (auto-dereffed at the actor) avoids
+        # both driver-side P x P ref inlining and the borrower-protocol
+        # storm of a ray.put'd ref list (each measured slower than the
+        # edge scan itself at P=63).
         contrib_refs = [a.ppr_contrib.remote(damping, active) for a in sg.actors]
+        assembled = _assemble_ppr_task.remote(*contrib_refs)
         deltas = ray.get(
-            [a.ppr_pull.remote(damping, active, contrib_refs) for a in sg.actors]
+            [a.ppr_pull.remote(damping, active, assembled) for a in sg.actors]
         )
         delta = np.sum(deltas, axis=0)
         wall = time.perf_counter() - t0
@@ -418,8 +435,9 @@ def _label_fixpoint(
     for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
         label_refs = [getattr(a, msg_attr).remote() for a in sg.actors]
+        assembled = _assemble_labels_task.remote(*label_refs)
         changed = sum(
-            ray.get([getattr(a, pull_attr).remote(label_refs) for a in sg.actors])
+            ray.get([getattr(a, pull_attr).remote(assembled) for a in sg.actors])
         )
         wall = time.perf_counter() - t0
         rec = {

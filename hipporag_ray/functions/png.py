@@ -89,9 +89,16 @@ def decode_png(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
+        if pos + 8 + length > len(data):
+            # declared chunk length past EOF: truncated/corrupt file —
+            # a short payload slice would otherwise surface as
+            # struct.error, breaking the decode contract (ValueError)
+            raise ValueError(f"truncated PNG chunk {tag!r}")
         payload = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
+            if length < 13:
+                raise ValueError("truncated PNG IHDR")
             width, height, bit_depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
@@ -242,9 +249,15 @@ def apng_info(data: bytes) -> tuple[int, int, int]:
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
+        if pos + 8 + length > len(data):
+            raise ValueError(f"truncated PNG chunk {tag!r}")
         if tag == b"IHDR":
+            if length < 8:
+                raise ValueError("truncated PNG IHDR")
             width, height = struct.unpack_from(">II", data, pos + 8)
         elif tag == b"acTL":
+            if length < 4:
+                raise ValueError("truncated APNG acTL")
             (n_frames,) = struct.unpack_from(">I", data, pos + 8)
         elif tag in (b"IDAT", b"fdAT", b"IEND"):
             break
@@ -272,9 +285,13 @@ def decode_apng(data: bytes, indices=None) -> list[np.ndarray]:
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
+        if pos + 8 + length > len(data):
+            raise ValueError(f"truncated PNG chunk {tag!r}")
         payload = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
+            if length < 13:
+                raise ValueError("truncated PNG IHDR")
             width, height, bit_depth, color_type = struct.unpack_from(
                 ">IIBB", payload
             )
@@ -283,6 +300,8 @@ def decode_apng(data: bytes, indices=None) -> list[np.ndarray]:
                     f"unsupported PNG (bit depth {bit_depth}, color type {color_type})"
                 )
         elif tag == b"fcTL":
+            if length < 26:
+                raise ValueError("truncated APNG fcTL")
             _, fw, fh, fx, fy = struct.unpack_from(">IIIII", payload)
             blend = payload[25]
             if (fw, fh, fx, fy) != (width, height, 0, 0) or (streams and blend != 0):

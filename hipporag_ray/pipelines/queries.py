@@ -1013,6 +1013,10 @@ def q_events_distinct_users(sf_dir: str):
     from ..stages.shuffle import hash_distinct
 
     def pair_key(batch: pa.Table) -> pa.Table:
+        # SQL COUNT(DISTINCT) excludes NULLs: drop them up front — a
+        # nullable int64 arrives as float64 + NaN, and astype(str) would
+        # otherwise mint a literal 'nan' user per event_type
+        batch = batch.filter(pc.is_valid(batch["user_id"]))
         et = batch["event_type"].to_numpy(zero_copy_only=False)
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
         # "|" separator ("\x00" is stripped as numpy fixed-width

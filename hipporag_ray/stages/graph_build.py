@@ -635,7 +635,10 @@ def extract_chunks_resumable(
     import shutil as _shutil
 
     for d in os.listdir(chunks_dir):
-        if d.startswith("shard=") and d not in expected_dirs:
+        # '.tmp.' names are a CONCURRENT extraction's in-flight temp dirs
+        # (see _extract_shard's atomic publish) — pruning one would make
+        # that run's os.rename fail; only prune final-shaped names
+        if d.startswith("shard=") and ".tmp." not in d and d not in expected_dirs:
             _shutil.rmtree(os.path.join(chunks_dir, d), ignore_errors=True)
 
     done = ray.get(

@@ -319,7 +319,13 @@ def range_sort(
     rows_seen = 0
     for bundle in ds.iter_internal_ref_bundles():
         for bref, meta in bundle.blocks:
-            rows = meta.num_rows or 0
+            rows = meta.num_rows
+            if rows is None:
+                # unknown metadata (lazy input): fetch the real count —
+                # treating it as 0 would skip the oversized-block slicing
+                # AND undercount rows_seen, silently collapsing the sort
+                # to one partition (same fix as _splits_or_buffer)
+                rows = ray.get(_block_rows.remote(bref))
             rows_seen += rows
             refs.extend(_sliced(bref, rows, cpus))
     if not refs:

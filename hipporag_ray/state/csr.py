@@ -15,10 +15,16 @@ Iteration protocol (pull / broadcast model):
 1. every actor publishes one small per-vertex message vector for its
    range (PPR: damping*score/out_weight; CC/LP: labels) — total bytes
    per iteration = n x B, independent of P;
-2. every actor fetches the P message vectors (zero-copy plasma reads;
-   on a multi-node cluster each node fetches each object once) and
-   segment-reduces its incoming edges, which are pre-grouped by the
-   neighbor's shard and pre-sorted by own vid for ``np.*.reduceat``.
+2. ONE assemble task concatenates the P slices into the global message
+   matrix (``assemble_ppr``/``assemble_labels``) and every actor
+   fetches that single object (zero-copy plasma read; on a multi-node
+   cluster each node fetches it once — the same n x B per-node traffic
+   as fetching P separate slices) and segment-reduces its incoming
+   edges, pre-sorted by own vid (compiled one-pass kernel in
+   state/native.py, chunked ``np.*.reduceat`` fallback).  Handing one
+   ref to P pulls instead of P refs to each of P pulls matters: the
+   driver-side O(P^2) ref bookkeeping measured 170-330 ms per
+   iteration at P=63 — more than the edge scan itself.
 
 This replaces a dense scatter all-to-all (P x n x B bytes/iteration)
 that measured 10-50x slower than compute at P=32.  Actors are *caches
@@ -44,6 +50,8 @@ import pyarrow.parquet as pq
 
 import ray
 
+from .native import native
+
 _I64_MAX = np.iinfo(np.int64).max
 
 
@@ -59,6 +67,7 @@ class GraphShard:
         n_vertices: int,
         hubs: np.ndarray | None = None,
         precise: bool = False,
+        use_native: bool | None = None,
     ):
         """``bounds`` is the shared (P+1,) vid boundary array: shard t
         owns vids [bounds[t], bounds[t+1]).  Boundaries are chosen by
@@ -87,6 +96,12 @@ class GraphShard:
         counted exactly once.  No extra communication rounds."""
         bounds = np.asarray(bounds, dtype=np.int64)
         self.shard_id = shard_id
+        # compiled segment kernels (state/native.py): one-pass SpMM /
+        # seg-min with float64 accumulation — 8-9x the numpy
+        # gather+reduceat path and numerically tighter.  None (no
+        # compiler / HIPPORAG_RAY_NO_NATIVE / use_native=False) falls
+        # back to the numpy path; results allclose between the two.
+        self._kern = native() if use_native is not False else None
         # precise=True keeps the contribution messages float64 (doubles
         # the gather traffic) — for oracle-checked fixed-iteration runs
         # where scores are compared to an external reference at 1e-9,
@@ -158,32 +173,32 @@ class GraphShard:
             self._push_starts = np.zeros(0, np.int64)
             self._push_uniq = np.zeros(0, np.int64)
 
-        # incoming edges grouped by the neighbor's shard, sorted by own
-        # vid within each group for reduceat segment reduction
-        t = np.searchsorted(bounds, other, side="right") - 1
-        order = np.lexsort((own, t))
-        own, other, w, t = own[order], other[order], w[order], t[order]
-        gb = np.searchsorted(t, np.arange(self.n_shards + 1))
-        self.groups: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
-        self._uniq_own: list[np.ndarray] = []
-        self._w32: list[np.ndarray] = []  # msg-dtype column copies for the edge scan
-        for ti in range(self.n_shards):
-            a, b = gb[ti], gb[ti + 1]
-            own_s = own[a:b]
-            other_local = other[a:b] - int(bounds[ti])
-            w_s = w[a:b]
-            if b > a:
-                starts = np.concatenate([[0], np.nonzero(np.diff(own_s))[0] + 1]).astype(
-                    np.int64
-                )
-                uniq = own_s[starts]
-            else:
-                starts = np.zeros(0, dtype=np.int64)
-                uniq = np.zeros(0, dtype=np.int64)
-            self.groups.append((own_s, other_local, w_s, starts))
-            self._w32.append(w_s.astype(self._msg_dtype)[:, None])
-            self._uniq_own.append(uniq)
-        # rows scanned per iteration: segment-group rows + hub-push rows
+        # incoming edges as ONE global CSR: sorted by own vid (one
+        # segment per owned vertex), ``other`` kept as GLOBAL vids —
+        # the pull scans the per-iteration ASSEMBLED message matrix
+        # (assemble_ppr below: all shard slices concatenated into a
+        # single plasma object) in a single kernel call.  This replaced
+        # a per-source-shard group structure whose P slices forced the
+        # driver to hand P refs to every pull call (O(P^2) borrow
+        # registrations per iteration — measured 170-330 ms of a
+        # ~260 ms iteration wall at P=63).
+        order = np.lexsort((other, own))
+        own, other, w = own[order], other[order], w[order]
+        if len(own):
+            gstarts = np.concatenate(
+                [[0], np.nonzero(np.diff(own))[0] + 1]
+            ).astype(np.int64)
+            guniq = own[gstarts]
+        else:
+            gstarts = np.zeros(0, dtype=np.int64)
+            guniq = np.zeros(0, dtype=np.int64)
+        self._gown = own
+        self._gother = other  # global vids (row index into the assembled matrix)
+        self._gw = w
+        self._gstarts = gstarts
+        self._guniq = guniq
+        self._gw_msg = w.astype(self._msg_dtype)  # msg-dtype copy for the edge scan
+        # rows scanned per iteration: incoming rows + hub-push rows
         self.edge_count = len(own) + len(self._push[0])
 
         # mutable per-algorithm state
@@ -323,33 +338,55 @@ class GraphShard:
 
     _PULL_CHUNK = 32768  # edges per segment-sum block (bounds temp size)
 
-    def ppr_pull(self, damping: float, active: np.ndarray, contrib_refs: list) -> np.ndarray:
+    def ppr_pull(self, damping: float, active: np.ndarray, contrib) -> np.ndarray:
         """next = (1-d)*reset + d*dangling*reset + incoming segment sums;
         update active columns in place; return per-column L1 delta.
 
-        The edge scan runs in fixed-size blocks (snapped to segment
-        boundaries) through a persistent gather buffer — a single
-        (E_group x B) temporary measured 3x slower at low shard counts
-        from mmap churn and page faults."""
-        msgs = ray.get(list(contrib_refs))
-        dangling = np.sum([m[1] for m in msgs], axis=0)
-        reset = self.reset[:, active]
+        ``contrib`` is the assembled (M, dangling, hub_total) message
+        tuple — the driver passes one ObjectRef per iteration, which
+        auto-derefs at the actor boundary (zero-copy plasma read).  A
+        list of per-shard message refs is also accepted (unit-test
+        convenience) and assembled locally.
+
+        On the numpy fallback the edge scan runs in fixed-size blocks
+        (snapped to segment boundaries) through a persistent gather
+        buffer — a single (E x B) temporary measured 3x slower at low
+        shard counts from mmap churn and page faults.  The compiled
+        kernel needs no temporary at all."""
+        if isinstance(contrib, list):
+            contrib = assemble_ppr(ray.get(list(contrib)))
+        M, dangling, hub_total = contrib
+        # .take, not reset[:, active]: fancy indexing on axis 1 returns an
+        # F-CONTIGUOUS array and numpy arithmetic preserves that layout —
+        # the compiled kernel writes C-order and would scatter into wrong
+        # cells (caught by its layout guard); take() returns C-order
+        reset = self.reset.take(active, axis=1)
         nxt = (1.0 - damping) * reset + damping * dangling[None, :] * reset
         if len(self._hub_owned_idx):
-            hub_total = np.sum([m[2] for m in msgs], axis=0)
             nxt[self._hub_local] += hub_total[self._hub_owned_idx]
         B = len(active)
-        if getattr(self, "_buf", None) is None or self._buf.shape[1] != B:
-            self._buf = np.empty((self._PULL_CHUNK + 1024, max(B, 1)), dtype=self._msg_dtype)
-        buf = self._buf
-        for ti in range(self.n_shards):
-            own_s, other_local, w_s, starts = self.groups[ti]
-            if len(own_s) == 0:
-                continue
-            msg = msgs[ti][0]
-            uniq = self._uniq_own[ti]
+        if len(self._gown) == 0:
+            pass
+        elif self._kern is not None:
+            # one-pass compiled SpMM: no (edges x B) temporary, each
+            # message row read once, float64 accumulation (so the
+            # oversized-segment escalation below is moot here)
+            if not M.flags.c_contiguous:
+                M = np.ascontiguousarray(M)
+            self._kern.spmm(
+                self._gstarts, self._guniq, self._gother, self._gw_msg, M, nxt
+            )
+        else:
+            if getattr(self, "_buf", None) is None or self._buf.shape[1] != B:
+                self._buf = np.empty(
+                    (self._PULL_CHUNK + 1024, max(B, 1)), dtype=self._msg_dtype
+                )
+            buf = self._buf
+            starts, uniq = self._gstarts, self._guniq
+            other, w_s = self._gother, self._gw
+            w32 = self._gw_msg[:, None]
             nseg = len(starts)
-            n_edges = len(own_s)
+            n_edges = len(other)
             s0 = 0
             while s0 < nseg:
                 # take whole segments until ~_PULL_CHUNK edges (a single
@@ -359,10 +396,9 @@ class GraphShard:
                 a = int(starts[s0])
                 b = int(starts[s1]) if s1 < nseg else n_edges
                 m = b - a
-                w32 = self._w32[ti]
                 if m <= buf.shape[0]:
                     block = buf[:m, :B]
-                    np.take(msg, other_local[a:b], axis=0, out=block)
+                    np.take(M, other[a:b], axis=0, out=block)
                     np.multiply(block, w32[a:b], out=block)
                 else:
                     # lone oversized segment (high-degree vertex):
@@ -372,9 +408,7 @@ class GraphShard:
                     # bound (~6e-8) only holds for segments capped by
                     # the chunk size; big segments pay the cast, which
                     # is rare by construction (hubs are salted out)
-                    block = msg[other_local[a:b]].astype(np.float64) * w_s[
-                        a:b, None
-                    ]
+                    block = M[other[a:b]].astype(np.float64) * w_s[a:b, None]
                 nxt[uniq[s0:s1]] += np.add.reduceat(block, starts[s0:s1] - a, axis=0)
                 s0 = s1
         old = self.scores[:, active]
@@ -408,27 +442,30 @@ class GraphShard:
             )
         return self.labels, hub_mins
 
-    def cc_pull(self, label_refs: list) -> int:
-        msgs = ray.get(list(label_refs))
+    def cc_pull(self, label_msgs) -> int:
+        if isinstance(label_msgs, list):
+            label_msgs = assemble_labels(ray.get(list(label_msgs)))
+        global_lab, hub_parts = label_msgs
         nxt = self.labels.copy()
-        for ti in range(self.n_shards):
-            own_s, other_local, _w, starts = self.groups[ti]
-            if len(own_s) == 0:
-                continue
-            mins = np.minimum.reduceat(msgs[ti][0][other_local], starts)
-            uniq = self._uniq_own[ti]
-            nxt[uniq] = np.minimum(nxt[uniq], mins)
+        if len(self._gown):
+            if self._kern is not None:
+                if not global_lab.flags.c_contiguous:
+                    global_lab = np.ascontiguousarray(global_lab)
+                self._kern.segmin(
+                    self._gstarts, self._guniq, self._gother, global_lab, nxt
+                )
+            else:
+                mins = np.minimum.reduceat(global_lab[self._gother], self._gstarts)
+                nxt[self._guniq] = np.minimum(nxt[self._guniq], mins)
         if len(self._hub_owned_idx):
-            hub_total = np.min([m[1] for m in msgs], axis=0)
+            hub_total = np.min(hub_parts, axis=0)
             hl = self._hub_local
             nxt[hl] = np.minimum(nxt[hl], hub_total[self._hub_owned_idx])
-        # pointer jumping: the fetched shard slices concatenate (bounds
-        # are an ordered partition of [0, n)) into the full label-by-vid
-        # vector, so shortcutting label -> label(label) is free here and
-        # turns O(diameter) convergence into O(log diameter) — plain
-        # min-label propagation would never converge on a long path
-        # within max_iter
-        global_lab = np.concatenate([m[0] for m in msgs])
+        # pointer jumping: the assembled label vector covers the full vid
+        # range (bounds are an ordered partition of [0, n)), so
+        # shortcutting label -> label(label) is free here and turns
+        # O(diameter) convergence into O(log diameter) — plain min-label
+        # propagation would never converge on a long path within max_iter
         for _ in range(2):
             nxt = np.minimum(nxt, global_lab[nxt])
         changed = int((nxt != self.labels).sum())
@@ -461,19 +498,17 @@ class GraphShard:
             votes = (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0))
         return self.labels, votes
 
-    def lp_pull(self, label_refs: list) -> int:
-        msgs = ray.get(list(label_refs))
+    def lp_pull(self, label_msgs) -> int:
+        if isinstance(label_msgs, list):
+            label_msgs = assemble_labels(ray.get(list(label_msgs)))
+        global_lab, vote_parts = label_msgs
         all_own, all_lab, all_w = [], [], []
-        for ti in range(self.n_shards):
-            own_s, other_local, w_s, _starts = self.groups[ti]
-            if len(own_s) == 0:
-                continue
-            all_own.append(own_s)
-            all_lab.append(msgs[ti][0][other_local])
-            all_w.append(w_s)
+        if len(self._gown):
+            all_own.append(self._gown)
+            all_lab.append(global_lab[self._gother])
+            all_w.append(self._gw)
         if len(self._hub_owned_idx):
-            for m in msgs:
-                h_idx, labs, ws = m[1]
+            for h_idx, labs, ws in vote_parts:
                 if len(h_idx) == 0:
                     continue
                 keep = np.isin(h_idx, self._hub_owned_idx)
@@ -506,9 +541,9 @@ class GraphShard:
     # ------------------------------------------------------------------
 
     def get_group_rows(self) -> int:
-        """Total segment-group edge rows on this shard (diagnostic for
-        partition-balance tests)."""
-        return int(sum(len(g[0]) for g in self.groups))
+        """Segment-scan edge rows on this shard, excluding hub-push rows
+        (diagnostic for partition-balance tests)."""
+        return int(len(self._gown))
 
     def save_state(self, path: str) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -532,6 +567,29 @@ class GraphShard:
             ).astype(np.float64)
         if "label" in tbl.column_names:
             self.labels = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def assemble_ppr(msgs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Merge the per-shard PPR contrib messages into the iteration's
+    single broadcast payload: the global (n, B) message matrix (shard
+    slices concatenated in bounds order), the summed dangling mass and
+    the summed hub-push block.  The driver runs this as ONE Ray task per
+    iteration whose output ref is handed to every pull — each node then
+    fetches one object per iteration (n x B bytes, the same per-node
+    traffic as fetching all P slices) instead of the driver inlining P
+    refs into P calls (O(P^2) borrow registrations, the measured
+    iteration-wall dominator at P=63)."""
+    M = np.concatenate([m[0] for m in msgs], axis=0)
+    dangling = np.sum([m[1] for m in msgs], axis=0)
+    hub_total = np.sum([m[2] for m in msgs], axis=0)
+    return M, dangling, hub_total
+
+
+def assemble_labels(msgs) -> tuple[np.ndarray, list]:
+    """Merge per-shard label messages: the global (n,) label vector plus
+    the list of per-shard hub partials (CC: per-hub mins; LP: vote
+    triples) — the partials are hub-sized, so they ride along unreduced."""
+    return np.concatenate([m[0] for m in msgs]), [m[1] for m in msgs]
 
 
 class GraphShardHost:
@@ -769,6 +827,11 @@ class ShardedGraph:
         bounds_stats_min_rows: int | None = None,
         shards_per_host: int | None = None,
     ):
+        # warm the compiled-kernel cache on the driver first: the shard
+        # actors then CDLL the cached .so instead of racing 63 parallel
+        # compiles on first use (node-local cache; other nodes of a real
+        # cluster compile once each on first shard load)
+        native()
         if n_shards is None:
             # 2x oversharding: smaller shards keep the broadcast message
             # slices cache-resident and smooth scheduling stragglers

@@ -1,0 +1,244 @@
+"""Optional compiled segment kernels for the shard iteration hot path.
+
+The PPR pull is a weighted segment-sum SpMM: for every destination
+segment ``s`` (one owned vertex's incoming edges from one source
+shard), ``nxt[uniq[s], :] += Σ_e w[e] * msg[other[e], :]``.  The
+vectorized numpy form (gather → multiply → ``np.add.reduceat``)
+materializes an (edges × B) float temporary and makes 3-4 passes over
+it — measured ~97 ms per shard-pull at the sf0.1 bench shape.  The
+C loop below makes ONE pass (each message row is read once, the
+destination row stays in L1 for the whole segment) and accumulates in
+float64 regardless of the message dtype — 8-9x faster single-thread
+AND strictly tighter numerics than the float32 ``reduceat`` chain (no
+O(segment-length) float32 error growth, so no oversized-segment
+escalation is needed).
+
+This is an optional acceleration: the kernels are compiled once per
+node with the system C compiler into a content-addressed cache under
+/tmp (node-local — ``-march=native`` never crosses machines) and
+loaded via ctypes.  Any failure (no compiler, sandboxed /tmp, load
+error) silently falls back to the numpy path in ``csr.GraphShard``;
+set ``HIPPORAG_RAY_NO_NATIVE=1`` to force the fallback.  Results are
+allclose between paths (the compiled path is the more accurate one);
+a regression test pins both.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import shutil
+import subprocess
+import tempfile
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC = r"""
+#include <stdint.h>
+
+/* nxt[uniq[s], :] += sum over segment s of w[e] * msg[other[e], :]
+   Segments are contiguous runs of one destination vertex's edges,
+   sorted by destination (starts/uniq from the shard's group build).
+   Accumulation is double: the destination row rides in L1 across the
+   segment; each float32 message row is read exactly once. */
+void spmm_f32(const int64_t *starts, const int64_t *uniq, int64_t nseg,
+              const int64_t *other, const float *w, int64_t m,
+              const float *msg, int64_t B, double *nxt) {
+    for (int64_t s = 0; s < nseg; s++) {
+        int64_t a = starts[s];
+        int64_t b = (s + 1 < nseg) ? starts[s + 1] : m;
+        double *dst = nxt + uniq[s] * B;
+        for (int64_t e = a; e < b; e++) {
+            const float *src = msg + other[e] * B;
+            double we = (double)w[e];
+            for (int64_t j = 0; j < B; j++)
+                dst[j] += we * (double)src[j];
+        }
+    }
+}
+
+void spmm_f64(const int64_t *starts, const int64_t *uniq, int64_t nseg,
+              const int64_t *other, const double *w, int64_t m,
+              const double *msg, int64_t B, double *nxt) {
+    for (int64_t s = 0; s < nseg; s++) {
+        int64_t a = starts[s];
+        int64_t b = (s + 1 < nseg) ? starts[s + 1] : m;
+        double *dst = nxt + uniq[s] * B;
+        for (int64_t e = a; e < b; e++) {
+            const double *src = msg + other[e] * B;
+            double we = w[e];
+            for (int64_t j = 0; j < B; j++)
+                dst[j] += we * src[j];
+        }
+    }
+}
+
+/* nxt[uniq[s]] = min(nxt[uniq[s]], min over segment of msg[other[e]])
+   — the connected-components min-label pull. */
+void segmin_i64(const int64_t *starts, const int64_t *uniq, int64_t nseg,
+                const int64_t *other, int64_t m,
+                const int64_t *msg, int64_t *nxt) {
+    for (int64_t s = 0; s < nseg; s++) {
+        int64_t a = starts[s];
+        int64_t b = (s + 1 < nseg) ? starts[s + 1] : m;
+        int64_t lo = nxt[uniq[s]];
+        for (int64_t e = a; e < b; e++) {
+            int64_t v = msg[other[e]];
+            if (v < lo) lo = v;
+        }
+        nxt[uniq[s]] = lo;
+    }
+}
+"""
+
+_CACHE_DIR = os.path.join(
+    tempfile.gettempdir(), f"hipporag_ray_native_{os.getuid()}"
+)
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_f32p = ctypes.POINTER(ctypes.c_float)
+_f64p = ctypes.POINTER(ctypes.c_double)
+_I = ctypes.c_int64
+
+
+class _Kernels:
+    """Typed ctypes facade over the compiled shared object."""
+
+    def __init__(self, lib: ctypes.CDLL):
+        lib.spmm_f32.argtypes = [_i64p, _i64p, _I, _i64p, _f32p, _I, _f32p, _I, _f64p]
+        lib.spmm_f64.argtypes = [_i64p, _i64p, _I, _i64p, _f64p, _I, _f64p, _I, _f64p]
+        lib.segmin_i64.argtypes = [_i64p, _i64p, _I, _i64p, _I, _i64p, _i64p]
+        for fn in (lib.spmm_f32, lib.spmm_f64, lib.segmin_i64):
+            fn.restype = None
+        self._lib = lib
+
+    @staticmethod
+    def _pp(a: np.ndarray, ptr_t):
+        return a.ctypes.data_as(ptr_t)
+
+    @staticmethod
+    def _check(a: np.ndarray, dtype, name: str, writable: bool = False) -> None:
+        """Layout guard: the C kernels assume C-contiguous buffers of the
+        exact dtype.  numpy silently hands out F-contiguous arrays from
+        innocuous expressions (``arr[:, idx]`` fancy indexing preserves
+        its transposed gather layout through later arithmetic) — passing
+        one would silently scatter into wrong cells, so refuse loudly."""
+        if a.dtype != dtype:
+            raise ValueError(f"{name}: expected {dtype}, got {a.dtype}")
+        if not a.flags.c_contiguous:
+            raise ValueError(f"{name}: not C-contiguous (shape {a.shape}, strides {a.strides})")
+        if writable and not a.flags.writeable:
+            raise ValueError(f"{name}: not writable")
+
+    def spmm(
+        self,
+        starts: np.ndarray,
+        uniq: np.ndarray,
+        other: np.ndarray,
+        w: np.ndarray,
+        msg: np.ndarray,
+        nxt: np.ndarray,
+    ) -> None:
+        """nxt[uniq[s], :] += segment-sums of w * msg[other]; dispatches
+        on the message dtype (w must match it; nxt is float64)."""
+        if msg.dtype not in (np.float32, np.float64):
+            raise ValueError(f"msg: expected float32/float64, got {msg.dtype}")
+        for a, dt, name in (
+            (starts, np.int64, "starts"), (uniq, np.int64, "uniq"),
+            (other, np.int64, "other"), (w, msg.dtype, "w"), (msg, msg.dtype, "msg"),
+        ):
+            self._check(a, dt, name)
+        self._check(nxt, np.float64, "nxt", writable=True)
+        if nxt.shape[1] != msg.shape[1]:
+            raise ValueError(f"column mismatch: nxt {nxt.shape} vs msg {msg.shape}")
+        if msg.dtype == np.float32:
+            self._lib.spmm_f32(
+                self._pp(starts, _i64p), self._pp(uniq, _i64p), len(starts),
+                self._pp(other, _i64p), self._pp(w, _f32p), len(other),
+                self._pp(msg, _f32p), msg.shape[1], self._pp(nxt, _f64p),
+            )
+        else:
+            self._lib.spmm_f64(
+                self._pp(starts, _i64p), self._pp(uniq, _i64p), len(starts),
+                self._pp(other, _i64p), self._pp(w, _f64p), len(other),
+                self._pp(msg, _f64p), msg.shape[1], self._pp(nxt, _f64p),
+            )
+
+    def segmin(
+        self,
+        starts: np.ndarray,
+        uniq: np.ndarray,
+        other: np.ndarray,
+        msg: np.ndarray,
+        nxt: np.ndarray,
+    ) -> None:
+        for a, name in ((starts, "starts"), (uniq, "uniq"), (other, "other"), (msg, "msg")):
+            self._check(a, np.int64, name)
+        self._check(nxt, np.int64, "nxt", writable=True)
+        self._lib.segmin_i64(
+            self._pp(starts, _i64p), self._pp(uniq, _i64p), len(starts),
+            self._pp(other, _i64p), len(other),
+            self._pp(msg, _i64p), self._pp(nxt, _i64p),
+        )
+
+
+_cached: _Kernels | None | bool = False  # False = not attempted yet
+
+
+def _compile() -> _Kernels | None:
+    cc = (
+        os.environ.get("CC")
+        or shutil.which("cc")
+        or shutil.which("gcc")
+        or shutil.which("clang")
+    )
+    if cc is None:
+        return None
+    tag = hashlib.sha256(_SRC.encode()).hexdigest()[:16]
+    so_path = os.path.join(_CACHE_DIR, f"kernels-{tag}.so")
+    if not os.path.exists(so_path):
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        src_path = os.path.join(_CACHE_DIR, f"kernels-{tag}.c")
+        tmp_so = f"{so_path}.tmp.{os.getpid()}"
+        tmp_src = f"{src_path}.tmp.{os.getpid()}"
+        with open(tmp_src, "w") as f:
+            f.write(_SRC)
+        os.replace(tmp_src, src_path)
+        proc = subprocess.run(
+            [cc, "-O3", "-march=native", "-fPIC", "-shared",
+             "-o", tmp_so, src_path],
+            capture_output=True,
+            timeout=120,
+        )
+        if proc.returncode != 0:
+            logger.debug("native kernel compile failed: %s", proc.stderr[-500:])
+            try:
+                os.unlink(tmp_so)
+            except OSError:
+                pass
+            return None
+        # atomic publish: concurrent compilers each rename their own tmp;
+        # identical content, last writer wins
+        os.replace(tmp_so, so_path)
+    return _Kernels(ctypes.CDLL(so_path))
+
+
+def native() -> _Kernels | None:
+    """The compiled kernels for this process, or None (numpy fallback).
+    Compilation happens at most once per node (content-addressed .so
+    cache); loading at most once per process."""
+    global _cached
+    if _cached is False:
+        if os.environ.get("HIPPORAG_RAY_NO_NATIVE"):
+            _cached = None
+        else:
+            try:
+                _cached = _compile()
+            except Exception as exc:  # no compiler, sandboxed tmp, ...
+                logger.debug("native kernels unavailable: %s", exc)
+                _cached = None
+    return _cached

@@ -317,10 +317,12 @@ def test_oversized_segment_float64_path(graph, tmp_path, monkeypatch):
 
     # buf rows = _PULL_CHUNK + 1024; a negative chunk gives a 0-row
     # buffer so EVERY segment takes the oversized float64 branch
+    # (use_native=False: the chunked escalation is a numpy-path branch —
+    # the compiled kernel accumulates float64 unconditionally)
     monkeypatch.setattr(GraphShard, "_PULL_CHUNK", -1024)
     n = g.n_vertices
     bounds = np.array([0, n // 2, n], dtype=np.int64)
-    shards = [GraphShard(g.adj_path, i, bounds, n) for i in range(2)]
+    shards = [GraphShard(g.adj_path, i, bounds, n, use_native=False) for i in range(2)]
     sums = [s.ppr_init(None, 1) for s in shards]
     totals = np.sum(sums, axis=0)
     for s in shards:
@@ -334,3 +336,74 @@ def test_oversized_segment_float64_path(graph, tmp_path, monkeypatch):
             break
     got = np.concatenate([s.scores[:, 0] for s in shards])
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def _manual_ppr(shards, n_queries=2, iters=8, damping=0.5):
+    rng = np.random.default_rng(7)
+    n = shards[-1].hi
+    dense = rng.random((n, n_queries))
+    sums = [
+        s.ppr_init(dense[s.lo : s.hi], n_queries) for s in shards
+    ]
+    totals = np.sum(sums, axis=0)
+    for s in shards:
+        s.ppr_normalize_reset(totals)
+    active = np.arange(n_queries)
+    for _ in range(iters):
+        msgs = [s.ppr_contrib(damping, active) for s in shards]
+        refs = [ray.put(m) for m in msgs]
+        for s in shards:
+            s.ppr_pull(damping, active, refs)
+    return np.concatenate([s.scores for s in shards])
+
+
+def _manual_cc(shards, iters=30):
+    for s in shards:
+        s.cc_init()
+    for _ in range(iters):
+        refs = [ray.put(s.labels_msg()) for s in shards]
+        changed = sum(s.cc_pull(refs) for s in shards)
+        if changed == 0:
+            break
+    return np.concatenate([s.labels for s in shards])
+
+
+def test_native_kernel_parity_with_numpy_path(graph):
+    """The compiled SpMM / seg-min kernels (state/native.py) and the
+    numpy gather+reduceat fallback produce the same PPR scores (allclose
+    at the float32-message error scale) and identical CC labels on the
+    same plain in-process shards."""
+    from hipporag_ray.state.csr import GraphShard
+    from hipporag_ray.state.native import native
+
+    if native() is None:
+        pytest.skip("no C compiler available — numpy fallback only")
+
+    g, e = graph
+    n = g.n_vertices
+    bounds = np.array([0, n // 3, n // 2, n], dtype=np.int64)
+
+    def mk(use_native):
+        return [
+            GraphShard(g.adj_path, i, bounds, n, use_native=use_native)
+            for i in range(len(bounds) - 1)
+        ]
+
+    fast, slow = mk(True), mk(False)
+    assert all(s._kern is not None for s in fast)
+    assert all(s._kern is None for s in slow)
+
+    got_fast = _manual_ppr(fast)
+    got_slow = _manual_ppr(slow)
+    # float32 messages either way; the kernels only differ in summation
+    # order/precision (compiled path accumulates float64)
+    np.testing.assert_allclose(got_fast, got_slow, atol=1e-6, rtol=1e-5)
+
+    # the compiled path must ALSO match the oracle, not just the fallback
+    src, dst, w = _edge_arrays(e)
+    reset = np.random.default_rng(7).random((n, 2))
+    for b in range(2):
+        want = ppr_oracle(n, src, dst, w, reset=reset[:, b], max_iter=8, tol=0.0)
+        np.testing.assert_allclose(got_fast[:, b], want, atol=1e-6)
+
+    np.testing.assert_array_equal(_manual_cc(fast), _manual_cc(slow))

@@ -133,7 +133,7 @@ def test_hub_edge_list_split_across_shards(skew_graph, tmp_path):
     # the owner loaded none of the hub's own rows (degree n-1), only its
     # range's non-hub rows + push rows
     deg_hub = n - 1
-    own_rows = sum(len(g[0]) for g in owner.groups)
+    own_rows = owner.get_group_rows()
     assert own_rows < deg_hub
     # hub out-weight assembled from cross-shard partials == true value
     parts = np.sum([s.hub_weight_partials() for s in shards], axis=0)

@@ -159,3 +159,31 @@ def test_apng_roundtrip_and_sampling():
     np.testing.assert_array_equal(decode_apng(png)[0], fr[0])
     with pytest.raises(ValueError):
         decode_apng(b"\x01" * 32)
+
+
+def test_truncated_chunk_raises_valueerror_not_struct_error():
+    """A chunk whose declared length runs past EOF (truncated download,
+    corrupt payload) must raise the decode contract's ValueError — not
+    leak struct.error from a short payload slice (ADVICE r3: one
+    malformed payload would otherwise kill the whole batch with an
+    unexpected exception type)."""
+    from hipporag_ray.functions.png import apng_info, decode_apng, decode_png, encode_png
+
+    rng = np.random.default_rng(1)
+    good = encode_png(rng.integers(0, 256, (9, 7), dtype=np.uint8))
+    # cut inside the IHDR payload: all three readers parse IHDR
+    for fn in (decode_png, decode_apng, apng_info):
+        with pytest.raises(ValueError):
+            fn(good[:20])
+    # cut inside the IDAT payload: the decoders must reject it
+    # (apng_info legitimately stops at IDAT without reading its payload)
+    idat_cut = good.index(b"IDAT") + 8
+    for fn in (decode_png, decode_apng):
+        with pytest.raises(ValueError):
+            fn(good[:idat_cut])
+    # declared length inflated past EOF with intact bytes otherwise
+    inflated = bytearray(good)
+    struct.pack_into(">I", inflated, 8, 10_000)
+    for fn in (decode_png, decode_apng, apng_info):
+        with pytest.raises(ValueError):
+            fn(bytes(inflated))
