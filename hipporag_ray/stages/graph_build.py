@@ -57,19 +57,86 @@ def _to_chunk_rows(batch: pa.Table) -> pa.Table:
 
 
 
-def _check_code_capacity(n_vertices: int) -> None:
-    """The single-int64 shuffle key ``(src*n + dst)*2 + flag`` needs
-    ``2*n^2 < 2^63`` (n < ~2.1e9).  numpy int64 wraps SILENTLY past
-    that, merging unrelated edges — raise instead.  The documented
-    scale path beyond this is a (src, dst, etype) struct key through
-    the same exchanges (not yet implemented)."""
+def _use_struct_keys(n_vertices: int, force: bool | None = None) -> bool:
+    """Edge-aggregation key layout dispatch.  The default shuffle key is
+    the single packed int64 ``(src*n + dst)*2 + flag``, which needs
+    ``2*n^2 < 2^63`` (n < ~2.1e9) — numpy int64 wraps SILENTLY past
+    that, merging unrelated edges.  At or beyond that (the 10^12-turn
+    scale target makes every chunk a vertex), the same pipelines key on
+    the TWO-int64 tuple ``(src, lo=dst*2+flag)`` through the pair-key
+    exchange (shuffle.int_pair_key_sum) — valid to n < 2^62.  ``force``
+    pins the mode for testing (both layouts produce bit-equal graphs,
+    pinned by test)."""
+    if force is not None:
+        return bool(force)
     n = int(n_vertices)
-    if n and 2 * n * n >= 2**63:
-        raise NotImplementedError(
-            f"n_vertices={n} overflows the int64 edge code "
-            "(needs 2*n^2 < 2^63); the struct-key shuffle path for "
-            ">2.1e9-vertex graphs is not implemented"
+    return bool(n) and 2 * n * n >= 2**63
+
+
+def _decode_edges_table(batch: pa.Table, n: int, struct: bool) -> pa.Table:
+    """Aggregated key rows -> (src, dst, weight, etype)."""
+    if struct:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        dst, is_fact = lo >> 1, (lo & 1).astype(bool)
+    else:
+        code2 = batch["code2"].to_numpy(zero_copy_only=False)
+        code = code2 >> 1
+        src, dst = code // n, code % n
+        is_fact = (code2 & 1).astype(bool)
+    return pa.table(
+        {
+            "src": pa.array(src, type=pa.int64()),
+            "dst": pa.array(dst, type=pa.int64()),
+            "weight": batch["weight"],
+            "etype": pa.array(np.where(is_fact, "fact", "passage"), type=pa.string()),
+        }
+    )
+
+
+def _encode_edges_table(batch: pa.Table, n: int, struct: bool) -> pa.Table:
+    """(src, dst, weight, etype) edge rows -> the aggregation key layout
+    (the incremental add/delete paths merge re-encoded old edges with
+    new partials through the same exchange)."""
+    src = batch["src"].to_numpy(zero_copy_only=False)
+    dst = batch["dst"].to_numpy(zero_copy_only=False)
+    fact = (batch["etype"].to_numpy(zero_copy_only=False) == "fact").astype(np.int64)
+    if struct:
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "lo": pa.array(dst * 2 + fact, type=pa.int64()),
+                "weight": batch["weight"],
+            }
         )
+    return pa.table(
+        {
+            "code2": pa.array((src * n + dst) * 2 + fact, type=pa.int64()),
+            "weight": batch["weight"],
+        }
+    )
+
+
+def _sum_edge_partials(partials: "rd.Dataset", struct: bool) -> "rd.Dataset":
+    from .shuffle import int_key_sum, int_pair_key_sum
+
+    if struct:
+        return int_pair_key_sum(partials, "src", "lo", "weight")
+    return int_key_sum(partials, "code2", "weight")
+
+
+def _empty_partial_table(struct: bool) -> pa.Table:
+    if struct:
+        return pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "lo": pa.array([], pa.int64()),
+                "weight": pa.array([], pa.float64()),
+            }
+        )
+    return pa.table(
+        {"code2": pa.array([], pa.int64()), "weight": pa.array([], pa.float64())}
+    )
 
 class ChunkToIntEdgePartials:
     """Deduped chunk batch -> locally pre-aggregated *vid-coded* edge
@@ -86,9 +153,10 @@ class ChunkToIntEdgePartials:
       aggregation shuffle entirely;
     * fact partial rows coded ``src_vid * n_vertices + dst_vid``
       (both orientations, no self-loops, per-batch pre-summed with
-      np.unique) — requires ``2*n_vertices**2 < 2**63`` (checked at
-      construction; the struct-key path beyond ~2.1e9 vertices is not
-      implemented).
+      np.unique) — the packed code requires ``2*n_vertices**2 < 2**63``;
+      past that (or with ``struct_keys=True``) the rows carry the
+      two-int64 struct key ``(src, lo=dst*2+flag)`` instead, summed by
+      the pair-key exchange (see _use_struct_keys).
     """
 
     def __init__(
@@ -97,6 +165,7 @@ class ChunkToIntEdgePartials:
         n_vertices: int,
         min_token_len: int = 3,
         edge_source: str = "cooccur",
+        struct_keys: bool | None = None,
     ):
         """``edge_source``:
 
@@ -110,7 +179,7 @@ class ChunkToIntEdgePartials:
           Windows run over the min_token_len-filtered token sequence so
           every subject/object is a graph entity.
         """
-        _check_code_capacity(n_vertices)
+        self.struct_keys = _use_struct_keys(n_vertices, struct_keys)
         self.vmap_ref = vmap_ref
         self.n = n_vertices
         self.min_token_len = min_token_len
@@ -139,7 +208,7 @@ class ChunkToIntEdgePartials:
         # --- passage rows (unique by construction) ---
         counts = np.diff(offsets)
         rep = np.repeat(np.arange(len(batch)), counts)
-        p_code = chunk_vids[rep] * self.n + ent_vids
+        p_src = chunk_vids[rep]
 
         # --- fact pair partials, both orientations, no self loops ---
         if self.edge_source == "cooccur":
@@ -149,6 +218,26 @@ class ChunkToIntEdgePartials:
             A, B = segment_pairs(ent_vids, offsets, mode="ne")
         else:
             A, B = self._triple_pairs(norm, uniq_ents, uniq_vids)
+
+        if self.struct_keys:
+            # two-int64 struct key (src, lo=dst*2+flag): no n^2 packing,
+            # so no vertex-count ceiling below 2^62
+            from .shuffle import _pair_partial_sum
+
+            A_u, B_u, cnt = _pair_partial_sum(A, B, np.ones(len(A)))
+            return pa.table(
+                {
+                    "src": pa.array(np.concatenate([p_src, A_u]), type=pa.int64()),
+                    "lo": pa.array(
+                        np.concatenate([ent_vids * 2, B_u * 2 + 1]), type=pa.int64()
+                    ),
+                    "weight": pa.array(
+                        np.concatenate([np.ones(len(p_src)), cnt]), type=pa.float64()
+                    ),
+                }
+            )
+
+        p_code = p_src * self.n + ent_vids
         if len(A):
             code_u, code_n = np.unique(A * self.n + B, return_counts=True)
         else:
@@ -156,7 +245,7 @@ class ChunkToIntEdgePartials:
             code_n = np.zeros(0, dtype=np.int64)
 
         # single int64 shuffle key: (src*n + dst) * 2 + is_fact
-        # (2*n^2 < 2^63 checked by _check_code_capacity at construction)
+        # (capacity dispatched by _use_struct_keys at construction)
         code2 = np.concatenate([p_code * 2, code_u * 2 + 1])
         w = np.concatenate([np.ones(len(p_code)), code_n.astype(np.float64)])
         return pa.table(
@@ -293,15 +382,17 @@ def _partials_via_join(
     n_vertices: int,
     min_token_len: int,
     edge_source: str,
+    struct_keys: bool | None = None,
 ) -> "rd.Dataset":
-    """Edge partial rows (code2, weight) computed WITHOUT the broadcast
-    vertex dictionary: mentions are joined to vids through the bucketed
-    hash join (stages/shuffle.py) — the scale path once the dictionary
-    outgrows single-node memory.  Produces the same rows as
-    ChunkToIntEdgePartials (verified equal in tests)."""
-    from .shuffle import _plain_split, grouped_pairs, hash_join
+    """Edge partial rows in the aggregation key layout (code2, weight —
+    or the (src, lo, weight) struct rows, see _use_struct_keys) computed
+    WITHOUT the broadcast vertex dictionary: mentions are joined to vids
+    through the bucketed hash join (stages/shuffle.py) — the scale path
+    once the dictionary outgrows single-node memory.  Produces the same
+    rows as ChunkToIntEdgePartials (verified equal in tests)."""
+    from .shuffle import _pair_partial_sum, _plain_split, grouped_pairs, hash_join
 
-    _check_code_capacity(n_vertices)
+    struct = _use_struct_keys(n_vertices, struct_keys)
     n = int(n_vertices)
     ordered = edge_source == "triples"
     ment = chunks.map_batches(
@@ -331,14 +422,20 @@ def _partials_via_join(
     # one join bucket, so per-batch np.unique is globally exact
     def passage(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "chunk_vid" not in batch.column_names:
+            return _empty_partial_table(struct)
+        cv = batch["chunk_vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ev = batch["ent_vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if struct:
+            # distinct (chunk, entity) pairs without the n^2 packing
+            cu, eu, _cnt = _pair_partial_sum(cv, ev, np.ones(len(cv)))
             return pa.table(
-                {"code2": pa.array([], pa.int64()), "weight": pa.array([], pa.float64())}
+                {
+                    "src": pa.array(cu, type=pa.int64()),
+                    "lo": pa.array(eu * 2, type=pa.int64()),
+                    "weight": pa.array(np.ones(len(cu), np.float64)),
+                }
             )
-        code = (
-            batch["chunk_vid"].to_numpy(zero_copy_only=False).astype(np.int64) * n
-            + batch["ent_vid"].to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        code = np.unique(code)
+        code = np.unique(cv * n + ev)
         return pa.table(
             {
                 "code2": pa.array(code * 2, type=pa.int64()),
@@ -374,11 +471,17 @@ def _partials_via_join(
 
     def fact(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "a" not in batch.column_names:
-            return pa.table(
-                {"code2": pa.array([], pa.int64()), "weight": pa.array([], pa.float64())}
-            )
+            return _empty_partial_table(struct)
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if struct:
+            return pa.table(
+                {
+                    "src": pa.array(a, type=pa.int64()),
+                    "lo": pa.array(b * 2 + 1, type=pa.int64()),
+                    "weight": pa.array(np.ones(len(a), np.float64)),
+                }
+            )
         return pa.table(
             {
                 "code2": pa.array((a * n + b) * 2 + 1, type=pa.int64()),
@@ -658,6 +761,7 @@ def build_graph(
     edge_source: str = "cooccur",
     broadcast_vertex_limit: int = 5_000_000,
     pre_chunked: bool = False,
+    struct_keys: bool | None = None,
 ) -> GraphTables:
     """Full graph build; writes vertices/, edges/, adj/ + manifest.json.
 
@@ -713,10 +817,9 @@ def build_graph(
 
     # vertex dictionary: broadcast once (ray.put) while it fits; beyond
     # ``broadcast_vertex_limit`` switch to the bucketed hash-join path
-    # (_partials_via_join) — same code2/weight rows, no driver-side or
+    # (_partials_via_join) — same key rows, no driver-side or
     # per-worker dictionary
-    from .shuffle import int_key_sum
-
+    struct = _use_struct_keys(n_vertices, struct_keys)
     if n_vertices <= broadcast_vertex_limit:
         vmap = vertices.select_columns(["node_key", "vid"]).to_pandas().set_index(
             "node_key"
@@ -737,35 +840,21 @@ def build_graph(
         # plasma per task, which is vertex-table-sized and cheap
         partials = chunks.map_batches(
             ChunkToIntEdgePartials(
-                vmap_ref, int(n_vertices), min_token_len, edge_source
+                vmap_ref, int(n_vertices), min_token_len, edge_source, struct
             ),
             batch_format="pyarrow",
             batch_size=2048,
         )
     else:
         partials = _partials_via_join(
-            chunks, vertices, int(n_vertices), min_token_len, edge_source
+            chunks, vertices, int(n_vertices), min_token_len, edge_source, struct
         )
-    agg = int_key_sum(partials, "code2", "weight")
+    agg = _sum_edge_partials(partials, struct)
 
     n = int(n_vertices)
-
-    def decode(batch: pa.Table) -> pa.Table:
-        code2 = batch["code2"].to_numpy(zero_copy_only=False)
-        code = code2 >> 1
-        is_fact = (code2 & 1).astype(bool)
-        return pa.table(
-            {
-                "src": pa.array(code // n, type=pa.int64()),
-                "dst": pa.array(code % n, type=pa.int64()),
-                "weight": batch["weight"],
-                "etype": pa.array(
-                    np.where(is_fact, "fact", "passage"), type=pa.string()
-                ),
-            }
-        )
-
-    edges = agg.map_batches(decode, batch_format="pyarrow").materialize()
+    edges = agg.map_batches(
+        lambda b: _decode_edges_table(b, n, struct), batch_format="pyarrow"
+    ).materialize()
     n_edges = edges.count()
     _write_table_dir(edges, os.path.join(out_dir, "edges"), "edges")
 
@@ -835,6 +924,7 @@ def delete_chunks_from_graph(
     out_dir: str,
     min_token_len: int = 3,
     edge_source: str = "cooccur",
+    struct_keys: bool | None = None,
 ) -> GraphTables:
     """Incremental delete: subtract the deleted chunks' edge partials
     through the same int-key exchange the incremental build uses —
@@ -907,26 +997,24 @@ def delete_chunks_from_graph(
     )
     key_to_vid = vsub.to_pandas().set_index("node_key")["vid"]
     vmap_ref = ray.put(key_to_vid)
-    neg = ChunkToIntEdgePartials(vmap_ref, n, min_token_len, edge_source)(del_chunks)
+    struct = _use_struct_keys(n, struct_keys)
+    neg = ChunkToIntEdgePartials(vmap_ref, n, min_token_len, edge_source, struct)(
+        del_chunks
+    )
     neg = neg.set_column(
         neg.column_names.index("weight"),
         "weight",
         pa.array(-neg["weight"].to_numpy(zero_copy_only=False)),
     )
 
-    def reencode(batch: pa.Table) -> pa.Table:
-        src = batch["src"].to_numpy(zero_copy_only=False)
-        dst = batch["dst"].to_numpy(zero_copy_only=False)
-        et = batch["etype"].to_numpy(zero_copy_only=False)
-        code2 = (src * n + dst) * 2 + (et == "fact").astype(np.int64)
-        return pa.table({"code2": pa.array(code2, type=pa.int64()), "weight": batch["weight"]})
-
     merged = (
         graph.edges()
-        .map_batches(reencode, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _encode_edges_table(b, n, struct), batch_format="pyarrow"
+        )
         .union(rd.from_arrow(neg))
     )
-    agg = int_key_sum(merged, "code2", "weight")
+    agg = _sum_edge_partials(merged, struct)
     # counts are integer-valued floats: cancelled records sum to 0.0 exactly
     agg = agg.map_batches(
         lambda b: b.filter(
@@ -935,20 +1023,9 @@ def delete_chunks_from_graph(
         batch_format="pyarrow",
     )
 
-    def decode(batch: pa.Table) -> pa.Table:
-        code2 = batch["code2"].to_numpy(zero_copy_only=False)
-        code = code2 >> 1
-        is_fact = (code2 & 1).astype(bool)
-        return pa.table(
-            {
-                "src": pa.array(code // n, type=pa.int64()),
-                "dst": pa.array(code % n, type=pa.int64()),
-                "weight": batch["weight"],
-                "etype": pa.array(np.where(is_fact, "fact", "passage"), type=pa.string()),
-            }
-        )
-
-    edges = agg.map_batches(decode, batch_format="pyarrow").materialize()
+    edges = agg.map_batches(
+        lambda b: _decode_edges_table(b, n, struct), batch_format="pyarrow"
+    ).materialize()
 
     # survivors: chunks not deleted; entities still referenced by some
     # surviving chunk (⟺ they kept a passage edge — HippoRAG.py:302-345);
@@ -1139,6 +1216,7 @@ def build_graph_incremental(
     min_token_len: int = 3,
     edge_source: str = "cooccur",
     broadcast_vertex_limit: int = 5_000_000,
+    struct_keys: bool | None = None,
 ) -> GraphTables:
     """Merge new turns into an existing graph without re-extracting the
     old corpus (the reference's incremental indexing: insert-time
@@ -1272,47 +1350,32 @@ def build_graph_incremental(
     # vertex resolution: broadcast while the dictionary fits, bucketed
     # hash-join path beyond the limit (same fallback as build_graph)
     n = int(n_vertices)
+    struct = _use_struct_keys(n, struct_keys)
     if n <= broadcast_vertex_limit:
         vmap = vertices.select_columns(["node_key", "vid"]).to_pandas().set_index(
             "node_key"
         )["vid"]
         vmap_ref = ray.put(vmap)
         partials_new = chunks_new.map_batches(
-            ChunkToIntEdgePartials(vmap_ref, n, min_token_len, edge_source),
+            ChunkToIntEdgePartials(vmap_ref, n, min_token_len, edge_source, struct),
             batch_format="pyarrow",
             batch_size=2048,
         )
     else:
         partials_new = _partials_via_join(
-            chunks_new, vertices, n, min_token_len, edge_source
+            chunks_new, vertices, n, min_token_len, edge_source, struct
         )
-
-    def reencode(batch: pa.Table) -> pa.Table:
-        src = batch["src"].to_numpy(zero_copy_only=False)
-        dst = batch["dst"].to_numpy(zero_copy_only=False)
-        et = batch["etype"].to_numpy(zero_copy_only=False)
-        code2 = (src * n + dst) * 2 + (et == "fact").astype(np.int64)
-        return pa.table({"code2": pa.array(code2, type=pa.int64()), "weight": batch["weight"]})
 
     merged = partials_new.union(
-        graph.edges().map_batches(reencode, batch_format="pyarrow")
-    )
-    agg = int_key_sum(merged, "code2", "weight")
-
-    def decode(batch: pa.Table) -> pa.Table:
-        code2 = batch["code2"].to_numpy(zero_copy_only=False)
-        code = code2 >> 1
-        is_fact = (code2 & 1).astype(bool)
-        return pa.table(
-            {
-                "src": pa.array(code // n, type=pa.int64()),
-                "dst": pa.array(code % n, type=pa.int64()),
-                "weight": batch["weight"],
-                "etype": pa.array(np.where(is_fact, "fact", "passage"), type=pa.string()),
-            }
+        graph.edges().map_batches(
+            lambda b: _encode_edges_table(b, n, struct), batch_format="pyarrow"
         )
+    )
+    agg = _sum_edge_partials(merged, struct)
 
-    edges = agg.map_batches(decode, batch_format="pyarrow").materialize()
+    edges = agg.map_batches(
+        lambda b: _decode_edges_table(b, n, struct), batch_format="pyarrow"
+    ).materialize()
     n_edges = edges.count()
     for sub in ("edges", "adj"):
         d = os.path.join(out_dir, sub)

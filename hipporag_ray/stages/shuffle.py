@@ -77,6 +77,106 @@ def _reduce(key_col: str, weight_col: str, *shards) -> pa.Table:
     return pa.table({key_col: pa.array(c, type=pa.int64()), weight_col: pa.array(w)})
 
 
+_MIX2 = np.uint64(0xBF58476D1CE4E5B9)  # splitmix64 finalizer constant
+
+
+def _pair_partial_sum(
+    k1: np.ndarray, k2: np.ndarray, weights: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """groupby-sum over a TWO-int64-key tuple (lexsort + run-boundary
+    reduceat) — the struct-key analog of :func:`_partial_sum` for key
+    spaces too large to pack into one int64 (e.g. vertex pairs at
+    n >= ~2.1e9 where src*n+dst overflows)."""
+    if len(k1) == 0:
+        return k1, k2, weights
+    order = np.lexsort((k2, k1))
+    a, b, w = k1[order], k2[order], weights[order]
+    new = np.concatenate([[True], (np.diff(a) != 0) | (np.diff(b) != 0)])
+    starts = np.nonzero(new)[0]
+    return a[starts], b[starts], np.add.reduceat(w, starts)
+
+
+def _pair_hash(k1: np.ndarray, k2: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit hash of an int64 key pair (independent mixes
+    combined then re-mixed, so (a, b) and (b, a) land independently)."""
+    h = (k1.astype(np.uint64) * _MIX) ^ (k2.astype(np.uint64) * _MIX2)
+    return (h * _MIX) >> np.uint64(29)
+
+
+@ray.remote
+def _pair_map_split(tbl: pa.Table, k1_col: str, k2_col: str, weight_col: str, k: int):
+    if k1_col not in tbl.column_names:  # schema-less empty block
+        k1 = np.zeros(0, dtype=np.int64)
+        k2 = np.zeros(0, dtype=np.int64)
+        weights = np.zeros(0, dtype=np.float64)
+    else:
+        k1 = tbl[k1_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k2 = tbl[k2_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        weights = tbl[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    k1, k2, weights = _pair_partial_sum(k1, k2, weights)
+    h = (_pair_hash(k1, k2) % np.uint64(k)).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    a, b, w, hs = k1[order], k2[order], weights[order], h[order]
+    bounds = np.searchsorted(hs, np.arange(k + 1))
+    outs = []
+    for t in range(k):
+        lo, hi = bounds[t], bounds[t + 1]
+        outs.append((a[lo:hi], b[lo:hi], w[lo:hi]))
+    return tuple(outs) if k > 1 else (outs[0],)
+
+
+@ray.remote
+def _pair_reduce(k1_col: str, k2_col: str, weight_col: str, *shards) -> pa.Table:
+    shards = [
+        s[0] if (isinstance(s, tuple) and len(s) == 1 and isinstance(s[0], tuple)) else s
+        for s in shards
+    ]
+    k1 = np.concatenate([s[0] for s in shards]) if shards else np.zeros(0, np.int64)
+    k2 = np.concatenate([s[1] for s in shards]) if shards else np.zeros(0, np.int64)
+    w = np.concatenate([s[2] for s in shards]) if shards else np.zeros(0)
+    a, b, ws = _pair_partial_sum(k1, k2, w)
+    return pa.table(
+        {
+            k1_col: pa.array(a, type=pa.int64()),
+            k2_col: pa.array(b, type=pa.int64()),
+            weight_col: pa.array(ws),
+        }
+    )
+
+
+def int_pair_key_sum(
+    ds: "rd.Dataset",
+    k1_col: str,
+    k2_col: str,
+    weight_col: str,
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """groupby((k1, k2)).sum(weight) for a two-int64-key tuple; returns
+    a Dataset with columns (k1_col, k2_col, weight_col).  The struct-key
+    counterpart of :func:`int_key_sum` for key spaces that overflow a
+    single packed int64 — routing hashes BOTH keys, aggregation compares
+    the actual tuple, so there is no capacity ceiling below n < 2^63
+    per component.  Same streaming-consumption contract."""
+
+    def launch(r, k):
+        if k > 1:
+            return _pair_map_split.options(num_returns=k).remote(
+                r, k1_col, k2_col, weight_col, k
+            )
+        return [_pair_map_split.remote(r, k1_col, k2_col, weight_col, k)]
+
+    split_refs, k = _streaming_splits(ds, launch, num_partitions)
+    if not split_refs:
+        return ds
+    out_refs = [
+        _pair_reduce.remote(
+            k1_col, k2_col, weight_col, *[split_refs[i][t] for i in range(len(split_refs))]
+        )
+        for t in range(k)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
 def _hash_codes(tbl: pa.Table, key_col: str) -> np.ndarray:
     """Vectorized stable 64-bit hash of a key column (int via
     multiplicative mix; strings via polars' native hash — no Python

@@ -260,18 +260,80 @@ def test_resumable_extract_prunes_deleted_inputs(tmp_path, ray_session):
     assert rd.read_parquet(cd).count() == 1
 
 
-def test_edge_code_capacity_guard():
-    """n_vertices past the int64 code range raises instead of silently
-    wrapping and merging unrelated edges."""
-    import pytest as _pytest
-
+def test_edge_code_capacity_dispatch():
+    """n_vertices past the int64 packed-code range auto-selects the
+    two-key struct layout instead of silently wrapping (and formerly
+    raising): the capacity guard became a dispatch."""
     from hipporag_ray.stages.graph_build import (
         ChunkToIntEdgePartials,
-        _check_code_capacity,
+        _use_struct_keys,
     )
 
-    _check_code_capacity(2_000_000_000)  # fits
-    with _pytest.raises(NotImplementedError, match="overflows"):
-        _check_code_capacity(3_000_000_000)
-    with _pytest.raises(NotImplementedError):
-        ChunkToIntEdgePartials(None, 3_000_000_000)
+    assert _use_struct_keys(2_000_000_000) is False  # packed code fits
+    assert _use_struct_keys(3_000_000_000) is True  # would overflow
+    assert _use_struct_keys(100, force=True) is True  # test pin
+    assert ChunkToIntEdgePartials(None, 3_000_000_000).struct_keys is True
+    assert ChunkToIntEdgePartials(None, 100).struct_keys is False
+
+
+def test_struct_key_path_bit_equal_to_packed(small_transcripts, tmp_path, ray_session):
+    """struct_keys=True routes the full build, the no-broadcast join
+    path, and the incremental add/delete through the two-int64-key
+    exchange — the >2.1e9-vertex layout — and produces bit-equal
+    vertices/edges/adjacency on the same input as the packed-int64
+    default."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from hipporag_ray.stages.graph_build import (
+        build_graph,
+        build_graph_incremental,
+        delete_chunks_from_graph,
+    )
+
+    tx = rd.read_parquet(small_transcripts)
+
+    def tables(g):
+        out = {}
+        for name, ds in (
+            ("v", g.vertices()),
+            ("e", g.edges()),
+            ("a", g.adj()),
+        ):
+            df = ds.to_pandas()
+            out[name] = df.sort_values(list(df.columns)).reset_index(drop=True)
+        return out
+
+    packed = tables(build_graph(tx, str(tmp_path / "packed"), struct_keys=False))
+    structd = tables(build_graph(tx, str(tmp_path / "struct"), struct_keys=True))
+    for k in packed:
+        pd.testing.assert_frame_equal(packed[k], structd[k])
+
+    # join path (no vertex broadcast) under struct keys
+    joined = tables(
+        build_graph(
+            tx, str(tmp_path / "struct_join"), struct_keys=True,
+            broadcast_vertex_limit=0,
+        )
+    )
+    for k in packed:
+        pd.testing.assert_frame_equal(packed[k], joined[k])
+
+    # incremental add + delete under struct keys == packed counterparts
+    texts = [r["text"] for r in tx.take(3)]
+    new = rd.from_arrow(pa.table({"text": ["alpha beta graft", "graft beta gamma"]}))
+    for mode, tag in ((False, "p"), (True, "s")):
+        base = build_graph(tx, str(tmp_path / f"inc_base_{tag}"), struct_keys=mode)
+        g_add = build_graph_incremental(
+            new, base, str(tmp_path / f"inc_base_{tag}"), struct_keys=mode
+        )
+        g_del = delete_chunks_from_graph(
+            texts, g_add, str(tmp_path / f"inc_del_{tag}"), struct_keys=mode
+        )
+        got = (tables(g_add), tables(g_del))
+        if not mode:
+            want = got
+        else:
+            for w, g in zip(want, got):
+                for k in w:
+                    pd.testing.assert_frame_equal(w[k], g[k])
