@@ -190,7 +190,7 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     q_lineitem_pricing(sf_dir)
     timings["lineitem_pricing"] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    q_events_hourly(sf_dir).count()
+    len(q_events_hourly(sf_dir))  # returns the combined pandas frame
     timings["events_hourly"] = time.perf_counter() - t0
 
     # --- 7. dedup family on the documents/embeddings tables ---

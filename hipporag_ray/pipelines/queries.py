@@ -406,8 +406,13 @@ def q_doc_cooccur(sf_dir: str):
             {"src": pa.array(a, type=pa.string()), "dst": pa.array(b, type=pa.string())}
         )
 
+    from ..stages.shuffle import multi_key_sum
+
+    # large keyspace (token pairs): per-block partial counts through the
+    # general-key hash exchange — not Dataset.groupby (sort-based
+    # all-to-all, measured an order of magnitude slower on this shape)
     p = _docs(sf_dir).map_batches(pairs, batch_format="pyarrow")
-    return p.groupby(["src", "dst"]).aggregate(Count(alias_name="weight"))
+    return multi_key_sum(p, ["src", "dst"], out_col="weight")
 
 
 def q_doc_triples(sf_dir: str):
@@ -444,16 +449,18 @@ def q_doc_exact_dedup(sf_dir: str):
 
 
 def q_doc_stats(sf_dir: str):
-    """A6-style per-language stats."""
-    out = (
-        _docs(sf_dir)
-        .groupby("lang")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Mean("n_chars", alias_name="avg_chars"),
-            Max("n_chars", alias_name="max_chars"),
-        )
-        .to_pandas()
+    """A6-style per-language stats (lineitem-style map-side partials +
+    tiny driver combine — a handful of languages, no shuffle)."""
+    from ..stages.agg import grouped_partials
+
+    out = grouped_partials(
+        _docs(sf_dir),
+        ["lang"],
+        {
+            "n_docs": ("count", None),
+            "avg_chars": ("mean", "n_chars"),
+            "max_chars": ("max", "n_chars"),
+        },
     )
     return _round(out, {"avg_chars": 4})
 
@@ -475,15 +482,16 @@ def q_doc_ngram_jaccard(sf_dir: str):
 
 
 def q_events_by_type(sf_dir: str):
-    out = (
-        _events(sf_dir)
-        .groupby("event_type")
-        .aggregate(
-            Count(alias_name="n"),
-            Sum("value", alias_name="sum_value"),
-            Mean("value", alias_name="avg_value"),
-        )
-        .to_pandas()
+    from ..stages.agg import grouped_partials
+
+    out = grouped_partials(
+        _events(sf_dir),
+        ["event_type"],
+        {
+            "n": ("count", None),
+            "sum_value": ("sum", "value"),
+            "avg_value": ("mean", "value"),
+        },
     )
     return _round(out, {"sum_value": 2, "avg_value": 4})
 
@@ -518,51 +526,90 @@ def q_events_topk(sf_dir: str):
 
 
 def q_events_hourly(sf_dir: str):
-    """Windowed aggregate: events per (hour, type)."""
+    """Windowed aggregate: events per (hour, type) — map-side partials
+    (the hour bucket is computed inside the partial task) + driver
+    combine over O(groups x blocks) rows; was the catalog's recurring
+    bench regression as a native Dataset.groupby."""
+    from ..stages.agg import grouped_partials
 
-    def fn(batch: pa.Table) -> pa.Table:
+    def pre(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
         return pa.table({"hour": hour, "event_type": batch["event_type"]})
 
-    return (
-        _events(sf_dir)
-        .map_batches(fn, batch_format="pyarrow")
-        .groupby(["hour", "event_type"])
-        .aggregate(Count(alias_name="n"))
+    return grouped_partials(
+        _events(sf_dir), ["hour", "event_type"], {"n": ("count", None)}, pre=pre
     )
 
 
-def q_orders_by_nation(sf_dir: str):
-    """J2-style hash join + groupby: orders x customer -> per nation."""
+def q_orders_by_nation(sf_dir: str, broadcast_limit: int = 5_000_000):
+    """J2-style join + grouped aggregate: orders x customer -> per
+    nation.  The customer side is broadcast (ray.put once, read per
+    actor) only while it fits under ``broadcast_limit`` rows — beyond
+    that it routes through the bucketed hash join, the same size-gate
+    policy as the graph build's vertex dictionary.  The 25-nation
+    aggregate itself is map-side partials + driver combine."""
+    from ..stages.agg import grouped_partials
+
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
-    cust = rd.read_parquet(
+    cust_ds = rd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
+    )
     import ray as _ray
 
-    cust_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    if cust_ds.count() <= broadcast_limit:
+        cust = cust_ds.to_pandas()
+        cust_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
 
-    class Join:
-        def __init__(self):
-            self.m = _ray.get(cust_ref)
+        class Join:
+            def __init__(self):
+                self.m = _ray.get(cust_ref)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            nk = df["o_custkey"].map(self.m)
-            return pa.table(
-                {
-                    "c_nationkey": pa.array(nk.to_numpy(dtype=np.int64)),
-                    "o_totalprice": batch["o_totalprice"],
-                }
-            )
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                df = batch.to_pandas()
+                nk = df["o_custkey"].map(self.m)
+                return pa.table(
+                    {
+                        "c_nationkey": pa.array(nk.to_numpy(dtype=np.int64)),
+                        "o_totalprice": batch["o_totalprice"],
+                    }
+                )
 
-    out = (
-        orders.map_batches(Join, batch_format="pyarrow", concurrency=pool_size())
-        .groupby("c_nationkey")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
-        .to_pandas()
+        joined = orders.map_batches(Join, batch_format="pyarrow", concurrency=pool_size())
+    else:
+        from ..stages.shuffle import hash_join
+
+        o2 = orders.map_batches(
+            lambda b: pa.table(
+                {"c_custkey": b["o_custkey"], "o_totalprice": b["o_totalprice"]}
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(o2.materialize(), cust_ds.materialize(), "c_custkey")
+
+    def pre(b: pa.Table) -> pa.Table:
+        e = _empty_or(
+            b,
+            ("c_nationkey", "o_totalprice"),
+            {"c_nationkey": pa.int64(), "o_totalprice": pa.float64()},
+        )
+        if e is not None:
+            return e
+        return pa.table(
+            {
+                # int64 regardless of path: the parquet column is int32
+                # and the broadcast path emits int64
+                "c_nationkey": b["c_nationkey"].cast(pa.int64()),
+                "o_totalprice": b["o_totalprice"],
+            }
+        )
+
+    out = grouped_partials(
+        joined,
+        ["c_nationkey"],
+        {"n_orders": ("count", None), "total_price": ("sum", "o_totalprice")},
+        pre=pre,
     )
     return _round(out, {"total_price": 2})
 
@@ -595,11 +642,13 @@ def q_orders_by_segment(sf_dir: str):
             {"c_mktsegment": b["c_mktsegment"], "o_totalprice": b["o_totalprice"]}
         )
 
-    out = (
-        joined.map_batches(guard, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
-        .to_pandas()
+    from ..stages.agg import grouped_partials
+
+    out = grouped_partials(
+        joined,
+        ["c_mktsegment"],
+        {"n_orders": ("count", None), "total_price": ("sum", "o_totalprice")},
+        pre=guard,
     )
     return _round(out, {"total_price": 2})
 
@@ -1045,19 +1094,20 @@ def q_events_distinct_users(sf_dir: str):
             {"event_type": pa.array(uniq, pa.string()), "n_part": pa.array(cnt, pa.int64())}
         )
 
-    out = (
-        pairs.map_batches(count_part, batch_format="pyarrow", batch_size=None)
-        .groupby("event_type")
-        .aggregate(Sum("n_part", alias_name="n_users"))
-        .to_pandas()
-    )
-    if "n_users" not in out.columns:  # all-empty to_pandas drops schema
+    # final combine: the partials are already type-cardinality-sized per
+    # block — a tiny driver-side pandas sum, not a Dataset.groupby shuffle
+    parts = pairs.map_batches(
+        count_part, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if parts.empty:  # all-empty to_pandas drops schema
         return pd.DataFrame(
             {
                 "event_type": pd.Series([], dtype=object),
                 "n_users": pd.Series([], dtype="int64"),
             }
         )
+    out = parts.groupby("event_type", as_index=False, sort=False)["n_part"].sum()
+    out = out.rename(columns={"n_part": "n_users"})
     out["n_users"] = out["n_users"].astype("int64")
     return out
 
@@ -2150,6 +2200,28 @@ ORACLE_SQL = {
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
     """,
     "tx_triangles": None,  # pytest oracle (triangles_oracle)
+    # tx_extract: mention extraction over the deterministic synthetic
+    # transcripts.  The driver grades oracles at sf=0.01 only, so the
+    # SQL reads the sf0.01 synth cache directly (the queries() callable
+    # synthesizes it first — write_transcripts is idempotent); DuckDB's
+    # md5() reproduces the chunk-/entity- content keys exactly.
+    "tx_extract": f"""
+        WITH tx AS (
+          SELECT conv_id, turn_idx, text
+          FROM read_parquet('/tmp/hipporag_ray/tx_sf0.01_v{_CACHE_VERSION}/*.parquet')
+        ), norm AS (
+          SELECT conv_id, turn_idx, text, {_NORM_SQL} AS t FROM tx
+        ), tok AS (
+          SELECT conv_id, turn_idx, text,
+                 unnest(regexp_split_to_array(t, ' +')) AS tok
+          FROM norm WHERE t <> ''
+        )
+        SELECT DISTINCT conv_id, turn_idx,
+               'chunk-' || md5(text) AS chunk_key,
+               tok AS entity,
+               'entity-' || md5(tok) AS node_key
+        FROM tok WHERE length(tok) >= 3
+    """,
     # PII rules applied in sequence; counts run against the
     # progressively redacted text exactly like the Ray kernel
     "doc_pii_redact": r"""

@@ -16,6 +16,77 @@ import ray.data
 from ray.data.aggregate import Sum
 
 
+def grouped_partials(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    spec: dict[str, tuple[str, str | None]],
+    pre=None,
+):
+    """Small-cardinality grouped aggregate via the lineitem pattern:
+    per-batch pandas partials (one row per group per block — map-side
+    combine), then a driver-side final combine over O(groups x blocks)
+    partial rows.  Returns a pandas DataFrame.  This replaces
+    ``Dataset.groupby(...).aggregate(...)`` (sort-based all-to-all
+    shuffle) for group counts that fit trivially in memory — stats per
+    language, per event type, per hour bucket; for LARGE keyspaces use
+    shuffle.multi_key_sum / int_key_sum instead.
+
+    ``spec``: alias -> (op, col) with op in count/sum/mean/min/max
+    (count's col is ignored).  ``pre``: optional pa.Table -> pa.Table
+    projection applied inside the partial task (e.g. computing the hour
+    bucket), so the driver never sees raw rows."""
+    import pandas as pd
+
+    sums = sorted({c for op, c in spec.values() if op in ("sum", "mean")})
+    # AVG's SQL semantics exclude NULLs: means divide by the per-column
+    # non-null count, not the group row count
+    cnts = sorted({c for op, c in spec.values() if op == "mean"})
+    mins = sorted({c for op, c in spec.values() if op == "min"})
+    maxs = sorted({c for op, c in spec.values() if op == "max"})
+    need_n = any(op == "count" for op, _ in spec.values())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if pre is not None:
+            batch = pre(batch)
+        df = batch.to_pandas()
+        kwargs = {}
+        if need_n:
+            kwargs["__n"] = (keys[0], "size")
+        for c in sums:
+            kwargs[f"__sum_{c}"] = (c, "sum")
+        for c in cnts:
+            kwargs[f"__cnt_{c}"] = (c, "count")
+        for c in mins:
+            kwargs[f"__min_{c}"] = (c, "min")
+        for c in maxs:
+            kwargs[f"__max_{c}"] = (c, "max")
+        g = df.groupby(keys, as_index=False, sort=False).agg(**kwargs)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg_kw = {
+        name: (name, "min" if name.startswith("__min") else "max" if name.startswith("__max") else "sum")
+        for name in parts.columns
+        if name.startswith("__")
+    }
+    g = parts.groupby(keys, as_index=False, sort=False).agg(**agg_kw)
+    out = g[keys].copy()
+    for alias, (op, c) in spec.items():
+        if op == "count":
+            out[alias] = g["__n"]
+        elif op == "sum":
+            out[alias] = g[f"__sum_{c}"]
+        elif op == "mean":
+            out[alias] = g[f"__sum_{c}"] / g[f"__cnt_{c}"]
+        elif op == "min":
+            out[alias] = g[f"__min_{c}"]
+        elif op == "max":
+            out[alias] = g[f"__max_{c}"]
+        else:
+            raise ValueError(f"unknown op {op!r} for {alias!r}")
+    return out
+
+
 def _add_salt(salt: int):
     def fn(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -416,10 +487,16 @@ def group_quantiles(
                     break
                 cum += c
 
-    # ---- final exact pass, shared by all small-candidate targets ----
+    # ---- final exact pass, shared by all small-candidate targets:
+    # candidate rows flow through ONE ti-keyed exchange and each
+    # target's rank selection happens inside its own key-complete block
+    # — only one (ti, value) row per target reaches the driver, never
+    # the candidate value vectors themselves ----
     pend = [t for t in targets if (t["g"], t["q"]) not in results]
     if pend:
-        spec = [(t["g"], t["lo"], t["hi"]) for t in pend]
+        from .shuffle import hash_partition
+
+        spec = [(t["g"], t["lo"], t["hi"], t["rank"]) for t in pend]
 
         def collect(batch: pa.Table) -> pa.Table:
             g = batch[group_col].to_numpy(zero_copy_only=False).astype(str)
@@ -427,7 +504,7 @@ def group_quantiles(
             uniq_g, g_code = np.unique(g, return_inverse=True)
             code_of = {name: i for i, name in enumerate(uniq_g)}
             tis, vals = [], []
-            for ti, (gname, lo, hi) in enumerate(spec):
+            for ti, (gname, lo, hi, _rank) in enumerate(spec):
                 gc = code_of.get(gname)
                 if gc is None:
                     continue
@@ -446,10 +523,34 @@ def group_quantiles(
                 }
             )
 
-        cand = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
-        for ti, t in enumerate(pend):
-            vv = np.sort(cand.loc[cand["ti"] == ti, "v"].to_numpy())
-            results[(t["g"], t["q"])] = float(vv[t["rank"]])
+        def select_rank(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "ti" not in batch.column_names:
+                return pa.table(
+                    {"ti": pa.array([], pa.int64()), "value": pa.array([], pa.float64())}
+                )
+            tis = batch["ti"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((v, tis))
+            tis, v = tis[order], v[order]
+            starts = np.concatenate([[0], np.nonzero(np.diff(tis))[0] + 1])
+            uniq_ti = tis[starts]
+            ranks = np.array([spec[int(t)][3] for t in uniq_ti], dtype=np.int64)
+            return pa.table(
+                {
+                    "ti": pa.array(uniq_ti, pa.int64()),
+                    "value": pa.array(v[starts + ranks], pa.float64()),
+                }
+            )
+
+        cand = hash_partition(
+            ds.map_batches(collect, batch_format="pyarrow"), "ti"
+        )
+        picked = cand.map_batches(
+            select_rank, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        for _, row in picked.iterrows():
+            t = pend[int(row["ti"])]
+            results[(t["g"], t["q"])] = float(row["value"])
 
     gs = sorted({g for g, _ in results})
     rows = [(g, q, results[(g, q)]) for g in gs for q in sorted(qs)]

@@ -177,6 +177,88 @@ def int_pair_key_sum(
     return rd.from_arrow_refs(out_refs)
 
 
+@ray.remote
+def _multi_split(tbl: pa.Table, key_cols: list, weight_col, out_col: str, k: int):
+    """Per-block partial groupby-sum (or row count when weight_col is
+    None) over arbitrary-typed key columns, fanned by a combined key
+    hash."""
+    import pandas as pd
+
+    if tbl.num_rows == 0 or any(c not in tbl.column_names for c in key_cols):
+        empty = pa.table({})
+        return tuple([empty] * k) if k > 1 else (empty,)
+    df = tbl.select(
+        list(key_cols) + ([weight_col] if weight_col else [])
+    ).to_pandas()
+    if weight_col:
+        part = df.groupby(list(key_cols), as_index=False, sort=False)[weight_col].sum()
+        part = part.rename(columns={weight_col: out_col})
+    else:
+        part = df.groupby(list(key_cols), as_index=False, sort=False).size()
+        part = part.rename(columns={"size": out_col})
+    ptbl = pa.Table.from_pandas(part, preserve_index=False)
+    h = np.zeros(ptbl.num_rows, dtype=np.uint64)
+    for c in key_cols:
+        h = (h * _MIX) ^ _hash_codes(ptbl, c)
+    h = (h % np.uint64(k)).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    bounds = np.searchsorted(hs, np.arange(k + 1))
+    outs = [ptbl.take(pa.array(order[bounds[t] : bounds[t + 1]])) for t in range(k)]
+    return tuple(outs) if k > 1 else (outs[0],)
+
+
+@ray.remote
+def _multi_reduce(key_cols: list, out_col: str, *shards) -> pa.Table:
+    shards = [s[0] if isinstance(s, tuple) and len(s) == 1 else s for s in shards]
+    shards = [s for s in shards if s.num_rows]
+    if not shards:
+        return _EMPTY_SENTINEL
+    df = pa.concat_tables(shards).to_pandas()
+    out = df.groupby(list(key_cols), as_index=False, sort=False)[out_col].sum()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def multi_key_sum(
+    ds: "rd.Dataset",
+    key_cols: list,
+    weight_col: str | None = None,
+    out_col: str = "weight",
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """groupby(key_cols).sum(weight_col) — or COUNT(*) per key tuple when
+    ``weight_col`` is None — for arbitrary-typed (string, int, mixed)
+    key columns.  The general-key counterpart of :func:`int_key_sum`:
+    per-block pandas partials (map-side combine), a hash exchange on the
+    combined key hash, a per-partition final combine.  Replaces
+    ``Dataset.groupby(...).aggregate(...)`` for large keyspaces (the
+    native groupby's sort-based shuffle measured an order of magnitude
+    slower on the build path; small-cardinality groups should use the
+    lineitem-style driver combine instead)."""
+
+    def launch(r, k):
+        if k > 1:
+            return _multi_split.options(num_returns=k).remote(
+                r, list(key_cols), weight_col, out_col, k
+            )
+        return [_multi_split.remote(r, list(key_cols), weight_col, out_col, k)]
+
+    splits, k = _streaming_splits(ds, launch, num_partitions)
+    if not splits:
+        return ds
+    out_refs = [
+        _multi_reduce.remote(
+            list(key_cols), out_col, *[splits[i][t] for i in range(len(splits))]
+        )
+        for t in range(k)
+    ]
+    counts = ray.get([_block_rows.remote(r) for r in out_refs])
+    out_refs = [r for r, c in zip(out_refs, counts) if c]
+    if not out_refs:
+        return ds.limit(0)
+    return rd.from_arrow_refs(out_refs)
+
+
 def _hash_codes(tbl: pa.Table, key_col: str) -> np.ndarray:
     """Vectorized stable 64-bit hash of a key column (int via
     multiplicative mix; strings via polars' native hash — no Python

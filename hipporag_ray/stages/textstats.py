@@ -379,13 +379,15 @@ def bm25_score(
     ONE corpus scan emits a per-doc length row plus a (doc, term, tf,
     dl) posting row per matched query term — postings are pruned to the
     query vocabulary at the scan, so everything downstream is
-    O(matched postings), not O(corpus terms).  N / avgdl / per-term df
-    are tiny aggregates of that table; the final per-doc sum is an
-    int-key exchange.  Docs containing no query term score nothing and
-    are omitted (the SQL twin's join semantics)."""
-    import ray as _ray
-
-    from .shuffle import int_key_sum
+    O(matched postings), not O(corpus terms).  N and avgdl are two
+    scalars; per-term df NEVER lands on the driver: a term-keyed hash
+    exchange co-locates each term's postings, so df is the group size
+    and the idf scoring happens in the same block (the tfidf plan) —
+    no vocabulary-sized driver table or broadcast array even when the
+    query vocabulary is itself corpus-scale.  The final per-doc sum is
+    an int-key exchange.  Docs containing no query term score nothing
+    and are omitted (the SQL twin's join semantics)."""
+    from .shuffle import hash_partition, int_key_sum
 
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -431,48 +433,42 @@ def bm25_score(
 
     P = ds.map_batches(postings, batch_format="pyarrow").materialize()
 
-    # tiny aggregates: corpus size + avg doc length from the per-doc
-    # rows; per-query-term df from the posting rows
+    # tiny aggregates: corpus size + avg doc length (two scalars)
     from ray.data.aggregate import Count, Sum
 
     doc_rows = P.filter(expr="term == ''")
     st = doc_rows.aggregate(Count(), Sum("dl"))
     n_docs = int(st["count()"])
     avgdl = (float(st["sum(dl)"]) / n_docs) if n_docs else 0.0
-    dfs = (
-        P.filter(expr="term != ''")
-        .groupby("term")
-        .aggregate(Count(alias_name="df"))
-        .to_pandas()
-    )
-    # sorted (terms, idf) arrays: the per-batch lookup is a vectorized
-    # searchsorted, not a Python dict probe per posting row
-    t_sorted = np.sort(dfs["term"].to_numpy(dtype=object))
-    d_by_t = (
-        dfs.set_index("term").loc[t_sorted, "df"].to_numpy(dtype=np.float64)
-        if len(dfs)
-        else np.zeros(0)
-    )
-    idf_sorted = np.log((n_docs - d_by_t + 0.5) / (d_by_t + 0.5) + 1.0)
-    idf_ref = _ray.put((t_sorted, idf_sorted))
 
-    def contrib(batch: pa.Table) -> pa.Table:
+    def score_block(batch: pa.Table) -> pa.Table:
+        """Term-complete block (hash exchange on term): df = per-term
+        group size; idf + the per-posting BM25 contribution computed in
+        place — the df table never exists outside these blocks."""
+        empty = pa.table(
+            {id_col: pa.array([], pa.int64()), "bm25": pa.array([], pa.float64())}
+        )
+        if batch.num_rows == 0 or "term" not in batch.column_names:
+            return empty
         terms = batch["term"].to_numpy(zero_copy_only=False)
-        m = terms != ""
-        if not m.any():
-            return pa.table(
-                {id_col: pa.array([], pa.int64()), "bm25": pa.array([], pa.float64())}
-            )
-        t_arr, i_arr = _ray.get(idf_ref)
-        tf = batch["tf"].to_numpy(zero_copy_only=False)[m].astype(np.float64)
-        dl = batch["dl"].to_numpy(zero_copy_only=False)[m].astype(np.float64)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)[m]
-        w = i_arr[np.searchsorted(t_arr, terms[m])]
-        s = w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(terms, kind="stable")
+        t = terms[order]
+        starts = np.concatenate([[0], np.nonzero(t[1:] != t[:-1])[0] + 1])
+        sizes = np.diff(np.concatenate([starts, [len(t)]]))
+        df = np.empty(len(t), dtype=np.float64)
+        df[order] = np.repeat(sizes, sizes).astype(np.float64)
+        idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        s = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
         return pa.table(
             {id_col: pa.array(ids, pa.int64()), "bm25": pa.array(s, pa.float64())}
         )
 
+    posts = hash_partition(P.filter(expr="term != ''"), "term")
     return int_key_sum(
-        P.map_batches(contrib, batch_format="pyarrow"), id_col, "bm25"
+        posts.map_batches(score_block, batch_format="pyarrow", batch_size=None),
+        id_col,
+        "bm25",
     )

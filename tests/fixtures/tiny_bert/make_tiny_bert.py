@@ -1,0 +1,134 @@
+"""Generate the tiny-BERT fixture in this directory with pure numpy —
+no torch required to BUILD it, so the fixture can be (re)generated and
+committed from the minimal container while the opt-in torch smoke test
+(tests/test_model_embedder.py) loads it offline wherever
+torch+transformers exist.
+
+The safetensors format is trivial: an 8-byte little-endian header
+length, a JSON header mapping tensor name -> {dtype, shape,
+data_offsets}, then the concatenated raw little-endian tensor bytes.
+Tensor names/shapes follow BertModel's state dict for the config
+below; weights are deterministic (seeded Gaussian scaled 0.02,
+LayerNorm weight=1/bias=0), so two builds are byte-identical.
+
+Run:  python tests/fixtures/tiny_bert/make_tiny_bert.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "hello", "world", "some", "normalized", "text", "turn", "entity",
+    "graph", "rank", "chunk", "query", "tool", "user", "assistant",
+    "the", "a", "and", "##s", "##ing",
+]
+
+CFG = {
+    "architectures": ["BertModel"],
+    "model_type": "bert",
+    "vocab_size": len(VOCAB),
+    "hidden_size": 16,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 2,
+    "intermediate_size": 32,
+    "max_position_embeddings": 64,
+    "type_vocab_size": 2,
+    "hidden_act": "gelu",
+    "hidden_dropout_prob": 0.0,
+    "attention_probs_dropout_prob": 0.0,
+    "initializer_range": 0.02,
+    "layer_norm_eps": 1e-12,
+    "pad_token_id": 0,
+    "torch_dtype": "float32",
+}
+
+
+def _bert_state_shapes(cfg: dict) -> dict[str, tuple[int, ...]]:
+    h, i = cfg["hidden_size"], cfg["intermediate_size"]
+    shapes: dict[str, tuple[int, ...]] = {
+        "embeddings.word_embeddings.weight": (cfg["vocab_size"], h),
+        "embeddings.position_embeddings.weight": (cfg["max_position_embeddings"], h),
+        "embeddings.token_type_embeddings.weight": (cfg["type_vocab_size"], h),
+        "embeddings.LayerNorm.weight": (h,),
+        "embeddings.LayerNorm.bias": (h,),
+        "pooler.dense.weight": (h, h),
+        "pooler.dense.bias": (h,),
+    }
+    for L in range(cfg["num_hidden_layers"]):
+        p = f"encoder.layer.{L}."
+        for qkv in ("query", "key", "value"):
+            shapes[p + f"attention.self.{qkv}.weight"] = (h, h)
+            shapes[p + f"attention.self.{qkv}.bias"] = (h,)
+        shapes[p + "attention.output.dense.weight"] = (h, h)
+        shapes[p + "attention.output.dense.bias"] = (h,)
+        shapes[p + "attention.output.LayerNorm.weight"] = (h,)
+        shapes[p + "attention.output.LayerNorm.bias"] = (h,)
+        shapes[p + "intermediate.dense.weight"] = (i, h)
+        shapes[p + "intermediate.dense.bias"] = (i,)
+        shapes[p + "output.dense.weight"] = (h, i)
+        shapes[p + "output.dense.bias"] = (h,)
+        shapes[p + "output.LayerNorm.weight"] = (h,)
+        shapes[p + "output.LayerNorm.bias"] = (h,)
+    return shapes
+
+
+def _init(name: str, shape: tuple[int, ...], rng: np.random.Generator) -> np.ndarray:
+    if name.endswith("LayerNorm.weight"):
+        return np.ones(shape, dtype=np.float32)
+    if name.endswith(("LayerNorm.bias", ".bias")):
+        return np.zeros(shape, dtype=np.float32)
+    return (rng.standard_normal(shape) * CFG["initializer_range"]).astype(np.float32)
+
+
+def write_safetensors(path: str, tensors: dict[str, np.ndarray]) -> None:
+    header: dict[str, dict] = {}
+    offset = 0
+    blobs = []
+    for name in sorted(tensors):
+        a = np.ascontiguousarray(tensors[name], dtype=np.float32)
+        b = a.tobytes()
+        header[name] = {
+            "dtype": "F32",
+            "shape": list(a.shape),
+            "data_offsets": [offset, offset + len(b)],
+        }
+        offset += len(b)
+        blobs.append(b)
+    hj = json.dumps(header, sort_keys=True).encode()
+    pad = (-len(hj)) % 8  # align the data section
+    hj += b" " * pad
+    with open(path, "wb") as f:
+        f.write(len(hj).to_bytes(8, "little"))
+        f.write(hj)
+        for b in blobs:
+            f.write(b)
+
+
+def main() -> None:
+    rng = np.random.default_rng(20260818)
+    shapes = _bert_state_shapes(CFG)
+    tensors = {n: _init(n, s, rng) for n, s in sorted(shapes.items())}
+    write_safetensors(os.path.join(HERE, "model.safetensors"), tensors)
+    with open(os.path.join(HERE, "config.json"), "w") as f:
+        json.dump(CFG, f, indent=2, sort_keys=True)
+    with open(os.path.join(HERE, "vocab.txt"), "w") as f:
+        f.write("\n".join(VOCAB) + "\n")
+    with open(os.path.join(HERE, "tokenizer_config.json"), "w") as f:
+        json.dump(
+            {"tokenizer_class": "BertTokenizer", "do_lower_case": True,
+             "model_max_length": CFG["max_position_embeddings"]},
+            f, indent=2, sort_keys=True,
+        )
+    n_params = sum(int(np.prod(s)) for s in shapes.values())
+    print(f"wrote tiny-BERT fixture: {len(shapes)} tensors, {n_params} params")
+
+
+if __name__ == "__main__":
+    main()

@@ -2,20 +2,27 @@
 
 Skipped when torch/transformers are absent (they are in the minimal
 container); with them installed this proves the actor-pool batch-size
-plumbing end to end: index ~100 turns with the real model through
-``insert_strings`` and ``retrieve``.
+plumbing end to end — fully OFFLINE: the model is the vendored
+tiny-BERT fixture (tests/fixtures/tiny_bert, deterministic random-init
+weights in safetensors written by make_tiny_bert.py with pure numpy),
+so no network and no model cache are needed — index ~100 turns with a
+real AutoModel through ``insert_strings`` and ``retrieve``.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
-torch = pytest.importorskip("torch")
-pytest.importorskip("transformers")
+
+TINY_BERT = os.path.join(os.path.dirname(__file__), "fixtures", "tiny_bert")
 
 
 def test_transformers_embedder_lifecycle(ray_session, tmp_path):
+    pytest.importorskip("torch")
+    pytest.importorskip("transformers")
     import ray.data as rd
 
     from hipporag_ray.pipelines.retrieval import HippoRagEngine
@@ -25,13 +32,16 @@ def test_transformers_embedder_lifecycle(ray_session, tmp_path):
     td = tmp_path / "tx"
     write_transcripts(str(td), 10, 10, 40, seed=5)  # ~100 turns
 
-    probe = TransformersEmbedder()
-    dim = probe.embed(["hello world"]).shape[1]
+    probe = TransformersEmbedder(model_name=TINY_BERT)
+    emb = probe.embed(["hello world"])
+    dim = emb.shape[1]
+    assert dim == 16  # the fixture's hidden_size
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
     eng = HippoRagEngine(
         working_dir=str(tmp_path / "wd"),
         dim=dim,
         embedder_cls=TransformersEmbedder,
-        embedder_kwargs={},
+        embedder_kwargs={"model_name": TINY_BERT},
         embed_batch_size=16,
     )
     info = eng.index(rd.read_parquet(str(td)))
@@ -43,3 +53,61 @@ def test_transformers_embedder_lifecycle(ray_session, tmp_path):
     q2 = probe.embed(["some normalized text"])
     np.testing.assert_allclose(q, q2, atol=1e-6)
     eng.close()
+
+
+def _parse_safetensors_header(path):
+    import json
+
+    with open(path, "rb") as f:
+        n = int.from_bytes(f.read(8), "little")
+        return json.loads(f.read(n).decode()), os.path.getsize(path) - 8 - n
+
+
+class TestTinyBertFixture:
+    """Pure-numpy validation of the vendored fixture — runs in the
+    minimal container (no torch): the safetensors header parses, every
+    tensor's shape matches the config's BertModel state dict, offsets
+    tile the data section exactly, and regeneration is byte-identical
+    (deterministic seed)."""
+
+    def test_safetensors_layout(self):
+        import json
+
+        header, data_len = _parse_safetensors_header(
+            os.path.join(TINY_BERT, "model.safetensors")
+        )
+        with open(os.path.join(TINY_BERT, "config.json")) as f:
+            cfg = json.load(f)
+        import sys
+
+        sys.path.insert(0, TINY_BERT)
+        try:
+            from make_tiny_bert import _bert_state_shapes
+        finally:
+            sys.path.remove(TINY_BERT)
+        shapes = _bert_state_shapes(cfg)
+        assert set(header) == set(shapes)
+        end = 0
+        for name in sorted(header, key=lambda n: header[n]["data_offsets"][0]):
+            meta = header[name]
+            assert tuple(meta["shape"]) == shapes[name], name
+            a, b = meta["data_offsets"]
+            assert a == end and b - a == 4 * int(np.prod(meta["shape"]))
+            end = b
+        assert end == data_len
+
+    def test_regeneration_byte_identical(self, tmp_path):
+        import shutil
+        import subprocess
+        import sys
+
+        gen = os.path.join(TINY_BERT, "make_tiny_bert.py")
+        work = tmp_path / "regen"
+        work.mkdir()
+        shutil.copy(gen, work / "make_tiny_bert.py")
+        subprocess.run([sys.executable, str(work / "make_tiny_bert.py")], check=True)
+        for name in ("model.safetensors", "config.json", "vocab.txt"):
+            with open(os.path.join(TINY_BERT, name), "rb") as f1, open(
+                work / name, "rb"
+            ) as f2:
+                assert f1.read() == f2.read(), name

@@ -818,3 +818,56 @@ def test_distinct_users_prefix_type_names_no_collision(tmp_path):
     out = q_events_distinct_users(str(tmp_path)).set_index("event_type")
     assert out.loc["a", "n_users"] == 2  # users 12 and 7
     assert out.loc["a1", "n_users"] == 2  # users 2 and 7
+
+
+def test_orders_by_nation_broadcast_gate(ray_session):
+    """broadcast_limit=0 routes the customer side through the bucketed
+    hash join (the >limit fallback) — identical result to the broadcast
+    path on the same input."""
+    import pandas as pd
+
+    from hipporag_ray.pipelines.queries import q_orders_by_nation
+
+    sf = "/root/testdata/sf0.001"
+    a = q_orders_by_nation(sf).sort_values("c_nationkey").reset_index(drop=True)
+    b = (
+        q_orders_by_nation(sf, broadcast_limit=0)
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_multi_key_sum_matches_pandas(ray_session):
+    """multi_key_sum (general-key hash exchange) == pandas groupby on
+    string/int mixed keys, counts and weighted sums."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hipporag_ray.stages.shuffle import multi_key_sum
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "k1": rng.choice(["alpha", "beta", "gamma|x", ""], 5000),
+            "k2": rng.integers(-3, 4, 5000),
+            "w": rng.random(5000),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(7)
+
+    got = multi_key_sum(ds, ["k1", "k2"], out_col="n").to_pandas()
+    want = df.groupby(["k1", "k2"], as_index=False).size().rename(columns={"size": "n"})
+    key = ["k1", "k2"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+        check_like=True,
+    )
+
+    got_w = multi_key_sum(ds, ["k1", "k2"], weight_col="w", out_col="sw").to_pandas()
+    want_w = df.groupby(["k1", "k2"], as_index=False)["w"].sum().rename(columns={"w": "sw"})
+    a = got_w.sort_values(key).reset_index(drop=True)
+    b = want_w.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True, atol=1e-9)
