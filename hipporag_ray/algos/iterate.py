@@ -349,22 +349,34 @@ def personalized_pagerank(
     ck.reset_metrics(start_iter)
 
     metrics: list[dict] = []
+    # pull model: one (contrib, dangling) message per shard, merged by
+    # ONE assemble task into the iteration's broadcast object; every
+    # owner segment-reduces its incoming edges against it.  Passing the
+    # single assembled ref (auto-dereffed at the actor) avoids both
+    # driver-side P x P ref inlining and the borrower-protocol storm of
+    # a ray.put'd ref list (each measured slower than the edge scan
+    # itself at P=63).  Each iteration is ONE fused actor wave
+    # (ppr_step = pull + next contrib, bit-identical to separate
+    # waves); only the prologue publishes a bare contrib wave.
+    msg_refs = None
+    active_prev = active
     for it in range(start_iter, max_iter):
         if len(active) == 0:
             break
         t0 = time.perf_counter()
-        # pull model: one (contrib, dangling) message per shard, merged by
-        # ONE assemble task into the iteration's broadcast object; every
-        # owner segment-reduces its incoming edges against it.  Passing
-        # the single assembled ref (auto-dereffed at the actor) avoids
-        # both driver-side P x P ref inlining and the borrower-protocol
-        # storm of a ray.put'd ref list (each measured slower than the
-        # edge scan itself at P=63).
-        contrib_refs = [a.ppr_contrib.remote(damping, active) for a in sg.actors]
-        assembled = _assemble_ppr_task.remote(*contrib_refs)
-        deltas = ray.get(
-            [a.ppr_pull.remote(damping, active, assembled) for a in sg.actors]
-        )
+        if msg_refs is None:
+            msg_refs = [a.ppr_contrib.remote(damping, active) for a in sg.actors]
+            active_prev = active
+        assembled = _assemble_ppr_task.remote(*msg_refs)
+        outs = [
+            a.ppr_step.options(num_returns=2).remote(
+                damping, active_prev, active, assembled
+            )
+            for a in sg.actors
+        ]
+        deltas = ray.get([o[0] for o in outs])
+        msg_refs = [o[1] for o in outs]
+        active_prev = active
         delta = np.sum(deltas, axis=0)
         wall = time.perf_counter() - t0
         scanned = sg.edge_count * len(active)  # traversals = records x active query columns

@@ -416,6 +416,27 @@ class GraphShard:
         self.scores[:, active] = nxt
         return delta
 
+    def ppr_step(self, damping: float, active_prev: np.ndarray, active_now: np.ndarray, assembled):
+        """Fused pull + NEXT-iteration contrib in one actor call — the
+        driver submits one wave per iteration instead of two.  The
+        published contrib is computed over ``active_now`` (exactly what
+        a separate contrib wave would publish, so results are
+        bit-identical); the next step subsets its columns down to its
+        own active set.  ``assembled`` columns correspond to
+        ``active_prev`` (the set the previous step's contrib used)."""
+        if isinstance(assembled, list):
+            assembled = assemble_ppr(ray.get(list(assembled)))
+        M, dangling, hub_total = assembled
+        if len(active_now) != len(active_prev):
+            # .take keeps C-order (fancy axis-1 indexing would go F-order
+            # and trip the kernel's layout guard)
+            pos = np.searchsorted(active_prev, active_now)
+            M = M.take(pos, axis=1)
+            dangling = dangling[pos]
+            hub_total = hub_total.take(pos, axis=1)
+        delta = self.ppr_pull(damping, active_now, (M, dangling, hub_total))
+        return delta, self.ppr_contrib(damping, active_now)
+
     def scores_table(self, query_idx: int = 0) -> pa.Table:
         vids = np.arange(self.lo, self.hi, dtype=np.int64)
         return pa.table(
@@ -622,15 +643,25 @@ GraphShardHostActor = ray.remote(GraphShardHost)
 
 
 class _HostMethod:
-    __slots__ = ("_host", "_sub", "_name")
+    __slots__ = ("_host", "_sub", "_name", "_opts")
 
-    def __init__(self, host, sub: int, name: str):
+    def __init__(self, host, sub: int, name: str, opts: dict | None = None):
         self._host = host
         self._sub = sub
         self._name = name
+        self._opts = opts
+
+    def options(self, **opts) -> "_HostMethod":
+        """Forward Ray call options (num_returns etc.) to the host's
+        ``call`` — keeps the per-shard facade a drop-in for a dedicated
+        actor handle."""
+        return _HostMethod(self._host, self._sub, self._name, opts)
 
     def remote(self, *args, **kw):
-        return self._host.call.remote(self._sub, self._name, *args, **kw)
+        call = self._host.call
+        if self._opts:
+            call = call.options(**self._opts)
+        return call.remote(self._sub, self._name, *args, **kw)
 
 
 class ShardHandle:
