@@ -111,10 +111,11 @@ def _route_reset_block(tbl, bounds: np.ndarray, k: int):
 
 
 def route_reset_dataset(sg: ShardedGraph, reset_ds) -> list[list]:
-    """Shard-route a (vid, query_idx, weight) Dataset; returns, per
-    shard, the list of its triple refs (never materialized on the
-    driver)."""
-    refs = reset_ds.to_arrow_refs()
+    """Shard-route a (vid, query_idx, weight) Dataset — or a list of
+    arrow-table ObjectRefs (the serving path hands its task-wave outputs
+    straight through, no Dataset wrapper needed); returns, per shard,
+    the list of its triple refs (never materialized on the driver)."""
+    refs = list(reset_ds) if isinstance(reset_ds, list) else reset_ds.to_arrow_refs()
     P = sg.n_shards
     per_block = []
     for r in refs:
@@ -444,13 +445,21 @@ def _label_fixpoint(
         )
     ck.reset_metrics(start_iter)
     metrics: list[dict] = []
+    # one fused actor wave per iteration (step = pull + next message),
+    # mirroring the PPR loop; the prologue publishes the initial labels
+    msg_refs = None
+    step_attr = pull_attr.replace("_pull", "_step")
     for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
-        label_refs = [getattr(a, msg_attr).remote() for a in sg.actors]
-        assembled = _assemble_labels_task.remote(*label_refs)
-        changed = sum(
-            ray.get([getattr(a, pull_attr).remote(assembled) for a in sg.actors])
-        )
+        if msg_refs is None:
+            msg_refs = [getattr(a, msg_attr).remote() for a in sg.actors]
+        assembled = _assemble_labels_task.remote(*msg_refs)
+        outs = [
+            getattr(a, step_attr).options(num_returns=2).remote(assembled)
+            for a in sg.actors
+        ]
+        changed = sum(ray.get([o[0] for o in outs]))
+        msg_refs = [o[1] for o in outs]
         wall = time.perf_counter() - t0
         rec = {
             "iter": it + 1,

@@ -62,6 +62,138 @@ from ..state.csr import ShardedGraph
 from ..state.embedding_store import EmbeddingStore, HashEmbedder
 
 
+# ---------------------------------------------------------------------------
+# serving-path task kernels
+# ---------------------------------------------------------------------------
+# Query-time linking/scoring runs as RAW TASK WAVES over the cached
+# materialized view blocks instead of per-call Dataset executions: a
+# Ray Data execution pays ~150-250 ms of executor startup per stage and
+# one 32-query retrieve needed four of them (~0.8 s of the ~1.0 s
+# call).  One task per pinned view block keeps the same distribution
+# and zero-copy plasma reads; the views themselves are still BUILT by
+# the bucketed hash-join exchanges (Dataset-first) — only the per-call
+# scans drop to tasks.  This is the deliberate serving/latency
+# exception to the Dataset-everywhere rule, like the CSR shard pool.
+
+
+@ray.remote
+def _fact_tile_task(tbl: pa.Table, qm: np.ndarray, k: int) -> pa.Table:
+    """Per-block fact scoring (get_fact_scores, HippoRAG.py:1290-1328):
+    per-query block top-k on raw similarity + block extrema."""
+    if tbl.num_rows == 0 or "embedding" not in tbl.column_names:
+        return pa.table(
+            {
+                "query_idx": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+                "subj_key": pa.array([], pa.string()),
+                "obj_key": pa.array([], pa.string()),
+                "blo": pa.array([], pa.float64()),
+                "bhi": pa.array([], pa.float64()),
+            }
+        )
+    m = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    sk = tbl["subj_key"].to_numpy(zero_copy_only=False)
+    ok = tbl["obj_key"].to_numpy(zero_copy_only=False)
+    sims = qm @ m.T  # (B, rows)
+    blo, bhi = sims.min(axis=1), sims.max(axis=1)
+    qid, flat = topk_tie_rows(sims, k)
+    return pa.table(
+        {
+            "query_idx": pa.array(qid, pa.int64()),
+            "score": pa.array(sims[qid, flat]),
+            "subj_key": pa.array(sk[flat], pa.string()),
+            "obj_key": pa.array(ok[flat], pa.string()),
+            "blo": pa.array(blo[qid]),
+            "bhi": pa.array(bhi[qid]),
+        }
+    )
+
+
+@ray.remote
+def _pick_vids_task(tbl: pa.Table, keys: np.ndarray) -> pa.Table:
+    """Per-block phrase resolution: keep entity rows whose node_key is
+    in the linked key set."""
+    if tbl.num_rows == 0 or "node_key" not in tbl.column_names:
+        return pa.table(
+            {
+                "node_key": pa.array([], pa.string()),
+                "vid": pa.array([], pa.int64()),
+                "n_chunks": pa.array([], pa.float64()),
+            }
+        )
+    nk = tbl["node_key"].to_numpy(zero_copy_only=False)
+    mask = np.isin(nk, keys)
+    return tbl.filter(pa.array(mask)).select(["node_key", "vid", "n_chunks"])
+
+
+@ray.remote(num_returns=2)
+def _chunk_sims_task(tbl: pa.Table, qm: np.ndarray):
+    """Per-block DPR similarities, computed ONCE: returns the (2, B)
+    extrema block (fetched by the driver for the global min-max) and
+    the (vids, sims) pack (stays in plasma for _dpr_triples_task)."""
+    if tbl.num_rows == 0 or "embedding" not in tbl.column_names:
+        return None, None
+    m = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    vids = tbl["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sims = qm @ m.T  # (B, rows)
+    return np.stack([sims.min(axis=1), sims.max(axis=1)]), (vids, sims)
+
+
+@ray.remote
+def _dpr_triples_task(pack, lo: np.ndarray, hi: np.ndarray, pw_scale: float) -> pa.Table:
+    """Normalize one block's raw sims by the global per-query extrema
+    into (vid, query_idx, weight) reset triples (min-max M3 + the
+    passage_node_weight damping) — no second matmul pass."""
+    if pack is None:
+        return pa.table(
+            {
+                "vid": pa.array([], pa.int64()),
+                "query_idx": pa.array([], pa.int64()),
+                "weight": pa.array([], pa.float64()),
+            }
+        )
+    vids, sims = pack
+    rngs = hi - lo
+    norm = np.where(
+        rngs[:, None] == 0,
+        1.0,
+        (sims - lo[:, None]) / np.where(rngs[:, None] == 0, 1.0, rngs[:, None]),
+    )
+    w = norm * pw_scale
+    nq, nr = w.shape
+    return pa.table(
+        {
+            "vid": pa.array(np.tile(vids, nq)),
+            "query_idx": pa.array(np.repeat(np.arange(nq), nr)),
+            "weight": pa.array(w.reshape(-1)),
+        }
+    )
+
+
+@ray.remote
+def _dpr_topk_task(tbl: pa.Table, qm: np.ndarray, sel: np.ndarray, top_k: int) -> pa.Table:
+    """Per-block dense-passage top-k for the selected query rows (K2)."""
+    if tbl.num_rows == 0 or "embedding" not in tbl.column_names:
+        return pa.table(
+            {
+                "query_idx": pa.array([], pa.int64()),
+                "vid": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    m = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    vids = tbl["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sims = qm[sel] @ m.T  # (Q, rows)
+    qrow, flat = topk_tie_rows(sims, top_k)
+    return pa.table(
+        {
+            "query_idx": pa.array(sel[qrow], pa.int64()),
+            "vid": pa.array(vids[flat], pa.int64()),
+            "score": pa.array(sims[qrow, flat]),
+        }
+    )
+
+
 @ray.remote
 def _drop_turns_in_part(path: str, del_arr) -> int:
     """Drop turns whose text hash is deleted (atomic rewrite) — one
@@ -580,58 +712,22 @@ class HippoRagEngine:
             }
         )
 
-        # --- DPR passage weights: two-pass tiled min-max (M3) ---
-        def extrema_tile(batch: pa.Table) -> pa.Table:
-            qm = ray.get(q_ref)
-            if batch.num_rows == 0 or "embedding" not in batch.column_names:
-                return pa.table({"query_idx": pa.array([], pa.int64()),
-                                 "lo": pa.array([], pa.float64()),
-                                 "hi": pa.array([], pa.float64())})
-            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-            sims = qm @ m.T
-            return pa.table(
-                {
-                    "query_idx": pa.array(np.arange(len(qm)), type=pa.int64()),
-                    "lo": pa.array(sims.min(axis=1)),
-                    "hi": pa.array(sims.max(axis=1)),
-                }
-            )
-
-        ext = chunk_joined.map_batches(extrema_tile, batch_format="pyarrow").to_pandas()
-        if "query_idx" not in ext.columns:  # all-empty view drops schema
+        # --- DPR passage weights: two-pass min-max (M3) as task waves
+        # over the pinned chunk-view blocks; sims computed ONCE per
+        # block (the normalize pass reads the plasma-resident pack) ---
+        _ent_refs, chunk_refs = self._view_refs
+        sim_pairs = [_chunk_sims_task.remote(r, q_ref) for r in chunk_refs]
+        ext = [e for e in ray.get([p[0] for p in sim_pairs]) if e is not None]
+        if not ext:  # no chunk embeddings at all
             lo = np.zeros(B)
             hi = np.zeros(B)
         else:
-            lo = ext.groupby("query_idx")["lo"].min().reindex(range(B)).to_numpy()
-            hi = ext.groupby("query_idx")["hi"].max().reindex(range(B)).to_numpy()
-        rng_ref = ray.put((lo, hi, self.passage_node_weight))
-
-        def dpr_tile(batch: pa.Table) -> pa.Table:
-            qm = ray.get(q_ref)
-            lo_, hi_, pw_scale = ray.get(rng_ref)
-            if batch.num_rows == 0 or "embedding" not in batch.column_names:
-                return pa.table({"vid": pa.array([], pa.int64()),
-                                 "query_idx": pa.array([], pa.int64()),
-                                 "weight": pa.array([], pa.float64())})
-            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-            vids = batch["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
-            sims = qm @ m.T  # (B, rows)
-            rngs = hi_ - lo_
-            norm = np.where(
-                rngs[:, None] == 0, 1.0, (sims - lo_[:, None]) / np.where(rngs[:, None] == 0, 1.0, rngs[:, None])
-            )
-            w = norm * pw_scale
-            nq, nr = w.shape
-            return pa.table(
-                {
-                    "vid": pa.array(np.tile(vids, nq)),
-                    "query_idx": pa.array(np.repeat(np.arange(nq), nr)),
-                    "weight": pa.array(w.reshape(-1)),
-                }
-            )
-
-        dpr_triples = chunk_joined.map_batches(dpr_tile, batch_format="pyarrow")
-        reset_ds = dpr_triples.union(rd.from_arrow(link_triples)).materialize()
+            lo = np.min([e[0] for e in ext], axis=0)
+            hi = np.max([e[1] for e in ext], axis=0)
+        reset_refs = [
+            _dpr_triples_task.remote(p[1], lo, hi, self.passage_node_weight)
+            for p in sim_pairs
+        ] + [ray.put(link_triples)]
 
         t_link = _time.perf_counter() - t_all
         t0 = _time.perf_counter()
@@ -645,7 +741,7 @@ class HippoRagEngine:
                 sg,
                 n_queries=B,
                 damping=self.damping,
-                reset_dataset=reset_ds,
+                reset_dataset=reset_refs,
                 collect=False,
             )
         t_ppr = _time.perf_counter() - t0
@@ -663,7 +759,7 @@ class HippoRagEngine:
             }
         # fallback queries get pure DPR ranking (HippoRAG.py:417-419)
         dpr_ranks = (
-            self._dpr_topk(q_ref, chunk_joined, sorted(fallback), top_k)
+            self._dpr_topk(q_ref, sorted(fallback), top_k)
             if fallback
             else {}
         )
@@ -748,6 +844,9 @@ class HippoRagEngine:
         )
         ent_full = hash_join(ent_joined, counts, "vid", how="left").materialize()
         self._joined_views = (ent_full, chunk_joined)
+        # pinned block refs for the per-call task waves (the serving
+        # path): materialized above, so this is free
+        self._view_refs = (ent_full.to_arrow_refs(), chunk_joined.to_arrow_refs())
 
     def _fact_joined(self):
         """Cached fact view: fact embeddings ⋈ fact metadata
@@ -774,11 +873,15 @@ class HippoRagEngine:
                     ),
                     batch_format="pyarrow",
                 )
-                self._fact_view = (
-                    hash_join(embs.materialize(), meta.materialize(), "fact_key")
-                    .materialize(),
-                )
+                view = hash_join(
+                    embs.materialize(), meta.materialize(), "fact_key"
+                ).materialize()
+                self._fact_view = (view, view.to_arrow_refs())
         return self._fact_view[0] if self._fact_view else None
+
+    def _fact_blocks(self) -> list:
+        self._fact_joined()
+        return self._fact_view[1] if self._fact_view else []
 
     def _fact_link(
         self, q_ref, B: int, ent_full
@@ -799,39 +902,9 @@ class HippoRagEngine:
            resolvable phrases) fall back to DPR (HippoRAG.py:417-419).
         """
         k = self.link_top_k
-        fact_view = self._fact_joined()
-
-        def fact_tile(batch: pa.Table) -> pa.Table:
-            qm = ray.get(q_ref)
-            if batch.num_rows == 0 or "embedding" not in batch.column_names:
-                return pa.table(
-                    {
-                        "query_idx": pa.array([], pa.int64()),
-                        "score": pa.array([], pa.float64()),
-                        "subj_key": pa.array([], pa.string()),
-                        "obj_key": pa.array([], pa.string()),
-                        "blo": pa.array([], pa.float64()),
-                        "bhi": pa.array([], pa.float64()),
-                    }
-                )
-            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-            sk = batch["subj_key"].to_numpy(zero_copy_only=False)
-            ok = batch["obj_key"].to_numpy(zero_copy_only=False)
-            sims = qm @ m.T  # (B, rows)
-            blo, bhi = sims.min(axis=1), sims.max(axis=1)
-            qid, flat = topk_tie_rows(sims, k)
-            return pa.table(
-                {
-                    "query_idx": pa.array(qid, pa.int64()),
-                    "score": pa.array(sims[qid, flat]),
-                    "subj_key": pa.array(sk[flat], pa.string()),
-                    "obj_key": pa.array(ok[flat], pa.string()),
-                    "blo": pa.array(blo[qid]),
-                    "bhi": pa.array(bhi[qid]),
-                }
-            )
-
-        cand = fact_view.map_batches(fact_tile, batch_format="pyarrow").to_pandas()
+        cand = pa.concat_tables(
+            ray.get([_fact_tile_task.remote(r, q_ref, k) for r in self._fact_blocks()])
+        ).to_pandas()
         empty = pd.DataFrame(
             {"vid": pd.Series([], dtype="int64"),
              "query_idx": pd.Series([], dtype="int64"),
@@ -874,23 +947,11 @@ class HippoRagEngine:
         )
         keys = np.sort(phrases["node_key"].unique())
         keys_ref = ray.put(keys)
-
-        def pick(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0 or "node_key" not in batch.column_names:
-                return pa.table(
-                    {
-                        "node_key": pa.array([], pa.string()),
-                        "vid": pa.array([], pa.int64()),
-                        "n_chunks": pa.array([], pa.float64()),
-                    }
-                )
-            ks = ray.get(keys_ref)
-            nk = batch["node_key"].to_numpy(zero_copy_only=False)
-            mask = np.isin(nk, ks)
-            return batch.filter(pa.array(mask)).select(["node_key", "vid", "n_chunks"])
-
-        resolved = ent_full.map_batches(pick, batch_format="pyarrow").to_pandas()
-        if "node_key" not in resolved.columns:  # all-empty view drops schema
+        ent_refs, _chunk_refs = self._view_refs
+        resolved = pa.concat_tables(
+            ray.get([_pick_vids_task.remote(r, keys_ref) for r in ent_refs])
+        ).to_pandas()
+        if resolved.empty:
             return empty, set(range(B))
         merged = phrases.merge(resolved, on="node_key", how="inner")
         if merged.empty:
@@ -955,38 +1016,24 @@ class HippoRagEngine:
         return link[["vid", "query_idx", "weight"]]
 
     def _dpr_topk(
-        self, q_ref, chunk_joined, q_indices: list[int], top_k: int
+        self, q_ref, q_indices: list[int], top_k: int
     ) -> dict[int, tuple[np.ndarray, np.ndarray]]:
         """Pure dense passage ranking (K2, HippoRAG.py:1330-1365 /
-        StandardRAG.py): tiled per-block top-k against the broadcast
-        query matrix, merged on the driver (two-level top-k, K6)."""
+        StandardRAG.py): one task per pinned chunk-view block against
+        the broadcast query matrix, merged on the driver (two-level
+        top-k, K6)."""
         if not q_indices:
             return {}
         sel = np.asarray(q_indices, dtype=np.int64)
         sel_ref = ray.put(sel)
-
-        def tile(batch: pa.Table) -> pa.Table:
-            qm = ray.get(q_ref)
-            qs = ray.get(sel_ref)
-            if batch.num_rows == 0 or "embedding" not in batch.column_names:
-                return pa.table({"query_idx": pa.array([], pa.int64()),
-                                 "vid": pa.array([], pa.int64()),
-                                 "score": pa.array([], pa.float64())})
-            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-            vids = batch["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
-            sims = qm[qs] @ m.T  # (Q, rows)
-            qrow, flat = topk_tie_rows(sims, top_k)
-            return pa.table(
-                {
-                    "query_idx": pa.array(qs[qrow], pa.int64()),
-                    "vid": pa.array(vids[flat], pa.int64()),
-                    "score": pa.array(sims[qrow, flat]),
-                }
+        _ent_refs, chunk_refs = self._view_refs
+        out = pa.concat_tables(
+            ray.get(
+                [_dpr_topk_task.remote(r, q_ref, sel_ref, top_k) for r in chunk_refs]
             )
-
-        out = chunk_joined.map_batches(tile, batch_format="pyarrow").to_pandas()
+        ).to_pandas()
         ranks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        if "query_idx" not in out.columns:  # all-empty view drops schema
+        if out.empty:
             return {
                 qi: (np.zeros(0, np.int64), np.zeros(0)) for qi in q_indices
             }
@@ -1006,8 +1053,7 @@ class HippoRagEngine:
         q_norm = text_processing(pa.array(queries)).to_pylist()
         q_ref = ray.put(self.embedder.embed(q_norm).astype(np.float64))
         self._build_views(g)
-        _ent_full, chunk_joined = self._joined_views
-        ranks = self._dpr_topk(q_ref, chunk_joined, list(range(B)), top_k)
+        ranks = self._dpr_topk(q_ref, list(range(B)), top_k)
         need = sorted({int(v) for vids, _ in ranks.values() for v in vids})
         import pyarrow.dataset as pads
 

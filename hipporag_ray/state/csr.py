@@ -493,6 +493,17 @@ class GraphShard:
         self.labels = nxt
         return changed
 
+    def cc_step(self, assembled):
+        """Fused CC pull + next-iteration label message (one actor wave
+        per iteration, same pattern as ppr_step; bit-identical to the
+        separate waves since the message is just the updated labels)."""
+        changed = self.cc_pull(assembled)
+        return changed, self.labels_msg()
+
+    def lp_step(self, assembled):
+        changed = self.lp_pull(assembled)
+        return changed, self.lp_msg()
+
     def labels_table(self, col: str = "component") -> pa.Table:
         vids = np.arange(self.lo, self.hi, dtype=np.int64)
         return pa.table({"vid": vids, col: self.labels.copy()})
