@@ -39,10 +39,16 @@ import ray
 from ..state.csr import ShardedGraph, assemble_labels, assemble_ppr
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 def _assemble_ppr_task(*msgs):
-    """One task per iteration: merge the per-shard contrib messages into
-    the single broadcast object every pull reads (see csr.assemble_ppr)."""
+    """One task per message CHUNK per iteration: merge a shard group's
+    contrib messages into that chunk's broadcast object (see
+    csr.assemble_ppr — k parallel group concats replaced the single
+    serial full-matrix assemble, whose O(n x B) wall was the Amdahl
+    term capping 8->32-CPU scaling).  num_cpus=0: the shard pool
+    reserves all-but-one core while its actors sit IDLE waiting on
+    exactly these memcpy tasks — a 1-CPU reservation would serialize
+    the k chunk assembles through the single headroom core."""
     return assemble_ppr(msgs)
 
 
@@ -351,16 +357,21 @@ def personalized_pagerank(
 
     metrics: list[dict] = []
     # pull model: one (contrib, dangling) message per shard, merged by
-    # ONE assemble task into the iteration's broadcast object; every
-    # owner segment-reduces its incoming edges against it.  Passing the
-    # single assembled ref (auto-dereffed at the actor) avoids both
-    # driver-side P x P ref inlining and the borrower-protocol storm of
-    # a ray.put'd ref list (each measured slower than the edge scan
-    # itself at P=63).  Each iteration is ONE fused actor wave
+    # k PARALLEL group-assemble tasks into the iteration's k chunk
+    # broadcast objects; every owner segment-reduces its incoming
+    # edges against them (one kernel pass per chunk).  Passing k
+    # chunk refs (auto-dereffed at the actor) keeps the per-iteration
+    # ref fan-out at k x P — the full P x P inlining and the
+    # borrower-protocol storm of a ray.put'd ref list each measured
+    # slower than the edge scan itself at P=63, and the former single
+    # full-matrix assemble was the serial Amdahl term once the
+    # compiled kernel landed.  Each iteration is ONE fused actor wave
     # (ppr_step = pull + next contrib, bit-identical to separate
     # waves); only the prologue publishes a bare contrib wave.
     msg_refs = None
     active_prev = active
+    groups = getattr(sg, "msg_groups", None) or [list(range(len(sg.actors)))]
+    assemblers = getattr(sg, "assemblers", None)
     for it in range(start_iter, max_iter):
         if len(active) == 0:
             break
@@ -368,10 +379,22 @@ def personalized_pagerank(
         if msg_refs is None:
             msg_refs = [a.ppr_contrib.remote(damping, active) for a in sg.actors]
             active_prev = active
-        assembled = _assemble_ppr_task.remote(*msg_refs)
+        if assemblers:
+            # persistent zero-CPU assembler actors: plain tasks here
+            # re-spawned reaped idle workers mid-run (~1 s import cost
+            # surfacing as random 2-20x iteration-wall spikes)
+            chunk_refs = [
+                assemblers[c].assemble_ppr.remote(*[msg_refs[i] for i in grp])
+                for c, grp in enumerate(groups)
+            ]
+        else:
+            chunk_refs = [
+                _assemble_ppr_task.remote(*[msg_refs[i] for i in grp])
+                for grp in groups
+            ]
         outs = [
             a.ppr_step.options(num_returns=2).remote(
-                damping, active_prev, active, assembled
+                damping, active_prev, active, *chunk_refs
             )
             for a in sg.actors
         ]
@@ -449,11 +472,18 @@ def _label_fixpoint(
     # mirroring the PPR loop; the prologue publishes the initial labels
     msg_refs = None
     step_attr = pull_attr.replace("_pull", "_step")
+    assemblers = getattr(sg, "assemblers", None)
     for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
         if msg_refs is None:
             msg_refs = [getattr(a, msg_attr).remote() for a in sg.actors]
-        assembled = _assemble_labels_task.remote(*msg_refs)
+        # label messages are (n,) ints — no win from chunk parallelism,
+        # but the persistent assembler actor avoids task-worker churn
+        assembled = (
+            assemblers[0].assemble_labels.remote(*msg_refs)
+            if assemblers
+            else _assemble_labels_task.remote(*msg_refs)
+        )
         outs = [
             getattr(a, step_attr).options(num_returns=2).remote(assembled)
             for a in sg.actors

@@ -15,16 +15,21 @@ Iteration protocol (pull / broadcast model):
 1. every actor publishes one small per-vertex message vector for its
    range (PPR: damping*score/out_weight; CC/LP: labels) — total bytes
    per iteration = n x B, independent of P;
-2. ONE assemble task concatenates the P slices into the global message
-   matrix (``assemble_ppr``/``assemble_labels``) and every actor
-   fetches that single object (zero-copy plasma read; on a multi-node
-   cluster each node fetches it once — the same n x B per-node traffic
-   as fetching P separate slices) and segment-reduces its incoming
-   edges, pre-sorted by own vid (compiled one-pass kernel in
-   state/native.py, chunked ``np.*.reduceat`` fallback).  Handing one
-   ref to P pulls instead of P refs to each of P pulls matters: the
-   driver-side O(P^2) ref bookkeeping measured 170-330 ms per
-   iteration at P=63 — more than the edge scan itself.
+2. k PARALLEL group-assemble tasks concatenate the P slices into k
+   message CHUNKS (PPR; consecutive-shard vid ranges cut at vertex
+   quantiles — a single full-matrix assemble was the serial O(n x B)
+   Amdahl term once the compiled kernel landed, capping 8->32-CPU
+   scaling at ~0.5) and every actor fetches the k objects (zero-copy
+   plasma reads; on a multi-node cluster each node fetches each chunk
+   once — the same n x B per-node traffic) and segment-reduces its
+   incoming edges chunk by chunk, pre-sorted by (chunk, own vid)
+   (compiled one-pass kernel in state/native.py, chunked
+   ``np.*.reduceat`` fallback).  CC/LP messages are labels (n x 8
+   bytes total — no win from chunk parallelism) and still assemble
+   into one object, scanned per chunk.  Handing k refs to P pulls
+   instead of P refs to each of P pulls matters: the driver-side
+   O(P^2) ref bookkeeping measured 170-330 ms per iteration at
+   P=63 — more than the edge scan itself.
 
 This replaces a dense scatter all-to-all (P x n x B bytes/iteration)
 that measured 10-50x slower than compute at P=32.  Actors are *caches
@@ -68,6 +73,7 @@ class GraphShard:
         hubs: np.ndarray | None = None,
         precise: bool = False,
         use_native: bool | None = None,
+        msg_chunk_bounds: np.ndarray | None = None,
     ):
         """``bounds`` is the shared (P+1,) vid boundary array: shard t
         owns vids [bounds[t], bounds[t+1]).  Boundaries are chosen by
@@ -173,31 +179,61 @@ class GraphShard:
             self._push_starts = np.zeros(0, np.int64)
             self._push_uniq = np.zeros(0, np.int64)
 
-        # incoming edges as ONE global CSR: sorted by own vid (one
-        # segment per owned vertex), ``other`` kept as GLOBAL vids —
-        # the pull scans the per-iteration ASSEMBLED message matrix
-        # (assemble_ppr below: all shard slices concatenated into a
-        # single plasma object) in a single kernel call.  This replaced
-        # a per-source-shard group structure whose P slices forced the
-        # driver to hand P refs to every pull call (O(P^2) borrow
-        # registrations per iteration — measured 170-330 ms of a
-        # ~260 ms iteration wall at P=63).
-        order = np.lexsort((other, own))
-        own, other, w = own[order], other[order], w[order]
+        # incoming edges as a CHUNKED CSR: edges sorted by (message
+        # chunk of the source vid, own, other).  ``msg_chunk_bounds``
+        # partitions the vid range into k chunks, and the driver merges
+        # the per-shard contrib slices into k chunk matrices with k
+        # PARALLEL assemble tasks instead of one serial full-matrix
+        # concat — with the compiled kernel the O(n x B) serial
+        # assemble was the Amdahl term that capped 8->32-CPU scaling
+        # efficiency at ~0.5.  Each chunk's edge run is a contiguous
+        # slice of the same arrays (no memory duplication), ``other``
+        # is stored chunk-LOCAL (row index into that chunk's message
+        # matrix), and the pull calls the accumulating kernel once per
+        # chunk.  k=1 (the default for directly-constructed shards)
+        # degenerates to the previous single-assembled-matrix protocol.
+        # Handing k refs to P pulls instead of P refs each remains the
+        # point: driver-side O(P^2) ref bookkeeping measured 170-330 ms
+        # per iteration at P=63 — more than the edge scan itself.
+        cb = (
+            np.asarray(msg_chunk_bounds, dtype=np.int64)
+            if msg_chunk_bounds is not None
+            else np.array([0, n_vertices], dtype=np.int64)
+        )
+        self._chunk_bounds = cb
+        kc = len(cb) - 1
         if len(own):
-            gstarts = np.concatenate(
-                [[0], np.nonzero(np.diff(own))[0] + 1]
-            ).astype(np.int64)
-            guniq = own[gstarts]
+            if kc > 1:
+                cid = np.searchsorted(cb, other, side="right") - 1
+                order = np.lexsort((other, own, cid))
+                cid = cid[order]
+            else:
+                order = np.lexsort((other, own))
+                cid = np.zeros(len(own), dtype=np.int64)
+            own, other, w = own[order], other[order], w[order]
+            offs = np.searchsorted(cid, np.arange(kc + 1))
+            other_loc = other - cb.take(cid)
         else:
-            gstarts = np.zeros(0, dtype=np.int64)
-            guniq = np.zeros(0, dtype=np.int64)
+            offs = np.zeros(kc + 1, dtype=np.int64)
+            other_loc = other
         self._gown = own
-        self._gother = other  # global vids (row index into the assembled matrix)
+        self._gother_loc = other_loc  # chunk-local row index
         self._gw = w
-        self._gstarts = gstarts
-        self._guniq = guniq
         self._gw_msg = w.astype(self._msg_dtype)  # msg-dtype copy for the edge scan
+        chunks = []
+        for c in range(kc):
+            e0, e1 = int(offs[c]), int(offs[c + 1])
+            so = own[e0:e1]
+            if e1 > e0:
+                starts = np.concatenate(
+                    [[0], np.nonzero(np.diff(so))[0] + 1]
+                ).astype(np.int64)
+                uniq = np.ascontiguousarray(so[starts])
+            else:
+                starts = np.zeros(0, dtype=np.int64)
+                uniq = np.zeros(0, dtype=np.int64)
+            chunks.append((e0, e1, starts, uniq))
+        self._chunks = chunks
         # rows scanned per iteration: incoming rows + hub-push rows
         self.edge_count = len(own) + len(self._push[0])
 
@@ -338,6 +374,13 @@ class GraphShard:
 
     _PULL_CHUNK = 32768  # edges per segment-sum block (bounds temp size)
 
+    def _chunk_views(self, M: np.ndarray) -> list[np.ndarray]:
+        """Row-slice a FULL (n, B) assembled message matrix into the
+        per-chunk views the chunked pull scans (zero-copy: row slices
+        of a C-contiguous matrix stay C-contiguous)."""
+        cb = self._chunk_bounds
+        return [M[int(cb[c]) : int(cb[c + 1])] for c in range(len(cb) - 1)]
+
     def ppr_pull(self, damping: float, active: np.ndarray, contrib) -> np.ndarray:
         """next = (1-d)*reset + d*dangling*reset + incoming segment sums;
         update active columns in place; return per-column L1 delta.
@@ -346,16 +389,31 @@ class GraphShard:
         tuple — the driver passes one ObjectRef per iteration, which
         auto-derefs at the actor boundary (zero-copy plasma read).  A
         list of per-shard message refs is also accepted (unit-test
-        convenience) and assembled locally.
+        convenience) and assembled locally."""
+        if isinstance(contrib, list):
+            contrib = assemble_ppr(ray.get(list(contrib)))
+        M, dangling, hub_total = contrib
+        return self._pull_chunks(
+            damping, active, self._chunk_views(M), dangling, hub_total
+        )
+
+    def _pull_chunks(
+        self,
+        damping: float,
+        active: np.ndarray,
+        Ms: list[np.ndarray],
+        dangling: np.ndarray,
+        hub_total: np.ndarray,
+    ) -> np.ndarray:
+        """Chunked pull core: base ranks, then one accumulating
+        segment-sum pass per message chunk (compiled kernel, or the
+        blocked-gather numpy fallback).
 
         On the numpy fallback the edge scan runs in fixed-size blocks
         (snapped to segment boundaries) through a persistent gather
         buffer — a single (E x B) temporary measured 3x slower at low
         shard counts from mmap churn and page faults.  The compiled
         kernel needs no temporary at all."""
-        if isinstance(contrib, list):
-            contrib = assemble_ppr(ray.get(list(contrib)))
-        M, dangling, hub_total = contrib
         # .take, not reset[:, active]: fancy indexing on axis 1 returns an
         # F-CONTIGUOUS array and numpy arithmetic preserves that layout —
         # the compiled kernel writes C-order and would scatter into wrong
@@ -365,28 +423,30 @@ class GraphShard:
         if len(self._hub_owned_idx):
             nxt[self._hub_local] += hub_total[self._hub_owned_idx]
         B = len(active)
-        if len(self._gown) == 0:
-            pass
-        elif self._kern is not None:
-            # one-pass compiled SpMM: no (edges x B) temporary, each
-            # message row read once, float64 accumulation (so the
-            # oversized-segment escalation below is moot here)
-            if not M.flags.c_contiguous:
-                M = np.ascontiguousarray(M)
-            self._kern.spmm(
-                self._gstarts, self._guniq, self._gother, self._gw_msg, M, nxt
-            )
-        else:
+        for c, (e0, e1, starts, uniq) in enumerate(self._chunks):
+            if e1 == e0:
+                continue
+            M = Ms[c]
+            other = self._gother_loc[e0:e1]
+            if self._kern is not None:
+                # one-pass compiled SpMM: no (edges x B) temporary, each
+                # message row read once, float64 accumulation (so the
+                # oversized-segment escalation below is moot here)
+                if not M.flags.c_contiguous:
+                    M = np.ascontiguousarray(M)
+                self._kern.spmm(
+                    starts, uniq, other, self._gw_msg[e0:e1], M, nxt
+                )
+                continue
             if getattr(self, "_buf", None) is None or self._buf.shape[1] != B:
                 self._buf = np.empty(
                     (self._PULL_CHUNK + 1024, max(B, 1)), dtype=self._msg_dtype
                 )
             buf = self._buf
-            starts, uniq = self._gstarts, self._guniq
-            other, w_s = self._gother, self._gw
-            w32 = self._gw_msg[:, None]
+            w_s = self._gw[e0:e1]
+            w32 = self._gw_msg[e0:e1, None]
             nseg = len(starts)
-            n_edges = len(other)
+            n_edges = e1 - e0
             s0 = 0
             while s0 < nseg:
                 # take whole segments until ~_PULL_CHUNK edges (a single
@@ -416,25 +476,46 @@ class GraphShard:
         self.scores[:, active] = nxt
         return delta
 
-    def ppr_step(self, damping: float, active_prev: np.ndarray, active_now: np.ndarray, assembled):
+    def ppr_step(
+        self, damping: float, active_prev: np.ndarray, active_now: np.ndarray, *msgs
+    ):
         """Fused pull + NEXT-iteration contrib in one actor call — the
         driver submits one wave per iteration instead of two.  The
         published contrib is computed over ``active_now`` (exactly what
         a separate contrib wave would publish, so results are
         bit-identical); the next step subsets its columns down to its
-        own active set.  ``assembled`` columns correspond to
-        ``active_prev`` (the set the previous step's contrib used)."""
-        if isinstance(assembled, list):
-            assembled = assemble_ppr(ray.get(list(assembled)))
-        M, dangling, hub_total = assembled
+        own active set.  Message columns correspond to ``active_prev``
+        (the set the previous step's contrib used).
+
+        ``msgs`` is either the k per-chunk (M_c, dangling_partial,
+        hub_partial) tuples from the parallel group assembles (each a
+        top-level arg so Ray auto-derefs them — no borrower-protocol
+        ref list), or ONE legacy tuple holding the full assembled
+        matrix with total dangling/hub sums (row-sliced into chunk
+        views here; identical when k == 1)."""
+        if len(msgs) == 1 and isinstance(msgs[0], list):
+            # unit-test convenience: list of per-shard message refs
+            msgs = (assemble_ppr(ray.get(list(msgs[0]))),)
+        kc = len(self._chunks)
+        if len(msgs) == kc:
+            Ms = [m[0] for m in msgs]
+            dangling = np.sum([m[1] for m in msgs], axis=0)
+            hub_total = np.sum([m[2] for m in msgs], axis=0)
+        elif len(msgs) == 1:
+            M, dangling, hub_total = msgs[0]
+            Ms = self._chunk_views(M)
+        else:
+            raise ValueError(
+                f"ppr_step: got {len(msgs)} message chunks, shard has {kc}"
+            )
         if len(active_now) != len(active_prev):
             # .take keeps C-order (fancy axis-1 indexing would go F-order
             # and trip the kernel's layout guard)
             pos = np.searchsorted(active_prev, active_now)
-            M = M.take(pos, axis=1)
+            Ms = [m.take(pos, axis=1) for m in Ms]
             dangling = dangling[pos]
             hub_total = hub_total.take(pos, axis=1)
-        delta = self.ppr_pull(damping, active_now, (M, dangling, hub_total))
+        delta = self._pull_chunks(damping, active_now, Ms, dangling, hub_total)
         return delta, self.ppr_contrib(damping, active_now)
 
     def scores_table(self, query_idx: int = 0) -> pa.Table:
@@ -469,15 +550,19 @@ class GraphShard:
         global_lab, hub_parts = label_msgs
         nxt = self.labels.copy()
         if len(self._gown):
-            if self._kern is not None:
-                if not global_lab.flags.c_contiguous:
-                    global_lab = np.ascontiguousarray(global_lab)
-                self._kern.segmin(
-                    self._gstarts, self._guniq, self._gother, global_lab, nxt
-                )
-            else:
-                mins = np.minimum.reduceat(global_lab[self._gother], self._gstarts)
-                nxt[self._guniq] = np.minimum(nxt[self._guniq], mins)
+            if not global_lab.flags.c_contiguous:
+                global_lab = np.ascontiguousarray(global_lab)
+            cb = self._chunk_bounds
+            for c, (e0, e1, starts, uniq) in enumerate(self._chunks):
+                if e1 == e0:
+                    continue
+                lab_c = global_lab[int(cb[c]) : int(cb[c + 1])]
+                other = self._gother_loc[e0:e1]
+                if self._kern is not None:
+                    self._kern.segmin(starts, uniq, other, lab_c, nxt)
+                else:
+                    mins = np.minimum.reduceat(lab_c[other], starts)
+                    nxt[uniq] = np.minimum(nxt[uniq], mins)
         if len(self._hub_owned_idx):
             hub_total = np.min(hub_parts, axis=0)
             hl = self._hub_local
@@ -536,9 +621,15 @@ class GraphShard:
         global_lab, vote_parts = label_msgs
         all_own, all_lab, all_w = [], [], []
         if len(self._gown):
-            all_own.append(self._gown)
-            all_lab.append(global_lab[self._gother])
-            all_w.append(self._gw)
+            cb = self._chunk_bounds
+            for c, (e0, e1, _starts, _uniq) in enumerate(self._chunks):
+                if e1 == e0:
+                    continue
+                all_own.append(self._gown[e0:e1])
+                all_lab.append(
+                    global_lab[int(cb[c]) : int(cb[c + 1])][self._gother_loc[e0:e1]]
+                )
+                all_w.append(self._gw[e0:e1])
         if len(self._hub_owned_idx):
             for h_idx, labs, ws in vote_parts:
                 if len(h_idx) == 0:
@@ -624,6 +715,26 @@ def assemble_labels(msgs) -> tuple[np.ndarray, list]:
     return np.concatenate([m[0] for m in msgs]), [m[1] for m in msgs]
 
 
+class _ChunkAssembler:
+    """Persistent zero-CPU actor that merges one message chunk per
+    iteration.  PLAIN ray tasks here caused worker-process churn: the
+    raylet reaps idle task workers above the CPU count between PPR
+    calls, so each call's first iterations paid ~1 s of fresh-worker
+    spawn + import (observed as 134 spawned workers and 2-20x
+    iteration-wall spikes).  Actors pin the process for the pool's
+    lifetime.  num_cpus=0: the shard pool reserves all-but-one core
+    while its actors sit IDLE waiting on exactly these memcpy calls."""
+
+    def assemble_ppr(self, *msgs):
+        return assemble_ppr(msgs)
+
+    def assemble_labels(self, *msgs):
+        return assemble_labels(msgs)
+
+
+ChunkAssemblerActor = ray.remote(num_cpus=0)(_ChunkAssembler)
+
+
 class GraphShardHost:
     """One actor PROCESS hosting one or more GraphShard partitions.
 
@@ -640,9 +751,15 @@ class GraphShardHost:
     pull threads share the GIL for per-chunk Python overhead), and
     iteration throughput is the north-star; see ShardedGraph."""
 
-    def __init__(self, adj_path, shard_ids, bounds, n_vertices, hubs, precise):
+    def __init__(
+        self, adj_path, shard_ids, bounds, n_vertices, hubs, precise,
+        msg_chunk_bounds=None,
+    ):
         self.shards = {
-            int(i): GraphShard(adj_path, int(i), bounds, n_vertices, hubs, precise)
+            int(i): GraphShard(
+                adj_path, int(i), bounds, n_vertices, hubs, precise,
+                msg_chunk_bounds=msg_chunk_bounds,
+            )
             for i in shard_ids
         }
 
@@ -868,6 +985,7 @@ class ShardedGraph:
         precise: bool = False,
         bounds_stats_min_rows: int | None = None,
         shards_per_host: int | None = None,
+        msg_chunks: int | None = None,
     ):
         # warm the compiled-kernel cache on the driver first: the shard
         # actors then CDLL the cached .so instead of racing 63 parallel
@@ -893,6 +1011,31 @@ class ShardedGraph:
         self.n_vertices = n_vertices
         self.n_shards = n_shards
         self.adj_path = adj_path
+        # message-chunk groups: the per-iteration broadcast matrix is
+        # assembled as k chunk objects by k PARALLEL zero-CPU tasks
+        # (consecutive shard groups cut at vertex-count quantiles, so
+        # each chunk copies ~n/k rows) instead of one serial full
+        # concat — the serial O(n x B) assemble was the Amdahl term
+        # that capped 8->32-CPU scaling at ~0.5 once the compiled pull
+        # kernel landed.  ~8 shards per chunk keeps the per-pull ref
+        # fan-out at k x P << P x P (the measured borrower-storm
+        # regime).  Env override HIPPORAG_RAY_MSG_CHUNKS for tuning.
+        if msg_chunks is None:
+            env = os.environ.get("HIPPORAG_RAY_MSG_CHUNKS")
+            msg_chunks = (
+                int(env) if env else max(1, min(16, round(n_shards / 8)))
+            )
+        k = max(1, min(int(msg_chunks), n_shards))
+        targets = (np.arange(1, k) * n_vertices) // max(k, 1)
+        cut_idx = np.unique(
+            np.clip(np.searchsorted(self.bounds, targets, side="left"), 1, n_shards - 1)
+        ) if k > 1 else np.zeros(0, np.int64)
+        group_edges = np.concatenate([[0], cut_idx, [n_shards]]).astype(np.int64)
+        self.msg_groups = [
+            list(range(int(group_edges[i]), int(group_edges[i + 1])))
+            for i in range(len(group_edges) - 1)
+        ]
+        self.chunk_bounds = self.bounds[group_edges]
         # host processes: ~one per core (spawn cost + control-plane load
         # scale with PROCESS count, shard granularity with SHARD count —
         # see GraphShardHost).  Strided shard->host assignment spreads
@@ -941,7 +1084,10 @@ class ShardedGraph:
         self._hosts = [
             GraphShardHostActor.options(
                 num_cpus=cpu_per_host, max_concurrency=max_cc
-            ).remote(adj_path, ids, self.bounds, n_vertices, self.hubs, precise)
+            ).remote(
+                adj_path, ids, self.bounds, n_vertices, self.hubs, precise,
+                self.chunk_bounds,
+            )
             for ids in assign
         ]
         by_shard: dict[int, ShardHandle] = {}
@@ -949,6 +1095,8 @@ class ShardedGraph:
             for i in ids:
                 by_shard[i] = ShardHandle(host, i)
         self.actors = [by_shard[i] for i in range(n_shards)]
+        # one persistent assembler per message chunk (see _ChunkAssembler)
+        self.assemblers = [ChunkAssemblerActor.remote() for _ in self.msg_groups]
         # block until all shards loaded; also the total directed edge
         # record count (the per-iteration edge-scan volume)
         self.edge_count = sum(ray.get([a.get_edge_count.remote() for a in self.actors]))
@@ -963,5 +1111,8 @@ class ShardedGraph:
     def shutdown(self) -> None:
         for h in getattr(self, "_hosts", []):
             ray.kill(h)
+        for a in getattr(self, "assemblers", []):
+            ray.kill(a)
         self._hosts = []
         self.actors = []
+        self.assemblers = []

@@ -407,3 +407,38 @@ def test_native_kernel_parity_with_numpy_path(graph):
         np.testing.assert_allclose(got_fast[:, b], want, atol=1e-6)
 
     np.testing.assert_array_equal(_manual_cc(fast), _manual_cc(slow))
+
+
+def test_chunked_messages_match_single_assemble(graph):
+    """The k-chunk message protocol (parallel group assembles +
+    per-chunk kernel passes — csr.GraphShard msg_chunk_bounds) produces
+    the same PPR scores as the single-assembled-matrix path (k=1) at
+    float64 tightness, and identical CC/LP labels.  Chunking only
+    changes per-segment accumulation ORDER (one partial sum per chunk
+    instead of one sequential pass), so any real divergence is a
+    routing bug, not numerics."""
+    g, _ = graph
+    out = {}
+    for k in (1, 4):
+        sg = ShardedGraph(g.adj_path, g.n_vertices, msg_chunks=k, precise=True)
+        try:
+            assert len(sg.msg_groups) == len(sg.assemblers)
+            assert [i for grp in sg.msg_groups for i in grp] == list(
+                range(sg.n_shards)
+            )
+            rng = np.random.default_rng(3)
+            resets = [
+                (rng.choice(g.n_vertices, size=4, replace=False), np.ones(4))
+                for _ in range(8)
+            ]
+            scores, _m = personalized_pagerank(
+                sg, resets=resets, n_queries=8, max_iter=25
+            )
+            cc, _m = connected_components(sg)
+            lp, _m = label_propagation(sg, max_iter=10)
+            out[k] = (scores, cc, lp)
+        finally:
+            sg.shutdown()
+    np.testing.assert_allclose(out[1][0], out[4][0], rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(out[1][1], out[4][1])
+    np.testing.assert_array_equal(out[1][2], out[4][2])
