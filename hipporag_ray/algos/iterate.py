@@ -368,17 +368,13 @@ def personalized_pagerank(
     # compiled kernel landed.  Each iteration is ONE fused actor wave
     # (ppr_step = pull + next contrib, bit-identical to separate
     # waves); only the prologue publishes a bare contrib wave.
-    msg_refs = None
-    active_prev = active
     groups = getattr(sg, "msg_groups", None) or [list(range(len(sg.actors)))]
     assemblers = getattr(sg, "assemblers", None)
-    for it in range(start_iter, max_iter):
-        if len(active) == 0:
-            break
-        t0 = time.perf_counter()
-        if msg_refs is None:
-            msg_refs = [a.ppr_contrib.remote(damping, active) for a in sg.actors]
-            active_prev = active
+
+    def _submit_wave(active_prev: np.ndarray, active_now: np.ndarray, msg_refs):
+        """One fused actor wave: k chunk assembles over the published
+        contribs, then ppr_step on every shard.  Returns (delta refs,
+        next-iteration contrib refs) WITHOUT waiting."""
         if assemblers:
             # persistent zero-CPU assembler actors: plain tasks here
             # re-spawned reaped idle workers mid-run (~1 s import cost
@@ -394,30 +390,84 @@ def personalized_pagerank(
             ]
         outs = [
             a.ppr_step.options(num_returns=2).remote(
-                damping, active_prev, active, *chunk_refs
+                damping, active_prev, active_now, *chunk_refs
             )
             for a in sg.actors
         ]
-        deltas = ray.get([o[0] for o in outs])
-        msg_refs = [o[1] for o in outs]
-        active_prev = active
-        delta = np.sum(deltas, axis=0)
-        wall = time.perf_counter() - t0
-        scanned = sg.edge_count * len(active)  # traversals = records x active query columns
+        return [o[0] for o in outs], [o[1] for o in outs]
+
+    def _record(it: int, n_active: int, delta: np.ndarray, wall: float) -> None:
+        scanned = sg.edge_count * n_active  # traversals = records x active cols
         rec = {
             "iter": it + 1,
             "algo": "ppr",
             "l1_delta": float(delta.sum()),
-            "active_queries": int(len(active)),
+            "active_queries": int(n_active),
             "edge_records_scanned": scanned,
             "wall_s": wall,
             "edges_per_sec": scanned / wall if wall > 0 else None,
         }
         metrics.append(rec)
         ck.metric(rec)
-        active = active[delta >= tol]
-        if checkpoint_dir and checkpoint_every and (it + 1) % checkpoint_every == 0:
-            ck.save(it + 1, {"active": active.tolist(), "delta": float(delta.sum())})
+
+    # The driver runs one wave AHEAD of delta consumption (pipelined):
+    # wave it+1 is submitted from wave it's contrib REFS before wave
+    # it's deltas are read, so driver-side dispatch (~20-25 ms at P=63,
+    # comparable to the whole edge scan at bench scale) overlaps shard
+    # compute instead of serializing the iteration.  The only semantic
+    # difference is that the active-set shrink lags ONE iteration: a
+    # query whose delta crossed tol at wave it still iterates at wave
+    # it+1 — one extra refinement toward the same fixpoint, so scores
+    # can only move closer to convergence, and the scanned-work metrics
+    # count the real (slightly larger) scan.  Checkpointed runs stay
+    # SEQUENTIAL: a mid-run save must capture iteration-consistent shard
+    # state, and with a wave in flight the shards are already mutating.
+    pipelined = not (checkpoint_dir and checkpoint_every)
+    msg_refs = [a.ppr_contrib.remote(damping, active) for a in sg.actors]
+    msg_active = active  # columns covered by msg_refs
+    if pipelined:
+        it = start_iter
+        in_flight = None  # (iter, active_used, delta_refs)
+        t_prev = time.perf_counter()
+        while True:
+            if it < max_iter and len(active) > 0:
+                delta_refs, msg_refs = _submit_wave(msg_active, active, msg_refs)
+                new_flight = (it, active, delta_refs)
+                msg_active = active
+                it += 1
+            else:
+                new_flight = None
+            if in_flight is None and new_flight is None:
+                break
+            if in_flight is not None:
+                f_it, f_active, f_refs = in_flight
+                delta = np.sum(ray.get(f_refs), axis=0)
+                now = time.perf_counter()
+                _record(f_it, len(f_active), delta, now - t_prev)
+                t_prev = now
+                still = f_active[delta >= tol]
+                # future submissions iterate the intersection: columns
+                # not yet converged (per the lagged deltas) that the
+                # in-flight wave's messages still cover
+                active = (
+                    np.intersect1d(active, still, assume_unique=True)
+                    if new_flight is not None
+                    else still
+                )
+            in_flight = new_flight
+    else:
+        active_prev = active
+        for it in range(start_iter, max_iter):
+            if len(active) == 0:
+                break
+            t0 = time.perf_counter()
+            delta_refs, msg_refs = _submit_wave(active_prev, active, msg_refs)
+            delta = np.sum(ray.get(delta_refs), axis=0)
+            active_prev = active
+            _record(it, len(active), delta, time.perf_counter() - t0)
+            active = active[delta >= tol]
+            if checkpoint_every and (it + 1) % checkpoint_every == 0:
+                ck.save(it + 1, {"active": active.tolist(), "delta": float(delta.sum())})
 
     if not collect:
         return None, metrics

@@ -1022,8 +1022,13 @@ class ShardedGraph:
         # regime).  Env override HIPPORAG_RAY_MSG_CHUNKS for tuning.
         if msg_chunks is None:
             env = os.environ.get("HIPPORAG_RAY_MSG_CHUNKS")
+            # k=4 measured best at P=63 AND P=16 on the bench graph
+            # (k=1: serial-assemble bound; k=8/16: ref fan-out and
+            # chunk-view overheads outweigh the extra assemble
+            # parallelism); tiny pools scale k down so a group is
+            # never smaller than ~4 shards
             msg_chunks = (
-                int(env) if env else max(1, min(16, round(n_shards / 8)))
+                int(env) if env else min(4, max(1, n_shards // 4))
             )
         k = max(1, min(int(msg_chunks), n_shards))
         targets = (np.arange(1, k) * n_vertices) // max(k, 1)

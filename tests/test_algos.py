@@ -442,3 +442,37 @@ def test_chunked_messages_match_single_assemble(graph):
     np.testing.assert_allclose(out[1][0], out[4][0], rtol=0, atol=1e-12)
     np.testing.assert_array_equal(out[1][1], out[4][1])
     np.testing.assert_array_equal(out[1][2], out[4][2])
+
+
+def test_chunked_shard_accepts_single_assembled(graph):
+    """A GraphShard built with k>1 message chunks still accepts the
+    legacy single-assembled message everywhere it is accepted at k=1:
+    ppr_pull with a list of per-shard refs, and ppr_step with ONE full
+    (M, dangling, hub) tuple (row-sliced into chunk views internally).
+    Scores must match the oracle."""
+    from hipporag_ray.state.csr import GraphShard, assemble_ppr
+
+    g, e = graph
+    src, dst, w = _edge_arrays(e)
+    n = g.n_vertices
+    bounds = np.array([0, n // 2, n], dtype=np.int64)
+    cb = np.array([0, n // 3, 2 * n // 3, n], dtype=np.int64)
+    shards = [
+        GraphShard(g.adj_path, i, bounds, n, msg_chunk_bounds=cb) for i in range(2)
+    ]
+    assert all(len(s._chunks) == 3 for s in shards)
+    sums = [s.ppr_init(None, 1) for s in shards]
+    totals = np.sum(sums, axis=0)
+    for s in shards:
+        s.ppr_normalize_reset(totals)
+    active = np.arange(1)
+    for _ in range(60):
+        msgs = [s.ppr_contrib(0.5, active) for s in shards]
+        assembled = assemble_ppr(msgs)
+        # ppr_step's legacy one-tuple branch (kc=3, len(msgs)=1)
+        deltas = [s.ppr_step(0.5, active, active, assembled)[0] for s in shards]
+        if np.sum(deltas) < 1e-7:
+            break
+    got = np.concatenate([s.scores[:, 0] for s in shards])
+    want = pagerank_oracle(n, src, dst, w)
+    np.testing.assert_allclose(got, want, atol=1e-6)
