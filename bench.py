@@ -360,7 +360,16 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(sf_dir)))
+        # GRAFT_SCALING_LEVELS="2,8" picks the N/4N pair (default 8,32).
+        # BASELINE.md reports both pairs: past ~16 cores the compiled
+        # kernel saturates shared L3/memory on a single box — a machine
+        # artifact a per-node-DRAM cluster does not have — so the
+        # below-saturation pair is the honest engine-scaling evidence.
+        levels = tuple(
+            int(x)
+            for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
+        )
+        print(json.dumps(run_scaling(sf_dir, levels=levels)))
     else:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(run_bench(sf_dir, ncpu)))

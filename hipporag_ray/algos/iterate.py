@@ -520,27 +520,25 @@ def _label_fixpoint(
     metrics: list[dict] = []
     # one fused actor wave per iteration (step = pull + next message),
     # mirroring the PPR loop; the prologue publishes the initial labels
-    msg_refs = None
+    msg_refs = [getattr(a, msg_attr).remote() for a in sg.actors]
     step_attr = pull_attr.replace("_pull", "_step")
     assemblers = getattr(sg, "assemblers", None)
-    for it in range(start_iter, max_iter):
-        t0 = time.perf_counter()
-        if msg_refs is None:
-            msg_refs = [getattr(a, msg_attr).remote() for a in sg.actors]
+
+    def _submit_wave(refs):
         # label messages are (n,) ints — no win from chunk parallelism,
         # but the persistent assembler actor avoids task-worker churn
         assembled = (
-            assemblers[0].assemble_labels.remote(*msg_refs)
+            assemblers[0].assemble_labels.remote(*refs)
             if assemblers
-            else _assemble_labels_task.remote(*msg_refs)
+            else _assemble_labels_task.remote(*refs)
         )
         outs = [
             getattr(a, step_attr).options(num_returns=2).remote(assembled)
             for a in sg.actors
         ]
-        changed = sum(ray.get([o[0] for o in outs]))
-        msg_refs = [o[1] for o in outs]
-        wall = time.perf_counter() - t0
+        return [o[0] for o in outs], [o[1] for o in outs]
+
+    def _record(it: int, changed: int, wall: float) -> None:
         rec = {
             "iter": it + 1,
             "algo": algo,
@@ -550,10 +548,46 @@ def _label_fixpoint(
         }
         metrics.append(rec)
         ck.metric(rec)
-        if checkpoint_dir and checkpoint_every and (it + 1) % checkpoint_every == 0:
-            ck.save(it + 1, {"changed": int(changed)})
-        if changed == 0:
-            break
+
+    # same wave pipelining as the PPR loop: the driver stays one wave
+    # ahead of the changed-count consumption, so dispatch overlaps shard
+    # compute.  The fixpoint check lags one iteration — the extra
+    # in-flight wave runs on already-converged labels (idempotent pulls)
+    # and its scan is counted honestly.  Checkpointed runs stay
+    # sequential (mid-run saves need iteration-consistent shard state).
+    if not (checkpoint_dir and checkpoint_every):
+        it = start_iter
+        in_flight = None  # (iter, changed_refs)
+        done = False
+        t_prev = time.perf_counter()
+        while True:
+            if it < max_iter and not done:
+                changed_refs, msg_refs = _submit_wave(msg_refs)
+                new_flight = (it, changed_refs)
+                it += 1
+            else:
+                new_flight = None
+            if in_flight is None and new_flight is None:
+                break
+            if in_flight is not None:
+                f_it, f_refs = in_flight
+                changed = sum(ray.get(f_refs))
+                now = time.perf_counter()
+                _record(f_it, changed, now - t_prev)
+                t_prev = now
+                if changed == 0:
+                    done = True
+            in_flight = new_flight
+    else:
+        for it in range(start_iter, max_iter):
+            t0 = time.perf_counter()
+            changed_refs, msg_refs = _submit_wave(msg_refs)
+            changed = sum(ray.get(changed_refs))
+            _record(it, changed, time.perf_counter() - t0)
+            if checkpoint_every and (it + 1) % checkpoint_every == 0:
+                ck.save(it + 1, {"changed": int(changed)})
+            if changed == 0:
+                break
     if not collect:
         return None, metrics
     tables = ray.get([a.labels_table.remote(label_col) for a in sg.actors])
