@@ -348,6 +348,29 @@ def q_doc_token_count_bpe(sf_dir: str):
     return ts.token_count_bpe(_docs(sf_dir), "text", "doc_id")
 
 
+def q_doc_regex_extract(sf_dir: str):
+    """Vectorized regex extraction (first multi-digit run + match
+    count per document) — the structured-field-extraction shape of a
+    training-data pipeline, as single-pass Arrow RE2 kernels
+    (pc.extract_regex / pc.count_substring_regex); no Python row
+    loop.  DuckDB shares the RE2 dialect, so the oracle is exact."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch["text"], r"(?P<num>[0-9]{2,})")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "first_num": pc.struct_field(ex, "num"),
+                "n_nums": pc.cast(
+                    pc.count_substring_regex(batch["text"], r"[0-9]{2,}"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
 def q_doc_mentions(sf_dir: str):
     """M6-style explode: distinct (doc_id, entity), tokens len>=3."""
     ds = _docs(sf_dir).map_batches(
@@ -971,6 +994,25 @@ def q_events_quantiles(sf_dir: str):
     return tbl.to_pandas()
 
 
+def q_events_quantiles_cont(sf_dir: str):
+    """Interpolated per-type quantiles (percentile_cont / DuckDB
+    quantile_cont): the same histogram-refinement machinery selects the
+    floor/ceil order statistics and interpolates driver-side — still no
+    sort and no per-group collection.  Values rounded to 6 places on
+    both sides (interpolation arithmetic differs at float ulp scale)."""
+    from ..stages.agg import group_quantiles
+
+    tbl = group_quantiles(
+        _events(sf_dir).select_columns(["event_type", "value"]),
+        "event_type",
+        "value",
+        [0.25, 0.5, 0.9],
+        interpolate=True,
+    ).to_pandas()
+    tbl["value"] = _round_away(tbl["value"].to_numpy(), 6)
+    return tbl
+
+
 def q_events_rollup(sf_dir: str):
     """GROUP BY ROLLUP(event_type, hour): all prefix aggregation levels
     in one scan + one exchange (stages/agg.py::rollup_sum_count);
@@ -1208,6 +1250,54 @@ def q_events_moving_avg(sf_dir: str):
             {
                 "event_id": pa.array(e, pa.int64()),
                 "mov_avg": pa.array(mov, pa.float64(), mask=(cnt == 0)),
+            }
+        )
+
+    return parts.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+
+
+def q_events_lead_lag(sf_dir: str):
+    """ROW_NUMBER / LAG / LEAD per user ordered by (ts, event_id) —
+    the offset-window family (reference analog: none; standard
+    training-data lineage ops) as ONE hash exchange on the partition
+    key + a vectorized shifted-gather kernel per key-complete
+    partition.  Group boundaries mask the shifted values to NULL
+    (SQL LAG/LEAD default)."""
+    from ..functions.pairs import pos_in_group
+    from ..stages.shuffle import hash_partition
+
+    ev = _events(sf_dir).select_columns(["user_id", "ts", "event_id", "value"])
+    parts = hash_partition(ev.materialize(), "user_id")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "rn": pa.array([], pa.int64()),
+                    "prev_value": pa.array([], pa.float64()),
+                    "next_value": pa.array([], pa.float64()),
+                }
+            )
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = batch["ts"].to_numpy(zero_copy_only=False)
+        e = batch["event_id"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((e, t, u))
+        u, e, v = u[order], e[order], v[order]
+        pos = pos_in_group(u)  # 0-based rank within user
+        n = len(u)
+        prev = np.roll(v, 1)
+        nxt = np.roll(v, -1)
+        first = pos == 0  # user boundary: no predecessor
+        last = np.concatenate([first[1:], [True]])  # no successor
+        return pa.table(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "rn": pa.array(pos + 1, pa.int64()),
+                # mask NaN too: LAG/LEAD of a NULL value is NULL in SQL
+                "prev_value": pa.array(prev, pa.float64(), mask=first | np.isnan(prev)),
+                "next_value": pa.array(nxt, pa.float64(), mask=last | np.isnan(nxt)),
             }
         )
 
@@ -1776,6 +1866,7 @@ def q_tx_extract(sf_dir: str):
 QUERIES = {
     "doc_normalize": q_doc_normalize,
     "doc_token_count": q_doc_token_count,
+    "doc_regex_extract": q_doc_regex_extract,
     "doc_token_count_bpe": q_doc_token_count_bpe,
     "doc_mentions": q_doc_mentions,
     "doc_vertices": q_doc_vertices,
@@ -1832,11 +1923,13 @@ QUERIES = {
     "doc_tfidf": q_doc_tfidf,
     "doc_bm25": q_doc_bm25,
     "events_quantiles": q_events_quantiles,
+    "events_quantiles_cont": q_events_quantiles_cont,
     "events_quantiles_sketch": q_events_quantiles_sketch,
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
     "events_grouped_topk": q_events_grouped_topk,
     "events_moving_avg": q_events_moving_avg,
+    "events_lead_lag": q_events_lead_lag,
     "events_stratified_sample": q_events_stratified_sample,
     "events_distinct_users": q_events_distinct_users,
     "events_distinct_users_sketch": q_events_distinct_users_sketch,
@@ -1935,6 +2028,12 @@ ORACLE_SQL = {
         FROM documents d
         LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok WHERE tok <> '' GROUP BY doc_id) t
         USING (doc_id)
+    """,
+    "doc_regex_extract": """
+        SELECT doc_id,
+               NULLIF(regexp_extract(text, '([0-9]{2,})', 1), '') AS first_num,
+               CAST(length(regexp_extract_all(text, '[0-9]{2,}')) AS BIGINT) AS n_nums
+        FROM documents
     """,
     "doc_token_count_bpe": r"""
         SELECT doc_id,
@@ -2303,6 +2402,19 @@ ORACLE_SQL = {
                quantile_disc(value, 0.99) AS value
         FROM events GROUP BY event_type
     """,
+    "events_quantiles_cont": """
+        SELECT event_type, CAST(0.25 AS DOUBLE) AS q,
+               round(quantile_cont(value, 0.25), 6) AS value
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+               round(quantile_cont(value, 0.5), 6) AS value
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, CAST(0.9 AS DOUBLE) AS q,
+               round(quantile_cont(value, 0.9), 6) AS value
+        FROM events GROUP BY event_type
+    """,
     "events_rollup": """
         WITH e AS (
           SELECT event_type,
@@ -2357,6 +2469,14 @@ ORACLE_SQL = {
                  PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg
         FROM events
+    """,
+    "events_lead_lag": """
+        SELECT event_id,
+               row_number() OVER w AS rn,
+               lag(value)  OVER w AS prev_value,
+               lead(value) OVER w AS next_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     "events_stratified_sample": """
         SELECT event_type, event_id FROM (

@@ -300,6 +300,22 @@ def _disc_rank(q: float, n: int) -> int:
     return max(0, int(math.ceil(x)) - 1)
 
 
+def _cont_rank(q: float, n: int) -> tuple[int, int, float]:
+    """(lower 0-based rank, upper rank, interpolation fraction) of the
+    continuous quantile (percentile_cont / DuckDB quantile_cont):
+    ``h = q*(n-1)``, linear interpolation between the two adjacent
+    order statistics — with the same relative integral snap as
+    :func:`_disc_rank`."""
+    import math
+
+    h = q * (n - 1)
+    if abs(h - round(h)) < 1e-9 * max(1.0, abs(h)):
+        h = float(round(h))
+    lo = int(math.floor(h))
+    hi = min(int(math.ceil(h)), n - 1)
+    return lo, hi, h - lo
+
+
 def group_quantiles(
     ds: "ray.data.Dataset",
     group_col: str,
@@ -308,10 +324,13 @@ def group_quantiles(
     n_buckets: int = 1024,
     exact_threshold: int = 262_144,
     max_rounds: int = 16,
+    interpolate: bool = False,
 ) -> "pa.Table":
-    """Exact per-group discrete quantiles (percentile_disc semantics)
-    over an unbounded value column WITHOUT ever sorting or collecting a
-    group: iterative histogram refinement.
+    """Exact per-group discrete quantiles (percentile_disc semantics;
+    ``interpolate=True`` gives percentile_cont: the two adjacent order
+    statistics are selected by the same machinery and linearly
+    interpolated driver-side) over an unbounded value column WITHOUT
+    ever sorting or collecting a group: iterative histogram refinement.
 
     Pass 0 scans once for per-group (count, min, max).  Each round then
     scans once, bucketing every still-unresolved (group, q) target's
@@ -377,20 +396,34 @@ def group_quantiles(
         .sort_index()
     )
 
-    # targets: one per (group, q); resolved[value] filled as they finish
-    targets = []  # dicts: g, q, rank (residual, 0-based within interval), lo, hi
-    results: dict[tuple[str, float], float] = {}
+    # targets: one per (group, order-statistic rank) — percentile_disc
+    # needs one rank per q, percentile_cont the floor/ceil pair
+    # (deduped: adjacent qs often share ranks); results keyed by the
+    # ORIGINAL rank ("key"), while "rank" mutates as the residual
+    # within the shrinking candidate interval
+    wanted: dict[str, set[int]] = {}
     for gname, row in stats.iterrows():
         n = int(row["cnt"])
+        rs = wanted.setdefault(gname, set())
         for q in qs:
-            r = _disc_rank(q, n)
+            if interpolate:
+                lo_r, hi_r, _f = _cont_rank(q, n)
+                rs.add(lo_r)
+                rs.add(hi_r)
+            else:
+                rs.add(_disc_rank(q, n))
+    targets = []  # dicts: g, key, rank (residual), lo, hi, cand
+    results: dict[tuple[str, int], float] = {}
+    for gname, row in stats.iterrows():
+        n = int(row["cnt"])
+        for r in sorted(wanted.get(gname, ())):
             if row["vmin"] == row["vmax"]:
-                results[(gname, q)] = float(row["vmin"])
+                results[(gname, r)] = float(row["vmin"])
             else:
                 targets.append(
                     {
                         "g": gname,
-                        "q": q,
+                        "key": r,
                         "rank": r,
                         "lo": float(row["vmin"]),
                         "hi": float(row["vmax"]),
@@ -457,7 +490,7 @@ def group_quantiles(
         return hist
 
     for _ in range(max_rounds):
-        active = [t for t in targets if (t["g"], t["q"]) not in results]
+        active = [t for t in targets if (t["g"], t["key"]) not in results]
         # exact-selection targets are handled after the loop
         active = [t for t in active if t["cand"] > exact_threshold]
         if not active:
@@ -479,7 +512,7 @@ def group_quantiles(
                 c = int(h_cnt[i])
                 if t["rank"] < cum + c:
                     if h_vmin[i] == h_vmax[i]:
-                        results[(t["g"], t["q"])] = float(h_vmin[i])
+                        results[(t["g"], t["key"])] = float(h_vmin[i])
                     else:
                         t["lo"], t["hi"] = float(h_vmin[i]), float(h_vmax[i])
                         t["rank"] -= cum
@@ -492,7 +525,7 @@ def group_quantiles(
     # target's rank selection happens inside its own key-complete block
     # — only one (ti, value) row per target reaches the driver, never
     # the candidate value vectors themselves ----
-    pend = [t for t in targets if (t["g"], t["q"]) not in results]
+    pend = [t for t in targets if (t["g"], t["key"]) not in results]
     if pend:
         from .shuffle import hash_partition
 
@@ -550,10 +583,21 @@ def group_quantiles(
         ).to_pandas()
         for _, row in picked.iterrows():
             t = pend[int(row["ti"])]
-            results[(t["g"], t["q"])] = float(row["value"])
+            results[(t["g"], t["key"])] = float(row["value"])
 
-    gs = sorted({g for g, _ in results})
-    rows = [(g, q, results[(g, q)]) for g in gs for q in sorted(qs)]
+    counts = {g: int(row["cnt"]) for g, row in stats.iterrows()}
+    gs = sorted(counts)
+    rows = []
+    for g in gs:
+        n = counts[g]
+        for q in sorted(qs):
+            if interpolate:
+                lo_r, hi_r, f = _cont_rank(q, n)
+                v0 = results[(g, lo_r)]
+                v1 = results[(g, hi_r)]
+                rows.append((g, q, v0 + f * (v1 - v0)))
+            else:
+                rows.append((g, q, results[(g, _disc_rank(q, n))]))
     return pa.table(
         {
             group_col: pa.array([r[0] for r in rows], pa.string()),

@@ -495,6 +495,34 @@ def test_group_quantiles_exact_vs_sort():
     assert len(tbl) == 4 * len(qs)
 
 
+def test_group_quantiles_cont_vs_numpy():
+    """interpolate=True (percentile_cont) through FORCED histogram
+    rounds matches numpy's linear quantile on the collected values —
+    including a q that lands exactly on an order statistic (frac=0)
+    and a duplicate-heavy group."""
+    from hipporag_ray.stages.agg import group_quantiles
+
+    rng = np.random.default_rng(11)
+    rows = []
+    data = {}
+    for g, n in (("a", 1001), ("b", 640), ("c", 2)):
+        v = np.round(rng.normal(size=n) * 50, 3)
+        data[g] = v
+        rows += [{"g": g, "v": float(x)} for x in v]
+    data["d"] = np.array([1.0] * 300 + [4.0] * 300)
+    rows += [{"g": "d", "v": float(x)} for x in data["d"]]
+    ds = rd.from_items(rows)
+    qs = [0.25, 0.5, 0.75, 0.9]  # 0.25 on n=1001 hits rank 250 exactly
+    tbl = group_quantiles(
+        ds, "g", "v", qs, n_buckets=8, exact_threshold=16, max_rounds=32,
+        interpolate=True,
+    ).to_pandas()
+    for _, r in tbl.iterrows():
+        want = float(np.quantile(data[r["g"]], r["q"], method="linear"))
+        np.testing.assert_allclose(r["value"], want, rtol=0, atol=1e-12)
+    assert len(tbl) == 4 * len(qs)
+
+
 def test_group_quantiles_single_value_group():
     from hipporag_ray.stages.agg import group_quantiles
 
