@@ -699,6 +699,39 @@ def q_customers_no_orders(sf_dir: str):
     return out
 
 
+def q_customer_orders_full_outer(sf_dir: str):
+    """FULL OUTER join through the bucketed hash join: nation<12
+    customers x per-customer order totals — BOTH unmatched sides
+    survive with NULL other-side columns (low-nation customers without
+    orders, and ordering customers outside the nation filter).  The
+    order totals come from the streaming int-key exchange, never a
+    driver-side group."""
+    from ..stages.shuffle import hash_join, int_key_sum
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal", "c_nationkey"],
+    ).map_batches(
+        lambda b: b.filter(pc.less(b["c_nationkey"], 12)).select(
+            ["c_custkey", "c_acctbal"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b["o_custkey"], "o_totalprice": b["o_totalprice"]}
+        ),
+        batch_format="pyarrow",
+    )
+    sums = int_key_sum(orders, "c_custkey", "o_totalprice")
+    out = hash_join(cust, sums, "c_custkey", how="outer").to_pandas()
+    out = out.rename(columns={"o_totalprice": "sum_spent"})
+    out["sum_spent"] = _round_away(out["sum_spent"].to_numpy(dtype=np.float64), 2)
+    return out[["c_custkey", "c_acctbal", "sum_spent"]]
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-flavored grouped aggregate with per-batch computed
     column (revenue) — the canonical partial-aggregation pattern."""
@@ -1894,6 +1927,7 @@ QUERIES = {
     "orders_by_nation": q_orders_by_nation,
     "orders_by_segment": q_orders_by_segment,
     "customers_no_orders": q_customers_no_orders,
+    "customer_orders_full_outer": q_customer_orders_full_outer,
     "lineitem_pricing": q_lineitem_pricing,
     "emb_knn": q_emb_knn,
     "emb_neardup": q_emb_neardup,
@@ -2469,6 +2503,16 @@ ORACLE_SQL = {
                  PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg
         FROM events
+    """,
+    "customer_orders_full_outer": """
+        SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+               c.c_acctbal,
+               round(o.sum_spent, 2) AS sum_spent
+        FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_nationkey < 12) c
+        FULL OUTER JOIN (
+          SELECT o_custkey, sum(o_totalprice) AS sum_spent
+          FROM orders GROUP BY 1
+        ) o ON c.c_custkey = o.o_custkey
     """,
     "events_lead_lag": """
         SELECT event_id,

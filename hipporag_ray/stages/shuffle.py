@@ -548,9 +548,36 @@ def _join_reduce(key_col: str, how: str, n_left: int, *shards) -> pa.Table:
     shards = [s[0] if isinstance(s, tuple) and len(s) == 1 else s for s in shards]
     import pandas as pd
 
+    def _typed_empty(side_shards, other_df):
+        """Schema-stable empty frame for a rowless side: any typed shard
+        carries the side's schema (output columns must not depend on
+        which bucket a key hashed into); last resort is the key column
+        alone, typed off the populated side."""
+        typed = next(
+            (
+                sh
+                for sh in side_shards
+                if sh.num_columns and key_col in sh.column_names
+            ),
+            None,
+        )
+        if typed is not None:
+            return typed.to_pandas()
+        return pd.DataFrame({key_col: pd.Series([], dtype=other_df[key_col].dtype)})
+
     left = [s.to_pandas() for s in shards[:n_left] if s.num_rows]
     right = [s.to_pandas() for s in shards[n_left:] if s.num_rows]
-    if not left or (how == "inner" and not right):
+    if not left and not right:
+        return _EMPTY_SENTINEL
+    if not left:
+        if how != "outer":
+            return _EMPTY_SENTINEL
+        # FULL OUTER with an empty-left bucket: right rows survive with
+        # NULL left columns
+        rf = pd.concat(right, ignore_index=True)
+        out = _typed_empty(shards[:n_left], rf).merge(rf, on=key_col, how="outer")
+        return pa.Table.from_pandas(out, preserve_index=False)
+    if how == "inner" and not right:
         return _EMPTY_SENTINEL
     lf = pd.concat(left, ignore_index=True)
     if how == "leftanti":
@@ -562,21 +589,9 @@ def _join_reduce(key_col: str, how: str, n_left: int, *shards) -> pa.Table:
         rf = pd.concat(right, ignore_index=True)
     else:
         # an empty right bucket must not drop the right-side columns
-        # from a how='left' output (schema would then depend on data
-        # distribution); empty shards still carry the right schema
-        typed = next(
-            (
-                sh
-                for sh in shards[n_left:]
-                if sh.num_columns and key_col in sh.column_names
-            ),
-            None,
-        )
-        rf = (
-            typed.to_pandas()
-            if typed is not None
-            else pd.DataFrame({key_col: pd.Series([], dtype=lf[key_col].dtype)})
-        )
+        # from a how='left'/'outer' output (schema would then depend on
+        # data distribution); empty shards still carry the right schema
+        rf = _typed_empty(shards[n_left:], lf)
     out = lf.merge(rf, on=key_col, how=how)
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -604,8 +619,9 @@ def hash_join(
     split by the same key hash, matching buckets merge pairwise with a
     pandas hash join (the guide's portable partitioned-join pattern;
     neither side is materialized on the driver).  ``how`` is "inner",
-    "left", or "leftanti" (left rows whose key has no right match — the
-    J3 anti-join shape).  Map-side combiners do not apply — rows pass
+    "left", "outer" (FULL OUTER — unmatched rows of BOTH sides survive
+    with NULL other-side columns), or "leftanti" (left rows whose key
+    has no right match — the J3 anti-join shape).  Map-side combiners do not apply — rows pass
     through; skewed join keys inherit the key's hash bucket, so salt
     upstream when a single key dominates.  Both sides are consumed
     streaming; ``k`` tracks the LARGER side's volume (a small insert
@@ -621,7 +637,9 @@ def hash_join(
     cpus = int(ray.cluster_resources().get("CPU", 8))
     ls, l_k, l_buf, l_rows = _splits_or_buffer(left, launch, num_partitions)
     if not ls and not l_buf:
-        return left
+        # degenerate fully-empty left: FULL OUTER degrades to the right
+        # side (no left schema exists to project NULL columns from)
+        return right if how == "outer" else left
     rs, r_k, r_buf, r_rows = _splits_or_buffer(right, launch, l_k)
     if l_k is not None:
         k = l_k

@@ -212,3 +212,44 @@ def test_hash_distinct_tolerates_schemaless_blocks(ray_session):
     ds = good.union(sentinel).materialize()
     out = hash_distinct(ds, "k").to_pandas()
     assert sorted(out["k"].tolist()) == [1, 2, 3]
+
+
+def test_full_outer_join_matches_pandas():
+    """how='outer': unmatched rows of BOTH sides survive with NULL
+    other-side columns, across many buckets (so some buckets see only
+    one side and must reconstruct the other side's schema)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(4)
+    left = {"k": rng.integers(0, 40, 200).tolist(), "a": list(range(200))}
+    right = {"k": (rng.integers(20, 60, 90)).tolist(), "b": list(range(90))}
+    got = hash_join(_ds(left, 3), _ds(right, 2), "k", how="outer").to_pandas()
+    want = pd.DataFrame(left).merge(pd.DataFrame(right), on="k", how="outer")
+    key = ["k", "a", "b"]
+    got = got.sort_values(key).reset_index(drop=True)[key]
+    want = want.sort_values(key).reset_index(drop=True)[key]
+    assert got.shape == want.shape
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_full_outer_join_one_side_empty():
+    """A fully-EMPTY side (zero blocks anywhere, not just an empty
+    bucket) contributes no schema: outer degrades to the populated
+    side's rows — documented degenerate, unlike the empty-BUCKET case
+    where typed shards keep the other side's columns."""
+    got = hash_join(
+        _ds({"k": [1, 2], "a": [10, 20]}, 1),
+        _ds({"k": [], "b": []}, 1),
+        "k",
+        how="outer",
+    ).to_pandas()
+    assert sorted(got["k"].tolist()) == [1, 2]
+    if "b" in got.columns:  # schema survival is best-effort here
+        assert got["b"].isna().all()
+    got2 = hash_join(
+        _ds({"k": [], "a": []}, 1),
+        _ds({"k": [7], "b": [70]}, 1),
+        "k",
+        how="outer",
+    ).to_pandas()
+    assert got2["k"].tolist() == [7] and got2["b"].tolist() == [70]
