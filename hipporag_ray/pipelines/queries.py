@@ -699,6 +699,24 @@ def q_customers_no_orders(sf_dir: str):
     return out
 
 
+def q_customers_with_orders(sf_dir: str):
+    """Semi join (EXISTS shape) through the bucketed hash join: the
+    distributed twin of q_customers_no_orders' broadcast anti join —
+    left rows whose key has a right match, right columns dropped, no
+    row multiplication from duplicate right keys."""
+    from ..stages.shuffle import hash_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    ).map_batches(
+        lambda b: pa.table({"c_custkey": b["o_custkey"]}), batch_format="pyarrow"
+    )
+    return hash_join(cust, orders, "c_custkey", how="leftsemi")
+
+
 def q_customer_orders_full_outer(sf_dir: str):
     """FULL OUTER join through the bucketed hash join: nation<12
     customers x per-customer order totals — BOTH unmatched sides
@@ -1928,6 +1946,7 @@ QUERIES = {
     "orders_by_segment": q_orders_by_segment,
     "customers_no_orders": q_customers_no_orders,
     "customer_orders_full_outer": q_customer_orders_full_outer,
+    "customers_with_orders": q_customers_with_orders,
     "lineitem_pricing": q_lineitem_pricing,
     "emb_knn": q_emb_knn,
     "emb_neardup": q_emb_neardup,
@@ -2503,6 +2522,10 @@ ORACLE_SQL = {
                  PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg
         FROM events
+    """,
+    "customers_with_orders": """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
     """,
     "customer_orders_full_outer": """
         SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,

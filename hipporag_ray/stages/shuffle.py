@@ -580,10 +580,13 @@ def _join_reduce(key_col: str, how: str, n_left: int, *shards) -> pa.Table:
     if how == "inner" and not right:
         return _EMPTY_SENTINEL
     lf = pd.concat(left, ignore_index=True)
-    if how == "leftanti":
+    if how in ("leftanti", "leftsemi"):
         if right:
             seen = pd.concat(right, ignore_index=True)[key_col]
-            lf = lf[~lf[key_col].isin(seen)]
+            m = lf[key_col].isin(seen)
+            lf = lf[m if how == "leftsemi" else ~m]
+        elif how == "leftsemi":
+            return _EMPTY_SENTINEL
         return pa.Table.from_pandas(lf, preserve_index=False)
     if right:
         rf = pd.concat(right, ignore_index=True)
@@ -620,8 +623,10 @@ def hash_join(
     pandas hash join (the guide's portable partitioned-join pattern;
     neither side is materialized on the driver).  ``how`` is "inner",
     "left", "outer" (FULL OUTER — unmatched rows of BOTH sides survive
-    with NULL other-side columns), or "leftanti" (left rows whose key
-    has no right match — the J3 anti-join shape).  Map-side combiners do not apply — rows pass
+    with NULL other-side columns), "leftsemi" (left rows whose key HAS
+    a right match, right columns dropped — the EXISTS shape), or
+    "leftanti" (left rows whose key has no right match — the J3
+    anti-join shape).  Map-side combiners do not apply — rows pass
     through; skewed join keys inherit the key's hash bucket, so salt
     upstream when a single key dominates.  Both sides are consumed
     streaming; ``k`` tracks the LARGER side's volume (a small insert

@@ -253,3 +253,23 @@ def test_full_outer_join_one_side_empty():
         how="outer",
     ).to_pandas()
     assert got2["k"].tolist() == [7] and got2["b"].tolist() == [70]
+
+
+def test_leftsemi_join():
+    """how='leftsemi': EXISTS shape — matched left rows only, no row
+    multiplication from duplicate right keys, right columns dropped."""
+    got = hash_join(
+        _ds({"k": [1, 2, 3, 4], "a": [10, 20, 30, 40]}, 2),
+        _ds({"k": [2, 2, 4, 9], "b": [0, 1, 2, 3]}, 2),
+        "k",
+        how="leftsemi",
+    ).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == [2, 4]
+    assert got["a"].tolist() == [20, 40]
+    assert "b" not in got.columns
+    # empty right -> empty semi result
+    got2 = hash_join(
+        _ds({"k": [1], "a": [1]}, 1), _ds({"k": [], "b": []}, 1), "k", how="leftsemi"
+    ).to_pandas()
+    assert len(got2) == 0
