@@ -76,8 +76,7 @@ from ..state.embedding_store import EmbeddingStore, HashEmbedder
 # exception to the Dataset-everywhere rule, like the CSR shard pool.
 
 
-@ray.remote
-def _fact_tile_task(tbl: pa.Table, qm: np.ndarray, k: int) -> pa.Table:
+def _fact_tile(tbl: pa.Table, qm: np.ndarray, k: int) -> pa.Table:
     """Per-block fact scoring (get_fact_scores, HippoRAG.py:1290-1328):
     per-query block top-k on raw similarity + block extrema."""
     if tbl.num_rows == 0 or "embedding" not in tbl.column_names:
@@ -109,8 +108,7 @@ def _fact_tile_task(tbl: pa.Table, qm: np.ndarray, k: int) -> pa.Table:
     )
 
 
-@ray.remote
-def _pick_vids_task(tbl: pa.Table, keys: np.ndarray) -> pa.Table:
+def _pick_vids(tbl: pa.Table, keys: np.ndarray) -> pa.Table:
     """Per-block phrase resolution: keep entity rows whose node_key is
     in the linked key set."""
     if tbl.num_rows == 0 or "node_key" not in tbl.column_names:
@@ -126,8 +124,7 @@ def _pick_vids_task(tbl: pa.Table, keys: np.ndarray) -> pa.Table:
     return tbl.filter(pa.array(mask)).select(["node_key", "vid", "n_chunks"])
 
 
-@ray.remote(num_returns=2)
-def _chunk_sims_task(tbl: pa.Table, qm: np.ndarray):
+def _chunk_sims(tbl: pa.Table, qm: np.ndarray):
     """Per-block DPR similarities, computed ONCE: returns the (2, B)
     extrema block (fetched by the driver for the global min-max) and
     the (vids, sims) pack (stays in plasma for _dpr_triples_task)."""
@@ -139,8 +136,7 @@ def _chunk_sims_task(tbl: pa.Table, qm: np.ndarray):
     return np.stack([sims.min(axis=1), sims.max(axis=1)]), (vids, sims)
 
 
-@ray.remote
-def _dpr_triples_task(pack, lo: np.ndarray, hi: np.ndarray, pw_scale: float) -> pa.Table:
+def _dpr_triples(pack, lo: np.ndarray, hi: np.ndarray, pw_scale: float) -> pa.Table:
     """Normalize one block's raw sims by the global per-query extrema
     into (vid, query_idx, weight) reset triples (min-max M3 + the
     passage_node_weight damping) — no second matmul pass."""
@@ -170,8 +166,7 @@ def _dpr_triples_task(pack, lo: np.ndarray, hi: np.ndarray, pw_scale: float) -> 
     )
 
 
-@ray.remote
-def _dpr_topk_task(tbl: pa.Table, qm: np.ndarray, sel: np.ndarray, top_k: int) -> pa.Table:
+def _dpr_topk_block(tbl: pa.Table, qm: np.ndarray, sel: np.ndarray, top_k: int) -> pa.Table:
     """Per-block dense-passage top-k for the selected query rows (K2)."""
     if tbl.num_rows == 0 or "embedding" not in tbl.column_names:
         return pa.table(
@@ -192,6 +187,36 @@ def _dpr_topk_task(tbl: pa.Table, qm: np.ndarray, sel: np.ndarray, top_k: int) -
             "score": pa.array(sims[qrow, flat]),
         }
     )
+
+
+class _LinkWorker:
+    """Persistent zero-CPU worker for the per-retrieve linking/DPR
+    waves over the pinned view blocks.  These ran as plain Ray TASKS
+    through round 4, which made serving latency bimodal: the raylet
+    reaps idle task workers above the CPU count between retrieve
+    calls, so the first wave after any pause re-paid ~1 s of worker
+    spawn + import per block (measured 0.5 -> 3.7 s retrieve jitter in
+    one quiet session — the same churn the PPR assembler actors fixed).
+    Block refs are auto-dereffed actor args (zero-copy plasma reads);
+    the pool is stateless, so any worker serves any block."""
+
+    def fact_tile(self, tbl, qm, k):
+        return _fact_tile(tbl, qm, k)
+
+    def pick_vids(self, tbl, keys):
+        return _pick_vids(tbl, keys)
+
+    def chunk_sims(self, tbl, qm):
+        return _chunk_sims(tbl, qm)
+
+    def dpr_triples(self, pack, lo, hi, pw_scale):
+        return _dpr_triples(pack, lo, hi, pw_scale)
+
+    def dpr_topk(self, tbl, qm, sel, top_k):
+        return _dpr_topk_block(tbl, qm, sel, top_k)
+
+
+_LinkWorkerActor = ray.remote(num_cpus=0)(_LinkWorker)
 
 
 @ray.remote
@@ -716,7 +741,9 @@ class HippoRagEngine:
         # over the pinned chunk-view blocks; sims computed ONCE per
         # block (the normalize pass reads the plasma-resident pack) ---
         _ent_refs, chunk_refs = self._view_refs
-        sim_pairs = [_chunk_sims_task.remote(r, q_ref) for r in chunk_refs]
+        sim_pairs = self._pool_map(
+            "chunk_sims", [(r, q_ref) for r in chunk_refs], num_returns=2
+        )
         ext = [e for e in ray.get([p[0] for p in sim_pairs]) if e is not None]
         if not ext:  # no chunk embeddings at all
             lo = np.zeros(B)
@@ -724,10 +751,10 @@ class HippoRagEngine:
         else:
             lo = np.min([e[0] for e in ext], axis=0)
             hi = np.max([e[1] for e in ext], axis=0)
-        reset_refs = [
-            _dpr_triples_task.remote(p[1], lo, hi, self.passage_node_weight)
-            for p in sim_pairs
-        ] + [ray.put(link_triples)]
+        reset_refs = self._pool_map(
+            "dpr_triples",
+            [(p[1], lo, hi, self.passage_node_weight) for p in sim_pairs],
+        ) + [ray.put(link_triples)]
 
         t_link = _time.perf_counter() - t_all
         t0 = _time.perf_counter()
@@ -883,6 +910,27 @@ class HippoRagEngine:
         self._fact_joined()
         return self._fact_view[1] if self._fact_view else []
 
+    def _pool(self) -> list:
+        """Lazy persistent _LinkWorker pool (see class docstring); sized
+        to the session's cores, round-robined over block refs."""
+        if getattr(self, "_link_pool", None):
+            return self._link_pool
+        w = max(2, min(32, int(ray.cluster_resources().get("CPU", 8))))
+        self._link_pool = [_LinkWorkerActor.remote() for _ in range(w)]
+        return self._link_pool
+
+    def _pool_map(self, method: str, argss, **opts) -> list:
+        """Submit one actor call per arg tuple, round-robin across the
+        pool; returns the refs WITHOUT waiting."""
+        pool = self._pool()
+        calls = []
+        for i, args in enumerate(argss):
+            m = getattr(pool[i % len(pool)], method)
+            if opts:
+                m = m.options(**opts)
+            calls.append(m.remote(*args))
+        return calls
+
     def _fact_link(
         self, q_ref, B: int, ent_full
     ) -> tuple[pd.DataFrame, set[int]]:
@@ -903,7 +951,11 @@ class HippoRagEngine:
         """
         k = self.link_top_k
         cand = pa.concat_tables(
-            ray.get([_fact_tile_task.remote(r, q_ref, k) for r in self._fact_blocks()])
+            ray.get(
+                self._pool_map(
+                    "fact_tile", [(r, q_ref, k) for r in self._fact_blocks()]
+                )
+            )
         ).to_pandas()
         empty = pd.DataFrame(
             {"vid": pd.Series([], dtype="int64"),
@@ -949,7 +1001,7 @@ class HippoRagEngine:
         keys_ref = ray.put(keys)
         ent_refs, _chunk_refs = self._view_refs
         resolved = pa.concat_tables(
-            ray.get([_pick_vids_task.remote(r, keys_ref) for r in ent_refs])
+            ray.get(self._pool_map("pick_vids", [(r, keys_ref) for r in ent_refs]))
         ).to_pandas()
         if resolved.empty:
             return empty, set(range(B))
@@ -1029,7 +1081,9 @@ class HippoRagEngine:
         _ent_refs, chunk_refs = self._view_refs
         out = pa.concat_tables(
             ray.get(
-                [_dpr_topk_task.remote(r, q_ref, sel_ref, top_k) for r in chunk_refs]
+                self._pool_map(
+                    "dpr_topk", [(r, q_ref, sel_ref, top_k) for r in chunk_refs]
+                )
             )
         ).to_pandas()
         ranks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -1075,6 +1129,9 @@ class HippoRagEngine:
         if self._sg is not None:
             self._sg.shutdown()
             self._sg = None
+        for a in getattr(self, "_link_pool", None) or []:
+            ray.kill(a)
+        self._link_pool = None
         self._kinds_loaded = False
         self._joined_views = None
         self._fact_view = None
