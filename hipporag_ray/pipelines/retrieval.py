@@ -63,17 +63,19 @@ from ..state.embedding_store import EmbeddingStore, HashEmbedder
 
 
 # ---------------------------------------------------------------------------
-# serving-path task kernels
+# serving-path block kernels
 # ---------------------------------------------------------------------------
-# Query-time linking/scoring runs as RAW TASK WAVES over the cached
+# Query-time linking/scoring runs as ACTOR WAVES over the cached
 # materialized view blocks instead of per-call Dataset executions: a
 # Ray Data execution pays ~150-250 ms of executor startup per stage and
 # one 32-query retrieve needed four of them (~0.8 s of the ~1.0 s
-# call).  One task per pinned view block keeps the same distribution
+# call).  One call per pinned view block keeps the same distribution
 # and zero-copy plasma reads; the views themselves are still BUILT by
 # the bucketed hash-join exchanges (Dataset-first) — only the per-call
-# scans drop to tasks.  This is the deliberate serving/latency
-# exception to the Dataset-everywhere rule, like the CSR shard pool.
+# scans drop to the _LinkWorker pool (plain tasks here suffered
+# idle-worker reaping between calls — see the class docstring).  This
+# is the deliberate serving/latency exception to the
+# Dataset-everywhere rule, like the CSR shard pool.
 
 
 def _fact_tile(tbl: pa.Table, qm: np.ndarray, k: int) -> pa.Table:
