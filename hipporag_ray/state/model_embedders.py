@@ -109,3 +109,271 @@ class SentenceTransformersEmbedder:
         return batch.append_column(
             "embedding", pa.array(list(emb), type=pa.list_(pa.float32()))
         )
+
+
+# ---------------------------------------------------------------------------
+# Pure-numpy BertModel forward — the same math TransformersEmbedder runs
+# through torch (Transformers.py:13-47 shape), executable in a container
+# with no torch: loads a HF-layout model directory (config.json,
+# vocab.txt, model.safetensors), tokenizes with BertTokenizer semantics
+# (lowercase, accent strip, punctuation split, greedy WordPiece) and
+# runs embeddings -> N encoder layers -> mask mean pooling -> L2 norm.
+# The opt-in torch test cross-validates this against AutoModel on the
+# vendored tiny-BERT fixture; without torch it is itself the executed
+# evidence for the T1 plug-point (actor-pool model load in __init__,
+# batched __call__).
+# ---------------------------------------------------------------------------
+
+import json as _json
+import math as _math
+import os as _os
+import unicodedata as _ud
+
+_erf = np.vectorize(_math.erf, otypes=[np.float32])
+
+
+def load_safetensors(path: str) -> dict[str, np.ndarray]:
+    """Minimal safetensors reader (float32 tensors)."""
+    with open(path, "rb") as f:
+        n = int.from_bytes(f.read(8), "little")
+        header = _json.loads(f.read(n).decode())
+        data = f.read()
+    out: dict[str, np.ndarray] = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        if meta["dtype"] != "F32":
+            raise ValueError(f"{name}: unsupported dtype {meta['dtype']}")
+        a, b = meta["data_offsets"]
+        out[name] = (
+            np.frombuffer(data[a:b], dtype=np.float32)
+            .reshape(meta["shape"])
+            .copy()
+        )
+    return out
+
+
+def _is_punct(ch: str) -> bool:
+    cp = ord(ch)
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
+        return True
+    return _ud.category(ch).startswith("P")
+
+
+class _WordPiece:
+    """BertTokenizer semantics: clean + whitespace split, lowercase +
+    NFD accent strip, split punctuation to single tokens, then greedy
+    longest-match WordPiece with ``##`` continuations."""
+
+    def __init__(self, vocab_path: str, do_lower_case: bool = True):
+        with open(vocab_path, encoding="utf-8") as f:
+            words = [w.rstrip("\n") for w in f if w.rstrip("\n")]
+        self.vocab = {w: i for i, w in enumerate(words)}
+        self.do_lower_case = do_lower_case
+        for tok in ("[PAD]", "[UNK]", "[CLS]", "[SEP]"):
+            if tok not in self.vocab:
+                raise ValueError(f"vocab missing {tok}")
+        self.pad_id = self.vocab["[PAD]"]
+        self.unk_id = self.vocab["[UNK]"]
+        self.cls_id = self.vocab["[CLS]"]
+        self.sep_id = self.vocab["[SEP]"]
+
+    def _basic(self, text: str) -> list[str]:
+        # control chars -> drop, whitespace -> space (BertTokenizer._clean_text)
+        cleaned = []
+        for ch in text:
+            cat = _ud.category(ch)
+            if ch in ("\t", "\n", "\r") or ch == " ":
+                cleaned.append(" ")
+            elif cat.startswith("C") or ch == "\x00" or ch == "�":
+                continue
+            else:
+                cleaned.append(ch)
+        tokens = "".join(cleaned).split()
+        out: list[str] = []
+        for tok in tokens:
+            if self.do_lower_case:
+                tok = tok.lower()
+                tok = "".join(
+                    c for c in _ud.normalize("NFD", tok)
+                    if _ud.category(c) != "Mn"
+                )
+            # split punctuation into single-char tokens
+            buf = ""
+            for ch in tok:
+                if _is_punct(ch):
+                    if buf:
+                        out.append(buf)
+                        buf = ""
+                    out.append(ch)
+                else:
+                    buf += ch
+            if buf:
+                out.append(buf)
+        return out
+
+    def tokenize(self, text: str) -> list[str]:
+        pieces: list[str] = []
+        for tok in self._basic(text):
+            if len(tok) > 100:
+                pieces.append("[UNK]")
+                continue
+            start = 0
+            word: list[str] = []
+            ok = True
+            while start < len(tok):
+                end = len(tok)
+                cur = None
+                while start < end:
+                    sub = tok[start:end]
+                    if start > 0:
+                        sub = "##" + sub
+                    if sub in self.vocab:
+                        cur = sub
+                        break
+                    end -= 1
+                if cur is None:
+                    ok = False
+                    break
+                word.append(cur)
+                start = end
+            pieces.extend(word if ok else ["[UNK]"])
+        return pieces
+
+    def encode_batch(
+        self, texts: list[str], max_length: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(ids, attention_mask) padded to the batch's longest sequence,
+        truncated to ``max_length`` including [CLS]/[SEP]."""
+        seqs = []
+        for t in texts:
+            ids = [self.vocab.get(p, self.unk_id) for p in self.tokenize(t or "")]
+            ids = ids[: max_length - 2]
+            seqs.append([self.cls_id] + ids + [self.sep_id])
+        T = max(len(s) for s in seqs) if seqs else 2
+        ids = np.full((len(seqs), T), self.pad_id, dtype=np.int64)
+        mask = np.zeros((len(seqs), T), dtype=np.float32)
+        for i, s in enumerate(seqs):
+            ids[i, : len(s)] = s
+            mask[i, : len(s)] = 1.0
+        return ids, mask
+
+
+def _layer_norm(x: np.ndarray, w: np.ndarray, b: np.ndarray, eps: float) -> np.ndarray:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)  # biased, like torch LayerNorm
+    return ((x - mu) / np.sqrt(var + eps)) * w + b
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    x = x - x.max(axis=-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+class NumpyBertEmbedder:
+    """Mean-pooled BertModel sentence embedder with a pure-numpy
+    forward — drop-in for :class:`TransformersEmbedder` (same
+    EmbeddingStore contract, same pooling/normalization), no torch.
+
+    ``model_name`` is a HF-layout directory: config.json + vocab.txt +
+    model.safetensors (e.g. the vendored tests/fixtures/tiny_bert).
+    Weights load once per actor in ``__init__`` (T1 actor-pool shape,
+    reference embedding_model/Transformers.py:13-47); ``__call__``
+    embeds a pyarrow batch.  Numerics follow HF BertModel exactly:
+    word+position+token_type embeddings -> LayerNorm -> per-layer
+    {multi-head self-attention (additive -1e9 pad mask), residual +
+    LayerNorm, erf-GELU FFN, residual + LayerNorm} -> attention-mask
+    mean pooling -> L2 norm; cross-validated against torch by
+    tests/test_model_embedder.py when torch is installed.
+    """
+
+    STATELESS = False
+
+    def __init__(
+        self,
+        model_name: str,
+        max_length: int = 256,
+        text_col: str = "content",
+    ):
+        with open(_os.path.join(model_name, "config.json")) as f:
+            cfg = _json.load(f)
+        if cfg.get("model_type") != "bert":
+            raise ValueError(f"not a bert config: {cfg.get('model_type')}")
+        self.cfg = cfg
+        self.hidden = int(cfg["hidden_size"])
+        self.n_layers = int(cfg["num_hidden_layers"])
+        self.n_heads = int(cfg["num_attention_heads"])
+        self.head_dim = self.hidden // self.n_heads
+        self.eps = float(cfg.get("layer_norm_eps", 1e-12))
+        self.max_length = min(max_length, int(cfg["max_position_embeddings"]))
+        self.text_col = text_col
+        self.tok = _WordPiece(
+            _os.path.join(model_name, "vocab.txt"),
+            do_lower_case=True,
+        )
+        w = load_safetensors(_os.path.join(model_name, "model.safetensors"))
+        # strip an optional "bert." prefix (BertModel-with-head checkpoints)
+        self.w = {k.removeprefix("bert."): v for k, v in w.items()}
+
+    # -- forward ----------------------------------------------------------
+    def _encode(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        w = self.w
+        B, T = ids.shape
+        x = (
+            w["embeddings.word_embeddings.weight"][ids]
+            + w["embeddings.position_embeddings.weight"][:T][None, :, :]
+            + w["embeddings.token_type_embeddings.weight"][0][None, None, :]
+        )
+        x = _layer_norm(
+            x, w["embeddings.LayerNorm.weight"], w["embeddings.LayerNorm.bias"], self.eps
+        )
+        add_mask = (1.0 - mask)[:, None, None, :] * np.float32(-1e9)  # (B,1,1,T)
+        nh, hd = self.n_heads, self.head_dim
+        for L in range(self.n_layers):
+            p = f"encoder.layer.{L}."
+
+            def lin(name: str, inp: np.ndarray) -> np.ndarray:
+                return inp @ w[p + name + ".weight"].T + w[p + name + ".bias"]
+
+            q = lin("attention.self.query", x).reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+            k = lin("attention.self.key", x).reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+            v = lin("attention.self.value", x).reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+            scores = (q @ k.transpose(0, 1, 3, 2)) / np.float32(_math.sqrt(hd))
+            probs = _softmax(scores + add_mask)
+            ctx = (probs @ v).transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
+            x = _layer_norm(
+                x + lin("attention.output.dense", ctx),
+                w[p + "attention.output.LayerNorm.weight"],
+                w[p + "attention.output.LayerNorm.bias"],
+                self.eps,
+            )
+            h = lin("intermediate.dense", x)
+            h = np.float32(0.5) * h * (np.float32(1.0) + _erf(h / np.float32(_math.sqrt(2.0))))
+            x = _layer_norm(
+                x + lin("output.dense", h),
+                w[p + "output.LayerNorm.weight"],
+                w[p + "output.LayerNorm.bias"],
+                self.eps,
+            )
+        m = mask[:, :, None]
+        pooled = (x * m).sum(axis=1) / np.maximum(m.sum(axis=1), 1e-9)
+        pooled = pooled / np.maximum(
+            np.linalg.norm(pooled, axis=1, keepdims=True), 1e-12
+        )
+        return pooled.astype(np.float32)
+
+    def embed(self, texts) -> np.ndarray:
+        if not isinstance(texts, list):
+            texts = list(texts)
+        if not texts:
+            return np.zeros((0, self.hidden), dtype=np.float32)
+        ids, mask = self.tok.encode_batch(texts, self.max_length)
+        return self._encode(ids, mask)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = text_processing(batch[self.text_col]).to_pylist()
+        emb = self.embed(texts)
+        return batch.append_column(
+            "embedding", pa.array(list(emb), type=pa.list_(pa.float32()))
+        )

@@ -52,6 +52,14 @@ def test_transformers_embedder_lifecycle(ray_session, tmp_path):
     q = probe.embed(["some normalized text"])
     q2 = probe.embed(["some normalized text"])
     np.testing.assert_allclose(q, q2, atol=1e-6)
+    # cross-validate the pure-numpy BertModel forward against torch on
+    # the same weights/tokenizer (the no-torch container runs the numpy
+    # side standalone in TestNumpyBertEmbedder)
+    from hipporag_ray.state.model_embedders import NumpyBertEmbedder
+
+    np_e = NumpyBertEmbedder(TINY_BERT)
+    texts = ["hello world", "alpha beta gamma", "Turns and things!", ""]
+    np.testing.assert_allclose(np_e.embed(texts), probe.embed(texts), atol=1e-4)
     eng.close()
 
 
@@ -111,3 +119,55 @@ class TestTinyBertFixture:
                 work / name, "rb"
             ) as f2:
                 assert f1.read() == f2.read(), name
+
+
+class TestNumpyBertEmbedder:
+    """The pure-numpy BertModel forward — runs in the minimal container
+    (no torch), so the T1 plug-point executes a REAL transformer
+    forward (the vendored fixture's weights) in every test run, not
+    only where torch is installed."""
+
+    def test_forward_properties(self):
+        from hipporag_ray.state.model_embedders import NumpyBertEmbedder
+
+        e = NumpyBertEmbedder(TINY_BERT)
+        # WordPiece: greedy longest-match with ## continuation; OOV -> [UNK]
+        assert e.tok.tokenize("Turns and things!") == [
+            "turn", "##s", "and", "[UNK]", "[UNK]",
+        ]
+        v = e.embed(["hello world", "alpha beta gamma", ""])
+        assert v.shape == (3, 16) and v.dtype == np.float32
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-5)
+        # distinct inputs embed distinctly
+        assert not np.allclose(v[0], v[1])
+        # determinism
+        np.testing.assert_array_equal(v, e.embed(["hello world", "alpha beta gamma", ""]))
+        # attention-mask correctness: padding a short row next to a long
+        # one must not change its embedding (softmax -1e9 mask + masked
+        # mean pooling)
+        solo = e.embed(["alpha"])
+        padded = e.embed(["alpha", "alpha beta gamma delta epsilon zeta eta theta"])
+        np.testing.assert_allclose(solo[0], padded[0], atol=1e-6)
+        assert e.embed([]).shape == (0, 16)
+
+    def test_engine_lifecycle(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from hipporag_ray.pipelines.retrieval import HippoRagEngine
+        from hipporag_ray.state.model_embedders import NumpyBertEmbedder
+        from hipporag_ray.synth import write_transcripts
+
+        td = tmp_path / "tx"
+        write_transcripts(str(td), 10, 10, 40, seed=5)
+        eng = HippoRagEngine(
+            working_dir=str(tmp_path / "wd"),
+            dim=16,
+            embedder_cls=NumpyBertEmbedder,
+            embedder_kwargs={"model_name": TINY_BERT},
+            embed_batch_size=16,
+        )
+        info = eng.index(rd.read_parquet(str(td)))
+        assert info["new_chunks"] > 0
+        res = eng.retrieve(["alpha beta"], top_k=3)
+        assert len(res) == 1 and 0 < len(res[0]["docs"]) <= 3
+        eng.close()
