@@ -1307,6 +1307,75 @@ def q_events_moving_avg(sf_dir: str):
     return parts.map_batches(kernel, batch_format="pyarrow", batch_size=None)
 
 
+def q_events_global_cumsum(sf_dir: str):
+    """Globally-ordered running sum of ``value`` over (ts, event_id) —
+    the distributed prefix scan (stages/agg.py::global_running_sum):
+    range exchange on ts, per-partition sorted local scan in exact
+    int64 fixed-point, exclusive scan over the P partition totals
+    (P scalars on the driver, never data) added back blockwise.  The
+    fixed-point arithmetic makes the distributed reassociation
+    bit-equal to DuckDB's serial window regardless of partition count."""
+    from ..stages.agg import global_running_sum
+
+    ev = _events(sf_dir).select_columns(["ts", "event_id", "value"])
+    return global_running_sum(
+        ev, order_col="ts", tiebreak_col="event_id", value_col="value"
+    )
+
+
+def q_events_user_cumsum(sf_dir: str):
+    """Per-user running sum + running non-null count of ``value``
+    ordered by (ts, event_id) — the PARTITION BY prefix scan: one hash
+    exchange on the partition key, then a vectorized grouped cumsum per
+    key-complete partition (global cumsum minus each group's start
+    offset — no per-group dispatch).  Like the global scan, the sum
+    runs in exact int64 fixed-point so it hashes bit-equal to the
+    serial SQL window; a window whose prefix is all-NULL yields NULL
+    (SQL SUM semantics).  Reference analog: none (training-data
+    lineage/window family, e.g. per-conversation running token
+    budgets)."""
+    from ..functions.pairs import pos_in_group
+    from ..stages.shuffle import hash_partition
+
+    ev = _events(sf_dir).select_columns(["user_id", "ts", "event_id", "value"])
+    parts = hash_partition(ev.materialize(), "user_id")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "running_value": pa.array([], pa.float64()),
+                    "running_n": pa.array([], pa.int64()),
+                }
+            )
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = batch["ts"].to_numpy(zero_copy_only=False)
+        e = batch["event_id"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((e, t, u))
+        u, e, v = u[order], e[order], v[order]
+        valid = ~np.isnan(v)
+        iv = np.where(valid, np.rint(v * 1000), 0.0).astype(np.int64)
+        pos = pos_in_group(u)
+        start = np.arange(len(u)) - pos  # index of each row's group head
+        c = np.cumsum(iv)
+        gc = c - c[start] + iv[start]
+        n = np.cumsum(valid.astype(np.int64))
+        gn = n - n[start] + valid[start]
+        return pa.table(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "running_value": pa.array(
+                    gc.astype(np.float64) / 1000.0, pa.float64(), mask=gn == 0
+                ),
+                "running_n": pa.array(gn, pa.int64()),
+            }
+        )
+
+    return parts.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+
+
 def q_events_lead_lag(sf_dir: str):
     """ROW_NUMBER / LAG / LEAD per user ordered by (ts, event_id) —
     the offset-window family (reference analog: none; standard
@@ -1983,6 +2052,8 @@ QUERIES = {
     "events_grouped_topk": q_events_grouped_topk,
     "events_moving_avg": q_events_moving_avg,
     "events_lead_lag": q_events_lead_lag,
+    "events_global_cumsum": q_events_global_cumsum,
+    "events_user_cumsum": q_events_user_cumsum,
     "events_stratified_sample": q_events_stratified_sample,
     "events_distinct_users": q_events_distinct_users,
     "events_distinct_users_sketch": q_events_distinct_users_sketch,
@@ -2544,6 +2615,25 @@ ORACLE_SQL = {
                lead(value) OVER w AS next_value
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    # exact fixed-point running sum: CAST to DECIMAL(18,3) makes the
+    # serial window sum integer-exact, so the engine's distributed
+    # int64 scan hashes bit-equal (both sides exact under 2**53)
+    "events_global_cumsum": """
+        SELECT event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,3))) OVER (
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_value
+        FROM events
+    """,
+    "events_user_cumsum": """
+        SELECT event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,3))) OVER w AS DOUBLE) AS running_value,
+               COUNT(value) OVER w AS running_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     "events_stratified_sample": """
         SELECT event_type, event_id FROM (

@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -827,3 +828,118 @@ def grouped_distinct_sketch(
     return hash_partition(parts, "g").map_batches(
         merge, batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed prefix scan (global running sum)
+# ---------------------------------------------------------------------------
+
+@ray.remote(num_returns=3)
+def _prefix_local_scan(
+    tbl: pa.Table, order_col: str, tiebreak_col: str, value_col: str, scale: int
+):
+    """Sort one range partition by (order, tiebreak), cumsum the
+    fixed-point value locally; returns (scanned table, block total,
+    block non-null count) — the two scalars feed the driver's exclusive
+    scan over P partition totals."""
+    if tbl.num_rows == 0:
+        empty = pa.table(
+            {
+                tiebreak_col: pa.array([], pa.int64()),
+                "_cum": pa.array([], pa.int64()),
+                "_cnt": pa.array([], pa.int64()),
+            }
+        )
+        return empty, 0, 0
+    o = tbl[order_col].to_numpy(zero_copy_only=False)
+    t = tbl[tiebreak_col].to_numpy(zero_copy_only=False)
+    v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.lexsort((t, o))
+    t, v = t[order], v[order]
+    nonnull = ~np.isnan(v)
+    iv = np.where(nonnull, np.rint(v * scale), 0.0).astype(np.int64)
+    cum = np.cumsum(iv)
+    cnt = np.cumsum(nonnull.astype(np.int64))
+    out = pa.table(
+        {
+            tiebreak_col: pa.array(t, pa.int64()),
+            "_cum": pa.array(cum, pa.int64()),
+            "_cnt": pa.array(cnt, pa.int64()),
+        }
+    )
+    return out, int(cum[-1]), int(cnt[-1])
+
+
+@ray.remote
+def _prefix_add(tbl: pa.Table, offset: int, cnt_offset: int, scale: int, tiebreak_col: str, out_col: str) -> pa.Table:
+    cum = tbl["_cum"].to_numpy() + offset
+    cnt = tbl["_cnt"].to_numpy() + cnt_offset
+    running = cum.astype(np.float64) / scale
+    # SQL window SUM over an all-NULL prefix is NULL
+    return pa.table(
+        {
+            tiebreak_col: tbl[tiebreak_col],
+            out_col: pa.array(running, pa.float64(), mask=cnt == 0),
+        }
+    )
+
+
+def global_running_sum(
+    ds: "ray.data.Dataset",
+    order_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    out_col: str = "running_value",
+    scale: int = 1000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Global running sum ordered by (order_col, tiebreak_col) — the
+    distributed prefix scan: range exchange on the order column (equal
+    keys co-located by the ``side="right"`` cut rule), per-partition
+    sorted local scan, then an exclusive scan over the P partition
+    totals (P scalars on the driver — never data) added back blockwise.
+
+    The scan runs in exact int64 fixed-point (``scale`` units per 1.0,
+    default milli-units) so distributed reassociation is bit-equal to
+    the serial SQL window regardless of partitioning; the DOUBLE result
+    is exact while the running total stays under 2**53 / scale.
+    SQL twin: ``SUM(CAST(v AS DECIMAL(18,3))) OVER (ORDER BY o, t ROWS
+    UNBOUNDED PRECEDING)``.  Reference analog: none (training-data
+    lineage/window family).
+    """
+    from .shuffle import range_sort
+
+    parts = range_sort(ds, order_col, num_partitions=num_partitions)
+    refs = [
+        bref
+        for bundle in parts.iter_internal_ref_bundles()
+        for bref, _ in bundle.blocks
+    ]
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    tiebreak_col: pa.array([], pa.int64()),
+                    out_col: pa.array([], pa.float64()),
+                }
+            )
+        )
+    scanned = []
+    totals = []
+    counts = []
+    for r in refs:
+        out, tot, cnt = _prefix_local_scan.remote(
+            r, order_col, tiebreak_col, value_col, scale
+        )
+        scanned.append(out)
+        totals.append(tot)
+        counts.append(cnt)
+    totals = ray.get(totals)
+    counts = ray.get(counts)
+    off = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    coff = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    outs = [
+        _prefix_add.remote(s, int(o), int(c), scale, tiebreak_col, out_col)
+        for s, o, c in zip(scanned, off, coff)
+    ]
+    return ray.data.from_arrow_refs(outs)

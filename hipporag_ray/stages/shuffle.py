@@ -26,6 +26,7 @@ spill under pressure.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -331,8 +332,17 @@ _PARTITION_FLOOR_ROWS = 50_000
 _SLICE_TARGET_ROWS = 250_000
 
 
+def _tbl(block) -> pa.Table:
+    """Raw-block tasks receive whatever block format the upstream
+    Dataset holds; ``from_pandas``-built inputs ship pandas blocks."""
+    if isinstance(block, pd.DataFrame):
+        return pa.Table.from_pandas(block, preserve_index=False)
+    return block
+
+
 @ray.remote
 def _slice_block(tbl: pa.Table, n: int):
+    tbl = _tbl(tbl)
     """Cut one block into n zero-copy slices.  Ray's Arrow serializer
     truncates sliced buffers on serialization (verified: a 1k-row slice
     of a 1M-row table ships ~15KB, not the full backing buffer), so the
@@ -419,8 +429,8 @@ def _streaming_splits(ds, launch_split, num_partitions: int | None):
 
 
 @ray.remote
-def _block_rows(tbl: pa.Table) -> int:
-    return tbl.num_rows
+def _block_rows(tbl) -> int:
+    return len(tbl) if isinstance(tbl, pd.DataFrame) else tbl.num_rows
 
 
 def hash_distinct(
@@ -454,6 +464,7 @@ def hash_distinct(
 
 @ray.remote
 def _sample_keys(tbl: pa.Table, key_col: str, every: int) -> np.ndarray:
+    tbl = _tbl(tbl)
     if tbl.num_rows == 0 or key_col not in tbl.column_names:
         return np.zeros(0, dtype=object)
     keys = tbl[key_col].to_numpy(zero_copy_only=False)
@@ -462,6 +473,7 @@ def _sample_keys(tbl: pa.Table, key_col: str, every: int) -> np.ndarray:
 
 @ray.remote
 def _range_split(tbl: pa.Table, key_col: str, cuts: np.ndarray, k: int):
+    tbl = _tbl(tbl)
     if tbl.num_rows == 0 or key_col not in tbl.column_names:
         return tuple([tbl] * k) if k > 1 else (tbl,)
     keys = tbl[key_col].to_numpy(zero_copy_only=False)

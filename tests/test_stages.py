@@ -899,3 +899,36 @@ def test_multi_key_sum_matches_pandas(ray_session):
     a = got_w.sort_values(key).reset_index(drop=True)
     b = want_w.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_like=True, atol=1e-9)
+
+
+def test_global_running_sum_multi_partition_vs_serial():
+    """Distributed prefix scan forced through 4 range partitions matches
+    the serial pandas cumsum under (order, tiebreak) ordering, including
+    duplicate order keys straddling cut values and NULL values (window
+    sum over an all-NULL prefix is NULL; NULLs are skipped, not zeroed)."""
+    from hipporag_ray.stages.agg import global_running_sum
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    # heavy duplication in the order key so cut values land ON ties
+    o = rng.integers(0, 50, n)
+    t = rng.permutation(n).astype(np.int64)
+    v = np.round(rng.normal(size=n) * 5, 3)
+    v[:5] = np.nan  # ensure some NULLs, incl. possibly leading ones
+    df = pd.DataFrame({"o": o, "t": t, "v": v})
+    got = (
+        global_running_sum(
+            rd.from_pandas(df), "o", "t", "v", num_partitions=4
+        )
+        .to_pandas()
+        .set_index("t")["running_value"]
+    )
+    ser = df.sort_values(["o", "t"]).reset_index(drop=True)
+    want = ser["v"].fillna(0.0).cumsum()
+    want[ser["v"].expanding().count() == 0] = np.nan  # all-NULL prefix
+    want.index = ser["t"]
+    assert len(got) == n
+    aligned = want.reindex(got.index)
+    both = ~(aligned.isna() | got.isna())
+    assert (aligned.isna() == got.isna()).all()
+    assert np.allclose(aligned[both], got[both], atol=1e-9)
