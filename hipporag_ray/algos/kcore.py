@@ -1,0 +1,72 @@
+"""Distributed k-core membership by iterative peeling.
+
+The k-core of an undirected graph is the maximal subgraph in which
+every vertex has degree >= k, obtained by repeatedly deleting vertices
+of degree < k until a fixpoint.  Reference analog: none (the reference
+graph layer — ``igraph``/``SimpleGraph.kt`` — ships no core
+decomposition); this extends the link-graph algo family (PageRank / CC
+/ LP / triangles) the engine already covers.
+
+Distribution: each peel round is one degree aggregation
+(``int_key_sum`` — map-side partial counts, streamed) plus two
+``leftsemi`` bucketed hash joins that drop edges touching a deleted
+endpoint.  Only per-round scalar counts reach the driver; the edge
+table itself stays in the object store and shrinks monotonically, so
+round cost tracks the SURVIVING edge volume, not the input.  The edge
+set is re-materialized once per round — the standard iterative-algo
+trade (each round's input is the previous round's output, so lineage
+re-execution would be quadratic).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+
+def kcore_members(
+    edges: "rd.Dataset",
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 50,
+) -> "rd.Dataset":
+    """Vertices of the k-core of ``edges`` (symmetric directed records:
+    every undirected edge {u, v} appears as BOTH (u, v) and (v, u), one
+    record per distinct neighbor — the adjacency contract of the graph
+    dirs).  Returns a one-column Dataset (``src_col``) of surviving
+    vertex ids; isolated vertices are never in the core for k >= 1.
+
+    Converges when a peel round deletes nothing; ``max_rounds`` bounds
+    pathological chains (a path graph peels one layer per round)."""
+    if k < 1:
+        raise ValueError("k-core requires k >= 1")
+    from ..stages.shuffle import hash_join, multi_key_sum
+
+    cur = edges.select_columns([src_col, dst_col]).materialize()
+    prev_survivors = None
+    for _ in range(max_rounds):
+        # COUNT(*) per src = distinct-neighbor degree (one record per
+        # neighbor under the symmetric-adjacency contract); generic key
+        # type (int vids or string entities) via the general exchange
+        deg = multi_key_sum(cur, [src_col], out_col="_deg")
+        survivors = deg.map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["_deg"], pa.scalar(float(k)))
+            ).select([src_col]),
+            batch_format="pyarrow",
+        ).materialize()
+        n_surv = survivors.count()
+        if prev_survivors is not None and n_surv == prev_survivors:
+            return survivors
+        prev_survivors = n_surv
+        if n_surv == 0:
+            return survivors
+        cur = hash_join(cur, survivors, src_col, how="leftsemi")
+        dst_side = survivors.map_batches(
+            lambda b: pa.table({dst_col: b[src_col]}), batch_format="pyarrow"
+        )
+        cur = hash_join(cur, dst_side, dst_col, how="leftsemi").materialize()
+    return survivors

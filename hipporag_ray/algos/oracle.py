@@ -151,3 +151,24 @@ def triangles_oracle(n: int, src: np.ndarray, dst: np.ndarray):
                         per[v] += 1
                         per[x] += 1
     return total, per
+
+
+def kcore_oracle(n: int, src: np.ndarray, dst: np.ndarray, k: int) -> np.ndarray:
+    """k-core membership mask (bool[n]) on the simple undirected graph
+    induced by the edge records (multiplicities and self-loops
+    ignored): repeatedly delete vertices of degree < k to a fixpoint."""
+    nbrs = [set() for _ in range(n)]
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    alive = np.array([len(s) > 0 for s in nbrs])
+    changed = True
+    while changed:
+        changed = False
+        for u in range(n):
+            if alive[u] and sum(1 for v in nbrs[u] if alive[v]) < k:
+                alive[u] = False
+                changed = True
+    return alive

@@ -226,7 +226,7 @@ def doc_graph_for(sf_dir: str) -> tuple[str, int]:
         return pa.table({"doc_id": b["doc_id"], "vid": b["vid"]})
 
     mv = hash_join(m, verts, "entity").map_batches(docvid, batch_format="pyarrow")
-    pairs = grouped_pairs(mv.materialize(), "doc_id", "vid", mode="ne")
+    pairs = grouped_pairs(mv, "doc_id", "vid", mode="ne")
     coded = pairs.map_batches(
         lambda b: pa.table(
             {
@@ -236,7 +236,7 @@ def doc_graph_for(sf_dir: str) -> tuple[str, int]:
         ),
         batch_format="pyarrow",
     )
-    agg = int_key_sum(coded.materialize(), "code", "weight")
+    agg = int_key_sum(coded, "code", "weight")
 
     def decode(batch: pa.Table) -> pa.Table:
         code = batch["code"].to_numpy(zero_copy_only=False)
@@ -248,7 +248,7 @@ def doc_graph_for(sf_dir: str) -> tuple[str, int]:
             }
         )
 
-    adj = range_sort(agg.map_batches(decode, batch_format="pyarrow").materialize(), "src")
+    adj = range_sort(agg.map_batches(decode, batch_format="pyarrow"), "src")
     adj.write_parquet(os.path.join(tmp_d, "adj"))
     with open(os.path.join(tmp_d, "manifest.json"), "w") as f:
         json.dump({"n_vertices": int(n)}, f)
@@ -609,7 +609,7 @@ def q_orders_by_nation(sf_dir: str, broadcast_limit: int = 5_000_000):
             ),
             batch_format="pyarrow",
         )
-        joined = hash_join(o2.materialize(), cust_ds.materialize(), "c_custkey")
+        joined = hash_join(o2, cust_ds, "c_custkey")
 
     def pre(b: pa.Table) -> pa.Table:
         e = _empty_or(
@@ -651,7 +651,7 @@ def q_orders_by_segment(sf_dir: str):
     cust = rd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
-    joined = hash_join(orders.materialize(), cust.materialize(), "c_custkey")
+    joined = hash_join(orders, cust, "c_custkey")
 
     def guard(b: pa.Table) -> pa.Table:
         e = _empty_or(
@@ -870,7 +870,7 @@ def q_events_asof_join(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    parts = hash_partition(ev.materialize(), "user_id")
+    parts = hash_partition(ev, "user_id")
 
     def kernel(batch: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -921,7 +921,7 @@ def q_events_sessions(sf_dir: str):
     from ..stages.shuffle import hash_partition
 
     ev = _events(sf_dir).select_columns(["user_id", "ts"])
-    parts = hash_partition(ev.materialize(), "user_id")
+    parts = hash_partition(ev, "user_id")
 
     def kernel(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "user_id" not in batch.column_names:
@@ -957,7 +957,7 @@ def q_events_range_join(sf_dir: str):
     from ..stages.shuffle import hash_partition
 
     ev = _events(sf_dir).select_columns(["user_id", "event_type", "ts", "event_id"])
-    parts = hash_partition(ev.materialize(), "user_id")
+    parts = hash_partition(ev, "user_id")
 
     def kernel(batch: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -1117,7 +1117,7 @@ def q_events_grouped_topk(sf_dir: str):
     from ..stages.shuffle import hash_partition
 
     ev = _events(sf_dir).select_columns(["event_type", "event_id", "value"])
-    parts = hash_partition(ev.materialize(), "event_type")
+    parts = hash_partition(ev, "event_type")
 
     def kernel(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "event_type" not in batch.column_names:
@@ -1268,7 +1268,7 @@ def q_events_moving_avg(sf_dir: str):
     from ..stages.shuffle import hash_partition
 
     ev = _events(sf_dir).select_columns(["user_id", "ts", "event_id", "value"])
-    parts = hash_partition(ev.materialize(), "user_id")
+    parts = hash_partition(ev, "user_id")
 
     def kernel(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "user_id" not in batch.column_names:
@@ -1338,7 +1338,7 @@ def q_events_user_cumsum(sf_dir: str):
     from ..stages.shuffle import hash_partition
 
     ev = _events(sf_dir).select_columns(["user_id", "ts", "event_id", "value"])
-    parts = hash_partition(ev.materialize(), "user_id")
+    parts = hash_partition(ev, "user_id")
 
     def kernel(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "user_id" not in batch.column_names:
@@ -1387,7 +1387,7 @@ def q_events_lead_lag(sf_dir: str):
     from ..stages.shuffle import hash_partition
 
     ev = _events(sf_dir).select_columns(["user_id", "ts", "event_id", "value"])
-    parts = hash_partition(ev.materialize(), "user_id")
+    parts = hash_partition(ev, "user_id")
 
     def kernel(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "user_id" not in batch.column_names:
@@ -1433,7 +1433,7 @@ def q_events_stratified_sample(sf_dir: str):
     from ..stages.shuffle import hash_partition
 
     ev = _events(sf_dir).select_columns(["event_type", "event_id"])
-    parts = hash_partition(ev.materialize(), "event_type")
+    parts = hash_partition(ev, "event_type")
 
     def kernel(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "event_type" not in batch.column_names:
@@ -1635,6 +1635,49 @@ def q_doc_lp(sf_dir: str):
     finally:
         sg.shutdown()
     return _label_entities(d, lab, "label")
+
+
+_KCORE_K = 2
+_KCORE_FRAC = 0.66  # edge kept iff co-occurrence weight >= frac * n_docs
+
+
+def q_doc_kcore(sf_dir: str):
+    """k-core membership (algos/kcore.py: distributed iterative
+    peeling — per round one degree exchange + two leftsemi bucketed
+    joins, only scalar counts on the driver) over the STRONG
+    co-occurrence graph: token pairs kept iff they co-occur in at
+    least ``_KCORE_FRAC`` of the docs (the unthresholded token graph
+    is complete at bench scale, which would make any k < n trivial).
+    Reference analog: none — extends the link-graph algo family."""
+    from ..algos.kcore import kcore_members
+
+    n_docs = _docs(sf_dir).count()
+    thresh = _KCORE_FRAC * n_docs
+    pairs = q_doc_cooccur(sf_dir)
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["weight"], pa.scalar(thresh)))
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [b["src"].combine_chunks(), b["dst"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [b["dst"].combine_chunks(), b["src"].combine_chunks()]
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    core = kcore_members(edges, _KCORE_K)
+    if core.count() == 0:
+        # schema-stable empty result as a plain Arrow table — an
+        # all-empty Dataset's to_pandas drops the schema (even via
+        # from_arrow), failing the driver's column compare
+        return pa.table({"entity": pa.array([], pa.string())})
+    return core.map_batches(
+        lambda b: pa.table({"entity": b["src"]}), batch_format="pyarrow"
+    )
 
 
 def q_doc_sample(sf_dir: str):
@@ -2027,6 +2070,7 @@ QUERIES = {
     "doc_pagerank": q_doc_pagerank,
     "doc_ppr": q_doc_ppr,
     "doc_lp": q_doc_lp,
+    "doc_kcore": q_doc_kcore,
     "doc_sample": q_doc_sample,
     "tx_graph_info": q_tx_graph_info,
     "media_decode": q_media_decode,
@@ -2102,6 +2146,42 @@ def _power_iteration_sql(reset_cte: str, k: int = _PR_ITERS) -> str:
           SELECT entity, (SELECT 1.0 / c FROM nn) AS score FROM verts
         ){"".join(steps)}
         SELECT entity, round(score, 9) AS score FROM s{k}
+    """
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = 6) -> str:
+    """k-core by ``rounds`` chained peel CTEs (each round keeps edges
+    whose BOTH endpoints currently have degree >= k) over the strong
+    co-occurrence graph — ``rounds`` must cover the peel depth at test
+    scale (measured: 2 rounds at sf0.01; extra rounds are no-ops at
+    the fixpoint, so 6 is a safe margin)."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f""", k{i - 1} AS (
+          SELECT src FROM c{i - 1} GROUP BY src HAVING count(*) >= {k}
+        ), c{i} AS (
+          SELECT c.src, c.dst FROM c{i - 1} c
+          JOIN k{i - 1} x ON c.src = x.src
+          JOIN k{i - 1} y ON c.dst = y.src
+        )"""
+        )
+    return f"""
+        {_TOK_CTE}, m AS (
+          SELECT DISTINCT doc_id, tok AS entity FROM tok WHERE length(tok) >= 3
+        ), nd AS (
+          SELECT count(*) AS c FROM documents
+        ), e0 AS (
+          SELECT a.entity AS src, b.entity AS dst, count(*) AS w
+          FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity <> b.entity
+          GROUP BY 1, 2
+        ), c0 AS (
+          -- CAST to DOUBLE: a bare 0.66 literal is DECIMAL in DuckDB
+          -- (exact 0.66*500 = 330) while the engine thresholds in IEEE
+          -- double (0.66*500 = 329.9999...) — same float on both sides
+          SELECT src, dst FROM e0 WHERE w >= CAST({_KCORE_FRAC} AS DOUBLE) * (SELECT c FROM nd)
+        ){"".join(steps)}
+        SELECT DISTINCT src AS entity FROM c{rounds}
     """
 
 
@@ -2262,6 +2342,7 @@ ORACLE_SQL = {
         )"""
     ),
     "doc_lp": _label_prop_sql(),
+    "doc_kcore": _kcore_sql(),
     "doc_exact_dedup": """
         SELECT md5(text) AS hash_id, min(doc_id) AS keep_id
         FROM documents GROUP BY 1

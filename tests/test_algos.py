@@ -476,3 +476,35 @@ def test_chunked_shard_accepts_single_assembled(graph):
     got = np.concatenate([s.scores[:, 0] for s in shards])
     want = pagerank_oracle(n, src, dst, w)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_kcore_members_vs_peeling_oracle():
+    """Distributed iterative peeling (algos/kcore.py) == single-process
+    peeling oracle on random sparse graphs across several k, including
+    a long path (multi-round peel) and k larger than any coreness
+    (empty core)."""
+    from hipporag_ray.algos.kcore import kcore_members
+    from hipporag_ray.algos.oracle import kcore_oracle
+
+    rng = np.random.default_rng(11)
+    n = 60
+    a = rng.integers(0, n, 300)
+    b = rng.integers(0, n, 300)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    # append a path graph tail (peels one layer per round for k=2)
+    pa_, pb_ = np.arange(n, n + 12), np.arange(n + 1, n + 13)
+    src = np.concatenate([a, b, pa_, pb_])
+    dst = np.concatenate([b, a, pb_, pa_])
+    n_tot = n + 13
+    # distinct directed records (symmetric-adjacency contract)
+    uniq = np.unique(src * n_tot + dst)
+    src_u, dst_u = uniq // n_tot, uniq % n_tot
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src_u, pa.int64()), "dst": pa.array(dst_u, pa.int64())})
+    )
+    for k in (2, 3, 5, 40):
+        got = kcore_members(edges, k).to_pandas()
+        got_set = set(got["src"].tolist()) if len(got) else set()
+        want = set(np.nonzero(kcore_oracle(n_tot, src_u, dst_u, k))[0].tolist())
+        assert got_set == want, (k, got_set ^ want)
