@@ -646,3 +646,43 @@ def label_propagation(
         resume,
         collect,
     )
+
+
+def coreness(
+    sg: ShardedGraph,
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    collect: bool = True,
+) -> tuple[np.ndarray | None, list[dict]]:
+    """Full k-core decomposition (per-vertex core number) by the
+    synchronous h-index iteration (Lü et al. 2016): values start at the
+    vertex degree and each round become the h-index of the neighbor
+    values; the sequence is monotonically non-increasing and converges
+    to the coreness, here in the same fused message/pull waves as CC/LP
+    (hub neighbor multisets travel as run-length COO partials, merged
+    by the hub's owner).  Init is a two-phase degree collective:
+    per-shard chunk-row degrees plus the cross-shard sum of per-hub
+    push-row counts (a hub's rows live on its neighbors' owners)."""
+    hub_parts = ray.get([a.core_degree_partial.remote() for a in sg.actors])
+    hub_deg = (
+        np.sum(hub_parts, axis=0).astype(np.int64)
+        if hub_parts and len(hub_parts[0])
+        else np.zeros(0, np.int64)
+    )
+    hub_ref = ray.put(hub_deg)
+    ray.get([a.core_init.remote(hub_ref) for a in sg.actors])
+    return _label_fixpoint(
+        sg,
+        "coreness",
+        "core_ready",
+        "core_msg",
+        "core_pull",
+        "coreness",
+        max_iter,
+        checkpoint_dir,
+        checkpoint_every,
+        resume,
+        collect,
+    )

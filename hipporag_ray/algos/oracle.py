@@ -172,3 +172,29 @@ def kcore_oracle(n: int, src: np.ndarray, dst: np.ndarray, k: int) -> np.ndarray
                 alive[u] = False
                 changed = True
     return alive
+
+
+def coreness_oracle(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Per-vertex core number (int64[n]) by classic min-degree peeling
+    on the simple undirected graph induced by the edge records
+    (multiplicities and self-loops ignored); isolated vertices are 0."""
+    nbrs = [set() for _ in range(n)]
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    deg = np.array([len(s) for s in nbrs], dtype=np.int64)
+    core = np.zeros(n, dtype=np.int64)
+    alive = deg > 0
+    k = 0
+    while alive.any():
+        d = np.where(alive, deg, np.iinfo(np.int64).max)
+        u = int(np.argmin(d))
+        k = max(k, int(deg[u]))
+        core[u] = k
+        alive[u] = False
+        for v in nbrs[u]:
+            if alive[v]:
+                deg[v] -= 1
+    return core

@@ -185,7 +185,7 @@ def graph_for(sf_dir: str):
     return load_graph(out)
 
 
-def doc_graph_for(sf_dir: str) -> tuple[str, int]:
+def doc_graph_for(sf_dir: str, weight_frac: float | None = None) -> tuple[str, int]:
     """Distributed build (once, cached) of the document token
     co-occurrence graph: vertices = sorted distinct tokens with dense
     vids (A11), symmetric adjacency with weight = number of docs where
@@ -193,6 +193,10 @@ def doc_graph_for(sf_dir: str) -> tuple[str, int]:
     exchanges — mentions ⋈ vertices (bucketed hash join), pair
     expansion via the grouped hash exchange, weights via the int-key
     sum shuffle, adjacency range-sorted by src for shard pruning.
+    ``weight_frac`` keeps only edges co-occurring in at least that
+    fraction of the docs (the STRONG graph — the raw token graph is
+    complete at bench scale); the vertex file/count stay the full
+    vocabulary, thresholded-away vertices are simply isolated.
     Returns (graph_dir, n_vertices)."""
     import json
 
@@ -206,7 +210,8 @@ def doc_graph_for(sf_dir: str) -> tuple[str, int]:
     )
 
     fp = _input_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    d = f"/tmp/hipporag_ray/docgraph_sf{sf_of(sf_dir)}_{fp}"
+    wtag = f"_wf{weight_frac}" if weight_frac is not None else ""
+    d = f"/tmp/hipporag_ray/docgraph_sf{sf_of(sf_dir)}_{fp}{wtag}"
     marker = os.path.join(d, "manifest.json")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -237,6 +242,12 @@ def doc_graph_for(sf_dir: str) -> tuple[str, int]:
         batch_format="pyarrow",
     )
     agg = int_key_sum(coded, "code", "weight")
+    if weight_frac is not None:
+        thresh = weight_frac * _docs(sf_dir).count()
+        agg = agg.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["weight"], pa.scalar(thresh))),
+            batch_format="pyarrow",
+        )
 
     def decode(batch: pa.Table) -> pa.Table:
         code = batch["code"].to_numpy(zero_copy_only=False)
@@ -1680,6 +1691,54 @@ def q_doc_kcore(sf_dir: str):
     )
 
 
+def q_doc_coreness(sf_dir: str):
+    """Full k-core decomposition (per-vertex core number) over the
+    STRONG co-occurrence graph, by the distributed synchronous h-index
+    iteration on the shard-actor pool (algos/iterate.py::coreness —
+    same fused message/pull waves as CC/LP, hub neighbor multisets as
+    run-length COO partials).  Output = (entity, coreness) for
+    vertices in the thresholded edge set (coreness >= 1); SQL twin is
+    the chained h-index CTE.  Reference analog: none."""
+    from ..algos.iterate import coreness, labels_dataset
+    from ..stages.shuffle import hash_join
+    from ..state.csr import ShardedGraph
+
+    d, n = doc_graph_for(sf_dir, weight_frac=_KCORE_FRAC)
+    adj_dir = os.path.join(d, "adj")
+    empty = not os.path.isdir(adj_dir) or not any(
+        f.name.endswith(".parquet") for f in os.scandir(adj_dir)
+    )
+    if empty or rd.read_parquet(adj_dir).count() == 0:
+        return pa.table(
+            {
+                "entity": pa.array([], pa.string()),
+                "coreness": pa.array([], pa.int64()),
+            }
+        )
+    sg = ShardedGraph(adj_dir, n)
+    try:
+        coreness(sg, collect=False)
+        lab = labels_dataset(sg, "coreness")
+    finally:
+        sg.shutdown()
+    core = lab.map_batches(
+        lambda b: b.filter(pc.greater(b["coreness"], pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow",
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        e = _empty_or(
+            b, ("entity", "coreness"), {"entity": pa.string(), "coreness": pa.int64()}
+        )
+        if e is not None:
+            return e
+        return pa.table({"entity": b["entity"], "coreness": b["coreness"]})
+
+    return hash_join(core, _doc_vertex_names(d), "vid").map_batches(
+        fin, batch_format="pyarrow"
+    )
+
+
 def q_doc_sample(sf_dir: str):
     """Deterministic systematic sample (every 8th doc: doc_id & 7 == 0,
     matching the SQL oracle's doc_id % 8 = 0) with the predicate pushed
@@ -2071,6 +2130,7 @@ QUERIES = {
     "doc_ppr": q_doc_ppr,
     "doc_lp": q_doc_lp,
     "doc_kcore": q_doc_kcore,
+    "doc_coreness": q_doc_coreness,
     "doc_sample": q_doc_sample,
     "tx_graph_info": q_tx_graph_info,
     "media_decode": q_media_decode,
@@ -2182,6 +2242,47 @@ def _kcore_sql(k: int = _KCORE_K, rounds: int = 6) -> str:
           SELECT src, dst FROM e0 WHERE w >= CAST({_KCORE_FRAC} AS DOUBLE) * (SELECT c FROM nd)
         ){"".join(steps)}
         SELECT DISTINCT src AS entity FROM c{rounds}
+    """
+
+
+def _coreness_sql(rounds: int = 8) -> str:
+    """Core numbers by ``rounds`` chained h-index CTEs over the strong
+    co-occurrence graph: values start at the degree and each round
+    become min(current, H(neighbor values)) where the weighted h-index
+    is max(least(value, rank)) over neighbors ranked by value desc —
+    exactly GraphShard.core_pull.  Measured convergence <= 3 rounds at
+    sf0.001/0.01; extra rounds are no-ops at the fixpoint."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f""", r{i} AS (
+          SELECT c.src, s.val,
+                 row_number() OVER (PARTITION BY c.src ORDER BY s.val DESC) AS rn
+          FROM c0 c JOIN s{i - 1} s ON s.entity = c.dst
+        ), s{i} AS (
+          SELECT s.entity, least(s.val, coalesce(h.h, 0)) AS val
+          FROM s{i - 1} s
+          LEFT JOIN (
+            SELECT src AS entity, max(least(val, rn)) AS h FROM r{i} GROUP BY src
+          ) h ON h.entity = s.entity
+        )"""
+        )
+    return f"""
+        {_TOK_CTE}, m AS (
+          SELECT DISTINCT doc_id, tok AS entity FROM tok WHERE length(tok) >= 3
+        ), nd AS (
+          SELECT count(*) AS c FROM documents
+        ), e0 AS (
+          SELECT a.entity AS src, b.entity AS dst, count(*) AS w
+          FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity <> b.entity
+          GROUP BY 1, 2
+        ), c0 AS (
+          SELECT src, dst FROM e0
+          WHERE w >= CAST({_KCORE_FRAC} AS DOUBLE) * (SELECT c FROM nd)
+        ), s0 AS (
+          SELECT src AS entity, count(*) AS val FROM c0 GROUP BY src
+        ){"".join(steps)}
+        SELECT entity, val AS coreness FROM s{rounds}
     """
 
 
@@ -2343,6 +2444,7 @@ ORACLE_SQL = {
     ),
     "doc_lp": _label_prop_sql(),
     "doc_kcore": _kcore_sql(),
+    "doc_coreness": _coreness_sql(),
     "doc_exact_dedup": """
         SELECT md5(text) AS hash_id, min(doc_id) AS keep_id
         FROM documents GROUP BY 1

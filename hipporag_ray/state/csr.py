@@ -660,6 +660,111 @@ class GraphShard:
         return changed
 
     # ------------------------------------------------------------------
+    # Coreness (k-core decomposition) by synchronous h-index iteration
+    # (Lü et al. 2016: init = degree, value <- H(neighbor values);
+    # monotonically non-increasing, converges to the core number)
+    # ------------------------------------------------------------------
+
+    def core_degree_partial(self) -> np.ndarray:
+        """Phase-1 init collective: cache this shard's chunk-row degree
+        of its owned range and return the per-hub push-row counts —
+        summed across shards these are exactly the hubs' degrees (every
+        hub edge (h, u) appears once as a push row (u, h) at u's
+        owner; hub own-side rows are dropped from the chunks)."""
+        self._core_chunk_deg = (
+            np.bincount(self._gown, minlength=self.local_n).astype(np.int64)
+            if len(self._gown)
+            else np.zeros(self.local_n, np.int64)
+        )
+        p_own, p_hub, _p_w = self._push
+        if len(p_own):
+            return np.bincount(p_hub, minlength=len(self.hubs)).astype(np.int64)
+        return np.zeros(len(self.hubs), np.int64)
+
+    def core_init(self, hub_deg: np.ndarray) -> None:
+        deg = self._core_chunk_deg.copy()
+        if len(self._hub_owned_idx):
+            deg[self._hub_local] += hub_deg[self._hub_owned_idx]
+        self.labels = deg  # coreness state rides the labels slot
+
+    def core_ready(self) -> None:
+        """No-op init hook for _label_fixpoint (the real init is the
+        two-phase degree collective core_degree_partial/core_init)."""
+        if self.labels is None:
+            raise RuntimeError("core_init must run before the fixpoint loop")
+
+    def core_msg(self):
+        """(values, hub COO (hub_idx, value, count)): per-hub neighbor
+        value multisets from my push rows, run-length compressed."""
+        p_own, p_hub, _p_w = self._push
+        if len(p_own):
+            vals = self.labels[p_own]
+            order = np.lexsort((vals, p_hub))
+            h2, v2 = p_hub[order], vals[order]
+            new_group = np.concatenate([[True], (np.diff(h2) != 0) | (np.diff(v2) != 0)])
+            starts = np.nonzero(new_group)[0]
+            cnt = np.diff(np.concatenate([starts, [len(h2)]])).astype(np.int64)
+            coo = (h2[starts], v2[starts], cnt)
+        else:
+            z = np.zeros(0, np.int64)
+            coo = (z, z, z)
+        return self.labels, coo
+
+    def core_pull(self, msgs) -> int:
+        if isinstance(msgs, list):
+            msgs = assemble_labels(ray.get(list(msgs)))
+        global_vals, coo_parts = msgs
+        all_own, all_val, all_cnt = [], [], []
+        if len(self._gown):
+            if not global_vals.flags.c_contiguous:
+                global_vals = np.ascontiguousarray(global_vals)
+            cb = self._chunk_bounds
+            for c, (e0, e1, _starts, _uniq) in enumerate(self._chunks):
+                if e1 == e0:
+                    continue
+                all_own.append(self._gown[e0:e1])
+                all_val.append(
+                    global_vals[int(cb[c]) : int(cb[c + 1])][self._gother_loc[e0:e1]]
+                )
+                all_cnt.append(np.ones(e1 - e0, np.int64))
+        if len(self._hub_owned_idx):
+            for h_idx, vals, cnts in coo_parts:
+                if len(h_idx) == 0:
+                    continue
+                keep = np.isin(h_idx, self._hub_owned_idx)
+                if keep.any():
+                    all_own.append(self.hubs[h_idx[keep]] - self.lo)
+                    all_val.append(vals[keep])
+                    all_cnt.append(cnts[keep])
+        nxt = self.labels.copy()
+        if all_own:
+            own_c = np.concatenate(all_own)
+            val_c = np.concatenate(all_val)
+            cnt_c = np.concatenate(all_cnt)
+            # weighted h-index per owned vertex: sort (own, value desc),
+            # running count C within the group, h = max min(value, C)
+            order = np.lexsort((-val_c, own_c))
+            o2, v2, c2 = own_c[order], val_c[order], cnt_c[order]
+            new_group = np.concatenate([[True], np.diff(o2) != 0])
+            starts = np.nonzero(new_group)[0]
+            C = np.cumsum(c2)
+            group_id = np.cumsum(new_group) - 1
+            offs = (C[starts] - c2[starts])[group_id]
+            cand = np.minimum(v2, C - offs)
+            h = np.maximum.reduceat(cand, starts)
+            heads = o2[starts]
+            # min() guards monotonicity against any message ordering
+            # edge case; theoretically h <= current already
+            nxt[heads] = np.minimum(self.labels[heads], h)
+        changed = int((nxt != self.labels).sum())
+        self.labels = nxt
+        return changed
+
+    def core_step(self, assembled):
+        changed = self.core_pull(assembled)
+        return changed, self.core_msg()
+
+    # ------------------------------------------------------------------
     # checkpointing
     # ------------------------------------------------------------------
 

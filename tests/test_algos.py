@@ -508,3 +508,57 @@ def test_kcore_members_vs_peeling_oracle():
         got_set = set(got["src"].tolist()) if len(got) else set()
         want = set(np.nonzero(kcore_oracle(n_tot, src_u, dst_u, k))[0].tolist())
         assert got_set == want, (k, got_set ^ want)
+
+
+def test_coreness_h_index_vs_peeling_oracle(tmp_path):
+    """Distributed synchronous h-index iteration == classic peeling
+    core numbers, on a hub-bearing composite graph (star center forced
+    over hub_min_degree so the push/COO hub path is exercised) and on
+    several shard counts."""
+    from hipporag_ray.algos.iterate import coreness
+    from hipporag_ray.algos.oracle import coreness_oracle
+
+    rng = np.random.default_rng(5)
+    edges = set()
+    # star: center 0 -> 1..24 (degree 24 -> hub)
+    for v in range(1, 25):
+        edges.add((0, v))
+    # clique on 5..12 (coreness 7 inside)
+    for a in range(5, 13):
+        for b in range(a + 1, 13):
+            edges.add((a, b))
+    # path 25-34 (coreness 1)
+    for v in range(25, 34):
+        edges.add((v, v + 1))
+    # random sprinkle
+    for _ in range(60):
+        a, b = rng.integers(0, 35, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    n = 36  # 35 is isolated (coreness 0)
+    src = np.array([a for a, _ in edges], dtype=np.int64)
+    dst = np.array([b for _, b in edges], dtype=np.int64)
+    w = np.ones(len(src))
+    adj = pa.table(
+        {
+            "src": np.concatenate([src, dst]),
+            "dst": np.concatenate([dst, src]),
+            "weight": np.concatenate([w, w]),
+            "etype": ["fact"] * (2 * len(src)),
+        }
+    ).sort_by("src")
+    adj_dir = tmp_path / "adj"
+    os.makedirs(adj_dir)
+    pq.write_table(adj, str(adj_dir / "part-0.parquet"))
+
+    want = coreness_oracle(n, src, dst)
+    for n_shards, hub_min in ((2, 10), (4, 10), (3, None)):
+        sg = ShardedGraph(str(adj_dir), n, n_shards=n_shards, hub_min_degree=hub_min)
+        try:
+            if hub_min is not None:
+                assert len(sg.hubs), "hub path not exercised"
+            got, metrics = coreness(sg)
+            np.testing.assert_array_equal(got, want)
+            assert metrics[-1]["changed"] == 0
+        finally:
+            sg.shutdown()
