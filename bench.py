@@ -199,6 +199,14 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         t0 = time.perf_counter()
         connected_components(sg)
         timings["connected_components"] = time.perf_counter() - t0
+
+        # --- 5b. full core decomposition (h-index iteration) ---
+        from hipporag_ray.algos.iterate import coreness
+
+        t0 = time.perf_counter()
+        _, m = coreness(sg, collect=False)
+        timings["coreness"] = time.perf_counter() - t0
+        extra["coreness_iters"] = len(m)
     finally:
         sg.shutdown()
 
