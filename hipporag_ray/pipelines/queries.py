@@ -1334,6 +1334,74 @@ def q_events_global_cumsum(sf_dir: str):
     )
 
 
+def q_events_rank_stats(sf_dir: str):
+    """PERCENT_RANK / CUME_DIST (tie-aware over ORDER BY value) and
+    NTILE(4) (over the total order (value, event_id)) per event_type —
+    the rank-window family as ONE hash exchange on the partition key +
+    a vectorized run-boundary kernel per key-complete partition.
+    percent_rank = (rank-1)/(n-1) with rank = 1 + rows strictly below
+    the tie run; cume_dist = (rows <= current)/n; ntile buckets: first
+    n%4 buckets get ceil(n/4) rows (SQL NTILE).  Reference analog:
+    none (training-data lineage/window family)."""
+    from ..functions.pairs import pos_in_group
+    from ..stages.shuffle import hash_partition
+
+    ev = _events(sf_dir).select_columns(["event_type", "event_id", "value"])
+    parts = hash_partition(ev, "event_type")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "prank": pa.array([], pa.float64()),
+                    "cdist": pa.array([], pa.float64()),
+                    "tile": pa.array([], pa.int64()),
+                }
+            )
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((eid, v, et))
+        et, eid, v = et[order], eid[order], v[order]
+        rn = pos_in_group(et)  # 0-based row_number over (value, event_id)
+        group_start = np.nonzero(rn == 0)[0]
+        gid = np.cumsum(rn == 0) - 1
+        n_g = np.diff(np.concatenate([group_start, [len(et)]]))[gid]
+        # tie runs over value within the group
+        new_run = np.concatenate([[True], (np.diff(v) != 0)]) | (rn == 0)
+        idx = np.arange(len(et), dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+        # run end = next run's start - 1 (per group handled: group head
+        # always starts a run)
+        run_id = np.cumsum(new_run) - 1
+        starts_arr = idx[new_run]
+        run_len = np.diff(np.concatenate([starts_arr, [len(et)]]))[run_id]
+        run_end = run_start + run_len - 1
+        rank = run_start - group_start[gid]  # 0-based rows strictly below
+        below_eq = run_end - group_start[gid] + 1
+        prank = np.where(n_g > 1, rank / np.maximum(n_g - 1, 1), 0.0)
+        cdist = below_eq / n_g
+        # NTILE(4): first r buckets get q+1 rows
+        q, r = n_g // 4, n_g % 4
+        cut = r * (q + 1)
+        tile = np.where(
+            rn < cut,
+            rn // np.maximum(q + 1, 1),
+            r + np.where(q > 0, (rn - cut) // np.maximum(q, 1), 0),
+        ) + 1
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "prank": pa.array(prank, pa.float64()),
+                "cdist": pa.array(cdist, pa.float64()),
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return parts.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+
+
 def q_events_user_cumsum(sf_dir: str):
     """Per-user running sum + running non-null count of ``value``
     ordered by (ts, event_id) — the PARTITION BY prefix scan: one hash
@@ -2158,6 +2226,7 @@ QUERIES = {
     "events_lead_lag": q_events_lead_lag,
     "events_global_cumsum": q_events_global_cumsum,
     "events_user_cumsum": q_events_user_cumsum,
+    "events_rank_stats": q_events_rank_stats,
     "events_stratified_sample": q_events_stratified_sample,
     "events_distinct_users": q_events_distinct_users,
     "events_distinct_users_sketch": q_events_distinct_users_sketch,
@@ -2808,6 +2877,13 @@ ORACLE_SQL = {
                  ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS DOUBLE) AS running_value
+        FROM events
+    """,
+    "events_rank_stats": """
+        SELECT event_id,
+               percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS prank,
+               cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cdist,
+               ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS tile
         FROM events
     """,
     "events_user_cumsum": """
