@@ -253,3 +253,56 @@ def test_md5_hex_null_tolerant():
     assert got_long[1] == want_empty
     h = stable_hash64(pa.array(["a", None], pa.string()))
     assert h[1] == stable_hash64(pa.array([""], pa.string()))[0]
+
+
+def test_coreness_resume(tmp_path):
+    """Coreness inherits the _label_fixpoint checkpoint/resume
+    contract: an interrupted run resumes mid-iteration (degree init is
+    re-run, then overwritten by the checkpointed values) and converges
+    to the peeling oracle.  Uses a distinct-pair adjacency — coreness
+    counts each (src, dst) RECORD as a neighbor slot, so the transcript
+    graph's parallel fact+passage records would give the multigraph
+    core number, not the simple-graph oracle's."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hipporag_ray.algos.iterate import coreness
+    from hipporag_ray.algos.oracle import coreness_oracle
+
+    rng = np.random.default_rng(17)
+    n = 40
+    a = rng.integers(0, n, 200)
+    b = rng.integers(0, n, 200)
+    keep = a != b
+    lo, hi = np.minimum(a[keep], b[keep]), np.maximum(a[keep], b[keep])
+    code = np.unique(lo * n + hi)  # canonical — (u,v)+(v,u) would be
+    src, dst = code // n, code % n  # a duplicate record after mirroring
+    adj = pa.table(
+        {
+            "src": np.concatenate([src, dst]),
+            "dst": np.concatenate([dst, src]),
+            "weight": np.ones(2 * len(src)),
+            "etype": ["fact"] * (2 * len(src)),
+        }
+    ).sort_by("src")
+    adj_dir = tmp_path / "adj"
+    os.makedirs(adj_dir)
+    pq.write_table(adj, str(adj_dir / "part-0.parquet"))
+    want = coreness_oracle(n, src, dst)
+
+    ck = str(tmp_path / "ck")
+    sg = ShardedGraph(str(adj_dir), n, n_shards=3)
+    try:
+        coreness(sg, max_iter=1, checkpoint_dir=ck, checkpoint_every=1)
+    finally:
+        sg.shutdown()
+    sg = ShardedGraph(str(adj_dir), n, n_shards=3)
+    try:
+        core, metrics = coreness(
+            sg, checkpoint_dir=ck, checkpoint_every=1, resume=True
+        )
+        assert metrics[0]["iter"] == 2  # resumed, not restarted
+        np.testing.assert_array_equal(core, want)
+    finally:
+        sg.shutdown()
