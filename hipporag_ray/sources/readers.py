@@ -148,3 +148,29 @@ def get_gold_answers(samples: list[dict]) -> list[set[str]]:
             gold.update(sample["answer_aliases"])
         gold_answers.append(gold)
     return gold_answers
+
+
+def read_transcripts_csv(path: str) -> "rd.Dataset":
+    """CSV transcripts coerced to the canonical TRANSCRIPTS schema
+    (BASELINE.json input_hint): `ray.data.read_csv` infers int64/string,
+    so turn_idx narrows to int32 and ts (ISO-8601 string or inferred
+    timestamp) casts to timestamp[us] — one vectorized Arrow cast per
+    batch, schema-validated like the parquet reader.  Training-data
+    ingest commonly lands as CSV/TSV; the parquet path stays the
+    scale-preferred format (columnar pruning, row groups)."""
+    ds = rd.read_csv(path)
+
+    def coerce(b: pa.Table) -> pa.Table:
+        missing = set(_schema.TRANSCRIPTS.names) - set(b.column_names)
+        if missing:
+            raise ValueError(f"csv transcripts missing columns: {sorted(missing)}")
+        cols = {}
+        for name in _schema.TRANSCRIPTS.names:
+            want = _schema.TRANSCRIPTS.field(name).type
+            col = b[name]
+            if col.type != want:
+                col = col.cast(want)
+            cols[name] = col
+        return pa.table(cols)
+
+    return ds.map_batches(coerce, batch_format="pyarrow")

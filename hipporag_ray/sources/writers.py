@@ -1,0 +1,120 @@
+"""Resumable partitioned parquet sink.
+
+The engine's outputs must be restartable at 100-TB scale: one
+directory per key-hash bucket, each published by atomic rename, so a
+failed run re-executed over the same input SKIPS finished buckets
+instead of rewriting the world (brief: "Resumable output ... never one
+giant file").  The graph build has a specialized version of this
+(stages/graph_build.py::extract_chunks_resumable, fingerprint-keyed by
+input shard); this is the generic key-partitioned sink for query
+outputs.
+
+Reference analog: none — the reference writes single files via pandas
+(/root/reference/src/hipporag/embedding_store.py:109-115).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import ray
+import ray.data as rd
+
+
+@ray.remote
+def _write_bucket(tbl, out_dir: str, bucket: int) -> int:
+    """Write one bucket dir atomically: parquet into a pid-suffixed tmp
+    dir, fsync-free rename to publish.  Returns rows written."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import pandas as pd
+
+    if isinstance(tbl, pd.DataFrame):
+        tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+    final = os.path.join(out_dir, f"bucket={bucket}")
+    if os.path.isdir(final):  # raced with a concurrent writer: done
+        return 0
+    tmp = f"{final}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(tbl, os.path.join(tmp, "part-0.parquet"))
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        # lost the publish race — the winner's bucket is complete
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return 0
+    return tbl.num_rows
+
+
+def write_partitioned_resumable(
+    ds: "rd.Dataset",
+    out_dir: str,
+    key_col: str,
+    num_buckets: int | None = None,
+) -> dict:
+    """Hash-partition ``ds`` by ``key_col`` into ``num_buckets``
+    bucket dirs under ``out_dir``, skipping buckets that already exist
+    (a previous run's finished work).  Bucket membership is the
+    deterministic key hash of the exchange layer, and the bucket count
+    is pinned in ``manifest.json`` on first write, so a resume
+    repartitions identically and the skip is sound.  Each bucket
+    publishes by atomic rename — a killed run leaves only ``*.tmp.*``
+    dirs (ignored on read) and complete buckets.
+
+    Returns ``{"written": k, "skipped": k, "rows_written": n}``.
+    """
+    from ..stages.shuffle import hash_partition
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        if m["key_col"] != key_col:
+            raise ValueError(
+                f"resume with key_col={key_col!r}, manifest has {m['key_col']!r}"
+            )
+        num_buckets = m["num_buckets"]
+    parts = hash_partition(ds, key_col, num_partitions=num_buckets)
+    refs = [
+        bref
+        for bundle in parts.iter_internal_ref_bundles()
+        for bref, _ in bundle.blocks
+    ]
+    if not os.path.exists(manifest_path):
+        tmp = f"{manifest_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"key_col": key_col, "num_buckets": len(refs)}, f)
+        os.replace(tmp, manifest_path)
+    written = skipped = 0
+    pending = []
+    for i, r in enumerate(refs):
+        if os.path.isdir(os.path.join(out_dir, f"bucket={i}")):
+            skipped += 1
+            continue
+        pending.append(_write_bucket.remote(r, out_dir, i))
+        written += 1
+    rows = sum(ray.get(pending)) if pending else 0
+    return {"written": written, "skipped": skipped, "rows_written": rows}
+
+
+def read_partitioned(out_dir: str) -> "rd.Dataset":
+    """Read back a :func:`write_partitioned_resumable` directory
+    (complete buckets only; in-flight ``*.tmp.*`` dirs are excluded)."""
+    files = sorted(
+        os.path.join(out_dir, d, f)
+        for d in os.listdir(out_dir)
+        if d.startswith("bucket=") and ".tmp." not in d
+        for f in os.listdir(os.path.join(out_dir, d))
+        if f.endswith(".parquet")
+    )
+    ds = rd.read_parquet(files)
+    # the hive-style dir names let external readers prune by bucket;
+    # drop the inferred partition column to return the written schema
+    if "bucket" in ds.schema().names:
+        ds = ds.drop_columns(["bucket"])
+    return ds

@@ -932,3 +932,76 @@ def test_global_running_sum_multi_partition_vs_serial():
     both = ~(aligned.isna() | got.isna())
     assert (aligned.isna() == got.isna()).all()
     assert np.allclose(aligned[both], got[both], atol=1e-9)
+
+
+def test_write_partitioned_resumable_skips_finished_buckets(tmp_path):
+    """Resumable sink: identical re-runs skip every finished bucket;
+    deleting buckets (= a run that died before finishing them) rewrites
+    ONLY those; the bucket mapping is the deterministic splitmix64 key
+    hash pinned by the manifest, so read-back equals the input and each
+    key lives in exactly one bucket."""
+    from hipporag_ray.sources.writers import (
+        read_partitioned,
+        write_partitioned_resumable,
+    )
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 200, 5000),
+            "v": rng.normal(size=5000).round(6),
+            "rid": np.arange(5000),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = str(tmp_path / "sink")
+    r1 = write_partitioned_resumable(ds, out, "k", num_buckets=8)
+    assert r1 == {"written": 8, "skipped": 0, "rows_written": 5000}
+    # full re-run: everything skipped
+    r2 = write_partitioned_resumable(ds, out, "k")
+    assert r2 == {"written": 0, "skipped": 8, "rows_written": 0}
+    # kill two buckets -> only those rewrite, read-back is complete
+    import shutil
+
+    for b in (2, 5):
+        shutil.rmtree(f"{out}/bucket={b}")
+    r3 = write_partitioned_resumable(ds, out, "k")
+    assert r3["written"] == 2 and r3["skipped"] == 6
+    back = read_partitioned(out).to_pandas()
+    assert len(back) == 5000
+    pd.testing.assert_frame_equal(
+        back.sort_values("rid").reset_index(drop=True),
+        df.sort_values("rid").reset_index(drop=True),
+        check_like=True,
+    )
+    # key-completeness: a key's rows live in exactly one bucket
+    import os as _os
+
+    seen = {}
+    for d in _os.listdir(out):
+        if d.startswith("bucket="):
+            part = rd.read_parquet(f"{out}/{d}/part-0.parquet").to_pandas()
+            for kk in part["k"].unique():
+                assert kk not in seen, (kk, d, seen[kk])
+                seen[kk] = d
+    # mismatched resume key is rejected
+    with pytest.raises(ValueError):
+        write_partitioned_resumable(ds, out, "rid")
+
+
+def test_read_transcripts_csv_matches_parquet(small_transcripts, tmp_path):
+    """CSV ingest coerces to the canonical TRANSCRIPTS schema and
+    round-trips the parquet reader's rows (per-turn text equality under
+    (conv_id, turn_idx) keys — the input_hint invariant)."""
+    from hipporag_ray.sources.readers import read_transcripts, read_transcripts_csv
+
+    want = read_transcripts(small_transcripts).to_pandas()
+    csv_path = str(tmp_path / "tx.csv")
+    want.to_csv(csv_path, index=False)
+    got = read_transcripts_csv(csv_path).to_pandas()
+    a = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_series_equal(a["text"], b["text"])
+    assert a["turn_idx"].dtype == b["turn_idx"].dtype
+    pd.testing.assert_frame_equal(a, b, check_like=True)
