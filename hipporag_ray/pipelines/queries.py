@@ -2027,6 +2027,24 @@ def q_tx_cc(sf_dir: str):
     return lab
 
 
+def q_tx_coreness(sf_dir: str):
+    """Engine-scale core decomposition on the transcript entity graph
+    (multigraph core number — parallel fact/passage records count as
+    parallel edges, see algos/iterate.py::coreness).  Rows-only: the
+    exact simple-graph twin with a DuckDB oracle is ★`doc_coreness`."""
+    from ..algos.iterate import coreness, labels_dataset
+    from ..state.csr import ShardedGraph
+
+    g = graph_for(sf_dir)
+    sg = ShardedGraph(g.adj_path, g.n_vertices)
+    try:
+        coreness(sg, collect=False)
+        lab = labels_dataset(sg, "coreness")
+    finally:
+        sg.shutdown()
+    return lab
+
+
 def q_tx_lp(sf_dir: str):
     from ..algos.iterate import label_propagation
     from ..state.csr import ShardedGraph
@@ -2210,6 +2228,7 @@ QUERIES = {
     "tx_pagerank": q_tx_pagerank,
     "tx_ppr": q_tx_ppr,
     "tx_cc": q_tx_cc,
+    "tx_coreness": q_tx_coreness,
     "tx_lp": q_tx_lp,
     "tx_triangles": q_tx_triangles,
     "tx_eval_recall": q_tx_eval_recall,
