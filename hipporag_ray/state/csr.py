@@ -686,6 +686,9 @@ class GraphShard:
         if len(self._hub_owned_idx):
             deg[self._hub_local] += hub_deg[self._hub_owned_idx]
         self.labels = deg  # coreness state rides the labels slot
+        # a fresh run (or a resume overwriting labels) must not inherit
+        # the previous run's active-set baseline
+        self._core_prev_global = None
 
     def core_ready(self) -> None:
         """No-op init hook for _label_fixpoint (the real init is the
@@ -714,19 +717,50 @@ class GraphShard:
         if isinstance(msgs, list):
             msgs = assemble_labels(ray.get(list(msgs)))
         global_vals, coo_parts = msgs
+        if not global_vals.flags.c_contiguous:
+            global_vals = np.ascontiguousarray(global_vals)
+        # exact active-set skip: x_t(v) = min(x_{t-1}(v), H(nbr values))
+        # is unchanged when no neighbor value moved since v's last
+        # recompute (H input identical and the min guard already
+        # applied), so only vertices with a changed neighbor re-enter
+        # the lexsort — the per-iteration cost tracks the moving
+        # frontier, not the graph (the h-index tail runs many
+        # iterations with few movers).  Hubs stay always-dirty (their
+        # COO parts are cheap and diffing them is not).
+        prev = getattr(self, "_core_prev_global", None)
+        self._core_prev_global = global_vals.copy()
+        dirty = None  # None = everything dirty (first iteration)
+        if prev is not None and len(prev) == len(global_vals):
+            changed_g = global_vals != prev
+            dirty = np.zeros(self.local_n, dtype=bool)
+            if changed_g.any() and len(self._gown):
+                cb = self._chunk_bounds
+                for c, (e0, e1, starts, uniq) in enumerate(self._chunks):
+                    if e1 == e0:
+                        continue
+                    ch = changed_g[int(cb[c]) : int(cb[c + 1])][
+                        self._gother_loc[e0:e1]
+                    ]
+                    if ch.any():
+                        dirty[uniq] |= np.maximum.reduceat(ch, starts).astype(bool)
         all_own, all_val, all_cnt = [], [], []
         if len(self._gown):
-            if not global_vals.flags.c_contiguous:
-                global_vals = np.ascontiguousarray(global_vals)
             cb = self._chunk_bounds
             for c, (e0, e1, _starts, _uniq) in enumerate(self._chunks):
                 if e1 == e0:
                     continue
-                all_own.append(self._gown[e0:e1])
-                all_val.append(
-                    global_vals[int(cb[c]) : int(cb[c + 1])][self._gother_loc[e0:e1]]
-                )
-                all_cnt.append(np.ones(e1 - e0, np.int64))
+                own_s = self._gown[e0:e1]
+                val_s = global_vals[int(cb[c]) : int(cb[c + 1])][
+                    self._gother_loc[e0:e1]
+                ]
+                if dirty is not None:
+                    m = dirty[own_s]
+                    if not m.any():
+                        continue
+                    own_s, val_s = own_s[m], val_s[m]
+                all_own.append(own_s)
+                all_val.append(val_s)
+                all_cnt.append(np.ones(len(own_s), np.int64))
         if len(self._hub_owned_idx):
             for h_idx, vals, cnts in coo_parts:
                 if len(h_idx) == 0:
