@@ -241,6 +241,16 @@ class GraphShard:
         self.scores: np.ndarray | None = None  # (local_n, B) float64
         self.reset: np.ndarray | None = None  # (local_n, B) float64, normalized
         self.labels: np.ndarray | None = None  # (local_n,) int64
+        # per-shard phase timers (seconds, cumulative; read+reset via
+        # perf_counters) — cheap enough to keep always-on, and the only
+        # way to see where an iteration's wall goes without a profiler
+        # attached to 63 actor processes
+        self._perf = {"kernel_s": 0.0, "contrib_s": 0.0, "step_s": 0.0, "steps": 0}
+
+    def perf_counters(self) -> dict:
+        out = dict(self._perf)
+        self._perf = {"kernel_s": 0.0, "contrib_s": 0.0, "step_s": 0.0, "steps": 0}
+        return out
 
     def get_edge_count(self) -> int:
         return int(self.edge_count)
@@ -261,6 +271,7 @@ class GraphShard:
         hubs this shard owns (replaces the partial local bincount)."""
         if len(self._hub_owned_idx):
             self.out_weight[self._hub_local] = np.asarray(totals)[self._hub_owned_idx]
+            self._inv_w = None  # invalidate the cached reciprocal (ppr_contrib)
 
     # ------------------------------------------------------------------
     # PPR / PageRank
@@ -349,13 +360,32 @@ class GraphShard:
 
     def ppr_contrib(self, damping: float, active: np.ndarray):
         """Publish (contrib (local_n, B_active), dangling (B_active,)):
-        contrib = damping * score / out_weight (0 for dangling rows)."""
-        contrib = np.zeros((self.local_n, len(active)))
-        nzm = self.out_weight > 0.0
-        contrib[nzm] = (
-            damping * self.scores[np.ix_(nzm, active)] / self.out_weight[nzm, None]
+        contrib = damping * score / out_weight (0 for dangling rows).
+
+        out_weight is iteration-invariant, so the reciprocal (zeroed on
+        dangling rows — multiplying by 0 replaces the masked assignment)
+        and the dangling row list are computed once and cached; the per
+        iteration work is one column-take and one broadcast multiply —
+        the float64-zeros + np.ix_ + division version measured the same
+        order as the edge-scan kernel itself once the kernel was
+        prefetch-optimized."""
+        import time as _t
+
+        _t0 = _t.perf_counter()
+        inv_w = getattr(self, "_inv_w", None)
+        if inv_w is None:
+            nzm = self.out_weight > 0.0
+            inv_w = np.zeros(self.local_n, dtype=np.float64)
+            inv_w[nzm] = 1.0 / self.out_weight[nzm]
+            self._inv_w = inv_w
+            self._dangling_rows = np.nonzero(~nzm)[0]
+        s = self.scores.take(active, axis=1)  # C-order copy
+        contrib = s * (damping * inv_w)[:, None]
+        dangling = (
+            s.take(self._dangling_rows, axis=0).sum(axis=0)
+            if len(self._dangling_rows)
+            else np.zeros(len(active))
         )
-        dangling = self.scores[np.ix_(~nzm, active)].sum(axis=0)
         # hub push: contributions from my vertices into hub vertices,
         # computed here (local contrib, float64) and summed by hub
         # owners in the pull phase — the iteration-level salting of
@@ -370,7 +400,9 @@ class GraphShard:
         # error (~6e-8 relative, contracted each iteration by damping)
         # is two orders below the 1e-6 convergence tolerance.  Dangling
         # and the hub blocks stay float64.  precise=True keeps float64.
-        return contrib.astype(self._msg_dtype), dangling, hub_push
+        out = (contrib.astype(self._msg_dtype), dangling, hub_push)
+        self._perf["contrib_s"] += _t.perf_counter() - _t0
+        return out
 
     _PULL_CHUNK = 32768  # edges per segment-sum block (bounds temp size)
 
@@ -418,6 +450,9 @@ class GraphShard:
         # F-CONTIGUOUS array and numpy arithmetic preserves that layout —
         # the compiled kernel writes C-order and would scatter into wrong
         # cells (caught by its layout guard); take() returns C-order
+        import time as _t
+
+        _tk = _t.perf_counter()
         reset = self.reset.take(active, axis=1)
         nxt = (1.0 - damping) * reset + damping * dangling[None, :] * reset
         if len(self._hub_owned_idx):
@@ -474,6 +509,7 @@ class GraphShard:
         old = self.scores[:, active]
         delta = np.abs(nxt - old).sum(axis=0)
         self.scores[:, active] = nxt
+        self._perf["kernel_s"] += _t.perf_counter() - _tk
         return delta
 
     def ppr_step(
@@ -493,6 +529,9 @@ class GraphShard:
         ref list), or ONE legacy tuple holding the full assembled
         matrix with total dangling/hub sums (row-sliced into chunk
         views here; identical when k == 1)."""
+        import time as _t
+
+        _ts = _t.perf_counter()
         if len(msgs) == 1 and isinstance(msgs[0], list):
             # unit-test convenience: list of per-shard message refs
             msgs = (assemble_ppr(ray.get(list(msgs[0]))),)
@@ -516,7 +555,10 @@ class GraphShard:
             dangling = dangling[pos]
             hub_total = hub_total.take(pos, axis=1)
         delta = self._pull_chunks(damping, active_now, Ms, dangling, hub_total)
-        return delta, self.ppr_contrib(damping, active_now)
+        out = delta, self.ppr_contrib(damping, active_now)
+        self._perf["step_s"] += _t.perf_counter() - _ts
+        self._perf["steps"] += 1
+        return out
 
     def scores_table(self, query_idx: int = 0) -> pa.Table:
         vids = np.arange(self.lo, self.hi, dtype=np.int64)
