@@ -2139,18 +2139,22 @@ def q_tx_eval_recall(sf_dir: str):
             n_queries=len(seeds),
             collect=False,
         )
-        # two-level top-k prediction readback (P×50 rows/query)
+        # two-level top-k prediction readback (P×50 rows/query), one
+        # batched RPC per shard instead of one per (query, shard)
         ray.get([a.load_kinds.remote(g.vertices_path) for a in sg.actors])
-        tops = [
-            ray.get([a.topk_chunk_scores.remote(qi, 50) for a in sg.actors])
-            for qi in range(len(seeds))
-        ]
+        qidx = np.arange(len(seeds), dtype=np.int64)
+        parts = ray.get(
+            [a.topk_chunk_scores_batch.remote(qidx, 50) for a in sg.actors]
+        )
     finally:
         sg.shutdown()
+    all_q = np.concatenate([p[0] for p in parts])
+    all_v = np.concatenate([p[1] for p in parts])
+    all_s = np.concatenate([p[2] for p in parts])
     rows = []
     for qi, s in enumerate(seeds):
-        vids = np.concatenate([p[0] for p in tops[qi]])
-        scs = np.concatenate([p[1] for p in tops[qi]])
+        m = all_q == qi
+        vids, scs = all_v[m], all_s[m]
         order = np.lexsort((vids, -scs))[:50]
         rows.append({"pred": vids[order].tolist(), "gold": by_ent[s]})
     out = recall_at_k(rd.from_items(rows), ks=(1, 10, 50))

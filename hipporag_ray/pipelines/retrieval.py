@@ -78,10 +78,72 @@ from ..state.embedding_store import EmbeddingStore, HashEmbedder
 # Dataset-everywhere rule, like the CSR shard pool.
 
 
-def _fact_tile(tbl: pa.Table, qm: np.ndarray, k: int) -> pa.Table:
+def _emb_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """list<float32> embedding column -> (n, d) float64 dense matrix,
+    via flatten (zero-copy) + one reshape + one cast — np.stack over n
+    per-row object arrays measured 150-600 ms for a 26k-row block and
+    was the whole serving-latency budget."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, -1)
+
+
+def _densify_block(tbl: pa.Table, kind: str, n_slices: int) -> list:
+    """One view block -> ``n_slices`` row-range serving packs.
+
+    kind="ent":   (node_key, vid, n_chunks, emb_matrix)
+    kind="chunk": (vid, emb_matrix)
+    kind="fact":  (emb_matrix, subj_key, obj_key)
+    """
+    n = tbl.num_rows
+    has_emb = "embedding" in tbl.column_names
+    if n and has_emb:
+        m = _emb_matrix(tbl["embedding"])
+        if kind == "ent":
+            nk = tbl["node_key"].to_numpy(zero_copy_only=False)
+            vid = tbl["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nch = (
+                np.nan_to_num(
+                    tbl["n_chunks"].to_numpy(zero_copy_only=False).astype(np.float64),
+                    nan=1.0,
+                )
+                if "n_chunks" in tbl.column_names
+                else np.ones(n)
+            )
+            cols = (nk, vid, nch, m)
+        elif kind == "chunk":
+            vid = tbl["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = (vid, m)
+        else:  # fact
+            sk = tbl["subj_key"].to_numpy(zero_copy_only=False)
+            ok = tbl["obj_key"].to_numpy(zero_copy_only=False)
+            cols = (m, sk, ok)
+    else:
+        empties = {
+            "ent": (np.zeros(0, object), np.zeros(0, np.int64), np.zeros(0), np.zeros((0, 0))),
+            "chunk": (np.zeros(0, np.int64), np.zeros((0, 0))),
+            "fact": (np.zeros((0, 0)), np.zeros(0, object), np.zeros(0, object)),
+        }
+        cols = empties[kind]
+        n = 0
+    bounds = (np.arange(n_slices + 1) * n) // max(n_slices, 1)
+    packs = [
+        tuple(c[int(bounds[i]) : int(bounds[i + 1])] for c in cols)
+        for i in range(n_slices)
+    ]
+    return packs if n_slices > 1 else packs[0]
+
+
+def _fact_tile(pack, qm: np.ndarray, k: int) -> pa.Table:
     """Per-block fact scoring (get_fact_scores, HippoRAG.py:1290-1328):
-    per-query block top-k on raw similarity + block extrema."""
-    if tbl.num_rows == 0 or "embedding" not in tbl.column_names:
+    per-query block top-k on raw similarity + block extrema.  ``pack``
+    is the pre-densified (emb_matrix, subj_key, obj_key) slice built
+    once at view time (see _fact_joined)."""
+    m, sk, ok = pack
+    if m.shape[0] == 0:
         return pa.table(
             {
                 "query_idx": pa.array([], pa.int64()),
@@ -92,9 +154,6 @@ def _fact_tile(tbl: pa.Table, qm: np.ndarray, k: int) -> pa.Table:
                 "bhi": pa.array([], pa.float64()),
             }
         )
-    m = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-    sk = tbl["subj_key"].to_numpy(zero_copy_only=False)
-    ok = tbl["obj_key"].to_numpy(zero_copy_only=False)
     sims = qm @ m.T  # (B, rows)
     blo, bhi = sims.min(axis=1), sims.max(axis=1)
     qid, flat = topk_tie_rows(sims, k)
@@ -110,10 +169,11 @@ def _fact_tile(tbl: pa.Table, qm: np.ndarray, k: int) -> pa.Table:
     )
 
 
-def _pick_vids(tbl: pa.Table, keys: np.ndarray) -> pa.Table:
+def _pick_vids(pack, keys: np.ndarray) -> pa.Table:
     """Per-block phrase resolution: keep entity rows whose node_key is
-    in the linked key set."""
-    if tbl.num_rows == 0 or "node_key" not in tbl.column_names:
+    in the linked key set.  ``pack`` = (node_key, vid, n_chunks, emb)."""
+    nk, vid, nch, _m = pack
+    if len(nk) == 0:
         return pa.table(
             {
                 "node_key": pa.array([], pa.string()),
@@ -121,19 +181,49 @@ def _pick_vids(tbl: pa.Table, keys: np.ndarray) -> pa.Table:
                 "n_chunks": pa.array([], pa.float64()),
             }
         )
-    nk = tbl["node_key"].to_numpy(zero_copy_only=False)
     mask = np.isin(nk, keys)
-    return tbl.filter(pa.array(mask)).select(["node_key", "vid", "n_chunks"])
+    return pa.table(
+        {
+            "node_key": pa.array(nk[mask], pa.string()),
+            "vid": pa.array(vid[mask], pa.int64()),
+            "n_chunks": pa.array(nch[mask], pa.float64()),
+        }
+    )
 
 
-def _chunk_sims(tbl: pa.Table, qm: np.ndarray):
+def _link_tile(pack, qm: np.ndarray, k: int) -> pa.Table:
+    """Per-block direct entity linking (facts=False mode): per-query
+    top-k similarity + the 1/|chunks| damping factors (A5)."""
+    nk, vids, nch, m = pack
+    if m.shape[0] == 0:
+        return pa.table(
+            {
+                "query_idx": pa.array([], pa.int64()),
+                "vid": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+                "n_chunks": pa.array([], pa.float64()),
+            }
+        )
+    sims = qm @ m.T  # (B, rows)
+    rows, flat = topk_tie_rows(sims, k)
+    return pa.table(
+        {
+            "query_idx": pa.array(rows, type=pa.int64()),
+            "vid": pa.array(vids[flat], type=pa.int64()),
+            "score": pa.array(sims[rows, flat], type=pa.float64()),
+            "n_chunks": pa.array(nch[flat], type=pa.float64()),
+        }
+    )
+
+
+def _chunk_sims(pack, qm: np.ndarray):
     """Per-block DPR similarities, computed ONCE: returns the (2, B)
     extrema block (fetched by the driver for the global min-max) and
-    the (vids, sims) pack (stays in plasma for _dpr_triples_task)."""
-    if tbl.num_rows == 0 or "embedding" not in tbl.column_names:
+    the (vids, sims) pack (stays in plasma for _dpr_triples_task).
+    ``pack`` = (vids, emb_matrix)."""
+    vids, m = pack
+    if m.shape[0] == 0:
         return None, None
-    m = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-    vids = tbl["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
     sims = qm @ m.T  # (B, rows)
     return np.stack([sims.min(axis=1), sims.max(axis=1)]), (vids, sims)
 
@@ -168,9 +258,11 @@ def _dpr_triples(pack, lo: np.ndarray, hi: np.ndarray, pw_scale: float) -> pa.Ta
     )
 
 
-def _dpr_topk_block(tbl: pa.Table, qm: np.ndarray, sel: np.ndarray, top_k: int) -> pa.Table:
-    """Per-block dense-passage top-k for the selected query rows (K2)."""
-    if tbl.num_rows == 0 or "embedding" not in tbl.column_names:
+def _dpr_topk_block(pack, qm: np.ndarray, sel: np.ndarray, top_k: int) -> pa.Table:
+    """Per-block dense-passage top-k for the selected query rows (K2).
+    ``pack`` = (vids, emb_matrix)."""
+    vids, m = pack
+    if m.shape[0] == 0:
         return pa.table(
             {
                 "query_idx": pa.array([], pa.int64()),
@@ -178,8 +270,6 @@ def _dpr_topk_block(tbl: pa.Table, qm: np.ndarray, sel: np.ndarray, top_k: int) 
                 "score": pa.array([], pa.float64()),
             }
         )
-    m = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-    vids = tbl["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
     sims = qm[sel] @ m.T  # (Q, rows)
     qrow, flat = topk_tie_rows(sims, top_k)
     return pa.table(
@@ -202,20 +292,26 @@ class _LinkWorker:
     Block refs are auto-dereffed actor args (zero-copy plasma reads);
     the pool is stateless, so any worker serves any block."""
 
-    def fact_tile(self, tbl, qm, k):
-        return _fact_tile(tbl, qm, k)
+    def densify(self, tbl, kind, n_slices):
+        return _densify_block(tbl, kind, n_slices)
 
-    def pick_vids(self, tbl, keys):
-        return _pick_vids(tbl, keys)
+    def fact_tile(self, pack, qm, k):
+        return _fact_tile(pack, qm, k)
 
-    def chunk_sims(self, tbl, qm):
-        return _chunk_sims(tbl, qm)
+    def pick_vids(self, pack, keys):
+        return _pick_vids(pack, keys)
+
+    def link_tile(self, pack, qm, k):
+        return _link_tile(pack, qm, k)
+
+    def chunk_sims(self, pack, qm):
+        return _chunk_sims(pack, qm)
 
     def dpr_triples(self, pack, lo, hi, pw_scale):
         return _dpr_triples(pack, lo, hi, pw_scale)
 
-    def dpr_topk(self, tbl, qm, sel, top_k):
-        return _dpr_topk_block(tbl, qm, sel, top_k)
+    def dpr_topk(self, pack, qm, sel, top_k):
+        return _dpr_topk_block(pack, qm, sel, top_k)
 
 
 _LinkWorkerActor = ray.remote(num_cpus=0)(_LinkWorker)
@@ -777,15 +873,25 @@ class HippoRagEngine:
 
         # --- per-shard top-k, merged on the driver (K6) ---
         results = []
-        top_refs: dict[int, list] = {}
+        shard_tops: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         if non_fallback:
             if not getattr(self, "_kinds_loaded", False):
                 ray.get([a.load_kinds.remote(g.vertices_path) for a in sg.actors])
                 self._kinds_loaded = True
-            top_refs = {
-                qi: [a.topk_chunk_scores.remote(qi, top_k) for a in sg.actors]
-                for qi in non_fallback
-            }
+            # one batched call per shard (not one per (query, shard) —
+            # a 32-query retrieve over P shards was 32 x P control RPCs)
+            nf_arr = np.asarray(non_fallback, dtype=np.int64)
+            parts = ray.get(
+                [a.topk_chunk_scores_batch.remote(nf_arr, top_k) for a in sg.actors]
+            )
+            all_q = np.concatenate([p[0] for p in parts])
+            all_v = np.concatenate([p[1] for p in parts])
+            all_s = np.concatenate([p[2] for p in parts])
+            for qi in non_fallback:
+                m = all_q == qi
+                vids, scs = all_v[m], all_s[m]
+                order = np.lexsort((vids, -scs))[:top_k]
+                shard_tops[qi] = (vids[order], scs[order])
         # fallback queries get pure DPR ranking (HippoRAG.py:417-419)
         dpr_ranks = (
             self._dpr_topk(q_ref, sorted(fallback), top_k)
@@ -795,14 +901,7 @@ class HippoRagEngine:
         need_vids: set[int] = set()
         merged = []
         for qi in range(B):
-            if qi in dpr_ranks:
-                vids, scs = dpr_ranks[qi]
-            else:
-                parts = ray.get(top_refs[qi])
-                vids = np.concatenate([p[0] for p in parts])
-                scs = np.concatenate([p[1] for p in parts])
-                order = np.lexsort((vids, -scs))[:top_k]
-                vids, scs = vids[order], scs[order]
+            vids, scs = dpr_ranks[qi] if qi in dpr_ranks else shard_tops[qi]
             merged.append((vids, scs))
             need_vids.update(vids.tolist())
 
@@ -873,9 +972,32 @@ class HippoRagEngine:
         )
         ent_full = hash_join(ent_joined, counts, "vid", how="left").materialize()
         self._joined_views = (ent_full, chunk_joined)
-        # pinned block refs for the per-call task waves (the serving
-        # path): materialized above, so this is free
-        self._view_refs = (ent_full.to_arrow_refs(), chunk_joined.to_arrow_refs())
+        # pinned PRE-DENSIFIED packs for the per-call serving waves:
+        # numpy key/vid arrays + the (n, d) embedding matrix, converted
+        # ONCE per (re)index on the pool workers (the per-call np.stack
+        # over Arrow list rows measured 150-600 ms per block — the whole
+        # retrieve budget) and split into ~pool-size row ranges so one
+        # big materialized block cannot serialize a wave on a single
+        # worker.  Driver holds only refs; pack bytes stay in plasma.
+        self._view_refs = (
+            self._densify_refs(ent_full.to_arrow_refs(), "ent"),
+            self._densify_refs(chunk_joined.to_arrow_refs(), "chunk"),
+        )
+
+    def _densify_refs(self, block_refs: list, kind: str) -> list:
+        """Convert view blocks into serving packs on the worker pool:
+        one call per block, ``num_returns`` row-range slices each."""
+        n_slices = max(2, min(32, int(ray.cluster_resources().get("CPU", 8))))
+        if not block_refs:
+            return []
+        per_block = max(1, -(-n_slices // len(block_refs)))
+        out: list = []
+        pool = self._pool()
+        for i, r in enumerate(block_refs):
+            m = pool[i % len(pool)].densify.options(num_returns=per_block)
+            got = m.remote(r, kind, per_block)
+            out.extend([got] if per_block == 1 else got)
+        return out
 
     def _fact_joined(self):
         """Cached fact view: fact embeddings ⋈ fact metadata
@@ -905,7 +1027,10 @@ class HippoRagEngine:
                 view = hash_join(
                     embs.materialize(), meta.materialize(), "fact_key"
                 ).materialize()
-                self._fact_view = (view, view.to_arrow_refs())
+                self._fact_view = (
+                    view,
+                    self._densify_refs(view.to_arrow_refs(), "fact"),
+                )
         return self._fact_view[0] if self._fact_view else None
 
     def _fact_blocks(self) -> list:
@@ -1026,35 +1151,10 @@ class HippoRagEngine:
         top-k similarity candidates, merged and damped by
         1/|chunks(entity)| (A5, HippoRAG.py:1463-1464)."""
         k = self.link_top_k
-
-        def link_tile(batch: pa.Table) -> pa.Table:
-            qm = ray.get(q_ref)
-            if batch.num_rows == 0 or "embedding" not in batch.column_names:
-                return pa.table(
-                    {
-                        "query_idx": pa.array([], pa.int64()),
-                        "vid": pa.array([], pa.int64()),
-                        "score": pa.array([], pa.float64()),
-                        "n_chunks": pa.array([], pa.float64()),
-                    }
-                )
-            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-            vids = batch["vid"].to_numpy(zero_copy_only=False)
-            nch = np.nan_to_num(
-                batch["n_chunks"].to_numpy(zero_copy_only=False).astype(np.float64), nan=1.0
-            )
-            sims = qm @ m.T  # (B, rows)
-            rows, flat = topk_tie_rows(sims, self.link_top_k)
-            return pa.table(
-                {
-                    "query_idx": pa.array(rows, type=pa.int64()),
-                    "vid": pa.array(vids[flat], type=pa.int64()),
-                    "score": pa.array(sims[rows, flat], type=pa.float64()),
-                    "n_chunks": pa.array(nch[flat], type=pa.float64()),
-                }
-            )
-
-        link = ent_full.map_batches(link_tile, batch_format="pyarrow").to_pandas()
+        ent_refs, _chunk_refs = self._view_refs
+        link = pa.concat_tables(
+            ray.get(self._pool_map("link_tile", [(r, q_ref, k) for r in ent_refs]))
+        ).to_pandas() if ent_refs else pd.DataFrame()
         if "query_idx" not in link.columns:  # all-empty view drops schema
             return pd.DataFrame(
                 {"vid": pd.Series([], dtype="int64"),

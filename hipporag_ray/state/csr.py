@@ -336,6 +336,21 @@ class GraphShard:
         sel = cand[np.lexsort((vids_local[cand], -s[cand]))[:kk]]
         return vids_local[sel] + self.lo, s[sel]
 
+    def topk_chunk_scores_batch(self, query_idxs, k: int):
+        """Per-shard top-k for MANY query columns in one actor call
+        (one RPC per shard instead of one per (query, shard) — a
+        32-query retrieve over P shards was 32 x P control messages).
+        Returns (qidx_rep, vids, scores) concatenated across queries."""
+        qs, vs, ss = [], [], []
+        for qi in query_idxs:
+            v, s = self.topk_chunk_scores(int(qi), k)
+            qs.append(np.full(len(v), int(qi), dtype=np.int64))
+            vs.append(v)
+            ss.append(s)
+        if not qs:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0)
+        return np.concatenate(qs), np.concatenate(vs), np.concatenate(ss)
+
     def ppr_normalize_reset(self, totals: np.ndarray) -> None:
         """Normalize reset by global sums; all-zero columns -> uniform
         (SimpleGraph.kt:139)."""
