@@ -1,0 +1,227 @@
+"""LLM-response parsing kernels (SURVEY.md §2 M8 / M9 / M10 / M15).
+
+Deterministic string operators for the reference's LLM output shapes.
+No LLM is involved in parsing, so these are ordinary data transforms —
+usable inside ``map_batches`` over a response column:
+
+* :func:`fix_broken_generated_json` — bracket-balance repair of
+  truncated generations (reference ``utils/llm_utils.py:150-219``,
+  exact algorithm: valid-passthrough, trailing-content trim at the
+  last comma, string-literal-aware unclosed-brace scan).
+* :func:`extract_ner_from_response` /
+  :func:`extract_triples_from_response` — the NER / triple response
+  extractors (reference ``information_extraction/openie_openai.py:
+  30-36, 82-88``).  The reference ``eval``s the regex-matched object;
+  we parse it with ``json.loads`` (repairing first on failure) — same
+  result on everything the regex can match except Python-literal-only
+  payloads, and no arbitrary-code-execution surface.
+* :func:`parse_dspy_filter_response` — the ``[[ ## field ## ]]``
+  section splitter + ``Fact`` validation of the DSPy fact reranker
+  (reference ``rerank.py:56-85``), pydantic-free (shape validated by
+  hand: ``{"fact": [[s, s, s], ...]}``).
+
+The repair scan is inherently sequential per string (escape state);
+:func:`repair_json_column` amortizes it by attempting ``json.loads``
+first and only scanning rows that actually need repair — on real LLM
+output streams the overwhelming majority parse clean.
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import re
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "fix_broken_generated_json",
+    "repair_json_column",
+    "extract_ner_from_response",
+    "extract_triples_from_response",
+    "unique_preserve_order",
+    "parse_dspy_filter_response",
+]
+
+
+def _find_unclosed(json_str: str) -> list[str]:
+    """Unclosed ``{`` / ``[`` in opening order, ignoring brackets inside
+    string literals (reference ``llm_utils.py:165-196`` semantics,
+    including escape handling)."""
+    unclosed: list[str] = []
+    inside_string = False
+    escape_next = False
+    for char in json_str:
+        if inside_string:
+            if escape_next:
+                escape_next = False
+            elif char == "\\":
+                escape_next = True
+            elif char == '"':
+                inside_string = False
+        else:
+            if char == '"':
+                inside_string = True
+            elif char in "{[":
+                unclosed.append(char)
+            elif char in "}]":
+                if unclosed and (
+                    (char == "}" and unclosed[-1] == "{")
+                    or (char == "]" and unclosed[-1] == "[")
+                ):
+                    unclosed.pop()
+    return unclosed
+
+
+def fix_broken_generated_json(json_str: str) -> str:
+    """Repair a truncated JSON generation (M10).
+
+    Already-valid input is returned unchanged; otherwise trailing
+    content after the last top-level-or-nested comma is dropped (a
+    truncated generation almost always dies mid-element) and the
+    unclosed braces/brackets are closed in reverse opening order.
+    A string literal left open by the truncation is NOT closed — such
+    input stays unparseable, and callers treat it as an empty result
+    (matching the reference's exception path).
+    """
+    try:
+        json.loads(json_str)
+        return json_str
+    except json.JSONDecodeError:
+        pass
+
+    last_comma_index = json_str.rfind(",")
+    if last_comma_index != -1:
+        json_str = json_str[:last_comma_index]
+
+    closing_map = {"{": "}", "[": "]"}
+    for open_char in reversed(_find_unclosed(json_str)):
+        json_str += closing_map[open_char]
+    return json_str
+
+
+def repair_json_column(col) -> pa.Array:
+    """Vectorized entry point: repair a string column of generations.
+
+    Valid rows (the common case) pass through with a single
+    ``json.loads`` probe; only broken rows pay the repair scan.
+    Nulls stay null.
+    """
+    vals = col.to_pylist() if not isinstance(col, (list, np.ndarray)) else list(col)
+    out = [None if v is None else fix_broken_generated_json(v) for v in vals]
+    return pa.array(out, pa.string())
+
+
+_NER_PATTERN = re.compile(
+    r'\{[^{}]*"named_entities"\s*:\s*\[[^\]]*\][^{}]*\}', re.DOTALL
+)
+_TRIPLE_PATTERN = re.compile(r'\{[^{}]*"triples"\s*:\s*\[[^\]]*\][^{}]*\}', re.DOTALL)
+
+
+def _extract_listfield(response: str, pattern: re.Pattern, field: str) -> list:
+    """Shared M8/M9 shape: find the JSON object embedded in prose, parse
+    it (repairing a truncated tail first if needed), return the list
+    field — ``[]`` on no match or unparseable payload, like the
+    reference's exception path."""
+    if response is None:
+        return []
+    match = pattern.search(response)
+    if match is None:
+        return []
+    payload = match.group()
+    try:
+        obj = json.loads(payload)
+    except json.JSONDecodeError:
+        try:
+            obj = json.loads(fix_broken_generated_json(payload))
+        except json.JSONDecodeError:
+            return []
+    val = obj.get(field, [])
+    return val if isinstance(val, list) else []
+
+
+def extract_ner_from_response(response: str) -> list:
+    """M8: parse ``{"named_entities": [...]}`` out of an NER response
+    (reference ``openie_openai.py:30-36``; prose around the object is
+    ignored, no match -> ``[]``)."""
+    return _extract_listfield(response, _NER_PATTERN, "named_entities")
+
+
+def extract_triples_from_response(response: str) -> list:
+    """M9: parse ``{"triples": [...]}`` out of a triple-extraction
+    response (reference ``openie_openai.py:82-88``)."""
+    return _extract_listfield(response, _TRIPLE_PATTERN, "triples")
+
+
+def unique_preserve_order(seq) -> list:
+    """First-occurrence dedup preserving order — the reference's
+    ``list(dict.fromkeys(...))`` on extracted entities
+    (``openie_openai.py:60``)."""
+    return list(dict.fromkeys(seq))
+
+
+_FIELD_HEADER = re.compile(r"\[\[ ## (\w+) ## \]\]")
+
+
+def _validate_fact(parsed_value) -> list[list[str]]:
+    """``TypeAdapter(Fact).validate_python`` analog (reference
+    ``rerank.py:11-12, 76``): requires ``{"fact": [[s, s, s], ...]}``
+    with string-coercible scalar items; raises ``ValueError``
+    otherwise."""
+    if not isinstance(parsed_value, dict) or "fact" not in parsed_value:
+        raise ValueError("expected an object with a 'fact' field")
+    fact = parsed_value["fact"]
+    if not isinstance(fact, list):
+        raise ValueError("'fact' must be a list")
+    out: list[list[str]] = []
+    for item in fact:
+        if not isinstance(item, (list, tuple)):
+            raise ValueError("each fact must be a list")
+        coerced = []
+        for x in item:
+            if isinstance(x, (dict, list, tuple)) or x is None:
+                raise ValueError("fact items must be scalars")
+            coerced.append(x if isinstance(x, str) else str(x))
+        out.append(coerced)
+    return out
+
+
+def parse_dspy_filter_response(response: str) -> list[list[str]]:
+    """M15: the DSPy ``[[ ## field ## ]]`` section splitter + Fact
+    validation (reference ``rerank.py:56-85`` ``parse_filter``).
+
+    Lines are grouped under the most recent section header; the
+    ``fact_after_filter`` section is parsed as JSON, then as a Python
+    literal (``ast.literal_eval`` — the safe subset the reference's
+    fallback accepts), then validated.  Any failure yields ``[]``
+    exactly like the reference's caught-and-logged path.
+    """
+    sections: list[tuple[str | None, list[str]]] = [(None, [])]
+    for line in (response or "").splitlines():
+        match = _FIELD_HEADER.match(line.strip())
+        if match:
+            sections.append((match.group(1), []))
+        else:
+            sections[-1][1].append(line)
+
+    parsed: list[list[str]] = []
+    for k, lines in sections:
+        if k != "fact_after_filter":
+            continue
+        value = "\n".join(lines).strip()
+        try:
+            try:
+                parsed_value = json.loads(value)
+            except json.JSONDecodeError:
+                try:
+                    parsed_value = ast.literal_eval(value)
+                except (ValueError, SyntaxError):
+                    parsed_value = value
+            parsed = _validate_fact(parsed_value)
+        except Exception:
+            # reference rerank.py:78-84 logs and keeps the previous
+            # value (a later broken section does not clobber an
+            # earlier parsed one)
+            pass
+    return parsed

@@ -382,6 +382,75 @@ def q_doc_regex_extract(sf_dir: str):
     return _docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
 
 
+def q_doc_json_repair(sf_dir: str):
+    """M10 end-to-end: repair truncated JSON generations and parse the
+    entity list out of them (functions/llm_parse.py, reference
+    llm_utils.py:150-219).
+
+    A deterministic "truncated generation" is synthesized per document
+    (first 6 normalized tokens as a ``{"named_entities": [...]}``
+    object cut at 3/4 of its length — the finish_reason='length' shape
+    the reference repairs), then the REAL general repair + parse runs.
+    The oracle knows the closed form for this shape (trim at the last
+    comma + ``]}``), so the general machinery is value-checked by SQL.
+    Repair itself is an inherently sequential per-string scan (string
+    literal/escape state), so this stage is a per-row parser by
+    nature — cost O(bytes) per repaired row, embarrassingly parallel
+    across rows/blocks."""
+    from ..functions.llm_parse import fix_broken_generated_json
+    import json as _json
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        norm = text_processing(batch["text"]).to_pylist()
+        ids, n_ents, ents_out = [], [], []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(), norm):
+            if not t:
+                continue
+            toks = t.split()[:6]
+            s = '{"named_entities": ["' + '", "'.join(toks) + '"]}'
+            truncated = s[: (3 * len(s)) // 4]
+            repaired = fix_broken_generated_json(truncated)
+            try:
+                ents = _json.loads(repaired)["named_entities"]
+            except (ValueError, KeyError, TypeError):
+                ents = None
+            ids.append(doc_id)
+            n_ents.append(len(ents) if ents else 0)
+            ents_out.append("|".join(ents) if ents else None)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_ents": pa.array(n_ents, pa.int64()),
+                "ents": pa.array(ents_out, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+def q_doc_prompt_render(sf_dir: str):
+    """M13: vectorized prompt rendering over a document column — one
+    Arrow binary_join_element_wise kernel per batch, placeholders
+    compiled once per actor (functions/prompts.py::RenderPrompts;
+    reference prompts/prompt_template_manager.py:105-140)."""
+    from ..functions.prompts import RenderPrompts
+
+    def to_fields(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"], "passage": batch["text"]})
+
+    return (
+        _docs(sf_dir)
+        .map_batches(to_fields, batch_format="pyarrow")
+        .map_batches(
+            RenderPrompts(
+                "Extract entities.\n\nPassage (doc ${doc_id}): ${passage}"
+            ),
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id", "prompt"])
+    )
+
+
 def q_doc_mentions(sf_dir: str):
     """M6-style explode: distinct (doc_id, entity), tokens len>=3."""
     ds = _docs(sf_dir).map_batches(
@@ -2179,6 +2248,8 @@ QUERIES = {
     "doc_normalize": q_doc_normalize,
     "doc_token_count": q_doc_token_count,
     "doc_regex_extract": q_doc_regex_extract,
+    "doc_json_repair": q_doc_json_repair,
+    "doc_prompt_render": q_doc_prompt_render,
     "doc_token_count_bpe": q_doc_token_count_bpe,
     "doc_mentions": q_doc_mentions,
     "doc_vertices": q_doc_vertices,
@@ -2430,6 +2501,50 @@ ORACLE_SQL = {
         SELECT doc_id,
                NULLIF(regexp_extract(text, '([0-9]{2,})', 1), '') AS first_num,
                CAST(length(regexp_extract_all(text, '[0-9]{2,}')) AS BIGINT) AS n_nums
+        FROM documents
+    """,
+    # doc_json_repair: the engine runs the GENERAL truncated-JSON
+    # repair (llm_utils.py:150-219 semantics); on this constructed
+    # shape (flat object, one array, alnum tokens, cut before the
+    # closing "]}") the repair's closed form is "trim at the last
+    # comma, append ]}" — no comma in the cut means an unterminated
+    # string, which the repair leaves unparseable (-> 0 entities).
+    "doc_json_repair": """
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')) AS t
+          FROM documents
+        ), arrs AS (
+          SELECT doc_id, (regexp_split_to_array(t, ' +'))[1:6] AS toks
+          FROM norm WHERE t <> ''
+        ), js AS (
+          SELECT doc_id,
+                 '{"named_entities": ["' || array_to_string(toks, '", "') || '"]}' AS s
+          FROM arrs
+        ), tr AS (
+          SELECT doc_id, substr(s, 1, CAST(floor(3 * length(s) / 4.0) AS INT)) AS t
+          FROM js
+        ), rep AS (
+          SELECT doc_id, t,
+                 CASE WHEN position(',' IN reverse(t)) > 0
+                      THEN length(t) - position(',' IN reverse(t)) + 1
+                      ELSE 0 END AS lc
+          FROM tr
+        ), ent AS (
+          SELECT doc_id,
+                 CASE WHEN lc > 0
+                      THEN string_split(replace(substr(t, 22, lc - 22), '"', ''), ', ')
+                      ELSE NULL END AS ents
+          FROM rep
+        )
+        SELECT doc_id,
+               CAST(coalesce(length(ents), 0) AS BIGINT) AS n_ents,
+               array_to_string(ents, '|') AS ents
+        FROM ent
+    """,
+    "doc_prompt_render": """
+        SELECT doc_id,
+               'Extract entities.' || chr(10) || chr(10) ||
+               'Passage (doc ' || CAST(doc_id AS VARCHAR) || '): ' || text AS prompt
         FROM documents
     """,
     "doc_token_count_bpe": r"""

@@ -40,6 +40,7 @@ the same directory reloads everything (tests_openai.py:52-60 parity).
 
 from __future__ import annotations
 
+import inspect
 import os
 import shutil
 
@@ -823,7 +824,7 @@ class HippoRagEngine:
         if self.facts:
             fact_view = self._fact_joined()
             if fact_view is not None:
-                link, fallback = self._fact_link(q_ref, B, ent_full)
+                link, fallback = self._fact_link(q_ref, B, ent_full, queries)
         else:
             link = self._entity_link(q_ref, ent_full)
             fallback = set(range(B)) - set(link["query_idx"].tolist())
@@ -1059,7 +1060,7 @@ class HippoRagEngine:
         return calls
 
     def _fact_link(
-        self, q_ref, B: int, ent_full
+        self, q_ref, B: int, ent_full, queries: list[str] | None = None
     ) -> tuple[pd.DataFrame, set[int]]:
         """Query -> fact candidates -> phrase (entity) reset weights:
 
@@ -1105,8 +1106,19 @@ class HippoRagEngine:
             return empty, set(range(B))
         if self.rerank_fn is not None:
             # DSPyFilter plug-point: the hook sees the top-k facts and
-            # returns the survivors; all-dropped queries fall to DPR
-            cand = self.rerank_fn(cand)
+            # returns the survivors; all-dropped queries fall to DPR.
+            # A two-parameter hook (stages/rerank.py::dspy_rerank_fn)
+            # also receives the query texts, like the reference filter
+            # (rerank.py:108-117 takes the question per call).
+            try:
+                n_params = len(inspect.signature(self.rerank_fn).parameters)
+            except (TypeError, ValueError):
+                n_params = 1
+            cand = (
+                self.rerank_fn(cand, queries)
+                if n_params >= 2
+                else self.rerank_fn(cand)
+            )
             if cand is None or cand.empty:
                 return empty, set(range(B))
         rng = (hi - lo).reindex(cand["query_idx"]).to_numpy()

@@ -1,0 +1,202 @@
+"""DSPy-style fact-filter reranking (SURVEY.md §2 T5 / K1).
+
+:class:`DSPyFilter` is reference-parity plumbing for
+``rerank.py:15-131`` with the LLM as a plug: the few-shot chat
+template is assembled from a dspy-saved program dict, the response is
+parsed by the ``[[ ## field ## ]]`` section splitter
+(``functions/llm_parse.py``), and surviving facts are matched back to
+candidates with ``difflib.get_close_matches`` in generated order —
+exactly the reference's rerank contract, including the truncation to
+``len_after_rerank`` and the empty-result-on-any-exception path.
+
+Deviation: the reference ``eval``s the matched candidate string to
+recover the tuple (``rerank.py:124``); we map the stringified
+candidates to their indices with a dict — identical result (the
+strings being matched are exactly ``str(candidate)``) with no code
+execution.
+
+:func:`dspy_rerank_fn` adapts it to the engine's rerank hook
+(``pipelines/retrieval.py``): the hook receives the per-query top-k
+fact candidate DataFrame plus the query texts, reranks each query's
+``(subj_key, obj_key)`` pairs through the filter, and returns the
+surviving rows in filter order.  Inference goes through the sqlite
+cache (``state/llm_cache.py``) when a cache path is given, so re-runs
+of the same retrieval batch are pure lookups.
+"""
+
+from __future__ import annotations
+
+import difflib
+import json
+
+import pandas as pd
+
+from ..functions.llm_parse import parse_dspy_filter_response
+
+__all__ = ["DSPyFilter", "dspy_rerank_fn", "DEFAULT_DSPY_PROGRAM"]
+
+# Compact stand-in for the reference's prompts/filter_default_prompt.py
+# ``best_dspy_prompt`` (same structure: a system prompt + demos; the
+# long tuned prose is LLM-facing, not data semantics).
+DEFAULT_DSPY_PROGRAM = {
+    "prog": {
+        "system": (
+            "Given a question and a candidate fact list, output only the "
+            "facts useful for answering, as\n[[ ## fact_after_filter ## ]]\n"
+            'a JSON object {"fact": [[subject, predicate, object], ...]}, '
+            "then the marker [[ ## completed ## ]]."
+        ),
+        "demos": [
+            {
+                "question": "Which city hosts the museum founded by Ada?",
+                "fact_before_filter": json.dumps(
+                    {
+                        "fact": [
+                            ["ada", "founded", "museum"],
+                            ["museum", "located in", "paris"],
+                            ["bob", "likes", "tea"],
+                        ]
+                    }
+                ),
+                "fact_after_filter": json.dumps(
+                    {
+                        "fact": [
+                            ["ada", "founded", "museum"],
+                            ["museum", "located in", "paris"],
+                        ]
+                    }
+                ),
+            }
+        ],
+    }
+}
+
+
+class DSPyFilter:
+    """``rerank(query, candidate_items, candidate_indices,
+    len_after_rerank)`` -> ``(indices, items, {"confidence": None})``.
+
+    ``llm_fn(messages) -> str`` is the model plug (wrap a
+    ``state.llm_cache.CachedLLM`` to get S7 caching: pass
+    ``lambda m: cached.infer(m)[0]``).
+    """
+
+    # exact reference templates (rerank.py:33-34)
+    one_input_template = (
+        "[[ ## question ## ]]\n{question}\n\n[[ ## fact_before_filter ## ]]\n"
+        "{fact_before_filter}\n\nRespond with the corresponding output fields, "
+        "starting with the field `[[ ## fact_after_filter ## ]]` (must be "
+        "formatted as a valid Python Fact), and then ending with the marker "
+        "for `[[ ## completed ## ]]`."
+    )
+    one_output_template = "[[ ## fact_after_filter ## ]]\n{fact_after_filter}\n\n[[ ## completed ## ]]"
+
+    def __init__(self, llm_fn, dspy_program: dict | None = None):
+        self.llm_fn = llm_fn
+        self.message_template = self.make_template(dspy_program or DEFAULT_DSPY_PROGRAM)
+
+    def make_template(self, dspy_saved: dict) -> list[dict]:
+        """Few-shot chat assembly (rerank.py:41-55)."""
+        message_template = [
+            {"role": "system", "content": dspy_saved["prog"]["system"]}
+        ]
+        for demo in dspy_saved["prog"]["demos"]:
+            message_template.append(
+                {
+                    "role": "user",
+                    "content": self.one_input_template.format(
+                        question=demo["question"],
+                        fact_before_filter=demo["fact_before_filter"],
+                    ),
+                }
+            )
+            message_template.append(
+                {
+                    "role": "assistant",
+                    "content": self.one_output_template.format(
+                        fact_after_filter=demo["fact_after_filter"]
+                    ),
+                }
+            )
+        return message_template
+
+    def parse_filter(self, response: str) -> list[list[str]]:
+        return parse_dspy_filter_response(response)
+
+    def llm_call(self, question: str, fact_before_filter: str) -> str:
+        messages = list(self.message_template) + [
+            {
+                "role": "user",
+                "content": self.one_input_template.format(
+                    question=question, fact_before_filter=fact_before_filter
+                ),
+            }
+        ]
+        return self.llm_fn(messages)
+
+    def __call__(self, *args, **kwargs):
+        return self.rerank(*args, **kwargs)
+
+    def rerank(
+        self,
+        query: str,
+        candidate_items: list[tuple],
+        candidate_indices: list[int],
+        len_after_rerank: int | None = None,
+    ):
+        fact_before_filter = {"fact": [list(c) for c in candidate_items]}
+        try:
+            response = self.llm_call(query, json.dumps(fact_before_filter))
+            generated_facts = self.parse_filter(response)
+        except Exception:
+            generated_facts = []
+        candidate_strs = [str(i) for i in candidate_items]
+        # first-occurrence index per stringified candidate — the
+        # eval-free equivalent of rerank.py:124's eval+list.index
+        str_to_idx: dict[str, int] = {}
+        for i, s in enumerate(candidate_strs):
+            str_to_idx.setdefault(s, i)
+        result_indices = []
+        for generated_fact in generated_facts:
+            closest = difflib.get_close_matches(
+                str(generated_fact), candidate_strs, n=1, cutoff=0.0
+            )
+            if closest:
+                result_indices.append(str_to_idx[closest[0]])
+        sorted_candidate_indices = [candidate_indices[i] for i in result_indices]
+        sorted_candidate_items = [candidate_items[i] for i in result_indices]
+        return (
+            sorted_candidate_indices[:len_after_rerank],
+            sorted_candidate_items[:len_after_rerank],
+            {"confidence": None},
+        )
+
+
+def dspy_rerank_fn(llm_fn, dspy_program: dict | None = None,
+                   len_after_rerank: int | None = None):
+    """Engine-hook adapter: returns ``fn(cand_df, queries)`` for
+    ``HippoRagEngine(rerank_fn=...)``.
+
+    Per query the candidate rows become ``(subj_key, obj_key)`` items
+    (the engine links facts by their endpoint phrases; the predicate
+    is not part of the linking state), the filter reranks them, and
+    the surviving rows come back in filter order — queries whose facts
+    are all dropped disappear from the frame and fall back to DPR,
+    matching the reference's empty-rerank path.
+    """
+    filt = DSPyFilter(llm_fn, dspy_program)
+
+    def rerank_hook(cand: pd.DataFrame, queries: list[str]) -> pd.DataFrame:
+        keep: list[pd.DataFrame] = []
+        for qi, grp in cand.groupby("query_idx", sort=True):
+            items = list(zip(grp["subj_key"], grp["obj_key"]))
+            idx, _items, _meta = filt.rerank(
+                queries[int(qi)], items, list(grp.index), len_after_rerank
+            )
+            if idx:
+                keep.append(grp.loc[idx])
+        if not keep:
+            return cand.iloc[0:0]
+        return pd.concat(keep, ignore_index=False)
+
+    return rerank_hook

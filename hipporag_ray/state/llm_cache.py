@@ -1,0 +1,179 @@
+"""SQLite-backed LLM response cache (SURVEY.md §2 S7 / T4) and the
+cached-inference wrapper (T2 pool shape).
+
+Mirrors the reference's ``llm/openai_gpt.py:26-102`` ``cache_response``
+contract: the key is sha256 over
+``json.dumps({"messages", "model", "seed", "temperature"},
+sort_keys=True, default=str)``; hits return
+``(message, metadata, True)`` without touching the model; misses call
+through and ``INSERT OR REPLACE`` the row.
+
+Concurrency: the reference serializes access with a ``filelock`` file
+lock per operation.  Here each handle opens its own connection in WAL
+mode with a busy timeout — WAL gives single-writer/multi-reader
+semantics natively, and ``INSERT OR REPLACE`` of a deterministic value
+is idempotent, so concurrent actors racing on the same key converge to
+the same row (stdlib-only; no third-party lock dependency).
+
+:class:`CachedLLM` is the T2 shape with the LLM itself as a plug: a
+callable ``llm_fn(messages, **gen_params) -> (message, metadata)``
+supplied by the user (an OpenAI client, a local model, or a
+deterministic extractor in tests).  It is designed as per-actor state:
+construct in a ``map_batches`` class ``__init__`` (one sqlite
+connection per actor), call ``infer`` per row/batch, with the
+reference's bounded retry loop around transient failures
+(``openai_gpt.py:104-112`` ``dynamic_retry_decorator``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sqlite3
+import threading
+import time
+
+import pyarrow as pa
+
+__all__ = ["LLMCache", "CachedLLM", "LLMInfer"]
+
+
+def cache_key(messages, model=None, seed=None, temperature=None) -> str:
+    """Reference key recipe (openai_gpt.py:40-48), bit-for-bit."""
+    key_data = {
+        "messages": messages,
+        "model": model,
+        "seed": seed,
+        "temperature": temperature,
+    }
+    key_str = json.dumps(key_data, sort_keys=True, default=str)
+    return hashlib.sha256(key_str.encode("utf-8")).hexdigest()
+
+
+class LLMCache:
+    """One sqlite file, one table:
+    ``cache(key TEXT PRIMARY KEY, message TEXT, metadata TEXT)``
+    (schema parity with openai_gpt.py:61-67)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        # check_same_thread=False + a process-local lock: Ray Data map
+        # actors construct state in __init__ but invoke __call__ from a
+        # worker thread, and sqlite connections are thread-bound
+        self._lock = threading.Lock()
+        self._conn = sqlite3.connect(path, timeout=30.0, check_same_thread=False)
+        with self._lock:
+            self._conn.execute("PRAGMA journal_mode=WAL")
+            self._conn.execute("PRAGMA busy_timeout=30000")
+            self._conn.execute(
+                "CREATE TABLE IF NOT EXISTS cache ("
+                "key TEXT PRIMARY KEY, message TEXT, metadata TEXT)"
+            )
+            self._conn.commit()
+
+    def lookup(self, messages, model=None, seed=None, temperature=None):
+        """``(message, metadata)`` or None."""
+        key = cache_key(messages, model, seed, temperature)
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT message, metadata FROM cache WHERE key = ?", (key,)
+            ).fetchone()
+        if row is None:
+            return None
+        return row[0], json.loads(row[1])
+
+    def insert(self, messages, message, metadata, model=None, seed=None,
+               temperature=None) -> None:
+        key = cache_key(messages, model, seed, temperature)
+        with self._lock:
+            self._conn.execute(
+                "INSERT OR REPLACE INTO cache (key, message, metadata) VALUES (?, ?, ?)",
+                (key, message, json.dumps(metadata)),
+            )
+            self._conn.commit()
+
+    def __len__(self) -> int:
+        with self._lock:
+            return self._conn.execute("SELECT count(*) FROM cache").fetchone()[0]
+
+    def close(self) -> None:
+        self._conn.close()
+
+
+class CachedLLM:
+    """T2: cache-through inference with bounded retries.
+
+    ``infer(messages) -> (message, metadata, cache_hit)`` — the
+    reference's ``CacheOpenAI.infer`` surface.
+    """
+
+    def __init__(self, llm_fn, cache_path: str, model: str | None = None,
+                 seed=None, temperature=None, max_retries: int = 5,
+                 retry_wait: float = 1.0):
+        self.llm_fn = llm_fn
+        self.cache = LLMCache(cache_path)
+        self.model = model
+        self.seed = seed
+        self.temperature = temperature
+        self.max_retries = max(1, int(max_retries))
+        self.retry_wait = retry_wait
+        self.n_llm_calls = 0  # observability: how often the cache missed
+
+    def infer(self, messages) -> tuple[str, dict, bool]:
+        hit = self.cache.lookup(messages, self.model, self.seed, self.temperature)
+        if hit is not None:
+            return hit[0], hit[1], True
+        for attempt in range(self.max_retries):
+            try:
+                self.n_llm_calls += 1
+                message, metadata = self.llm_fn(
+                    messages,
+                    model=self.model,
+                    seed=self.seed,
+                    temperature=self.temperature,
+                )
+                break
+            except Exception:  # fixed-wait bounded retry (openai_gpt.py:104-112)
+                if attempt + 1 >= self.max_retries:
+                    raise
+                time.sleep(self.retry_wait)
+        self.cache.insert(
+            messages, message, metadata, self.model, self.seed, self.temperature
+        )
+        return message, metadata, False
+
+
+class LLMInfer:
+    """Actor-pool ``map_batches`` stage: prompt column -> response
+    column through the cache.
+
+    ``llm_fn_factory`` is called once per actor in ``__init__`` (the
+    stateful-stage contract: clients/models load per actor, not per
+    batch); each ``__call__`` loops the batch's prompts through
+    ``CachedLLM.infer`` — inference is per-message by nature, but every
+    repeated prompt after the first is a sqlite point lookup.
+    """
+
+    def __init__(self, llm_fn_factory, cache_path: str, prompt_col: str = "prompt",
+                 out_col: str = "response", **gen_params):
+        self.inner = CachedLLM(llm_fn_factory(), cache_path, **gen_params)
+        self.prompt_col = prompt_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        hits = []
+        for prompt in batch[self.prompt_col].to_pylist():
+            if prompt is None:
+                out.append(None)
+                hits.append(None)
+                continue
+            message, _meta, cache_hit = self.inner.infer(
+                [{"role": "user", "content": prompt}]
+            )
+            out.append(message)
+            hits.append(cache_hit)
+        batch = batch.append_column(self.out_col, pa.array(out, pa.string()))
+        return batch.append_column("cache_hit", pa.array(hits, pa.bool_()))

@@ -1,0 +1,387 @@
+"""LLM-plumbing operators (SURVEY.md §2 M8/M9/M10/M13/M15, S7, T2/T4,
+T5): response parsing, JSON repair, prompt rendering, the sqlite
+response cache, and the DSPy fact-filter reranker — all deterministic
+data transforms here (the LLM itself is a plug; tests use
+deterministic fakes)."""
+
+from __future__ import annotations
+
+import json
+from string import Template
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from hipporag_ray.functions.llm_parse import (
+    extract_ner_from_response,
+    extract_triples_from_response,
+    fix_broken_generated_json,
+    parse_dspy_filter_response,
+    repair_json_column,
+    unique_preserve_order,
+)
+from hipporag_ray.functions.prompts import (
+    PromptTemplateManager,
+    RenderPrompts,
+    render_template_column,
+)
+from hipporag_ray.state.llm_cache import CachedLLM, LLMCache, LLMInfer, cache_key
+from hipporag_ray.stages.rerank import DSPyFilter, dspy_rerank_fn
+
+
+# ---------------------------------------------------------------- M10
+def test_fix_json_valid_passthrough():
+    s = '{"a": [1, 2], "b": {"c": "x,y"}}'
+    assert fix_broken_generated_json(s) == s
+
+
+def test_fix_json_truncated_array():
+    s = '{"named_entities": ["radio", "televisi'
+    fixed = fix_broken_generated_json(s)
+    assert json.loads(fixed) == {"named_entities": ["radio"]}
+
+
+def test_fix_json_truncated_nested():
+    s = '{"triples": [["a", "b", "c"], ["d", "e"'
+    fixed = fix_broken_generated_json(s)
+    # trailing content after the last comma is dropped, then the
+    # unclosed [ [ { close in reverse opening order
+    assert json.loads(fixed) == {"triples": [["a", "b", "c"], ["d"]]}
+
+
+def test_fix_json_ignores_brackets_inside_strings():
+    s = '{"a": ["x[y{z", "open'
+    fixed = fix_broken_generated_json(s)
+    assert json.loads(fixed) == {"a": ["x[y{z"]}
+
+
+def test_fix_json_escaped_quote_inside_string():
+    s = '{"a": ["he said \\"hi, there", "tail'
+    fixed = fix_broken_generated_json(s)
+    assert json.loads(fixed) == {"a": ['he said "hi, there']}
+
+
+def test_fix_json_unterminated_string_stays_broken():
+    # no comma to trim back to -> the dangling string literal survives
+    # and the result is (deliberately) still unparseable, matching the
+    # reference's exception path
+    s = '{"named_entities": ["abc'
+    fixed = fix_broken_generated_json(s)
+    with pytest.raises(json.JSONDecodeError):
+        json.loads(fixed)
+
+
+def test_repair_json_column_nulls_and_mixed():
+    col = pa.array(['{"a": 1}', '{"a": [1, 2', None])
+    out = repair_json_column(col)
+    assert out[0].as_py() == '{"a": 1}'
+    assert json.loads(out[1].as_py()) == {"a": [1]}
+    assert out[2].as_py() is None
+
+
+# ------------------------------------------------------------- M8/M9
+def test_extract_ner_with_prose_and_truncation():
+    resp = 'Sure! Here you go:\n{"named_entities": ["Radio City", "India"]}\nDone.'
+    assert extract_ner_from_response(resp) == ["Radio City", "India"]
+    assert extract_ner_from_response("no json here") == []
+    assert extract_ner_from_response(None) == []
+
+
+def test_extract_triples():
+    resp = 'prefix {"triples": [["radio city", "is", "station"]]} suffix'
+    assert extract_triples_from_response(resp) == [["radio city", "is", "station"]]
+    # wrong field name does not match
+    assert extract_triples_from_response('{"named_entities": ["x"]}') == []
+
+
+def test_unique_preserve_order():
+    assert unique_preserve_order(["b", "a", "b", "c", "a"]) == ["b", "a", "c"]
+
+
+# ---------------------------------------------------------------- M15
+DSPY_OK = (
+    "[[ ## fact_after_filter ## ]]\n"
+    '{"fact": [["a", "b", "c"], ["d", "e", "f"]]}\n\n'
+    "[[ ## completed ## ]]"
+)
+
+
+def test_parse_dspy_sections_json():
+    assert parse_dspy_filter_response(DSPY_OK) == [
+        ["a", "b", "c"],
+        ["d", "e", "f"],
+    ]
+
+
+def test_parse_dspy_sections_python_literal_fallback():
+    resp = "[[ ## fact_after_filter ## ]]\n{'fact': [['a', 'b', 'c']]}\n"
+    assert parse_dspy_filter_response(resp) == [["a", "b", "c"]]
+
+
+def test_parse_dspy_sections_invalid_and_precedence():
+    assert parse_dspy_filter_response("free text, no sections") == []
+    assert parse_dspy_filter_response("[[ ## fact_after_filter ## ]]\nnot json") == []
+    # a later broken section keeps the earlier parsed value
+    # (reference rerank.py:78-84 logs and moves on)
+    both = DSPY_OK + "\n[[ ## fact_after_filter ## ]]\n{broken"
+    assert parse_dspy_filter_response(both) == [["a", "b", "c"], ["d", "e", "f"]]
+
+
+def test_parse_dspy_scalar_coercion_and_shape_rejection():
+    resp = '[[ ## fact_after_filter ## ]]\n{"fact": [[1, "b", "c"]]}'
+    assert parse_dspy_filter_response(resp) == [["1", "b", "c"]]
+    assert parse_dspy_filter_response(
+        '[[ ## fact_after_filter ## ]]\n{"fact": "nope"}'
+    ) == []
+    assert parse_dspy_filter_response(
+        '[[ ## fact_after_filter ## ]]\n{"fact": [[["nested"], "b", "c"]]}'
+    ) == []
+
+
+# ---------------------------------------------------------------- M13
+def test_prompt_manager_render_chat_and_string():
+    mgr = PromptTemplateManager(role_mapping={"system": "sys"})
+    msgs = mgr.render("ner", passage="hello world")
+    assert msgs[0]["role"] == "sys"  # role_mapping applied
+    assert msgs[1] == {"role": "user", "content": "hello world"}
+    out = mgr.render("qa", question="q?", context="ctx")
+    assert out == "Question: q?\nContext:\nctx\nAnswer:"
+
+
+def test_prompt_manager_missing_var_and_bad_template():
+    mgr = PromptTemplateManager()
+    with pytest.raises(ValueError, match="Missing variable"):
+        mgr.render("qa", question="q?")  # no context
+    with pytest.raises(TypeError):
+        mgr.register("bad", 42)
+
+
+@pytest.mark.parametrize(
+    "template",
+    [
+        "plain, no placeholders",
+        "Doc $doc_id: ${passage} end",
+        "$$literal dollar then $passage",
+        "${passage}${passage}",
+    ],
+)
+def test_render_template_column_matches_substitute(template):
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "passage": pa.array(["a b", "", "x$y"], pa.string()),
+        }
+    )
+    got = render_template_column(template, batch).to_pylist()
+    want = [
+        Template(template).substitute(doc_id=str(i), passage=p)
+        for i, p in zip([1, 2, 3], ["a b", "", "x$y"])
+    ]
+    assert got == want
+
+
+def test_render_template_column_missing_column():
+    with pytest.raises(ValueError, match="nope"):
+        render_template_column("${nope}", pa.table({"a": pa.array(["x"])}))
+
+
+# ------------------------------------------------------------ S7 / T4
+def test_llm_cache_roundtrip_and_key_sensitivity(tmp_path):
+    cache = LLMCache(str(tmp_path / "c.sqlite"))
+    msgs = [{"role": "user", "content": "hi"}]
+    assert cache.lookup(msgs, model="m") is None
+    cache.insert(msgs, "resp", {"finish_reason": "stop"}, model="m")
+    assert cache.lookup(msgs, model="m") == ("resp", {"finish_reason": "stop"})
+    # key includes model/seed/temperature (openai_gpt.py:40-48)
+    assert cache.lookup(msgs, model="other") is None
+    assert cache.lookup(msgs, model="m", temperature=0.5) is None
+    assert cache_key(msgs, "m", 1, 0.0) != cache_key(msgs, "m", 2, 0.0)
+    # INSERT OR REPLACE overwrites
+    cache.insert(msgs, "resp2", {}, model="m")
+    assert cache.lookup(msgs, model="m")[0] == "resp2"
+    assert len(cache) == 1
+    cache.close()
+
+
+def test_cached_llm_hit_miss_and_retry(tmp_path):
+    calls = {"n": 0, "fail_first": 2}
+
+    def llm_fn(messages, **gen):
+        calls["n"] += 1
+        if calls["fail_first"] > 0:
+            calls["fail_first"] -= 1
+            raise RuntimeError("transient")
+        return "echo:" + messages[-1]["content"], {"finish_reason": "stop"}
+
+    llm = CachedLLM(llm_fn, str(tmp_path / "c.sqlite"), model="m", retry_wait=0.0)
+    msg = [{"role": "user", "content": "x"}]
+    out, meta, hit = llm.infer(msg)
+    assert (out, hit) == ("echo:x", False) and calls["n"] == 3  # 2 retries
+    out2, _, hit2 = llm.infer(msg)
+    assert (out2, hit2) == ("echo:x", True) and calls["n"] == 3  # served from sqlite
+
+    # a second handle over the same file shares the cache (T4: the
+    # reference's multiprocess-shared sqlite file)
+    llm2 = CachedLLM(llm_fn, str(tmp_path / "c.sqlite"), model="m")
+    assert llm2.infer(msg)[2] is True
+
+    def always_fail(messages, **gen):
+        raise RuntimeError("down")
+
+    llm3 = CachedLLM(
+        always_fail, str(tmp_path / "c2.sqlite"), max_retries=3, retry_wait=0.0
+    )
+    with pytest.raises(RuntimeError, match="down"):
+        llm3.infer(msg)
+
+
+# ------------------------------------------------------------------ T2
+def test_llm_infer_stage_actor_pool(ray_session, tmp_path):
+    """The T2 pool shape end-to-end: prompts -> responses through the
+    shared sqlite cache as an actor-pool map_batches stage; a second
+    pass over the same prompts is all cache hits."""
+    import ray.data as rd
+
+    cache_path = str(tmp_path / "cache.sqlite")
+
+    def fake_llm(messages, **gen):
+        return "R:" + messages[-1]["content"], {"finish_reason": "stop"}
+
+    ds = rd.from_arrow(
+        pa.table({"prompt": pa.array([f"p{i % 4}" for i in range(16)])})
+    )
+    out = ds.map_batches(
+        LLMInfer,
+        fn_constructor_kwargs=dict(
+            llm_fn_factory=lambda: fake_llm, cache_path=cache_path
+        ),
+        concurrency=1,
+        batch_size=8,
+        batch_format="pyarrow",
+    ).to_pandas()
+    assert sorted(out["response"].unique()) == ["R:p0", "R:p1", "R:p2", "R:p3"]
+    # 4 distinct prompts -> exactly 4 cached rows
+    assert len(LLMCache(cache_path)) == 4
+    out2 = ds.map_batches(
+        LLMInfer,
+        fn_constructor_kwargs=dict(
+            llm_fn_factory=lambda: fake_llm, cache_path=cache_path
+        ),
+        concurrency=1,
+        batch_size=8,
+        batch_format="pyarrow",
+    ).to_pandas()
+    assert out2["cache_hit"].all()
+
+
+# ------------------------------------------------------------------ T5
+def _fake_filter_llm(keep: list[list[str]]):
+    """Deterministic 'LLM' that always answers with ``keep``."""
+
+    def llm_fn(messages):
+        assert messages[0]["role"] == "system"  # few-shot template shape
+        assert "[[ ## question ## ]]" in messages[-1]["content"]
+        return (
+            "[[ ## fact_after_filter ## ]]\n"
+            + json.dumps({"fact": keep})
+            + "\n\n[[ ## completed ## ]]"
+        )
+
+    return llm_fn
+
+
+def test_dspy_filter_rerank_orders_and_truncates():
+    cands = [("a", "r", "b"), ("c", "r", "d"), ("e", "r", "f")]
+    filt = DSPyFilter(_fake_filter_llm([["e", "r", "f"], ["a", "r", "b"]]))
+    idx, items, meta = filt.rerank("q?", cands, [10, 11, 12])
+    assert idx == [12, 10]  # generated order, mapped back to candidates
+    assert items == [("e", "r", "f"), ("a", "r", "b")]
+    assert meta == {"confidence": None}
+    idx1, items1, _ = filt.rerank("q?", cands, [10, 11, 12], len_after_rerank=1)
+    assert idx1 == [12] and items1 == [("e", "r", "f")]
+
+    # fuzzy matching: a near-miss generation still snaps to the closest
+    # candidate (difflib cutoff=0.0, reference rerank.py:123)
+    filt2 = DSPyFilter(_fake_filter_llm([["a", "r", "bb"]]))
+    assert filt2.rerank("q?", cands, [10, 11, 12])[0] == [10]
+
+    def boom(messages):
+        raise RuntimeError("llm down")
+
+    assert DSPyFilter(boom).rerank("q?", cands, [10, 11, 12])[0] == []
+
+
+def test_dspy_rerank_fn_dataframe_hook():
+    cand = pd.DataFrame(
+        {
+            "query_idx": [0, 0, 1],
+            "score": [0.9, 0.8, 0.7],
+            "subj_key": ["a", "c", "x"],
+            "obj_key": ["b", "d", "y"],
+        },
+        index=[5, 6, 7],
+    )
+
+    def llm_fn(messages):
+        # keep only the (c, d) pair for query 0, drop query 1 entirely
+        q = messages[-1]["content"]
+        keep = [["c", "d"]] if "alpha" in q else []
+        return (
+            "[[ ## fact_after_filter ## ]]\n"
+            + json.dumps({"fact": keep})
+            + "\n[[ ## completed ## ]]"
+        )
+
+    hook = dspy_rerank_fn(llm_fn)
+    out = hook(cand, ["alpha?", "beta?"])
+    assert list(out.index) == [6]
+    assert out["query_idx"].tolist() == [0]
+    # every query dropped -> empty frame with the original columns
+    hook_none = dspy_rerank_fn(lambda m: "[[ ## fact_after_filter ## ]]\n{\"fact\": []}")
+    assert hook_none(cand, ["alpha?", "beta?"]).empty
+
+
+def test_engine_two_arg_rerank_hook_receives_queries(ray_session, tmp_path):
+    """The engine hook passes query texts to two-parameter hooks (the
+    DSPyFilter shape needs the question, rerank.py:108-117)."""
+    import ray.data as rd
+
+    tx = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array(["c0", "c0", "c1", "c1"], pa.string()),
+                "turn_idx": pa.array([0, 1, 0, 1], pa.int32()),
+                "role": pa.array(["user"] * 4, pa.string()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma",
+                        "alpha delta epsilon",
+                        "zeta beta gamma",
+                        "theta iota kappa",
+                    ],
+                    pa.string(),
+                ),
+                "tool": pa.array([""] * 4, pa.string()),
+                "ts": pa.array(
+                    np.arange(4, dtype="int64").astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+    from hipporag_ray.pipelines.retrieval import HippoRagEngine
+
+    seen = {}
+
+    def two_arg_hook(cand, queries):
+        seen["queries"] = list(queries)
+        return cand
+
+    eng = HippoRagEngine(working_dir=str(tmp_path / "wd"), rerank_fn=two_arg_hook)
+    eng.index(tx)
+    res = eng.retrieve(["alpha beta gamma"], top_k=2)
+    eng.close()
+    assert seen["queries"] == ["alpha beta gamma"]
+    assert res[0]["docs"]
