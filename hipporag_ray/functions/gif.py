@@ -1,0 +1,354 @@
+"""Minimal pure-numpy GIF87a/89a codec (stdlib ``struct`` only).
+
+Extends the multimodal codec family (functions/png.py, functions/wav.py)
+with the one widely-used animation container a training-data corpus
+actually contains alongside PNG: real LZW decompression
+(variable-width codes, clear/EOI, 12-bit dictionary), frame
+compositing with disposal methods 0/1 (leave) and 2 (restore to
+background), transparency, local palettes and sub-rectangle frames.
+Interlaced images are rejected with ``ValueError`` (out of scope, like
+16-bit PNG in the PNG codec).  Malformed payloads raise ``ValueError``
+— the DecodeImage/SampleFrames contract.
+
+The encoder writes grayscale frames against a 256-gray global palette
+and RGB frames against the 6x6x6 web cube (quantization error <= 25
+per channel), full-rectangle replace frames — enough to synthesize
+deterministic real corpora for the decode stages.
+
+Random access caveat (vs APNG): every APNG frame is an independent
+zlib stream, so frame sampling decompresses only the sampled frames;
+GIF frames are deltas over a shared canvas, so sampling frame ``k``
+costs a sequential decode of frames ``0..k``.  ``decode_gif`` with
+``frame_indices`` therefore decodes the prefix but materializes only
+the requested composites.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_gif", "decode_gif", "gif_info"]
+
+_MAX_CODE = 1 << 12  # GIF LZW dictionaries cap at 12-bit codes
+
+
+# ---------------------------------------------------------------- LZW
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    next_code = eoi + 1
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for ch in data:
+        wk = w + bytes([ch])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        # lockstep with the decoder, which learns each entry ONE code
+        # late (its table holds next_code-1 entries when it reads the
+        # code emitted here) — so widen strictly after 2^width
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= _MAX_CODE:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = wk[-1:]
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(codebytes: bytes, min_code_size: int, expected: int) -> np.ndarray:
+    """Variable-width LZW -> ``expected`` palette indices (uint8).
+    Inherently sequential (each code may extend the dictionary the next
+    code reads), like the PNG Paeth recurrence — per-payload cost is
+    O(bytes), parallelism comes from rows/blocks in the actor pool."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    n = len(codebytes)
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("truncated GIF LZW stream")
+            acc |= codebytes[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first GIF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < _MAX_CODE:  # deferred-clear streams stop adding
+                table.append(prev + entry[:1])
+        elif code == len(table) and code < _MAX_CODE:  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        out.extend(entry)
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("GIF LZW stream ended early")
+    return np.frombuffer(bytes(out[:expected]), np.uint8)
+
+
+# ------------------------------------------------------------- encode
+def _subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+_GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
+# 6x6x6 web cube padded to 256 entries
+_CUBE_LEVELS = np.array([0, 51, 102, 153, 204, 255], np.uint8)
+_WEB_PALETTE = bytes(
+    v
+    for r in _CUBE_LEVELS
+    for g in _CUBE_LEVELS
+    for b in _CUBE_LEVELS
+    for v in (int(r), int(g), int(b))
+) + bytes(3 * (256 - 216))
+
+
+def _quantize_web(frame: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 -> web-cube palette indices (vectorized)."""
+    q = ((frame.astype(np.uint16) + 25) // 51).astype(np.uint8)  # nearest level
+    return (q[..., 0] * 36 + q[..., 1] * 6 + q[..., 2]).astype(np.uint8)
+
+
+def encode_gif(frames: np.ndarray, fps: int = 24) -> bytes:
+    """(n, h, w) grayscale or (n, h, w, 3) RGB uint8 -> animated GIF89a
+    (single image -> still emits one frame; full-rect replace frames,
+    disposal 1, no transparency)."""
+    frames = np.asarray(frames, np.uint8)
+    if frames.ndim == 2:
+        frames = frames[None]
+    elif frames.ndim == 3 and frames.shape[-1] == 3:
+        frames = frames[None]
+    gray = frames.ndim == 3
+    if not gray and (frames.ndim != 4 or frames.shape[-1] != 3):
+        raise ValueError(f"unsupported frame shape {frames.shape}")
+    n, h, w = frames.shape[:3]
+    palette = _GRAY_PALETTE if gray else _WEB_PALETTE
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | 0x70 | 0x07)  # global palette, 8-bit color, 256 entries
+    out += b"\x00\x00"  # bg index, aspect
+    out += palette
+    if n > 1:
+        # NETSCAPE2.0 loop-forever extension
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    delay_cs = max(1, round(100 / max(fps, 1)))
+    for f in range(n):
+        out += b"\x21\xf9\x04"  # GCE: disposal=1 (leave), no transparency
+        out.append(0x04)
+        out += struct.pack("<H", delay_cs)
+        out += b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        idx = frames[f] if gray else _quantize_web(frames[f])
+        out.append(8)  # LZW min code size
+        out += _subblocks(_lzw_encode(idx.tobytes(), 8))
+    out += b"\x3b"
+    return bytes(out)
+
+
+# ------------------------------------------------------------- decode
+def _require(cond: bool, msg: str):
+    if not cond:
+        raise ValueError(msg)
+
+
+def _scan(payload: bytes):
+    """Yield parsed blocks: ('gce', disposal, t_index) /
+    ('img', x, y, w, h, palette, min_code, codebytes).  Shared by
+    decode_gif and gif_info (which passes want_data=False)."""
+    _require(len(payload) >= 13, "truncated GIF header")
+    _require(payload[:6] in (b"GIF87a", b"GIF89a"), "not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        size = 3 * (2 << (flags & 0x07))
+        _require(pos + size <= len(payload), "truncated global palette")
+        gpal = np.frombuffer(payload, np.uint8, size, pos).reshape(-1, 3)
+        pos += size
+    yield ("lsd", w, h, gpal, bg_index)
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            _require(p < len(payload), "truncated GIF sub-blocks")
+            ln = payload[p]
+            p += 1
+            if ln == 0:
+                return p
+            _require(p + ln <= len(payload), "truncated GIF sub-block")
+            p += ln
+
+    while True:
+        _require(pos < len(payload), "missing GIF trailer")
+        tag = payload[pos]
+        pos += 1
+        if tag == 0x3B:  # trailer
+            return
+        if tag == 0x21:  # extension
+            _require(pos < len(payload), "truncated extension")
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:
+                _require(pos + 6 <= len(payload), "truncated GCE")
+                blk_size = payload[pos]
+                _require(blk_size == 4, "bad GCE size")
+                gflags = payload[pos + 1]
+                t_index = payload[pos + 4] if (gflags & 1) else -1
+                disposal = (gflags >> 2) & 0x07
+                yield ("gce", disposal, t_index)
+                pos = skip_subblocks(pos + 5)
+            else:
+                pos = skip_subblocks(pos)
+        elif tag == 0x2C:  # image descriptor
+            _require(pos + 9 <= len(payload), "truncated image descriptor")
+            x, y, iw, ih = struct.unpack_from("<HHHH", payload, pos)
+            iflags = payload[pos + 8]
+            pos += 9
+            _require(not (iflags & 0x40), "interlaced GIF unsupported")
+            lpal = None
+            if iflags & 0x80:
+                size = 3 * (2 << (iflags & 0x07))
+                _require(pos + size <= len(payload), "truncated local palette")
+                lpal = np.frombuffer(payload, np.uint8, size, pos).reshape(-1, 3)
+                pos += size
+            _require(pos < len(payload), "truncated LZW header")
+            min_code = payload[pos]
+            _require(2 <= min_code <= 11, "bad LZW min code size")
+            pos += 1
+            start = pos
+            pos = skip_subblocks(pos)
+            # concatenate the data sub-blocks
+            parts = []
+            p = start
+            while True:
+                ln = payload[p]
+                p += 1
+                if ln == 0:
+                    break
+                parts.append(payload[p : p + ln])
+                p += ln
+            yield ("img", x, y, iw, ih, lpal, min_code, b"".join(parts))
+        else:
+            raise ValueError(f"unknown GIF block 0x{tag:02x}")
+
+
+def gif_info(payload: bytes) -> tuple[int, int, int]:
+    """(n_frames, width, height) by block scan — no LZW decode."""
+    n = w = h = 0
+    for blk in _scan(payload):
+        if blk[0] == "lsd":
+            _, w, h, _, _ = blk
+        elif blk[0] == "img":
+            n += 1
+    return n, w, h
+
+
+def decode_gif(payload: bytes, frame_indices=None) -> list[np.ndarray]:
+    """Composited RGB frames as (h, w, 3) uint8 arrays.
+
+    ``frame_indices`` (sorted, unique) returns only those composites;
+    the delta format still requires decoding frames ``0..max(idx)``
+    sequentially (see module docstring)."""
+    want = None if frame_indices is None else sorted(set(int(i) for i in frame_indices))
+    frames: list[np.ndarray] = []
+    canvas = None
+    gpal = None
+    bg = 0
+    W = H = 0
+    disposal, t_index = 0, -1
+    fi = 0
+    last_wanted = want[-1] if want else None
+    for blk in _scan(payload):
+        if blk[0] == "lsd":
+            _, W, H, gpal, bg = blk
+            canvas = np.zeros((H, W, 3), np.uint8)
+            if gpal is not None and bg < len(gpal):
+                canvas[:, :] = gpal[bg]
+        elif blk[0] == "gce":
+            _, disposal, t_index = blk
+        else:
+            _, x, y, iw, ih, lpal, min_code, data = blk
+            pal = lpal if lpal is not None else gpal
+            _require(pal is not None, "GIF image with no palette")
+            idx = _lzw_decode(data, min_code, iw * ih).reshape(ih, iw)
+            _require(x + iw <= W and y + ih <= H, "frame exceeds canvas")
+            region = canvas[y : y + ih, x : x + iw]
+            saved = region.copy() if disposal == 3 else None
+            rgb = pal[np.minimum(idx, len(pal) - 1)]
+            if t_index >= 0:
+                mask = idx != t_index
+                region[mask] = rgb[mask]
+            else:
+                region[:, :] = rgb
+            if want is None or fi in want:
+                frames.append(canvas.copy())
+            if disposal == 2:  # restore to background
+                region[:, :] = gpal[bg] if (gpal is not None and bg < len(gpal)) else 0
+            elif disposal == 3 and saved is not None:  # restore to previous
+                region[:, :] = saved
+            disposal, t_index = 0, -1
+            fi += 1
+            if last_wanted is not None and fi > last_wanted:
+                break
+    return frames

@@ -1922,10 +1922,11 @@ def q_media_decode(sf_dir: str):
 
 
 def q_media_decode_real(sf_dir: str):
-    """REAL image decode: a deterministic corpus of valid PNG payloads
-    decoded by the pure-numpy codec (functions/png.py) in an actor
-    pool — real pixels, real block-mean features, real 8x8 average
-    phash (decoded dims, not metadata)."""
+    """REAL image decode: a deterministic mixed corpus of valid PNG
+    and GIF payloads decoded by the pure-numpy codecs
+    (functions/png.py, functions/gif.py — dispatch on signature bytes)
+    in an actor pool — real pixels, real block-mean features, real 8x8
+    average phash (decoded dims, not metadata)."""
     from ..stages.multimodal import ResizeImage, decode_pipeline, make_real_media
 
     n = max(50, int(5_000 * sf_of(sf_dir)))
@@ -1973,10 +1974,11 @@ def q_media_frames(sf_dir: str):
 
 
 def q_media_frames_real(sf_dir: str):
-    """REAL video frame sampling: deterministic APNG clips decoded by
-    the numpy codec (functions/png.py) — uniform frame selection
-    decompresses only the sampled frames, emitting real per-frame
-    block features + phash."""
+    """REAL video frame sampling: deterministic mixed APNG + animated
+    GIF clips decoded by the numpy codecs — uniform frame selection;
+    APNG decompresses only the sampled frames, GIF pays the sequential
+    prefix decode its delta format requires (functions/gif.py) —
+    emitting real per-frame block features + phash."""
     from ..stages.multimodal import frame_sample_pipeline, make_real_video
 
     n = max(30, int(2_000 * sf_of(sf_dir)))

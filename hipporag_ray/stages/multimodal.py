@@ -68,12 +68,14 @@ def make_fake_media(n: int, seed: int = 3) -> pa.Table:
 
 
 def make_real_media(n: int, seed: int = 11) -> pa.Table:
-    """Deterministic synthetic corpus of REAL PNG payloads (gradient +
-    seeded noise images, greyscale/RGB alternating)."""
+    """Deterministic synthetic corpus of REAL image payloads (gradient
+    + seeded noise images, greyscale/RGB alternating; every third row a
+    GIF, the rest PNG — exercising both codec dispatch paths)."""
+    from ..functions.gif import encode_gif
     from ..functions.png import encode_png
 
     rng = np.random.default_rng(seed)
-    payloads, ws, hs = [], [], []
+    payloads, mimes, ws, hs = [], [], [], []
     for i in range(n):
         w = int(rng.integers(8, 48))
         h = int(rng.integers(8, 48))
@@ -87,13 +89,18 @@ def make_real_media(n: int, seed: int = 11) -> pa.Table:
             )  # RGB variant
         else:
             img = gray
-        payloads.append(encode_png(img))
+        if i % 3 == 2:
+            payloads.append(encode_gif(img))
+            mimes.append("image/gif")
+        else:
+            payloads.append(encode_png(img))
+            mimes.append("image/png")
         ws.append(w)
         hs.append(h)
     return pa.table(
         {
             "media_id": pa.array([f"r{i:06d}" for i in range(n)]),
-            "mime": pa.array(["image/png"] * n),
+            "mime": pa.array(mimes),
             "payload": pa.array(payloads, type=pa.binary()),
             "width": pa.array(np.array(ws, np.int32)),
             "height": pa.array(np.array(hs, np.int32)),
@@ -128,8 +135,17 @@ class DecodeImage:
                 self._pil = None
 
     def _decode_real(self, payload: bytes) -> np.ndarray:
+        from ..functions.gif import decode_gif
         from ..functions.png import decode_png
 
+        # container dispatch on signature bytes, not the mime column —
+        # web corpora routinely mislabel; PIL (when importable) handles
+        # both, the numpy codecs split by magic
+        if payload[:6] in (b"GIF87a", b"GIF89a") and self._pil is None:
+            frames = decode_gif(payload, [0])
+            if not frames:
+                raise ValueError("GIF payload with no frames")
+            return frames[0]
         if self._pil is not None:
             import io
 
@@ -330,14 +346,16 @@ def make_fake_video(n: int, seed: int = 5) -> pa.Table:
 
 
 def make_real_video(n: int, seed: int = 7) -> pa.Table:
-    """Deterministic corpus of REAL APNG clips: a bright square moving
-    across a gradient background, grayscale/RGB alternating, varying
-    size and frame count.  Frame content differs per frame index, so
+    """Deterministic corpus of REAL animation clips: a bright square
+    moving across a gradient background, grayscale/RGB alternating,
+    varying size and frame count; every third clip an animated GIF,
+    the rest APNG.  Frame content differs per frame index, so
     sampled-frame phashes actually discriminate."""
+    from ..functions.gif import encode_gif
     from ..functions.png import encode_apng
 
     rng = np.random.default_rng(seed)
-    payloads, nfs, ws, hs = [], [], [], []
+    payloads, mimes, nfs, ws, hs = [], [], [], [], []
     for i in range(n):
         w = int(rng.integers(12, 33))
         h = int(rng.integers(12, 33))
@@ -355,14 +373,19 @@ def make_real_video(n: int, seed: int = 7) -> pa.Table:
             frames = np.stack(
                 [frames, 255 - frames, np.flip(frames, axis=2)], axis=3
             )  # RGB variant
-        payloads.append(encode_apng(frames, fps=24))
+        if i % 3 == 2:
+            payloads.append(encode_gif(frames, fps=24))
+            mimes.append("video/gif")
+        else:
+            payloads.append(encode_apng(frames, fps=24))
+            mimes.append("video/apng")
         nfs.append(nf)
         ws.append(w)
         hs.append(h)
     return pa.table(
         {
             "media_id": pa.array([f"w{i:06d}" for i in range(n)]),
-            "mime": pa.array(["video/apng"] * n),
+            "mime": pa.array(mimes),
             "payload": pa.array(payloads, type=pa.binary()),
             "n_frames": pa.array(np.array(nfs, np.int32)),
             "fps": pa.array(np.full(n, 24, np.int32)),
@@ -401,6 +424,7 @@ class SampleFrames:
             self.grid = grid
 
     def _real(self, batch: pa.Table) -> pa.Table:
+        from ..functions.gif import decode_gif, gif_info
         from ..functions.png import (
             apng_info,
             average_hash64,
@@ -416,12 +440,18 @@ class SampleFrames:
         out_feat: list[np.ndarray] = []
         out_phash: list[int] = []
         for i, p in enumerate(payloads):
-            nf = apng_info(p)[0]  # header scan only
+            # container dispatch by signature: APNG frames decompress
+            # independently (only sampled frames paid for); GIF frames
+            # are canvas deltas, so sampling pays a sequential decode
+            # up to the last sampled index (functions/gif.py docstring)
+            is_gif = p[:6] in (b"GIF87a", b"GIF89a")
+            nf = gif_info(p)[0] if is_gif else apng_info(p)[0]  # header scan only
             k = int(min(self.max_frames, nf))
             if k == 0:
                 continue
             idxs = np.unique((np.arange(k) * nf) // k)
-            for fi, frame in zip(idxs, decode_apng(p, idxs)):
+            frames = decode_gif(p, idxs) if is_gif else decode_apng(p, idxs)
+            for fi, frame in zip(idxs, frames):
                 gray = to_grayscale(frame)
                 out_mid.append(mids[i])
                 out_idx.append(int(fi))

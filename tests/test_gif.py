@@ -1,0 +1,155 @@
+"""Pure-numpy GIF codec (functions/gif.py) + its multimodal stage
+wiring: real LZW roundtrips, animation compositing, frame sampling
+parity, and the mixed PNG/GIF decode pipelines."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hipporag_ray.functions.gif import decode_gif, encode_gif, gif_info
+
+
+@pytest.mark.parametrize("shape", [(1, 5, 7), (4, 16, 13), (2, 1, 1), (3, 40, 40)])
+def test_gif_gray_roundtrip_exact(shape):
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, shape, dtype=np.uint8)
+    payload = encode_gif(frames, fps=12)
+    assert gif_info(payload) == (shape[0], shape[2], shape[1])
+    decoded = decode_gif(payload)
+    assert len(decoded) == shape[0]
+    for src, got in zip(frames, decoded):
+        assert got.shape == (shape[1], shape[2], 3)
+        # 256-gray palette: exact on every channel
+        np.testing.assert_array_equal(got[:, :, 0], src)
+        np.testing.assert_array_equal(got[:, :, 1], src)
+        np.testing.assert_array_equal(got[:, :, 2], src)
+
+
+def test_gif_rgb_roundtrip_web_cube():
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, (3, 20, 11, 3), dtype=np.uint8)
+    decoded = decode_gif(encode_gif(frames))
+    for src, got in zip(frames, decoded):
+        # 6x6x6 web-cube quantization: nearest level is <= 25 away
+        assert np.abs(src.astype(int) - got.astype(int)).max() <= 25
+
+
+def test_gif_lzw_dictionary_reset_and_width_growth():
+    rng = np.random.default_rng(2)
+    # 90k random pixels force multiple 12-bit dictionary resets
+    frames = rng.integers(0, 256, (1, 300, 300), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_gif(encode_gif(frames))[0][:, :, 0], frames[0]
+    )
+    # low-entropy image: long matches walk every code width up
+    ramp = (np.arange(200 * 200, dtype=np.uint8) // 200).reshape(1, 200, 200)
+    np.testing.assert_array_equal(decode_gif(encode_gif(ramp))[0][:, :, 0], ramp[0])
+
+
+def test_gif_frame_sampling_matches_full_decode():
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (10, 9, 9), dtype=np.uint8)
+    payload = encode_gif(frames)
+    full = decode_gif(payload)
+    sampled = decode_gif(payload, [0, 3, 9])
+    for got, j in zip(sampled, [0, 3, 9]):
+        np.testing.assert_array_equal(got, full[j])
+
+
+def test_gif_transparency_and_disposal_composite():
+    """Hand-built two-frame GIF: frame 2 is a 1x1 sub-rect with a
+    transparent-index GCE — the composite must keep frame 1's pixel
+    under the transparent one and disposal=2 must restore background
+    after the frame is emitted."""
+    from hipporag_ray.functions.gif import _lzw_encode, _subblocks
+    import struct
+
+    pal = bytes(v for i in (0, 85, 170, 255) for v in (i, i, i)) + bytes(3 * 252)
+    out = bytearray(b"GIF89a") + struct.pack("<HH", 2, 1)
+    out.append(0x80 | 0x07)
+    out += b"\x00\x00" + pal
+    # frame 1: full 2x1, indices [1, 2]
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 1) + b"\x00"
+    out.append(8)
+    out += _subblocks(_lzw_encode(bytes([1, 2]), 8))
+    # frame 2: GCE transparent index 3, disposal 2; sub-rect at x=1 all-transparent
+    out += b"\x21\xf9\x04" + bytes([(2 << 2) | 1]) + b"\x00\x00" + bytes([3]) + b"\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 1, 0, 1, 1) + b"\x00"
+    out.append(8)
+    out += _subblocks(_lzw_encode(bytes([3]), 8))
+    out += b"\x3b"
+
+    f = decode_gif(bytes(out))
+    assert len(f) == 2
+    np.testing.assert_array_equal(f[0][0, :, 0], [85, 170])
+    # transparent pixel leaves frame 1's value visible
+    np.testing.assert_array_equal(f[1][0, :, 0], [85, 170])
+
+
+def test_gif_malformed_raises_valueerror():
+    rng = np.random.default_rng(4)
+    ok = encode_gif(rng.integers(0, 256, (1, 8, 8), dtype=np.uint8))
+    for bad in [b"", b"GIF89a", ok[:-10], b"NOTAGIF" * 4, ok[:20]]:
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+    with pytest.raises(ValueError):
+        gif_info(b"GIF89a\x01")
+    # interlaced flag rejected, not silently misdecoded
+    # (layout: 13-byte header+LSD, 768-byte palette, 8-byte GCE, then
+    # the image descriptor — can't search for 0x2C, the palette has it)
+    interlaced = bytearray(ok)
+    img_off = 13 + 768 + 8
+    assert interlaced[img_off] == 0x2C
+    interlaced[img_off + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(interlaced))
+
+
+def test_decode_image_stage_dispatches_gif(ray_session):
+    """media_decode_real's corpus now mixes PNG and GIF; the actor-pool
+    stage dispatches on signature bytes and produces decoded (not
+    metadata) dims for both containers."""
+    import ray.data as rd
+
+    from hipporag_ray.stages.multimodal import decode_pipeline, make_real_media
+
+    media = make_real_media(12)
+    assert set(media["mime"].to_pylist()) == {"image/png", "image/gif"}
+    out = (
+        decode_pipeline(rd.from_arrow(media), batch_size=4, fake=False)
+        .to_pandas()
+        .set_index("media_id")
+    )
+    src = media.to_pandas().set_index("media_id")
+    for mid, row in src.iterrows():
+        assert out.loc[mid, "width"] == row["width"]
+        assert out.loc[mid, "height"] == row["height"]
+
+
+def test_sample_frames_stage_dispatches_gif(ray_session):
+    """Mixed APNG + GIF clips through the real frame-sample pipeline:
+    every clip yields min(max_frames, n_frames) rows and the GIF rows'
+    phashes vary across frames (the moving square is really decoded)."""
+    import ray.data as rd
+
+    from hipporag_ray.stages.multimodal import frame_sample_pipeline, make_real_video
+
+    videos = make_real_video(9)
+    assert set(videos["mime"].to_pylist()) == {"video/apng", "video/gif"}
+    out = frame_sample_pipeline(
+        rd.from_arrow(videos), max_frames=4, batch_size=4, fake=False
+    ).to_pandas()
+    nf = videos.to_pandas().set_index("media_id")["n_frames"]
+    counts = out.groupby("media_id").size()
+    for mid, k in counts.items():
+        assert k == min(4, nf[mid])
+    gif_ids = [
+        m
+        for m, mime in zip(
+            videos["media_id"].to_pylist(), videos["mime"].to_pylist()
+        )
+        if mime == "video/gif"
+    ]
+    gif_rows = out[out["media_id"].isin(gif_ids)]
+    assert gif_rows.groupby("media_id")["phash"].nunique().min() >= 2
