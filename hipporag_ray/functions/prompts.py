@@ -52,6 +52,19 @@ DEFAULT_TEMPLATES: dict[str, object] = {
         },
     ],
     "qa": Template("Question: ${question}\nContext:\n${context}\nAnswer:"),
+    # rag_qa_* stand-in (reference prompts/rag_qa_* few-shot templates,
+    # HippoRAG.py:698-707: the rendered user turn carries the passage
+    # block + question and the model is asked for Thought then Answer)
+    "rag_qa": [
+        {
+            "role": "system",
+            "content": (
+                "Answer the question using the passages. Reply with your "
+                "reasoning, then a final line 'Answer: <short answer>'."
+            ),
+        },
+        {"role": "user", "content": "${prompt_user}"},
+    ],
 }
 
 

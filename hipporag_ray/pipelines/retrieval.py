@@ -378,6 +378,7 @@ class HippoRagEngine:
         num_gpus: float = 0.0,
         embed_batch_size: int | None = None,
         rerank_fn=None,
+        qa_llm_fn=None,
     ):
         """``rerank_fn``: optional fact-rerank hook — the DSPyFilter
         plug-point (HippoRAG.py:1522-1570, rerank.py:108-131).  Called
@@ -418,6 +419,9 @@ class HippoRagEngine:
             **dict(embedder_kwargs or {"dim": dim})
         )
         self.rerank_fn = rerank_fn
+        # reader-model plug for qa()/rag_qa() (like rerank_fn, a
+        # callable is not config-serializable so it is constructor-only)
+        self.qa_llm_fn = qa_llm_fn
         self._sg: ShardedGraph | None = None
 
     @classmethod
@@ -1238,6 +1242,140 @@ class HippoRagEngine:
             }
             for qi in range(B)
         ]
+
+    # ------------------------------------------------------------------
+    # QA reading (the reference's rag_qa flagship surface)
+    # ------------------------------------------------------------------
+    def qa(
+        self,
+        query_solutions: list[dict],
+        llm_fn=None,
+        qa_top_k: int = 5,
+    ) -> tuple[list[dict], list[str], list[dict]]:
+        """QA reading over retrieval solutions (HippoRAG.py:670-728).
+
+        Per solution: the top ``qa_top_k`` passages render into the
+        reference's reader prompt shape (``Wikipedia Title: <doc>``
+        lines + ``Question: ... Thought:``, rendered through the
+        ``rag_qa`` chat template), ``llm_fn(messages) -> str`` or
+        ``-> (message, metadata[, hit])`` answers it (wrap a
+        ``state.llm_cache.CachedLLM.infer`` for S7 caching), and the
+        answer is the text after ``Answer:`` (functions/facts.py::
+        extract_answer, whole-response fallback).  Inference is
+        per-query by nature, like the reference's reader loop; for a
+        corpus-scale offline QA sweep route the rendered prompts
+        through ``state/llm_cache.py::LLMInfer`` as an actor-pool
+        ``map_batches`` stage instead.
+
+        Returns ``(solutions_with_answers, response_messages,
+        metadata_dicts)`` — the reference's triple.
+        """
+        from ..functions.facts import extract_answer
+        from ..functions.prompts import PromptTemplateManager
+
+        if llm_fn is None:
+            llm_fn = getattr(self, "qa_llm_fn", None)
+        if llm_fn is None:
+            raise ValueError(
+                "qa() needs an llm_fn(messages) -> str (the reader model "
+                "is a plug, like the embedder and the rerank filter)"
+            )
+        mgr = PromptTemplateManager()
+        all_messages = []
+        for sol in query_solutions:
+            prompt_user = ""
+            for passage in sol["docs"][:qa_top_k]:
+                prompt_user += f"Wikipedia Title: {passage}\n\n"
+            prompt_user += "Question: " + sol["question"] + "\nThought: "
+            all_messages.append(mgr.render("rag_qa", prompt_user=prompt_user))
+        responses: list[str] = []
+        metadata: list[dict] = []
+        for messages in all_messages:
+            out = llm_fn(messages)
+            if isinstance(out, tuple):  # CachedLLM.infer shape
+                responses.append(out[0])
+                metadata.append(dict(out[1]) if len(out) > 1 and out[1] else {})
+            else:
+                responses.append(out)
+                metadata.append({})
+        solutions = []
+        for sol, resp in zip(query_solutions, responses):
+            solutions.append({**sol, "answer": extract_answer(resp)})
+        return solutions, responses, metadata
+
+    def rag_qa(
+        self,
+        queries: list,
+        gold_docs: list[list[str]] | None = None,
+        gold_answers: list[list[str]] | None = None,
+        llm_fn=None,
+        top_k: int = 10,
+        qa_top_k: int = 5,
+        recall_ks=(1, 2, 5),
+    ):
+        """Retrieval-augmented QA end-to-end (HippoRAG.py:451-523).
+
+        ``queries`` may be strings (retrieval runs) or retrieve()
+        solution dicts (retrieval skipped — the reference's
+        QuerySolution passthrough).  With ``gold_docs`` the retrieval
+        phase is scored (Recall@k over doc content, stages/evalops.py::
+        recall_at_k); with ``gold_answers`` the answers are scored
+        (normalized EM / max-F1, qa_scores) and rounded to 4 decimals
+        like the reference.
+
+        Returns ``(solutions, responses, metadata)`` and, when
+        ``gold_answers`` is given, additionally
+        ``(overall_retrieval_result, overall_qa_results)``.
+        """
+        from ..stages.evalops import qa_scores, recall_at_k
+
+        overall_retrieval_result = None
+        if queries and not isinstance(queries[0], dict):
+            queries = self.retrieve(list(queries), top_k=top_k)
+        if gold_docs is not None:
+            eval_ds = rd.from_arrow(
+                pa.table(
+                    {
+                        "pred": pa.array(
+                            [s["docs"] for s in queries], pa.list_(pa.string())
+                        ),
+                        "gold": pa.array(
+                            [list(g) for g in gold_docs], pa.list_(pa.string())
+                        ),
+                    }
+                )
+            )
+            overall_retrieval_result = {
+                k: round(float(v), 4)
+                for k, v in recall_at_k(eval_ds, ks=recall_ks).items()
+            }
+
+        solutions, responses, metadata = self.qa(
+            queries, llm_fn=llm_fn, qa_top_k=qa_top_k
+        )
+
+        if gold_answers is None:
+            return solutions, responses, metadata
+        qa_ds = rd.from_arrow(
+            pa.table(
+                {
+                    "answer": pa.array(
+                        [s["answer"] for s in solutions], pa.string()
+                    ),
+                    "gold_answers": pa.array(
+                        [list(g) for g in gold_answers], pa.list_(pa.string())
+                    ),
+                }
+            )
+        )
+        overall_qa_results = {
+            k: round(float(v), 4) for k, v in qa_scores(qa_ds).items()
+        }
+        for idx, s in enumerate(solutions):
+            s["gold_answers"] = list(gold_answers[idx])
+            if gold_docs is not None:
+                s["gold_docs"] = list(gold_docs[idx])
+        return solutions, responses, metadata, overall_retrieval_result, overall_qa_results
 
     def close(self):
         if self._sg is not None:

@@ -385,3 +385,83 @@ def test_engine_two_arg_rerank_hook_receives_queries(ray_session, tmp_path):
     eng.close()
     assert seen["queries"] == ["alpha beta gamma"]
     assert res[0]["docs"]
+
+
+# ----------------------------------------------------------- rag_qa
+def test_rag_qa_end_to_end(ray_session, tmp_path):
+    """The reference's flagship rag_qa flow (HippoRAG.py:451-523,
+    670-728) with a deterministic reader: retrieve -> prompt render ->
+    answer extraction -> Recall@k + EM/F1 scoring."""
+    import ray.data as rd
+
+    from hipporag_ray.pipelines.retrieval import HippoRagEngine
+    from hipporag_ray.state.llm_cache import CachedLLM
+
+    rows = [
+        ("c0", 0, "alpha beta gamma"),
+        ("c0", 1, "alpha delta epsilon"),
+        ("c1", 0, "zeta beta gamma"),
+        ("c1", 1, "theta iota kappa"),
+    ]
+    tx = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array(["user"] * 4, pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+                "tool": pa.array([""] * 4, pa.string()),
+                "ts": pa.array(
+                    np.arange(4, dtype="int64").astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+
+    def reader(messages, **gen):
+        # deterministic "reader": parrots the question back as the
+        # answer (pins the QA mechanics without depending on toy-scale
+        # retrieval quality)
+        user = messages[-1]["content"]
+        assert user.startswith("Wikipedia Title: ")  # reference prompt shape
+        assert "\nQuestion: " in user and user.endswith("\nThought: ")
+        q = user.split("\nQuestion: ")[1].split("\nThought:")[0]
+        return f"The passages mention it.\nAnswer: {q}", {"finish_reason": "stop"}
+
+    cached = CachedLLM(reader, str(tmp_path / "qa_cache.sqlite"), model="reader")
+    eng = HippoRagEngine(working_dir=str(tmp_path / "wd"), qa_llm_fn=cached.infer)
+    eng.index(tx)
+
+    queries = ["alpha beta gamma", "theta iota kappa"]
+    golds = [["alpha beta gamma"], ["theta iota kappa"]]
+    out = eng.rag_qa(queries, gold_docs=golds, gold_answers=golds, top_k=3)
+    solutions, responses, metadata, retrieval_result, qa_results = out
+    assert len(solutions) == 2 and len(responses) == 2 and len(metadata) == 2
+    # answers extracted after "Answer:" and scored: the reader parrots
+    # the question, which equals the gold answer here -> perfect EM/F1
+    assert solutions[0]["answer"] == queries[0]
+    assert set(qa_results) == {"em", "f1"}
+    assert qa_results["em"] == 1.0 and qa_results["f1"] == 1.0
+    # gold docs are in the corpus, so recall@top_k is perfect and
+    # recall@k is monotone in k
+    assert retrieval_result["recall_5"] == 1.0
+    assert retrieval_result["recall_1"] <= retrieval_result["recall_2"] <= 1.0
+    assert solutions[0]["gold_answers"] == golds[0]
+    assert metadata[0].get("finish_reason") == "stop"
+
+    # QuerySolution passthrough: dict inputs skip retrieval
+    sols2, _, _ = eng.rag_qa(solutions, llm_fn=lambda m: "Answer: fixed")
+    assert all(s["answer"] == "fixed" for s in sols2)
+
+    # cache: re-asking the same queries costs zero reader calls
+    n_calls = cached.n_llm_calls
+    eng.rag_qa(queries, llm_fn=cached.infer, top_k=3)
+    assert cached.n_llm_calls == n_calls
+
+    # no reader plug anywhere -> helpful error
+    eng2 = HippoRagEngine(working_dir=str(tmp_path / "wd"))
+    with pytest.raises(ValueError, match="llm_fn"):
+        eng2.qa(solutions)
+    eng2.close()
+    eng.close()
