@@ -168,18 +168,23 @@ def _quantize_web(frame: np.ndarray) -> np.ndarray:
     return (q[..., 0] * 36 + q[..., 1] * 6 + q[..., 2]).astype(np.uint8)
 
 
-def encode_gif(frames: np.ndarray, fps: int = 24) -> bytes:
+def encode_gif(frames: np.ndarray, fps: int = 24, gray: bool | None = None) -> bytes:
     """(n, h, w) grayscale or (n, h, w, 3) RGB uint8 -> animated GIF89a
-    (single image -> still emits one frame; full-rect replace frames,
-    disposal 1, no transparency)."""
+    (single (h, w) / (h, w, 3) image -> one frame; full-rect replace
+    frames, disposal 1, no transparency).
+
+    A 3-d array with last dim 3 is ambiguous — (h, w, 3) RGB still vs
+    (n, h, 3) width-3 grayscale animation; the default reads it as the
+    RGB still.  Pass ``gray=True``/``False`` to force the reading."""
     frames = np.asarray(frames, np.uint8)
     if frames.ndim == 2:
         frames = frames[None]
-    elif frames.ndim == 3 and frames.shape[-1] == 3:
+    elif frames.ndim == 3 and frames.shape[-1] == 3 and gray is not True:
         frames = frames[None]
-    gray = frames.ndim == 3
-    if not gray and (frames.ndim != 4 or frames.shape[-1] != 3):
-        raise ValueError(f"unsupported frame shape {frames.shape}")
+    if gray is None:
+        gray = frames.ndim == 3
+    if gray != (frames.ndim == 3) or (not gray and frames.shape[-1] != 3):
+        raise ValueError(f"unsupported frame shape {frames.shape} (gray={gray})")
     n, h, w = frames.shape[:3]
     palette = _GRAY_PALETTE if gray else _WEB_PALETTE
 
@@ -211,10 +216,11 @@ def _require(cond: bool, msg: str):
         raise ValueError(msg)
 
 
-def _scan(payload: bytes):
+def _scan(payload: bytes, want_data: bool = True):
     """Yield parsed blocks: ('gce', disposal, t_index) /
     ('img', x, y, w, h, palette, min_code, codebytes).  Shared by
-    decode_gif and gif_info (which passes want_data=False)."""
+    decode_gif and gif_info — the latter passes ``want_data=False`` so
+    the LZW sub-blocks are skipped in place, never concatenated."""
     _require(len(payload) >= 13, "truncated GIF header")
     _require(payload[:6] in (b"GIF87a", b"GIF89a"), "not a GIF payload")
     w, h = struct.unpack_from("<HH", payload, 6)
@@ -278,17 +284,20 @@ def _scan(payload: bytes):
             pos += 1
             start = pos
             pos = skip_subblocks(pos)
-            # concatenate the data sub-blocks
-            parts = []
-            p = start
-            while True:
-                ln = payload[p]
-                p += 1
-                if ln == 0:
-                    break
-                parts.append(payload[p : p + ln])
-                p += ln
-            yield ("img", x, y, iw, ih, lpal, min_code, b"".join(parts))
+            if want_data:
+                parts = []
+                p = start
+                while True:
+                    ln = payload[p]
+                    p += 1
+                    if ln == 0:
+                        break
+                    parts.append(payload[p : p + ln])
+                    p += ln
+                data = b"".join(parts)
+            else:
+                data = b""
+            yield ("img", x, y, iw, ih, lpal, min_code, data)
         else:
             raise ValueError(f"unknown GIF block 0x{tag:02x}")
 
@@ -296,7 +305,7 @@ def _scan(payload: bytes):
 def gif_info(payload: bytes) -> tuple[int, int, int]:
     """(n_frames, width, height) by block scan — no LZW decode."""
     n = w = h = 0
-    for blk in _scan(payload):
+    for blk in _scan(payload, want_data=False):
         if blk[0] == "lsd":
             _, w, h, _, _ = blk
         elif blk[0] == "img":
@@ -311,6 +320,8 @@ def decode_gif(payload: bytes, frame_indices=None) -> list[np.ndarray]:
     the delta format still requires decoding frames ``0..max(idx)``
     sequentially (see module docstring)."""
     want = None if frame_indices is None else sorted(set(int(i) for i in frame_indices))
+    if want is not None and not want:
+        return []  # an empty selection must not pay a full decode
     frames: list[np.ndarray] = []
     canvas = None
     gpal = None

@@ -165,7 +165,10 @@ def render_template_column(template: str, batch: pa.Table) -> pa.Array:
             if val not in batch.column_names:
                 raise ValueError(f"Missing variable for template: '{val}'")
             col = batch[val]
-            if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+            if not pa.types.is_string(col.type):
+                # large_string included: binary_join_element_wise has no
+                # mixed string/large_string kernel, so normalize to the
+                # literals' type
                 col = pc.cast(col, pa.string())
             args.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
     if not args:

@@ -2509,8 +2509,11 @@ ORACLE_SQL = {
     # repair (llm_utils.py:150-219 semantics); on this constructed
     # shape (flat object, one array, alnum tokens, cut before the
     # closing "]}") the repair's closed form is "trim at the last
-    # comma, append ]}" — no comma in the cut means an unterminated
-    # string, which the repair leaves unparseable (-> 0 entities).
+    # comma, append ]}".  With no comma in the cut there are two
+    # sub-cases: the cut landed exactly after the first token's
+    # closing quote (even quote count, trailing '"') -> the repair
+    # closes the array and ONE entity parses; anywhere else the string
+    # literal is left unterminated -> unparseable -> 0 entities.
     "doc_json_repair": """
         WITH norm AS (
           SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')) AS t
@@ -2535,6 +2538,9 @@ ORACLE_SQL = {
           SELECT doc_id,
                  CASE WHEN lc > 0
                       THEN string_split(replace(substr(t, 22, lc - 22), '"', ''), ', ')
+                      WHEN length(t) >= 23 AND substr(t, length(t), 1) = '"'
+                           AND (length(t) - length(replace(t, '"', ''))) % 2 = 0
+                      THEN [substr(t, 22, length(t) - 22)]
                       ELSE NULL END AS ents
           FROM rep
         )

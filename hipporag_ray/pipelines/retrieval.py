@@ -1115,12 +1115,24 @@ class HippoRagEngine:
             # also receives the query texts, like the reference filter
             # (rerank.py:108-117 takes the question per call).
             try:
-                n_params = len(inspect.signature(self.rerank_fn).parameters)
+                # count only positional-capable params: a 1-arg hook
+                # gaining **kwargs or keyword-only options must not be
+                # miscounted as the 2-arg shape
+                params = inspect.signature(self.rerank_fn).parameters.values()
+                n_pos = sum(
+                    1
+                    for p in params
+                    if p.kind
+                    in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                )
+                takes_queries = n_pos >= 2 or any(
+                    p.kind == p.VAR_POSITIONAL for p in params
+                )
             except (TypeError, ValueError):
-                n_params = 1
+                takes_queries = False
             cand = (
                 self.rerank_fn(cand, queries)
-                if n_params >= 2
+                if takes_queries
                 else self.rerank_fn(cand)
             )
             if cand is None or cand.empty:

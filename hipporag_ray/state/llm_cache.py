@@ -90,7 +90,9 @@ class LLMCache:
         with self._lock:
             self._conn.execute(
                 "INSERT OR REPLACE INTO cache (key, message, metadata) VALUES (?, ?, ?)",
-                (key, message, json.dumps(metadata)),
+                # default=str like cache_key: metadata with numpy scalars
+                # / client objects must not lose a successful response
+                (key, message, json.dumps(metadata, default=str)),
             )
             self._conn.commit()
 

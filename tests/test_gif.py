@@ -153,3 +153,35 @@ def test_sample_frames_stage_dispatches_gif(ray_session):
     ]
     gif_rows = out[out["media_id"].isin(gif_ids)]
     assert gif_rows.groupby("media_id")["phash"].nunique().min() >= 2
+
+
+def test_gif_encode_gray_flag_disambiguates_width3():
+    """(n, h, 3) is ambiguous: default reads it as one RGB still;
+    gray=True forces the width-3 grayscale animation reading."""
+    frames = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    assert gif_info(encode_gif(frames))[0] == 1  # documented default
+    g = encode_gif(frames, gray=True)
+    assert gif_info(g) == (5, 3, 4)
+    for src, got in zip(frames, decode_gif(g)):
+        np.testing.assert_array_equal(got[:, :, 0], src)
+    with pytest.raises(ValueError):
+        encode_gif(np.zeros((4, 4), np.uint8), gray=False)
+
+
+def test_gif_empty_selection_and_info_skip_decode():
+    frames = np.random.default_rng(5).integers(0, 256, (6, 8, 8), np.uint8)
+    payload = encode_gif(frames)
+    assert decode_gif(payload, []) == []
+    # gif_info never touches the LZW payload: corrupt the code bytes
+    # in place (keep sub-block framing) and the scan still counts
+    broken = bytearray(payload)
+    # header+LSD, palette, NETSCAPE loop ext (animated), first GCE
+    img_off = 13 + 768 + 19 + 8
+    assert broken[img_off] == 0x2C
+    data_off = img_off + 10 + 1  # descriptor + min-code
+    n_bytes = broken[data_off]
+    for i in range(n_bytes):
+        broken[data_off + 1 + i] ^= 0xFF
+    assert gif_info(bytes(broken)) == (6, 8, 8)
+    with pytest.raises(ValueError):
+        decode_gif(bytes(broken))

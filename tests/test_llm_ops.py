@@ -465,3 +465,119 @@ def test_rag_qa_end_to_end(ray_session, tmp_path):
         eng2.qa(solutions)
     eng2.close()
     eng.close()
+
+
+def test_json_repair_oracle_fuzz_parity():
+    """The doc_json_repair DuckDB oracle's closed form must match the
+    general engine repair on random token streams — including the
+    no-comma-but-token-closed truncation class (cut lands exactly after
+    the first token's closing quote)."""
+    import random
+    import re
+    import string
+
+    import duckdb
+
+    from hipporag_ray.pipelines.queries import ORACLE_SQL
+
+    def engine_row(text):
+        t = re.sub(r"[^a-z0-9 ]", " ", text.lower()).strip()
+        if not t:
+            return None
+        toks = t.split()[:6]
+        s = '{"named_entities": ["' + '", "'.join(toks) + '"]}'
+        trunc = s[: (3 * len(s)) // 4]
+        rep = fix_broken_generated_json(trunc)
+        try:
+            ents = json.loads(rep)["named_entities"]
+        except (ValueError, KeyError, TypeError):
+            ents = None
+        return (len(ents) if ents else 0, "|".join(ents) if ents else None)
+
+    random.seed(7)
+    texts = ["rlh2 phs"]  # the known closed-quote-no-comma case
+    for _ in range(800):
+        n = random.randint(1, 9)
+        texts.append(
+            " ".join(
+                "".join(
+                    random.choices(
+                        string.ascii_lowercase + string.digits,
+                        k=random.randint(1, 10),
+                    )
+                )
+                for _ in range(n)
+            )
+        )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+    )
+    df = con.execute(ORACLE_SQL["doc_json_repair"]).df().set_index("doc_id")
+    for i, text in enumerate(texts):
+        e = engine_row(text)
+        o_ents = df.loc[i, "ents"]
+        o = (int(df.loc[i, "n_ents"]), o_ents if pd.notna(o_ents) else None)
+        assert e == o, (text, e, o)
+
+
+def test_cached_llm_numpy_metadata_survives(tmp_path):
+    """A successful response with numpy scalars in its metadata must be
+    cached, not lost to a serialization TypeError."""
+
+    def llm_fn(messages, **gen):
+        return "ok", {"prompt_tokens": np.int64(87)}
+
+    llm = CachedLLM(llm_fn, str(tmp_path / "c.sqlite"), model="m")
+    msg = [{"role": "user", "content": "x"}]
+    out, meta, hit = llm.infer(msg)
+    assert (out, hit) == ("ok", False)
+    out2, meta2, hit2 = llm.infer(msg)
+    assert hit2 and out2 == "ok" and meta2["prompt_tokens"] == "87"
+
+
+def test_one_arg_rerank_hook_with_kwargs_not_miscounted(ray_session, tmp_path):
+    """def hook(cand, **kwargs) is a ONE-positional hook — it must not
+    be called with two positionals."""
+    import ray.data as rd
+
+    from hipporag_ray.pipelines.retrieval import HippoRagEngine
+
+    tx = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array(["c0", "c1"], pa.string()),
+                "turn_idx": pa.array([0, 0], pa.int32()),
+                "role": pa.array(["user"] * 2, pa.string()),
+                "text": pa.array(["alpha beta gamma", "zeta beta gamma"], pa.string()),
+                "tool": pa.array([""] * 2, pa.string()),
+                "ts": pa.array(
+                    np.arange(2, dtype="int64").astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+    seen = {}
+
+    def hook(cand, **kwargs):
+        seen["n"] = len(cand)
+        return cand
+
+    eng = HippoRagEngine(working_dir=str(tmp_path / "wd"), rerank_fn=hook)
+    eng.index(tx)
+    res = eng.retrieve(["alpha beta gamma"], top_k=1)
+    eng.close()
+    assert "n" in seen and res[0]["docs"]
+
+
+def test_render_template_large_string_column():
+    batch = pa.table({"passage": pa.array(["a", "b"], pa.large_string())})
+    got = render_template_column("x ${passage}", batch).to_pylist()
+    assert got == ["x a", "x b"]
