@@ -451,6 +451,74 @@ def q_doc_prompt_render(sf_dir: str):
     )
 
 
+def q_doc_llm_ner(sf_dir: str):
+    """The reference's full NER plumbing end-to-end (T2+M8+M13,
+    openie_openai.py:45-80): prompt render (vectorized,
+    functions/prompts.py) -> cache-through inference actor pool
+    (state/llm_cache.py::LLMInfer, sqlite response cache per actor
+    node) -> NER response parsing (functions/llm_parse.py, prose
+    stripped, order-preserving dedup) -> exploded (doc_id, entity)
+    rows.  The model plug is a deterministic responder (distinct
+    normalized tokens len>=3 wrapped in LLM-style prose + JSON), so
+    the whole pipeline is value-checked by the doc_mentions-shaped
+    SQL oracle — the parsing/caching plumbing is what's under test."""
+    import json as _json
+    import tempfile
+
+    from ..functions.prompts import RenderPrompts
+    from ..state.llm_cache import LLMInfer
+    from ..functions.llm_parse import (
+        extract_ner_from_response,
+        unique_preserve_order,
+    )
+
+    def to_fields(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "passage": text_processing(batch["text"])}
+        )
+
+    def fake_ner_llm(messages, **gen):
+        # deterministic "model": the passage rides in the prompt tail;
+        # answer = the reference's NER response shape with prose
+        passage = messages[-1]["content"].split("Passage: ", 1)[1]
+        toks = sorted({t for t in passage.split() if len(t) >= 3})
+        body = _json.dumps({"named_entities": toks})
+        return f"Sure, here are the entities.\n{body}\nDone.", {
+            "finish_reason": "stop"
+        }
+
+    cache_dir = tempfile.mkdtemp(prefix="llm_ner_cache_")
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids, ents = [], []
+        for doc_id, resp in zip(
+            batch["doc_id"].to_pylist(), batch["response"].to_pylist()
+        ):
+            for e in unique_preserve_order(extract_ner_from_response(resp)):
+                ids.append(doc_id)
+                ents.append(e)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "entity": pa.array(ents, pa.string())}
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(to_fields, batch_format="pyarrow")
+        .map_batches(RenderPrompts("Extract entities.\nPassage: ${passage}"), batch_format="pyarrow")
+        .map_batches(
+            LLMInfer,
+            fn_constructor_kwargs=dict(
+                llm_fn_factory=lambda: fake_ner_llm,
+                cache_path=os.path.join(cache_dir, "cache.sqlite"),
+            ),
+            concurrency=pool_size(),
+            batch_size=128,
+            batch_format="pyarrow",
+        )
+        .map_batches(parse, batch_format="pyarrow")
+    )
+
+
 def q_doc_mentions(sf_dir: str):
     """M6-style explode: distinct (doc_id, entity), tokens len>=3."""
     ds = _docs(sf_dir).map_batches(
@@ -2251,6 +2319,7 @@ QUERIES = {
     "doc_token_count": q_doc_token_count,
     "doc_regex_extract": q_doc_regex_extract,
     "doc_json_repair": q_doc_json_repair,
+    "doc_llm_ner": q_doc_llm_ner,
     "doc_prompt_render": q_doc_prompt_render,
     "doc_token_count_bpe": q_doc_token_count_bpe,
     "doc_mentions": q_doc_mentions,
@@ -2554,6 +2623,13 @@ ORACLE_SQL = {
                'Extract entities.' || chr(10) || chr(10) ||
                'Passage (doc ' || CAST(doc_id AS VARCHAR) || '): ' || text AS prompt
         FROM documents
+    """,
+    # doc_llm_ner: the deterministic responder emits DISTINCT sorted
+    # normalized tokens len>=3 — the render/cache/parse plumbing under
+    # test must reproduce exactly the doc_mentions token set
+    "doc_llm_ner": f"""
+        {_TOK_CTE}
+        SELECT DISTINCT doc_id, tok AS entity FROM tok WHERE length(tok) >= 3
     """,
     "doc_token_count_bpe": r"""
         SELECT doc_id,
