@@ -112,6 +112,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--dpr", action="store_true", help="DPR-only baseline (StandardRAG)")
 
+    p = sub.add_parser(
+        "qa",
+        help="rag_qa end-to-end (HippoRAG.py:451-523): retrieve + QA "
+        "reading.  --reader echo is a deterministic built-in (answers "
+        "with the top passage); real models plug in via "
+        "HippoRagEngine(qa_llm_fn=...) in library use",
+    )
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--query", action="append", required=True)
+    p.add_argument("--top-k", type=int, default=10)
+    p.add_argument("--qa-top-k", type=int, default=5)
+    p.add_argument("--reader", default="echo", choices=["echo"],
+                   help="built-in deterministic reader")
+    p.add_argument("--cache", default=None,
+                   help="sqlite response-cache path (S7)")
+
     p = sub.add_parser("delete")
     p.add_argument("--workdir", required=True)
     p.add_argument("--text", action="append", required=True)
@@ -216,6 +232,30 @@ def main(argv: list[str] | None = None) -> int:
                 results = eng.retrieve(args.query, top_k=args.top_k)
             eng.close()
             print(json.dumps(results))
+            return 0
+
+        if args.cmd == "qa":
+            from hipporag_ray.pipelines.retrieval import HippoRagEngine
+
+            def echo_reader(messages, **gen):
+                # deterministic built-in: answer = the top passage
+                user = messages[-1]["content"]
+                first = user.split("Wikipedia Title: ", 1)[1].split("\n")[0]
+                return "Reading the passages.\nAnswer: " + first, {
+                    "finish_reason": "stop"
+                }
+
+            llm_fn = echo_reader
+            if args.cache:
+                from hipporag_ray.state.llm_cache import CachedLLM
+
+                llm_fn = CachedLLM(echo_reader, args.cache, model="echo").infer
+            eng = HippoRagEngine(args.workdir, qa_llm_fn=llm_fn)
+            solutions, _responses, _meta = eng.rag_qa(
+                args.query, top_k=args.top_k, qa_top_k=args.qa_top_k
+            )
+            eng.close()
+            print(json.dumps(solutions))
             return 0
 
         if args.cmd == "delete":

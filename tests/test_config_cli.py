@@ -136,3 +136,49 @@ def test_cli_eval_empty_samples(tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep == {"n_samples": 0, "top_k": 10}
+
+
+def test_cli_qa_subcommand(tmp_path, capsys):
+    """`qa` completes the main.py analog: index -> rag_qa with the
+    built-in deterministic echo reader (+ optional sqlite cache)."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hipporag_ray.__main__ import main
+
+    tx = pa.table(
+        {
+            "conv_id": pa.array(["c0", "c1"], pa.string()),
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": pa.array(["user"] * 2, pa.string()),
+            "text": pa.array(
+                ["alpha beta gamma", "theta iota kappa"], pa.string()
+            ),
+            "tool": pa.array([""] * 2, pa.string()),
+            "ts": pa.array(
+                np.array([0, 1], dtype="datetime64[us]"), pa.timestamp("us")
+            ),
+        }
+    )
+    tx_dir = tmp_path / "tx"
+    tx_dir.mkdir()
+    pq.write_table(tx, str(tx_dir / "part-0.parquet"))
+    wd = str(tmp_path / "wd")
+    assert main(["index", "--workdir", wd, "--input", str(tx_dir)]) == 0
+    capsys.readouterr()
+
+    cache = str(tmp_path / "qa_cache.sqlite")
+    rc = main(
+        ["qa", "--workdir", wd, "--query", "alpha beta gamma", "--cache", cache]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out) == 1
+    # echo reader answers with the top retrieved passage
+    assert out[0]["answer"] == out[0]["docs"][0]
+    from hipporag_ray.state.llm_cache import LLMCache
+
+    assert len(LLMCache(cache)) == 1  # response cached (S7)
