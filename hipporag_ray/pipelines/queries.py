@@ -509,7 +509,7 @@ def q_doc_llm_ner(sf_dir: str):
             LLMInfer,
             fn_constructor_kwargs=dict(
                 llm_fn_factory=lambda: fake_ner_llm,
-                cache_path=os.path.join(cache_dir, "cache.sqlite"),
+                cache_path=os.path.join(cache_dir, "cache-{node}.sqlite"),
             ),
             concurrency=pool_size(),
             batch_size=128,

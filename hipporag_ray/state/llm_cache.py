@@ -156,10 +156,25 @@ class LLMInfer:
     batch); each ``__call__`` loops the batch's prompts through
     ``CachedLLM.infer`` — inference is per-message by nature, but every
     repeated prompt after the first is a sqlite point lookup.
+
+    At cluster scale a SINGLE sqlite file on shared storage serializes
+    every actor's writes through one lock; put ``{node}`` in
+    ``cache_path`` to shard the cache per Ray node (local disk, no
+    cross-node contention — a cache is a best-effort memo, so per-node
+    duplication of a few responses is the right trade).
     """
 
     def __init__(self, llm_fn_factory, cache_path: str, prompt_col: str = "prompt",
                  out_col: str = "response", **gen_params):
+        if "{node}" in cache_path:
+            import ray
+
+            node = (
+                ray.get_runtime_context().get_node_id()[:12]
+                if ray.is_initialized()
+                else "local"
+            )
+            cache_path = cache_path.replace("{node}", node)
         self.inner = CachedLLM(llm_fn_factory(), cache_path, **gen_params)
         self.prompt_col = prompt_col
         self.out_col = out_col

@@ -581,3 +581,27 @@ def test_render_template_large_string_column():
     batch = pa.table({"passage": pa.array(["a", "b"], pa.large_string())})
     got = render_template_column("x ${passage}", batch).to_pylist()
     assert got == ["x a", "x b"]
+
+
+def test_llm_infer_per_node_cache_shard(ray_session, tmp_path):
+    """A '{node}' placeholder in cache_path shards the sqlite cache per
+    Ray node — the cluster-scale contention escape hatch."""
+    import ray
+    import ray.data as rd
+
+    def fake(messages, **gen):
+        return "r", {}
+
+    ds = rd.from_arrow(pa.table({"prompt": pa.array(["a", "b"])}))
+    tmpl = str(tmp_path / "c-{node}.sqlite")
+    out = ds.map_batches(
+        LLMInfer,
+        fn_constructor_kwargs=dict(llm_fn_factory=lambda: fake, cache_path=tmpl),
+        concurrency=1,
+        batch_size=2,
+        batch_format="pyarrow",
+    ).to_pandas()
+    assert len(out) == 2
+    node = ray.get_runtime_context().get_node_id()[:12]
+    resolved = tmpl.replace("{node}", node)
+    assert len(LLMCache(resolved)) == 2
