@@ -295,6 +295,28 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     timings["engine_retrieve_b32"] = time.perf_counter() - t0
     eng.close()
 
+    # --- 9. resumable partitioned sink: write the full adjacency table
+    # through the hash-bucketed atomic-publish sink, then simulate a
+    # mid-run failure (remove two buckets) and resume — the resume must
+    # rewrite ONLY the missing buckets (checkpoint/resume cost at bench
+    # scale, not just the pytest) ---
+    from hipporag_ray.sources.writers import write_partitioned_resumable
+
+    sink_dir = f"/tmp/hipporag_ray/bench_sink_sf{sf}_cpu{ncpu}"
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    st = write_partitioned_resumable(rd.read_parquet(g.adj_path), sink_dir, "src")
+    timings["sink_write"] = time.perf_counter() - t0
+    extra["sink_buckets"] = st["written"]
+    extra["sink_rows_written"] = st["rows_written"]
+    for b in (0, 1):
+        shutil.rmtree(os.path.join(sink_dir, f"bucket={b}"), ignore_errors=True)
+    t0 = time.perf_counter()
+    st2 = write_partitioned_resumable(rd.read_parquet(g.adj_path), sink_dir, "src")
+    timings["sink_resume_2_buckets"] = time.perf_counter() - t0
+    extra["sink_resume_rewritten"] = st2["written"]
+    extra["sink_resume_skipped"] = st2["skipped"]
+
     ray.shutdown()
     return {
         "metric": "flagship transcript-graph pipeline wall time (build + pagerank + "

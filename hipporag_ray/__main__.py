@@ -238,9 +238,12 @@ def main(argv: list[str] | None = None) -> int:
             from hipporag_ray.pipelines.retrieval import HippoRagEngine
 
             def echo_reader(messages, **gen):
-                # deterministic built-in: answer = the top passage
+                # deterministic built-in: answer = the top passage; an
+                # empty retrieval leaves no "Wikipedia Title:" line in
+                # the prompt, so degrade to an empty answer, not a crash
                 user = messages[-1]["content"]
-                first = user.split("Wikipedia Title: ", 1)[1].split("\n")[0]
+                parts = user.split("Wikipedia Title: ", 1)
+                first = parts[1].split("\n")[0] if len(parts) > 1 else ""
                 return "Reading the passages.\nAnswer: " + first, {
                     "finish_reason": "stop"
                 }

@@ -30,7 +30,6 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 
 def _canon(batch: pa.Table) -> pa.Table:
@@ -175,8 +174,10 @@ def triangle_count(
             }
         )
 
+    from ..stages.shuffle import int_key_sum
+
     partials = oriented.map_batches(count_batch, batch_format="pyarrow")
-    agg = partials.groupby("vid").aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    agg = int_key_sum(partials, "vid", "cnt").to_pandas()
     per_vertex = np.zeros(n_vertices, dtype=np.int64)
     if len(agg):
         per_vertex[agg["vid"].to_numpy(np.int64)] = agg["cnt"].to_numpy(np.int64)

@@ -121,14 +121,21 @@ _TRIPLE_PATTERN = re.compile(r'\{[^{}]*"triples"\s*:\s*\[[^\]]*\][^{}]*\}', re.D
 
 def _extract_listfield(response: str, pattern: re.Pattern, field: str) -> list:
     """Shared M8/M9 shape: find the JSON object embedded in prose, parse
-    it (repairing a truncated tail first if needed), return the list
-    field — ``[]`` on no match or unparseable payload, like the
-    reference's exception path."""
+    it, return the list field — ``[]`` on no match or unparseable
+    payload, like the reference's exception path.  A truncated
+    generation (mid-array cut, so no closing ``}`` for the regex to
+    anchor on) gets one whole-response repair pass first, recovering
+    the prefix entities the way the reference repairs
+    finish_reason=='length' responses before extracting
+    (``llm_utils.py:150-219`` + ``openie_openai.py:30-36``)."""
     if response is None:
         return []
     match = pattern.search(response)
     if match is None:
-        return []
+        repaired = fix_broken_generated_json(response)
+        match = pattern.search(repaired) if repaired != response else None
+        if match is None:
+            return []
     payload = match.group()
     try:
         obj = json.loads(payload)

@@ -27,32 +27,43 @@ __all__ = [
     "render_template_column",
     "RenderPrompts",
     "DEFAULT_TEMPLATES",
+    "load_reference_templates",
 ]
 
-# Minimal built-in chat templates in the reference's shape
-# (prompts/templates/*.py define system+user chat lists around a
-# ${passage} placeholder; the exact instruction prose is LLM-facing
-# and carries no data semantics, so a compact stand-in suffices).
+
+def load_reference_templates() -> dict[str, list]:
+    """The reference's few-shot chat template set, ported as DATA
+    (``prompts/templates/{ner,ner_query,triple_extraction,
+    rag_qa_musique,ircot_hotpotqa,ircot_musique}.py`` -> packaged
+    ``prompt_data/*.json``, exact prose including the one-shot NER
+    demo and the ircot demos — the few-shot wording materially affects
+    extraction quality with a real LLM, so it ships verbatim rather
+    than as a stand-in).  Each value is the reference's
+    ``prompt_template`` chat list; the final user turn carries the
+    ``${passage}`` / ``${query}`` / ``${prompt_user}`` placeholder
+    (``triple_extraction``'s carries ``${passage}`` +
+    ``${named_entity_json}`` via the reference's
+    ``convert_format_to_template``)."""
+    import json
+    import os
+
+    d = os.path.join(os.path.dirname(__file__), "prompt_data")
+    out: dict[str, list] = {}
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".json"):
+            with open(os.path.join(d, fn)) as f:
+                out[fn[:-5]] = json.load(f)["template"]
+    return out
+
+
+# Built-in templates: the reference's template set (exact prose, data
+# files) plus two engine stand-ins — "qa" (plain string shape) and
+# "rag_qa" (the deterministic reader's compact system turn; swap in
+# "rag_qa_musique" for the reference's full one-shot reader prompt).
 DEFAULT_TEMPLATES: dict[str, object] = {
-    "ner": [
-        {
-            "role": "system",
-            "content": "Extract named entities from the passage as JSON.",
-        },
-        {"role": "user", "content": "${passage}"},
-    ],
-    "triple_extraction": [
-        {
-            "role": "system",
-            "content": "Extract subject-predicate-object triples as JSON.",
-        },
-        {
-            "role": "user",
-            "content": "${passage}\n\n${named_entity_json}",
-        },
-    ],
+    **load_reference_templates(),
     "qa": Template("Question: ${question}\nContext:\n${context}\nAnswer:"),
-    # rag_qa_* stand-in (reference prompts/rag_qa_* few-shot templates,
+    # rag_qa stand-in (reference prompts/rag_qa_* few-shot templates,
     # HippoRAG.py:698-707: the rendered user turn carries the passage
     # block + question and the model is asked for Thought then Answer)
     "rag_qa": [

@@ -86,12 +86,16 @@ def _langid_sql() -> str:
     """
 
 
-def _docs(sf_dir: str) -> "rd.Dataset":
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+def _docs(sf_dir: str, cols: list[str] | None = None) -> "rd.Dataset":
+    """documents reader; ``cols`` prunes the scan at the read (the wide
+    ``text`` column must never leave storage for queries that don't use
+    it — at 100-TB scale unpruned reads are wasted scan bandwidth)."""
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=cols)
 
 
-def _events(sf_dir: str) -> "rd.Dataset":
-    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+def _events(sf_dir: str, cols: list[str] | None = None) -> "rd.Dataset":
+    """events reader; ``cols`` prunes the scan at the read."""
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=cols)
 
 
 def _round_away(v: np.ndarray, nd: int) -> np.ndarray:
@@ -243,7 +247,7 @@ def doc_graph_for(sf_dir: str, weight_frac: float | None = None) -> tuple[str, i
     )
     agg = int_key_sum(coded, "code", "weight")
     if weight_frac is not None:
-        thresh = weight_frac * _docs(sf_dir).count()
+        thresh = weight_frac * _docs(sf_dir, ["doc_id"]).count()
         agg = agg.map_batches(
             lambda b: b.filter(pc.greater_equal(b["weight"], pa.scalar(thresh))),
             batch_format="pyarrow",
@@ -346,17 +350,17 @@ def q_doc_normalize(sf_dir: str):
             {"doc_id": batch["doc_id"], "norm_text": text_processing(batch["text"])}
         )
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
 def q_doc_token_count(sf_dir: str):
-    return ts.token_count(_docs(sf_dir), "text", "doc_id")
+    return ts.token_count(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id")
 
 
 def q_doc_token_count_bpe(sf_dir: str):
     """BPE-ish (letter/digit/punct-run) token counts — the tokenizer-
     style count a training-data pipeline budgets by."""
-    return ts.token_count_bpe(_docs(sf_dir), "text", "doc_id")
+    return ts.token_count_bpe(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id")
 
 
 def q_doc_regex_extract(sf_dir: str):
@@ -379,7 +383,7 @@ def q_doc_regex_extract(sf_dir: str):
             }
         )
 
-    return _docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(kernel, batch_format="pyarrow")
 
 
 def q_doc_json_repair(sf_dir: str):
@@ -425,7 +429,7 @@ def q_doc_json_repair(sf_dir: str):
             }
         )
 
-    return _docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(kernel, batch_format="pyarrow")
 
 
 def q_doc_prompt_render(sf_dir: str):
@@ -439,7 +443,7 @@ def q_doc_prompt_render(sf_dir: str):
         return pa.table({"doc_id": batch["doc_id"], "passage": batch["text"]})
 
     return (
-        _docs(sf_dir)
+        _docs(sf_dir, ["doc_id", "text"])
         .map_batches(to_fields, batch_format="pyarrow")
         .map_batches(
             RenderPrompts(
@@ -502,7 +506,7 @@ def q_doc_llm_ner(sf_dir: str):
         )
 
     return (
-        _docs(sf_dir)
+        _docs(sf_dir, ["doc_id", "text"])
         .map_batches(to_fields, batch_format="pyarrow")
         .map_batches(RenderPrompts("Extract entities.\nPassage: ${passage}"), batch_format="pyarrow")
         .map_batches(
@@ -521,7 +525,7 @@ def q_doc_llm_ner(sf_dir: str):
 
 def q_doc_mentions(sf_dir: str):
     """M6-style explode: distinct (doc_id, entity), tokens len>=3."""
-    ds = _docs(sf_dir).map_batches(
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda b: pa.table({"conv_id": pc.cast(b["doc_id"], pa.string()),
                             "turn_idx": pa.array(np.zeros(len(b), np.int32)),
                             "role": pa.array([""] * len(b)),
@@ -582,7 +586,7 @@ def q_doc_cooccur(sf_dir: str):
     # large keyspace (token pairs): per-block partial counts through the
     # general-key hash exchange — not Dataset.groupby (sort-based
     # all-to-all, measured an order of magnitude slower on this shape)
-    p = _docs(sf_dir).map_batches(pairs, batch_format="pyarrow")
+    p = _docs(sf_dir, ["text"]).map_batches(pairs, batch_format="pyarrow")
     return multi_key_sum(p, ["src", "dst"], out_col="weight")
 
 
@@ -591,7 +595,7 @@ def q_doc_triples(sf_dir: str):
     consecutive-3-token windows per doc (stages/triples.py)."""
     from ..stages.triples import extract_triples
 
-    return extract_triples(_docs(sf_dir), ["doc_id"])
+    return extract_triples(_docs(sf_dir, ["doc_id", "text"]), ["doc_id"])
 
 
 def q_doc_openie(sf_dir: str):
@@ -602,7 +606,7 @@ def q_doc_openie(sf_dir: str):
     streaming, no barrier."""
     from ..stages.openie import openie_pipeline
 
-    return openie_pipeline(_docs(sf_dir), ["doc_id"], min_token_len=3)
+    return openie_pipeline(_docs(sf_dir, ["doc_id", "text"]), ["doc_id"], min_token_len=3)
 
 
 def q_doc_fact_edges(sf_dir: str):
@@ -611,12 +615,12 @@ def q_doc_fact_edges(sf_dir: str):
     per-doc deduped triples."""
     from ..stages.triples import extract_triples, fact_edge_weights
 
-    return fact_edge_weights(extract_triples(_docs(sf_dir), ["doc_id"]))
+    return fact_edge_weights(extract_triples(_docs(sf_dir, ["doc_id", "text"]), ["doc_id"]))
 
 
 def q_doc_exact_dedup(sf_dir: str):
     """A10 exact dedup: first-wins doc per content hash."""
-    return dd.exact_dedup_keys(_docs(sf_dir), "text", "doc_id")
+    return dd.exact_dedup_keys(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id")
 
 
 def q_doc_stats(sf_dir: str):
@@ -625,7 +629,7 @@ def q_doc_stats(sf_dir: str):
     from ..stages.agg import grouped_partials
 
     out = grouped_partials(
-        _docs(sf_dir),
+        _docs(sf_dir, ["lang", "n_chars"]),
         ["lang"],
         {
             "n_docs": ("count", None),
@@ -637,18 +641,18 @@ def q_doc_stats(sf_dir: str):
 
 
 def q_doc_quality(sf_dir: str):
-    out = ts.quality_score(_docs(sf_dir), "text", "doc_id").to_pandas()
+    out = ts.quality_score(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id").to_pandas()
     return _round(
         out, {"avg_token_len": 6, "stopword_ratio": 6, "alnum_ratio": 6}
     )
 
 
 def q_doc_fingerprint(sf_dir: str):
-    return ts.fingerprint(_docs(sf_dir), "text", "doc_id", n=5)
+    return ts.fingerprint(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id", n=5)
 
 
 def q_doc_ngram_jaccard(sf_dir: str):
-    out = dd.ngram_jaccard_pairs(_docs(sf_dir), "text", "doc_id", n=3, threshold=0.2)
+    out = dd.ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id", n=3, threshold=0.2)
     return _round(out, {"jaccard": 6})
 
 
@@ -656,7 +660,7 @@ def q_events_by_type(sf_dir: str):
     from ..stages.agg import grouped_partials
 
     out = grouped_partials(
-        _events(sf_dir),
+        _events(sf_dir, ["event_type", "value"]),
         ["event_type"],
         {
             "n": ("count", None),
@@ -669,7 +673,7 @@ def q_events_by_type(sf_dir: str):
 
 def q_events_minmax(sf_dir: str):
     """M3 min_max_normalize over events.value (global)."""
-    ev = _events(sf_dir)
+    ev = _events(sf_dir, ["event_id", "value"])
     stats = ev.aggregate(Min("value"), Max("value"))
     lo, hi = stats["min(value)"], stats["max(value)"]
     rng = hi - lo
@@ -688,7 +692,7 @@ def q_events_minmax(sf_dir: str):
 def q_events_topk(sf_dir: str):
     """K2/K7 top-k: 20 highest-value events (deterministic tiebreak)."""
     out = (
-        _events(sf_dir)
+        _events(sf_dir, ["event_id", "value"])
         .sort(["value", "event_id"], descending=[True, False])
         .limit(20)
         .select_columns(["event_id", "value"])
@@ -708,7 +712,7 @@ def q_events_hourly(sf_dir: str):
         return pa.table({"hour": hour, "event_type": batch["event_type"]})
 
     return grouped_partials(
-        _events(sf_dir), ["hour", "event_type"], {"n": ("count", None)}, pre=pre
+        _events(sf_dir, ["ts", "event_type"]), ["hour", "event_type"], {"n": ("count", None)}, pre=pre
     )
 
 
@@ -992,7 +996,7 @@ def q_doc_merge_by_first_token(sf_dir: str):
 
     from ..stages.shuffle import hash_partition
 
-    keyed_ds = _docs(sf_dir).map_batches(keyed, batch_format="pyarrow")
+    keyed_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(keyed, batch_format="pyarrow")
     return hash_partition(keyed_ds, "first_tok").map_batches(
         merge_part, batch_format="pyarrow", batch_size=None
     )
@@ -1007,7 +1011,7 @@ def q_events_asof_join(sf_dir: str):
     partition — no per-group Python dispatch."""
     from ..stages.shuffle import hash_partition
 
-    ev = _events(sf_dir).map_batches(
+    ev = _events(sf_dir, ["user_id", "event_type", "ts", "event_id"]).map_batches(
         lambda b: pa.table(
             {
                 "user_id": b["user_id"],
@@ -1068,7 +1072,7 @@ def q_events_sessions(sf_dir: str):
     (user boundary or gap), segment-sum per user."""
     from ..stages.shuffle import hash_partition
 
-    ev = _events(sf_dir).select_columns(["user_id", "ts"])
+    ev = _events(sf_dir, ["user_id", "ts"])
     parts = hash_partition(ev, "user_id")
 
     def kernel(batch: pa.Table) -> pa.Table:
@@ -1104,7 +1108,7 @@ def q_events_range_join(sf_dir: str):
     interval filter (fan-out bounded by per-user event counts)."""
     from ..stages.shuffle import hash_partition
 
-    ev = _events(sf_dir).select_columns(["user_id", "event_type", "ts", "event_id"])
+    ev = _events(sf_dir, ["user_id", "event_type", "ts", "event_id"])
     parts = hash_partition(ev, "user_id")
 
     def kernel(batch: pa.Table) -> pa.Table:
@@ -1141,7 +1145,7 @@ def q_events_user_value_salted(sf_dir: str):
     from ..stages.agg import salted_sum
 
     out = salted_sum(
-        _events(sf_dir).select_columns(["user_id", "value"]),
+        _events(sf_dir, ["user_id", "value"]),
         ["user_id"],
         "value",
         alias="sum_value",
@@ -1154,13 +1158,13 @@ def q_doc_pii_redact(sf_dir: str):
     """PII scrub (email/IPv4/phone -> typed placeholders) — the
     standard pre-training redaction stage, vectorized RE2 kernels
     (stages/textstats.py::pii_redact)."""
-    return ts.pii_redact(_docs(sf_dir), "text", "doc_id")
+    return ts.pii_redact(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id")
 
 
 def q_doc_tfidf(sf_dir: str):
     """Full (doc, term) TF-IDF table: one tokenizing scan + ONE term
     hash exchange (df = in-partition group size, idf join free)."""
-    docs = _docs(sf_dir)
+    docs = _docs(sf_dir, ["doc_id", "text"])
     n_docs = docs.count()
     out = ts.tfidf(docs, "text", "doc_id", n_docs).to_pandas()
     return _round(out, {"tfidf": 6})
@@ -1173,7 +1177,7 @@ def q_doc_bm25(sf_dir: str):
     """Okapi BM25 of every document against a fixed query term set
     (stages/textstats.py::bm25_score): one posting-pruned corpus scan,
     tiny df/avgdl aggregates, per-doc int-key sum."""
-    out = ts.bm25_score(_docs(sf_dir), "text", "doc_id", _BM25_TERMS).to_pandas()
+    out = ts.bm25_score(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id", _BM25_TERMS).to_pandas()
     return _round(out, {"bm25": 6})
 
 
@@ -1185,7 +1189,7 @@ def q_events_quantiles(sf_dir: str):
     from ..stages.agg import group_quantiles
 
     tbl = group_quantiles(
-        _events(sf_dir).select_columns(["event_type", "value"]),
+        _events(sf_dir, ["event_type", "value"]),
         "event_type",
         "value",
         [0.5, 0.9, 0.99],
@@ -1202,7 +1206,7 @@ def q_events_quantiles_cont(sf_dir: str):
     from ..stages.agg import group_quantiles
 
     tbl = group_quantiles(
-        _events(sf_dir).select_columns(["event_type", "value"]),
+        _events(sf_dir, ["event_type", "value"]),
         "event_type",
         "value",
         [0.25, 0.5, 0.9],
@@ -1241,7 +1245,7 @@ def _events_hourly_keyed(sf_dir: str):
             {"event_type": batch["event_type"], "hour": hour, "value": batch["value"]}
         )
 
-    return _events(sf_dir).map_batches(keyed, batch_format="pyarrow")
+    return _events(sf_dir, ["event_type", "ts", "value"]).map_batches(keyed, batch_format="pyarrow")
 
 
 def q_events_cube(sf_dir: str):
@@ -1264,7 +1268,7 @@ def q_events_grouped_topk(sf_dir: str):
     shape)."""
     from ..stages.shuffle import hash_partition
 
-    ev = _events(sf_dir).select_columns(["event_type", "event_id", "value"])
+    ev = _events(sf_dir, ["event_type", "event_id", "value"])
     parts = hash_partition(ev, "event_type")
 
     def kernel(batch: pa.Table) -> pa.Table:
@@ -1318,8 +1322,7 @@ def q_events_distinct_users(sf_dir: str):
         )
 
     pairs = hash_distinct(
-        _events(sf_dir)
-        .select_columns(["event_type", "user_id"])
+        _events(sf_dir, ["event_type", "user_id"])
         .map_batches(pair_key, batch_format="pyarrow"),
         "pair",
     )
@@ -1382,8 +1385,7 @@ def q_events_pivot(sf_dir: str):
         return pa.table(cols)
 
     parts = hash_partition(
-        _events(sf_dir)
-        .select_columns(["user_id", "event_type"])
+        _events(sf_dir, ["user_id", "event_type"])
         .map_batches(partials, batch_format="pyarrow"),
         "user_id",
     )
@@ -1415,7 +1417,7 @@ def q_events_moving_avg(sf_dir: str):
     window shape without per-group dispatch."""
     from ..stages.shuffle import hash_partition
 
-    ev = _events(sf_dir).select_columns(["user_id", "ts", "event_id", "value"])
+    ev = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
     parts = hash_partition(ev, "user_id")
 
     def kernel(batch: pa.Table) -> pa.Table:
@@ -1465,7 +1467,7 @@ def q_events_global_cumsum(sf_dir: str):
     bit-equal to DuckDB's serial window regardless of partition count."""
     from ..stages.agg import global_running_sum
 
-    ev = _events(sf_dir).select_columns(["ts", "event_id", "value"])
+    ev = _events(sf_dir, ["ts", "event_id", "value"])
     return global_running_sum(
         ev, order_col="ts", tiebreak_col="event_id", value_col="value"
     )
@@ -1483,7 +1485,7 @@ def q_events_rank_stats(sf_dir: str):
     from ..functions.pairs import pos_in_group
     from ..stages.shuffle import hash_partition
 
-    ev = _events(sf_dir).select_columns(["event_type", "event_id", "value"])
+    ev = _events(sf_dir, ["event_type", "event_id", "value"])
     parts = hash_partition(ev, "event_type")
 
     def kernel(batch: pa.Table) -> pa.Table:
@@ -1553,7 +1555,7 @@ def q_events_user_cumsum(sf_dir: str):
     from ..functions.pairs import pos_in_group
     from ..stages.shuffle import hash_partition
 
-    ev = _events(sf_dir).select_columns(["user_id", "ts", "event_id", "value"])
+    ev = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
     parts = hash_partition(ev, "user_id")
 
     def kernel(batch: pa.Table) -> pa.Table:
@@ -1602,7 +1604,7 @@ def q_events_lead_lag(sf_dir: str):
     from ..functions.pairs import pos_in_group
     from ..stages.shuffle import hash_partition
 
-    ev = _events(sf_dir).select_columns(["user_id", "ts", "event_id", "value"])
+    ev = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
     parts = hash_partition(ev, "user_id")
 
     def kernel(batch: pa.Table) -> pa.Table:
@@ -1648,7 +1650,7 @@ def q_events_stratified_sample(sf_dir: str):
     from ..functions.hashing import md5_hex
     from ..stages.shuffle import hash_partition
 
-    ev = _events(sf_dir).select_columns(["event_type", "event_id"])
+    ev = _events(sf_dir, ["event_type", "event_id"])
     parts = hash_partition(ev, "event_type")
 
     def kernel(batch: pa.Table) -> pa.Table:
@@ -1687,7 +1689,7 @@ def q_events_quantiles_sketch(sf_dir: str):
     from ..stages.agg import grouped_quantile_sketch
 
     return grouped_quantile_sketch(
-        _events(sf_dir).select_columns(["event_type", "value", "event_id"]),
+        _events(sf_dir, ["event_type", "value", "event_id"]),
         "event_type",
         "value",
         "event_id",
@@ -1703,23 +1705,23 @@ def q_events_distinct_users_sketch(sf_dir: str):
     from ..stages.agg import grouped_distinct_sketch
 
     return grouped_distinct_sketch(
-        _events(sf_dir).select_columns(["event_type", "user_id"]),
+        _events(sf_dir, ["event_type", "user_id"]),
         "event_type",
         "user_id",
     )
 
 
 def q_doc_minhash_lsh(sf_dir: str):
-    out = dd.minhash_lsh_pairs(_docs(sf_dir), "text", "doc_id", n=3, threshold=0.2)
+    out = dd.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id", n=3, threshold=0.2)
     return _round(out, {"jaccard": 6})
 
 
 def q_doc_simhash(sf_dir: str):
-    return dd.simhash(_docs(sf_dir), "text", "doc_id")
+    return dd.simhash(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id")
 
 
 def q_doc_langid(sf_dir: str):
-    return ts.lang_id(_docs(sf_dir), "text", "doc_id")
+    return ts.lang_id(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id")
 
 
 def q_emb_neardup_lsh(sf_dir: str):
@@ -1867,7 +1869,7 @@ def q_doc_kcore(sf_dir: str):
     Reference analog: none — extends the link-graph algo family."""
     from ..algos.kcore import kcore_members
 
-    n_docs = _docs(sf_dir).count()
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
     thresh = _KCORE_FRAC * n_docs
     pairs = q_doc_cooccur(sf_dir)
 
@@ -2897,6 +2899,40 @@ ORACLE_SQL = {
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
     """,
     "tx_triangles": None,  # pytest oracle (triangles_oracle)
+    # tx_graph_info: A9 node/edge counts by class as the SQL twin of
+    # the full graph build (HippoRAG.py:1095-1148 semantics over the
+    # stages/graph_build.py tables): chunks = distinct raw text,
+    # entities = distinct normalized tokens len>=3, passage records =
+    # distinct (chunk, entity), fact records = distinct ORDERED
+    # co-occurring entity pairs (mode="ne" emits both directions).
+    # Reads the sf0.01 synth cache like tx_extract below.
+    "tx_graph_info": f"""
+        WITH tx AS (
+          SELECT text
+          FROM read_parquet('/tmp/hipporag_ray/tx_sf0.01_v{_CACHE_VERSION}/*.parquet')
+        ), chunks AS (
+          SELECT DISTINCT text FROM tx
+        ), norm AS (
+          SELECT text, {_NORM_SQL} AS t FROM chunks
+        ), tok AS (
+          SELECT text, unnest(regexp_split_to_array(t, ' +')) AS tok
+          FROM norm WHERE t <> ''
+        ), ment AS (
+          SELECT DISTINCT text, tok FROM tok WHERE length(tok) >= 3
+        ), ents AS (
+          SELECT DISTINCT tok FROM ment
+        ), fact AS (
+          SELECT DISTINCT m1.tok AS a, m2.tok AS b
+          FROM ment m1 JOIN ment m2 ON m1.text = m2.text AND m1.tok <> m2.tok
+        )
+        SELECT
+          CAST((SELECT count(*) FROM chunks) + (SELECT count(*) FROM ents) AS BIGINT) AS n_vertices,
+          CAST((SELECT count(*) FROM fact) + (SELECT count(*) FROM ment) AS BIGINT) AS n_edge_records,
+          CAST((SELECT count(*) FROM chunks) AS BIGINT) AS n_chunks,
+          CAST((SELECT count(*) FROM ents) AS BIGINT) AS n_entities,
+          CAST((SELECT count(*) FROM fact) AS BIGINT) AS n_fact_records,
+          CAST((SELECT count(*) FROM ment) AS BIGINT) AS n_passage_records
+    """,
     # tx_extract: mention extraction over the deterministic synthetic
     # transcripts.  The driver grades oracles at sf=0.01 only, so the
     # SQL reads the sf0.01 synth cache directly (the queries() callable

@@ -1117,16 +1117,27 @@ class HippoRagEngine:
             try:
                 # count only positional-capable params: a 1-arg hook
                 # gaining **kwargs or keyword-only options must not be
-                # miscounted as the 2-arg shape
-                params = inspect.signature(self.rerank_fn).parameters.values()
-                n_pos = sum(
-                    1
+                # miscounted as the 2-arg shape — and a DEFAULTED second
+                # positional (e.g. def hook(cand, top_k=20)) is an
+                # option slot, not the query-list slot, unless it is
+                # literally named for it
+                params = list(
+                    inspect.signature(self.rerank_fn).parameters.values()
+                )
+                pos = [
+                    p
                     for p in params
                     if p.kind
                     in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
-                )
-                takes_queries = n_pos >= 2 or any(
+                ]
+                takes_queries = any(
                     p.kind == p.VAR_POSITIONAL for p in params
+                ) or (
+                    len(pos) >= 2
+                    and (
+                        pos[1].default is inspect.Parameter.empty
+                        or pos[1].name in ("queries", "query_texts")
+                    )
                 )
             except (TypeError, ValueError):
                 takes_queries = False

@@ -14,7 +14,6 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 
 def grouped_partials(
@@ -106,27 +105,32 @@ def salted_sum(
     alias: str | None = None,
     salt: int = 16,
 ) -> "ray.data.Dataset":
-    """groupby(keys).sum(value) with hot-key salting.
+    """groupby(keys).sum(value) with hot-key salting, on the general-key
+    hash exchange (stages/shuffle.py::multi_key_sum — the native
+    ``Dataset.groupby`` both phases used to ride measured an order of
+    magnitude slower on the build-path shapes).
 
-    Phase 1 aggregates (keys + salt) — hub keys split across ``salt``
-    reducers; phase 2 aggregates the at-most-``salt`` partials per key.
-    """
+    Phase 1 aggregates (keys + salt) — a hub key's PARTIALS split
+    across ``salt`` reducers (the exchange's per-block map-side combine
+    already bounds a hub's reducer input by the block count; salting
+    additionally splits that partial stream, which matters when blocks
+    number in the millions); phase 2 sums the at-most-``salt`` rows
+    per key."""
+    from .shuffle import multi_key_sum
+
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
     sch = ds.schema(fetch_if_missing=False)  # no execution for lazy inputs
     if sch is not None and "_salt" in sch.names:
         raise ValueError("input already has a '_salt' column")
     alias = alias or value
-    phase1 = (
-        ds.map_batches(_add_salt(salt), batch_format="pyarrow")
-        .groupby(keys + ["_salt"])
-        .aggregate(Sum(value, alias_name=alias))
+    phase1 = multi_key_sum(
+        ds.map_batches(_add_salt(salt), batch_format="pyarrow"),
+        keys + ["_salt"],
+        value,
+        out_col=alias,
     )
-    return (
-        phase1.drop_columns(["_salt"])
-        .groupby(keys)
-        .aggregate(Sum(alias, alias_name=alias))
-    )
+    return multi_key_sum(phase1, keys, alias, out_col=alias)
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min
 
 from ..functions.hashing import md5_hex, stable_hash64
 from ..functions import pool_size
@@ -56,13 +55,15 @@ def exact_dedup_keys(
     ds: "rd.Dataset", text_col: str, id_col: str
 ) -> "rd.Dataset":
     """(hash_id, keep_id): first-wins representative (min id) per
-    content hash — hash-partitioned groupby, A10 semantics."""
+    content hash — min-merging hash exchange (per-block partial min,
+    so a viral duplicate's reducer input is bounded by the block
+    count), A10 semantics."""
+    from .shuffle import multi_key_min
+
     hashed = add_content_hash(ds.select_columns([id_col, text_col]), text_col)
-    return (
-        hashed.groupby("hash_id")
-        .aggregate(Min(id_col, alias_name="keep_id"))
-        .select_columns(["hash_id", "keep_id"])
-    )
+    return multi_key_min(
+        hashed.select_columns(["hash_id", id_col]), ["hash_id"], id_col, "keep_id"
+    ).select_columns(["hash_id", "keep_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -165,13 +166,15 @@ def ngram_jaccard_pairs(
     ``max_bucket``: boilerplate; the stop-shingle guard that bounds the
     quadratic fan-out) -> co-shingle pairs through the vectorized
     grouped exchange -> pair counts -> bucketed join against per-doc
-    shingle counts -> jaccard.  No per-group Python calls and nothing
-    corpus-sized on the driver (the hot-shingle list is tiny by
-    definition)."""
-    from .shuffle import grouped_pairs
+    shingle counts -> jaccard.  Every aggregation rides the general-key
+    hash exchange (per-block partials; the native Dataset.groupby's
+    sort-based shuffle measured an order of magnitude slower on these
+    shapes).  No per-group Python calls and nothing corpus-sized on
+    the driver (the hot-shingle list is tiny by definition)."""
+    from .shuffle import grouped_pairs, multi_key_sum
 
     sh = shingle_table(ds, text_col, id_col, n).materialize()
-    sh_counts = sh.groupby("shingle").aggregate(Count(alias_name="n_docs"))
+    sh_counts = multi_key_sum(sh, ["shingle"], None, out_col="n_docs")
     def hot_filter(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "shingle" not in b.column_names:
             return pa.table({"shingle": pa.array([], pa.string())})
@@ -196,11 +199,12 @@ def ngram_jaccard_pairs(
     # (two identical docs could score far below 1.0 and be dropped).
     # Semantics: jaccard over non-hot shingles — exact whenever no
     # shingle exceeds max_bucket.
-    sizes = sh_cold.groupby(id_col).aggregate(Count(alias_name="n_sh"))
-    inter = (
-        grouped_pairs(sh_cold, "shingle", id_col, mode="lt")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="inter"))
+    sizes = multi_key_sum(sh_cold, [id_col], None, out_col="n_sh")
+    inter = multi_key_sum(
+        grouped_pairs(sh_cold, "shingle", id_col, mode="lt"),
+        ["a", "b"],
+        None,
+        out_col="inter",
     ).materialize()
     if inter.count() == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
@@ -361,12 +365,14 @@ def minhash_lsh_pairs(
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(np.isin(ids, ray.get(ids_ref))))
 
+    from .shuffle import multi_key_sum
+
     sh = (
         shingle_table(ds, text_col, id_col, n)
         .map_batches(only_cands, batch_format="pyarrow")
         .materialize()
     )
-    sizes = sh.groupby(id_col).aggregate(Count(alias_name="n_sh"))
+    sizes = multi_key_sum(sh, [id_col], None, out_col="n_sh")
     co = grouped_pairs(sh, "shingle", id_col, mode="lt")
 
     def pair_filter(batch: pa.Table) -> pa.Table:
@@ -376,10 +382,11 @@ def minhash_lsh_pairs(
         keep = df.merge(ray.get(pairs_ref), on=["a", "b"], how="inner")
         return pa.Table.from_pandas(keep, preserve_index=False)
 
-    inter = (
-        co.map_batches(pair_filter, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="inter"))
+    inter = multi_key_sum(
+        co.map_batches(pair_filter, batch_format="pyarrow"),
+        ["a", "b"],
+        None,
+        out_col="inter",
     ).materialize()
     if inter.count() == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})

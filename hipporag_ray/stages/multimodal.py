@@ -139,9 +139,12 @@ class DecodeImage:
         from ..functions.png import decode_png
 
         # container dispatch on signature bytes, not the mime column —
-        # web corpora routinely mislabel; PIL (when importable) handles
-        # both, the numpy codecs split by magic
-        if payload[:6] in (b"GIF87a", b"GIF89a") and self._pil is None:
+        # web corpora routinely mislabel.  GIF always takes the numpy
+        # codec, even with PIL importable: PIL's convert('RGB') paints a
+        # 'P'-mode GIF's transparent pixels with their palette color
+        # while decode_gif composites them onto the GIF background, so
+        # features/phash would differ per environment otherwise
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
             frames = decode_gif(payload, [0])
             if not frames:
                 raise ValueError("GIF payload with no frames")

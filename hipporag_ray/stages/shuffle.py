@@ -179,10 +179,13 @@ def int_pair_key_sum(
 
 
 @ray.remote
-def _multi_split(tbl: pa.Table, key_cols: list, weight_col, out_col: str, k: int):
-    """Per-block partial groupby-sum (or row count when weight_col is
-    None) over arbitrary-typed key columns, fanned by a combined key
-    hash."""
+def _multi_split(
+    tbl: pa.Table, key_cols: list, weight_col, out_col: str, k: int, op: str = "sum"
+):
+    """Per-block partial groupby-``op`` (sum/min/max; or row count when
+    weight_col is None) over arbitrary-typed key columns, fanned by a
+    combined key hash.  Every op is mergeable, so the partial here and
+    the final combine in :func:`_multi_reduce` compose exactly."""
     import pandas as pd
 
     if tbl.num_rows == 0 or any(c not in tbl.column_names for c in key_cols):
@@ -192,7 +195,7 @@ def _multi_split(tbl: pa.Table, key_cols: list, weight_col, out_col: str, k: int
         list(key_cols) + ([weight_col] if weight_col else [])
     ).to_pandas()
     if weight_col:
-        part = df.groupby(list(key_cols), as_index=False, sort=False)[weight_col].sum()
+        part = df.groupby(list(key_cols), as_index=False, sort=False)[weight_col].agg(op)
         part = part.rename(columns={weight_col: out_col})
     else:
         part = df.groupby(list(key_cols), as_index=False, sort=False).size()
@@ -210,14 +213,57 @@ def _multi_split(tbl: pa.Table, key_cols: list, weight_col, out_col: str, k: int
 
 
 @ray.remote
-def _multi_reduce(key_cols: list, out_col: str, *shards) -> pa.Table:
+def _multi_reduce(key_cols: list, out_col: str, *shards, op: str = "sum") -> pa.Table:
     shards = [s[0] if isinstance(s, tuple) and len(s) == 1 else s for s in shards]
     shards = [s for s in shards if s.num_rows]
     if not shards:
         return _EMPTY_SENTINEL
     df = pa.concat_tables(shards).to_pandas()
-    out = df.groupby(list(key_cols), as_index=False, sort=False)[out_col].sum()
+    out = df.groupby(list(key_cols), as_index=False, sort=False)[out_col].agg(op)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _multi_key_agg(
+    ds: "rd.Dataset",
+    key_cols: list,
+    weight_col: str | None,
+    out_col: str,
+    op: str,
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Shared machinery of :func:`multi_key_sum` / :func:`multi_key_min`
+    / :func:`multi_key_max`: per-block pandas partials (map-side
+    combine), a hash exchange on the combined key hash, a per-partition
+    final combine.  ``op`` must be mergeable (sum/min/max; count runs
+    as a sum over per-block sizes)."""
+    reduce_op = "sum" if weight_col is None else op
+
+    def launch(r, k):
+        if k > 1:
+            return _multi_split.options(num_returns=k).remote(
+                r, list(key_cols), weight_col, out_col, k, op=op
+            )
+        return [
+            _multi_split.remote(r, list(key_cols), weight_col, out_col, k, op=op)
+        ]
+
+    splits, k = _streaming_splits(ds, launch, num_partitions)
+    if not splits:
+        return ds
+    out_refs = [
+        _multi_reduce.remote(
+            list(key_cols),
+            out_col,
+            *[splits[i][t] for i in range(len(splits))],
+            op=reduce_op,
+        )
+        for t in range(k)
+    ]
+    counts = ray.get([_block_rows.remote(r) for r in out_refs])
+    out_refs = [r for r, c in zip(out_refs, counts) if c]
+    if not out_refs:
+        return ds.limit(0)
+    return rd.from_arrow_refs(out_refs)
 
 
 def multi_key_sum(
@@ -236,28 +282,32 @@ def multi_key_sum(
     native groupby's sort-based shuffle measured an order of magnitude
     slower on the build path; small-cardinality groups should use the
     lineitem-style driver combine instead)."""
+    return _multi_key_agg(ds, key_cols, weight_col, out_col, "sum", num_partitions)
 
-    def launch(r, k):
-        if k > 1:
-            return _multi_split.options(num_returns=k).remote(
-                r, list(key_cols), weight_col, out_col, k
-            )
-        return [_multi_split.remote(r, list(key_cols), weight_col, out_col, k)]
 
-    splits, k = _streaming_splits(ds, launch, num_partitions)
-    if not splits:
-        return ds
-    out_refs = [
-        _multi_reduce.remote(
-            list(key_cols), out_col, *[splits[i][t] for i in range(len(splits))]
-        )
-        for t in range(k)
-    ]
-    counts = ray.get([_block_rows.remote(r) for r in out_refs])
-    out_refs = [r for r, c in zip(out_refs, counts) if c]
-    if not out_refs:
-        return ds.limit(0)
-    return rd.from_arrow_refs(out_refs)
+def multi_key_min(
+    ds: "rd.Dataset",
+    key_cols: list,
+    val_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """groupby(key_cols).min(val_col) through the same exchange — the
+    first-wins-representative shape (A10 exact dedup's min-id per
+    content hash).  Min is mergeable, so per-block partials bound any
+    hot key's reducer input by the block count."""
+    return _multi_key_agg(ds, key_cols, val_col, out_col, "min", num_partitions)
+
+
+def multi_key_max(
+    ds: "rd.Dataset",
+    key_cols: list,
+    val_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """groupby(key_cols).max(val_col) through the same exchange."""
+    return _multi_key_agg(ds, key_cols, val_col, out_col, "max", num_partitions)
 
 
 def _hash_codes(tbl: pa.Table, key_col: str) -> np.ndarray:

@@ -28,7 +28,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count
 
 from ..functions.hashing import md5_hex
 from ..functions.text import text_processing, tokenize
@@ -149,10 +148,13 @@ def fact_edge_weights(triples: "rd.Dataset") -> "rd.Dataset":
             {"src": pa.array(lo, pa.string()), "dst": pa.array(hi, pa.string())}
         )
 
-    return (
-        triples.map_batches(pairs, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="weight"))
+    from .shuffle import multi_key_sum
+
+    return multi_key_sum(
+        triples.map_batches(pairs, batch_format="pyarrow"),
+        ["src", "dst"],
+        None,
+        out_col="weight",
     )
 
 

@@ -89,6 +89,18 @@ def test_extract_ner_with_prose_and_truncation():
     assert extract_ner_from_response(None) == []
 
 
+def test_extract_ner_recovers_truncated_generation():
+    # finish_reason=='length' shape: the array is cut mid-element, so
+    # the regex has no closing '}' to anchor on — the whole-response
+    # repair pass recovers the prefix entities (reference behavior:
+    # repair first, then extract)
+    resp = 'Entities follow.\n{"named_entities": ["Radio City", "Ind'
+    assert extract_ner_from_response(resp) == ["Radio City"]
+    # the unterminated "e" trims back to the last comma, keeping ["d"]
+    trips = 'ok {"triples": [["a", "b", "c"], ["d", "e"'
+    assert extract_triples_from_response(trips) == [["a", "b", "c"], ["d"]]
+
+
 def test_extract_triples():
     resp = 'prefix {"triples": [["radio city", "is", "station"]]} suffix'
     assert extract_triples_from_response(resp) == [["radio city", "is", "station"]]
@@ -143,11 +155,57 @@ def test_parse_dspy_scalar_coercion_and_shape_rejection():
 # ---------------------------------------------------------------- M13
 def test_prompt_manager_render_chat_and_string():
     mgr = PromptTemplateManager(role_mapping={"system": "sys"})
+    # "ner" is the reference's real 4-turn few-shot template (system +
+    # one-shot demo pair + the ${passage} user turn)
     msgs = mgr.render("ner", passage="hello world")
     assert msgs[0]["role"] == "sys"  # role_mapping applied
-    assert msgs[1] == {"role": "user", "content": "hello world"}
+    assert len(msgs) == 4
+    assert msgs[1]["content"].startswith("Radio City")  # one-shot demo
+    assert msgs[-1] == {"role": "user", "content": "hello world"}
     out = mgr.render("qa", question="q?", context="ctx")
     assert out == "Question: q?\nContext:\nctx\nAnswer:"
+
+
+def test_reference_template_set_loaded_verbatim():
+    """The reference's template set ships as data with exact prose
+    (prompts/templates/*.py -> functions/prompt_data/*.json)."""
+    from hipporag_ray.functions.prompts import load_reference_templates
+
+    tpls = load_reference_templates()
+    assert set(tpls) == {
+        "ner",
+        "ner_query",
+        "triple_extraction",
+        "rag_qa_musique",
+        "ircot_hotpotqa",
+        "ircot_musique",
+    }
+    mgr = PromptTemplateManager()
+    # ner_query: the reference's query-NER one-shot, final turn takes
+    # ${query}
+    q = mgr.render("ner_query", query="who founded X?")
+    assert q[-1] == {"role": "user", "content": "Question: who founded X?"}
+    assert "Arthur's Magazine" in q[1]["content"]
+    # triple_extraction: ${passage} + ${named_entity_json} via the
+    # reference's convert_format_to_template
+    t = mgr.render(
+        "triple_extraction", passage="p", named_entity_json='{"named_entities": []}'
+    )
+    assert "```\np\n```" in t[-1]["content"]
+    assert '{"named_entities": []}' in t[-1]["content"]
+    # RDF instruction prose verbatim
+    assert "RDF (Resource Description Framework)" in t[0]["content"]
+    # rag_qa_musique renders (the $$ escapes in the one-shot docs
+    # substitute to single $, like the reference's Template path)
+    r = mgr.render("rag_qa_musique", prompt_user="Q")
+    assert r[1]["content"].count("$94 million") == 1
+    assert r[-1]["content"] == "Q"
+    # ircot: system carries the full demo; user takes ${prompt_user}
+    for name in ("ircot_hotpotqa", "ircot_musique"):
+        msgs = mgr.render(name, prompt_user="next thought?")
+        assert len(msgs) == 2
+        assert "So the answer is:" in msgs[0]["content"]
+        assert msgs[1]["content"] == "next thought?"
 
 
 def test_prompt_manager_missing_var_and_bad_template():
@@ -384,6 +442,47 @@ def test_engine_two_arg_rerank_hook_receives_queries(ray_session, tmp_path):
     res = eng.retrieve(["alpha beta gamma"], top_k=2)
     eng.close()
     assert seen["queries"] == ["alpha beta gamma"]
+    assert res[0]["docs"]
+
+
+def test_engine_defaulted_second_positional_hook_gets_cand_only(
+    ray_session, tmp_path
+):
+    """A one-arg hook with a DEFAULTED second positional (an option
+    slot like top_k, not the query-list slot) must NOT receive the
+    query list as that option."""
+    import ray.data as rd
+
+    tx = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array(["c0", "c0"], pa.string()),
+                "turn_idx": pa.array([0, 1], pa.int32()),
+                "role": pa.array(["user"] * 2, pa.string()),
+                "text": pa.array(
+                    ["alpha beta gamma", "alpha delta epsilon"], pa.string()
+                ),
+                "tool": pa.array([""] * 2, pa.string()),
+                "ts": pa.array(
+                    np.arange(2, dtype="int64").astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+    from hipporag_ray.pipelines.retrieval import HippoRagEngine
+
+    seen = {}
+
+    def hook(cand, top_k=20):
+        seen["top_k"] = top_k
+        return cand
+
+    eng = HippoRagEngine(working_dir=str(tmp_path / "wd"), rerank_fn=hook)
+    eng.index(tx)
+    res = eng.retrieve(["alpha beta gamma"], top_k=2)
+    eng.close()
+    assert seen["top_k"] == 20  # default intact, not the query list
     assert res[0]["docs"]
 
 
