@@ -1,0 +1,223 @@
+"""Stdlib-only clients for OpenAI-compatible HTTP endpoints — the real
+network analog of the reference's LLM / embedding zoo
+(``llm/openai_gpt.py:113-199`` CacheOpenAI, ``embedding_model/*`` —
+OpenAI, Azure, vLLM's OpenAI-compatible server, and anything else that
+speaks ``/chat/completions`` + ``/embeddings``).
+
+Design constraints:
+
+* **No third-party dependency** — ``urllib.request`` only.  The sandbox
+  (and many production workers) have neither ``openai`` nor ``httpx``;
+  a worker that imports this module never touches the network until a
+  request is actually made.
+* **Plug-shaped.**  :class:`OpenAICompatLLM` is a plain callable with
+  the ``llm_fn(messages, model=..., seed=..., temperature=...) ->
+  (message, metadata)`` contract that :class:`~.llm_cache.CachedLLM` /
+  :class:`~.llm_cache.LLMInfer` wrap, so the cache, bounded retry, and
+  actor-pool plumbing are reused unchanged — this module is ONLY the
+  transport.  :class:`OpenAICompatEmbedder` satisfies the embedder
+  stage contract (``embed(texts) -> (B, D) float32``; ``__call__``
+  appends an ``embedding`` list<float32> column), identical to
+  ``model_embedders.TransformersEmbedder``.
+* **Config-gated, never exercised in CI.**  Nothing in the test suite
+  or catalog calls a real endpoint; tests run against an in-process
+  ``http.server`` stub on localhost.  Constructing a client performs no
+  I/O, so actor pools can be declared anywhere and only fail (clearly)
+  at first use if the endpoint is unreachable.
+
+Metadata parity: the returned metadata dict carries exactly the
+reference's keys (``prompt_tokens``, ``completion_tokens``,
+``finish_reason`` — openai_gpt.py:191-195), so downstream consumers
+(truncation repair on ``finish_reason == "length"``, cost accounting)
+see the same shape whether the plug is this client or a local model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["OpenAICompatLLM", "OpenAICompatEmbedder", "HttpEndpointError"]
+
+
+class HttpEndpointError(RuntimeError):
+    """Non-2xx response (or transport failure) from the endpoint.
+
+    Carries ``status`` and the response body so CachedLLM's bounded
+    retry loop (which catches ``Exception``) surfaces a useful message
+    when retries are exhausted."""
+
+    def __init__(self, status: int | None, body: str, url: str):
+        super().__init__(f"HTTP {status} from {url}: {body[:500]}")
+        self.status = status
+        self.body = body
+        self.url = url
+
+
+def _post_json(url: str, payload: dict, headers: dict, timeout: float) -> dict:
+    data = json.dumps(payload).encode("utf-8")
+    req = urllib.request.Request(
+        url, data=data, headers={"Content-Type": "application/json", **headers}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+    except urllib.error.HTTPError as exc:  # non-2xx: body often explains why
+        body = exc.read().decode("utf-8", "replace") if exc.fp else ""
+        raise HttpEndpointError(exc.code, body, url) from exc
+    except urllib.error.URLError as exc:  # DNS/conn-refused/timeout
+        raise HttpEndpointError(None, str(exc.reason), url) from exc
+
+
+def _auth_headers(api_key: str | None, api_key_env: str | None) -> dict:
+    key = api_key if api_key is not None else os.environ.get(api_key_env or "", "")
+    return {"Authorization": f"Bearer {key}"} if key else {}
+
+
+class OpenAICompatLLM:
+    """``llm_fn`` plug speaking the chat-completions protocol.
+
+    >>> llm = OpenAICompatLLM("http://host:8000/v1", model="llama-3-8b")
+    >>> stage = LLMInfer(lambda: llm, cache_path, model="llama-3-8b")
+
+    Generation params mirror the reference defaults
+    (openai_gpt.py:158-164): ``max_new_tokens`` 400, ``n`` 1; ``model``
+    / ``seed`` / ``temperature`` arrive per call from CachedLLM so they
+    participate in its cache key.  Like the reference (:182-184),
+    non-"gpt" models (vLLM et al.) receive ``max_tokens`` while gpt-*
+    receives ``max_completion_tokens``.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        model: str | None = None,
+        api_key: str | None = None,
+        api_key_env: str = "OPENAI_API_KEY",
+        max_new_tokens: int = 400,
+        n: int = 1,
+        timeout: float = 300.0,
+        extra_headers: dict | None = None,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.model = model
+        self.max_new_tokens = int(max_new_tokens)
+        self.n = int(n)
+        self.timeout = float(timeout)
+        self.headers = {
+            **_auth_headers(api_key, api_key_env),
+            **(extra_headers or {}),
+        }
+
+    def __call__(self, messages, model=None, seed=None, temperature=None, **kw):
+        model = model or self.model
+        if not model:
+            raise ValueError("OpenAICompatLLM needs a model name (ctor or call)")
+        params: dict = {"model": model, "messages": messages, "n": self.n}
+        tok_key = "max_completion_tokens" if "gpt" in model else "max_tokens"
+        params[tok_key] = self.max_new_tokens
+        if seed is not None:
+            params["seed"] = seed
+        if temperature is not None:
+            params["temperature"] = temperature
+        params.update(kw)
+        out = _post_json(
+            f"{self.base_url}/chat/completions", params, self.headers, self.timeout
+        )
+        choice = out["choices"][0]
+        message = choice["message"]["content"]
+        if not isinstance(message, str):
+            raise HttpEndpointError(
+                None, f"non-string message content: {type(message).__name__}",
+                self.base_url,
+            )
+        usage = out.get("usage") or {}
+        metadata = {
+            "prompt_tokens": usage.get("prompt_tokens"),
+            "completion_tokens": usage.get("completion_tokens"),
+            "finish_reason": choice.get("finish_reason"),
+        }
+        return message, metadata
+
+
+class OpenAICompatEmbedder:
+    """Embedder-stage plug speaking the ``/embeddings`` protocol
+    (OpenAI, vLLM ``--task embed``, Cohere's compat endpoint).
+
+    Same stage contract as the local embedders: ``STATELESS = False``
+    (construct once per actor), ``embed(texts) -> (B, D) float32``
+    L2-normalized by default (the reference normalizes in retrieval —
+    EmbeddingStore consumers assume unit vectors), ``__call__`` appends
+    ``embedding`` as list<float32>.  ``request_batch`` caps texts per
+    HTTP call independently of the Ray batch size: Ray batches size for
+    plasma/heap, endpoints cap per-request inputs (OpenAI: 2048).
+    """
+
+    STATELESS = False
+
+    def __init__(
+        self,
+        base_url: str,
+        model: str,
+        api_key: str | None = None,
+        api_key_env: str = "OPENAI_API_KEY",
+        text_col: str = "content",
+        normalize: bool = True,
+        request_batch: int = 512,
+        timeout: float = 300.0,
+        extra_headers: dict | None = None,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.model = model
+        self.text_col = text_col
+        self.normalize = bool(normalize)
+        self.request_batch = max(1, int(request_batch))
+        self.timeout = float(timeout)
+        self.headers = {
+            **_auth_headers(api_key, api_key_env),
+            **(extra_headers or {}),
+        }
+
+    def embed(self, texts) -> np.ndarray:
+        texts = [t or "" for t in texts]
+        if not texts:
+            return np.zeros((0, 0), dtype=np.float32)
+        rows: list[list[float]] = []
+        for i in range(0, len(texts), self.request_batch):
+            chunk = texts[i : i + self.request_batch]
+            out = _post_json(
+                f"{self.base_url}/embeddings",
+                {"model": self.model, "input": chunk},
+                self.headers,
+                self.timeout,
+            )
+            data = out["data"]
+            if len(data) != len(chunk):
+                raise HttpEndpointError(
+                    None,
+                    f"embeddings count mismatch: sent {len(chunk)}, got {len(data)}",
+                    self.base_url,
+                )
+            # servers may reorder; the protocol's `index` field is
+            # authoritative for which input each vector belongs to
+            by_index = sorted(data, key=lambda d: d["index"])
+            rows.extend(d["embedding"] for d in by_index)
+        emb = np.asarray(rows, dtype=np.float32)
+        if self.normalize:
+            nrm = np.linalg.norm(emb, axis=1, keepdims=True)
+            emb = emb / np.maximum(nrm, 1e-12)
+        return emb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.text import text_processing
+
+        texts = text_processing(batch[self.text_col]).to_pylist()
+        emb = self.embed(texts)
+        return batch.append_column(
+            "embedding", pa.array(list(emb), type=pa.list_(pa.float32()))
+        )
