@@ -40,16 +40,17 @@ from ..state.csr import ShardedGraph, assemble_labels, assemble_ppr
 
 
 @ray.remote(num_cpus=0)
-def _assemble_ppr_task(*msgs):
+def _assemble_ppr_task(pos, *msgs):
     """One task per message CHUNK per iteration: merge a shard group's
     contrib messages into that chunk's broadcast object (see
     csr.assemble_ppr — k parallel group concats replaced the single
     serial full-matrix assemble, whose O(n x B) wall was the Amdahl
-    term capping 8->32-CPU scaling).  num_cpus=0: the shard pool
-    reserves all-but-one core while its actors sit IDLE waiting on
-    exactly these memcpy tasks — a 1-CPU reservation would serialize
-    the k chunk assembles through the single headroom core."""
-    return assemble_ppr(msgs)
+    term capping 8->32-CPU scaling; ``pos`` fuses the active-column
+    subset in, so consumer shards never re-subset).  num_cpus=0: the
+    shard pool reserves all-but-one core while its actors sit IDLE
+    waiting on exactly these memcpy tasks — a 1-CPU reservation would
+    serialize the k chunk assembles through the single headroom core."""
+    return assemble_ppr(msgs, pos)
 
 
 @ray.remote
@@ -374,23 +375,35 @@ def personalized_pagerank(
     def _submit_wave(active_prev: np.ndarray, active_now: np.ndarray, msg_refs):
         """One fused actor wave: k chunk assembles over the published
         contribs, then ppr_step on every shard.  Returns (delta refs,
-        next-iteration contrib refs) WITHOUT waiting."""
+        next-iteration contrib refs) WITHOUT waiting.
+
+        The active-column subset happens IN the assembles (``pos``):
+        the chunks reach the shards already at ``active_now`` width, so
+        the per-shard O(n x B) re-subset — which scaled total memcpy
+        with P and dominated the in-actor step time at P=64 — is gone
+        (ppr_step is told columns already match via
+        active_prev=active_now)."""
+        pos = (
+            None
+            if len(active_now) == len(active_prev)
+            else np.searchsorted(active_prev, active_now)
+        )
         if assemblers:
             # persistent zero-CPU assembler actors: plain tasks here
             # re-spawned reaped idle workers mid-run (~1 s import cost
             # surfacing as random 2-20x iteration-wall spikes)
             chunk_refs = [
-                assemblers[c].assemble_ppr.remote(*[msg_refs[i] for i in grp])
+                assemblers[c].assemble_ppr.remote(pos, *[msg_refs[i] for i in grp])
                 for c, grp in enumerate(groups)
             ]
         else:
             chunk_refs = [
-                _assemble_ppr_task.remote(*[msg_refs[i] for i in grp])
+                _assemble_ppr_task.remote(pos, *[msg_refs[i] for i in grp])
                 for grp in groups
             ]
         outs = [
             a.ppr_step.options(num_returns=2).remote(
-                damping, active_prev, active_now, *chunk_refs
+                damping, active_now, active_now, *chunk_refs
             )
             for a in sg.actors
         ]

@@ -59,6 +59,16 @@ from .native import native
 
 _I64_MAX = np.iinfo(np.int64).max
 
+_PERF_ZERO = {
+    "kernel_s": 0.0,
+    "contrib_s": 0.0,
+    "step_s": 0.0,
+    "steps": 0,
+    "subset_s": 0.0,  # column-subset memcpy inside ppr_step
+    "kernel_cpu_s": 0.0,  # thread_time twins of the wall timers
+    "step_cpu_s": 0.0,
+}
+
 
 class GraphShard:
     """Plain-python shard state (actor-wrapped below; also used directly
@@ -245,11 +255,11 @@ class GraphShard:
         # perf_counters) — cheap enough to keep always-on, and the only
         # way to see where an iteration's wall goes without a profiler
         # attached to 63 actor processes
-        self._perf = {"kernel_s": 0.0, "contrib_s": 0.0, "step_s": 0.0, "steps": 0}
+        self._perf = dict(_PERF_ZERO)
 
     def perf_counters(self) -> dict:
         out = dict(self._perf)
-        self._perf = {"kernel_s": 0.0, "contrib_s": 0.0, "step_s": 0.0, "steps": 0}
+        self._perf = dict(_PERF_ZERO)
         return out
 
     def get_edge_count(self) -> int:
@@ -394,8 +404,30 @@ class GraphShard:
             inv_w[nzm] = 1.0 / self.out_weight[nzm]
             self._inv_w = inv_w
             self._dangling_rows = np.nonzero(~nzm)[0]
-        s = self.scores.take(active, axis=1)  # C-order copy
-        contrib = s * (damping * inv_w)[:, None]
+        # full-active fast path (the common case: every iteration until
+        # columns start freezing): scores already has exactly the active
+        # columns, so the take is a pure copy — skip it.  The per-vertex
+        # row plumbing here and in _pull_chunks, not the edge kernel,
+        # was the measured straggler cost on vertex-heavy shards (~9x
+        # the edge scan at local_n 39k / B 128), so every avoided
+        # local_n x B pass moves the wave's critical path.
+        s = (
+            self.scores
+            if len(active) == self.scores.shape[1]
+            else self.scores.take(active, axis=1)
+        )
+        w = damping * inv_w
+        # float32 message (default): halves the gather traffic of the
+        # edge scan (the iteration is DRAM-bandwidth-bound); the induced
+        # error (~6e-8 relative, contracted each iteration by damping)
+        # is two orders below the 1e-6 convergence tolerance.  Dangling
+        # and the hub blocks stay float64.  precise=True keeps float64.
+        # The multiply casts on store (one fused pass — ufunc computes
+        # in float64 and IEEE-rounds into the out dtype, bit-identical
+        # to multiply-then-astype at half the traffic).
+        msg = np.multiply(
+            s, w[:, None], out=np.empty(s.shape, self._msg_dtype), casting="unsafe"
+        )
         dangling = (
             s.take(self._dangling_rows, axis=0).sum(axis=0)
             if len(self._dangling_rows)
@@ -404,22 +436,26 @@ class GraphShard:
         # hub push: contributions from my vertices into hub vertices,
         # computed here (local contrib, float64) and summed by hub
         # owners in the pull phase — the iteration-level salting of
-        # hub-entity skew
+        # hub-entity skew.  Rebuilt from the push ROWS of s (bit-equal
+        # to gathering rows of the full float64 contrib matrix, which
+        # no longer exists: s[p]*w[p] is elementwise the same multiply).
         hub_push = np.zeros((len(self.hubs), len(active)))
         p_own, _p_hub, p_w = self._push
         if len(p_own):
-            vals = contrib[p_own] * p_w[:, None]
+            vals = (s[p_own] * w[p_own][:, None]) * p_w[:, None]
             hub_push[self._push_uniq] = np.add.reduceat(vals, self._push_starts, axis=0)
-        # float32 message (default): halves the gather traffic of the
-        # edge scan (the iteration is DRAM-bandwidth-bound); the induced
-        # error (~6e-8 relative, contracted each iteration by damping)
-        # is two orders below the 1e-6 convergence tolerance.  Dangling
-        # and the hub blocks stay float64.  precise=True keeps float64.
-        out = (contrib.astype(self._msg_dtype), dangling, hub_push)
+        out = (msg, dangling, hub_push)
         self._perf["contrib_s"] += _t.perf_counter() - _t0
         return out
 
     _PULL_CHUNK = 32768  # edges per segment-sum block (bounds temp size)
+
+    # wall timers (perf_counter) say where the ITERATION's wall goes;
+    # the _cpu twins (thread_time) say how much of that was actual CPU
+    # work vs OS descheduling — with 2x oversharding two shards share
+    # each core, so wall-in-method alone cannot distinguish a slow
+    # kernel from a descheduled one (the r4 8->32 scaling adjudication
+    # needed exactly this split)
 
     def _chunk_views(self, M: np.ndarray) -> list[np.ndarray]:
         """Row-slice a FULL (n, B) assembled message matrix into the
@@ -468,8 +504,14 @@ class GraphShard:
         import time as _t
 
         _tk = _t.perf_counter()
-        reset = self.reset.take(active, axis=1)
-        nxt = (1.0 - damping) * reset + damping * dangling[None, :] * reset
+        _ck = _t.thread_time()
+        full = len(active) == self.scores.shape[1]
+        # full-active fast path: skip the column-take copy of reset
+        reset = self.reset if full else self.reset.take(active, axis=1)
+        # (1-d)*r + d*dang*r = r * ((1-d) + d*dang): one fused pass over
+        # the (local_n, B) block instead of three (the per-vertex row
+        # plumbing, not the edge kernel, dominates vertex-heavy shards)
+        nxt = reset * ((1.0 - damping) + damping * dangling)[None, :]
         if len(self._hub_owned_idx):
             nxt[self._hub_local] += hub_total[self._hub_owned_idx]
         B = len(active)
@@ -521,10 +563,21 @@ class GraphShard:
                     block = M[other[a:b]].astype(np.float64) * w_s[a:b, None]
                 nxt[uniq[s0:s1]] += np.add.reduceat(block, starts[s0:s1] - a, axis=0)
                 s0 = s1
-        old = self.scores[:, active]
-        delta = np.abs(nxt - old).sum(axis=0)
-        self.scores[:, active] = nxt
+        if full:
+            # no gather, no scatter: diff against the old matrix in one
+            # buffer, then REBIND scores to nxt (the fancy-index
+            # round-trip measured ~95 ms/iter on a 39k-vertex shard —
+            # 4x the edge kernel)
+            diff = nxt - self.scores
+            np.abs(diff, out=diff)
+            delta = diff.sum(axis=0)
+            self.scores = nxt
+        else:
+            old = self.scores[:, active]
+            delta = np.abs(nxt - old).sum(axis=0)
+            self.scores[:, active] = nxt
         self._perf["kernel_s"] += _t.perf_counter() - _tk
+        self._perf["kernel_cpu_s"] += _t.thread_time() - _ck
         return delta
 
     def ppr_step(
@@ -547,6 +600,7 @@ class GraphShard:
         import time as _t
 
         _ts = _t.perf_counter()
+        _cs = _t.thread_time()
         if len(msgs) == 1 and isinstance(msgs[0], list):
             # unit-test convenience: list of per-shard message refs
             msgs = (assemble_ppr(ray.get(list(msgs[0]))),)
@@ -563,15 +617,18 @@ class GraphShard:
                 f"ppr_step: got {len(msgs)} message chunks, shard has {kc}"
             )
         if len(active_now) != len(active_prev):
+            _tsub = _t.perf_counter()
             # .take keeps C-order (fancy axis-1 indexing would go F-order
             # and trip the kernel's layout guard)
             pos = np.searchsorted(active_prev, active_now)
             Ms = [m.take(pos, axis=1) for m in Ms]
             dangling = dangling[pos]
             hub_total = hub_total.take(pos, axis=1)
+            self._perf["subset_s"] += _t.perf_counter() - _tsub
         delta = self._pull_chunks(damping, active_now, Ms, dangling, hub_total)
         out = delta, self.ppr_contrib(damping, active_now)
         self._perf["step_s"] += _t.perf_counter() - _ts
+        self._perf["step_cpu_s"] += _t.thread_time() - _cs
         self._perf["steps"] += 1
         return out
 
@@ -888,7 +945,7 @@ class GraphShard:
             self.labels = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
 
 
-def assemble_ppr(msgs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def assemble_ppr(msgs, pos=None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Merge the per-shard PPR contrib messages into the iteration's
     single broadcast payload: the global (n, B) message matrix (shard
     slices concatenated in bounds order), the summed dangling mass and
@@ -897,7 +954,32 @@ def assemble_ppr(msgs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     fetches one object per iteration (n x B bytes, the same per-node
     traffic as fetching all P slices) instead of the driver inlining P
     refs into P calls (O(P^2) borrow registrations, the measured
-    iteration-wall dominator at P=63)."""
+    iteration-wall dominator at P=63).
+
+    ``pos`` (optional int64 positions into the message columns) fuses
+    the active-set column subset into the assemble: when the active set
+    shrank since the messages were published, the chunk is built
+    directly at the new width (one fill per slice, no full-width
+    intermediate).  Without this, every consumer shard re-subset the
+    full chunk matrices itself — O(n x B) PER SHARD, so total subset
+    work scaled with P: at P=64 on the dense bench graph that memcpy
+    measured 54.5 s of the 105.7 s total in-actor step time, the single
+    largest term of the 8->32-CPU single-box scaling gap.  Here it is
+    k x (n/k x B_now) total — P-independent."""
+    if pos is not None:
+        pos = np.asarray(pos, dtype=np.int64)
+        rows = [m[0] for m in msgs]
+        total = sum(r.shape[0] for r in rows)
+        M = np.empty(
+            (total, len(pos)), dtype=rows[0].dtype if rows else np.float32
+        )
+        r0 = 0
+        for r in rows:
+            np.take(r, pos, axis=1, out=M[r0 : r0 + r.shape[0]])
+            r0 += r.shape[0]
+        dangling = np.sum([m[1] for m in msgs], axis=0)[pos]
+        hub_total = np.sum([m[2] for m in msgs], axis=0).take(pos, axis=1)
+        return M, dangling, hub_total
     M = np.concatenate([m[0] for m in msgs], axis=0)
     dangling = np.sum([m[1] for m in msgs], axis=0)
     hub_total = np.sum([m[2] for m in msgs], axis=0)
@@ -921,8 +1003,8 @@ class _ChunkAssembler:
     lifetime.  num_cpus=0: the shard pool reserves all-but-one core
     while its actors sit IDLE waiting on exactly these memcpy calls."""
 
-    def assemble_ppr(self, *msgs):
-        return assemble_ppr(msgs)
+    def assemble_ppr(self, pos, *msgs):
+        return assemble_ppr(msgs, pos)
 
     def assemble_labels(self, *msgs):
         return assemble_labels(msgs)
@@ -1007,6 +1089,19 @@ class ShardHandle:
 
 
 
+# Shard-balance cost model: one vertex costs about this many edge
+# traversals per PPR iteration.  The pull's per-vertex row plumbing
+# (reset scale into nxt, delta reduction, score swap, contrib multiply
+# + dangling rows) and the per-edge kernel work both scale linearly
+# with the active column count B, so the ratio is ~B-independent;
+# measured ~46 on the dense bench graph (39k-vertex shard: 41 ms of
+# row plumbing vs 22.5 ns/edge over 1.05M edges at B=128) after the
+# r5 fast-path rewrite.  Bounds from pure edge quantiles made that
+# shard a 2.4x wave straggler; balancing degree + this constant splits
+# vertex-dense vid ranges across shards instead.
+VERTEX_EDGE_COST = 48
+
+
 def _hub_cap(total_rows: int, n_shards: int, hub_min_degree: int | None) -> int:
     """Hub-degree threshold — ONE definition for both the exact and the
     row-group-stats bounds paths, so the same graph classifies hubs
@@ -1080,7 +1175,13 @@ def _bounds_from_rowgroup_stats(
 
     if n_shards <= 1:
         return np.array([0, n_vertices], dtype=np.int64), hubs
-    # quantile cuts over non-hub mass, snapped to row-group min_src
+    # quantile cuts over the COMBINED cost (non-hub edge mass +
+    # VERTEX_EDGE_COST per vid), snapped to row-group min_src — the
+    # same cost model as the exact path below, evaluated only at the
+    # snap points the metadata gives us: a cut at mins_bal[i] owns all
+    # edges of earlier groups plus the per-vertex row-plumbing cost of
+    # every vid below it (vids with zero edges still carry score/reset
+    # rows, so the vertex term uses the vid itself, not a group count)
     if len(hubs):
         keep = ~(single & np.isin(mins, hubs))
         rows_bal, mins_bal = rows[keep], mins[keep]
@@ -1088,9 +1189,11 @@ def _bounds_from_rowgroup_stats(
         rows_bal, mins_bal = rows, mins
     if rows_bal.sum() == 0:
         rows_bal, mins_bal = rows, mins
-    cum = np.cumsum(rows_bal)
-    targets = (np.arange(1, n_shards, dtype=np.int64) * int(cum[-1])) // n_shards
-    idx = np.searchsorted(cum, targets, side="left")
+    edges_before = np.concatenate([[0], np.cumsum(rows_bal)[:-1]])
+    cost_at = edges_before + VERTEX_EDGE_COST * mins_bal
+    total_cost = int(rows_bal.sum()) + VERTEX_EDGE_COST * n_vertices
+    targets = (np.arange(1, n_shards, dtype=np.int64) * total_cost) // n_shards
+    idx = np.searchsorted(cost_at, targets, side="left")
     cuts = np.unique(mins_bal[np.minimum(idx, len(mins_bal) - 1)])
     cuts = cuts[(cuts > 0) & (cuts < n_vertices)]
     return (
@@ -1152,17 +1255,20 @@ def edge_balanced_bounds(
     hubs = np.sort(hub_ids).astype(np.int64)
     if n_shards <= 1:
         return np.array([0, n_vertices], dtype=np.int64), hubs
-    # quantiles over NON-hub rows: hub segments no longer live on their
-    # owner, so they should not skew the boundary placement
+    # quantiles over the COMBINED per-vid cost (non-hub degree +
+    # VERTEX_EDGE_COST): hub segments no longer live on their owner, so
+    # their edges should not skew the boundary placement; the vertex
+    # term keeps vertex-dense/edge-sparse vid ranges from piling onto
+    # one shard (pure edge quantiles gave one shard 39k of 102k
+    # vertices on the dense bench graph — its per-vertex row plumbing
+    # made it the 2.4x wave straggler)
+    deg_bal = deg.astype(np.int64)
     if len(hubs):
-        pos_mask = ~np.isin(src, hubs)
-        src_bal = src[pos_mask]
-    else:
-        src_bal = src
-    if len(src_bal) == 0:
-        src_bal = src
-    pos = (np.arange(1, n_shards, dtype=np.int64) * len(src_bal)) // n_shards
-    cuts = np.unique(src_bal[pos].astype(np.int64))
+        deg_bal = deg_bal.copy()
+        deg_bal[hubs] = 0
+    cum = np.cumsum(deg_bal + VERTEX_EDGE_COST)
+    targets = (np.arange(1, n_shards, dtype=np.int64) * int(cum[-1])) // n_shards
+    cuts = np.unique(np.searchsorted(cum, targets, side="left") + 1)
     cuts = cuts[(cuts > 0) & (cuts < n_vertices)]
     return np.concatenate([[0], cuts, [n_vertices]]).astype(np.int64), hubs
 
