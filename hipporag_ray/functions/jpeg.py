@@ -1,0 +1,611 @@
+"""Minimal pure-numpy baseline JPEG (JFIF) codec — stdlib + numpy only.
+
+No imaging library ships in this environment, and real-world media
+corpora are JPEG-heavy, so the multimodal decode stage
+(stages/multimodal.py) routes ``image/jpeg`` payloads here.  Scope:
+baseline sequential DCT (SOF0, plus SOF1 whose decoding is identical),
+8-bit, greyscale or YCbCr, any sampling factors up to 4 (4:4:4 and
+4:2:0 are what the encoder emits), Huffman entropy coding, restart
+markers (DRI/RSTn), multi-table DQT/DHT segments, APPn/COM skipping.
+Progressive (SOF2) and arithmetic-coded variants raise ``ValueError``.
+
+All constants are from the public ITU-T T.81 spec: the Annex K.1/K.2
+quantization tables, the K.3-K.6 "typical" Huffman tables, the zig-zag
+order, and the IJG quality->scale curve.  The DCT is the orthonormal
+8x8 DCT-II matrix form (mathematically identical to the spec's
+1/4·C(u)C(v) double-cosine definition), applied to every block of a
+component at once via einsum.  Huffman decoding walks the bitstream in
+Python but through a 16-bit-prefix lookup table, one array op per
+symbol — the per-payload loops are bounded by symbol count, not pixel
+count, and the pixel math (dequantize, IDCT, upsample, color convert)
+is fully vectorized.
+
+Like the GIF path, JPEG always decodes through this codec even when
+PIL is importable: libjpeg's fixed-point IDCT and fancy chroma
+upsampling produce slightly different pixels, so features/phash for
+the same payload would otherwise differ per environment.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+# zig-zag scan: position i of the scan reads flat index _ZIGZAG[i] of
+# the row-major 8x8 block (T.81 figure 5)
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+_UNZIGZAG = np.argsort(_ZIGZAG)  # flat 8x8 index -> zigzag position
+
+# T.81 Annex K.1 / K.2 base quantization tables (natural row-major order)
+_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# T.81 Annex K.3-K.6 "typical" Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# orthonormal 8x8 DCT-II matrix (== the spec's 1/4 C(u)C(v) scaling)
+_k = np.arange(8)
+_DCT = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16) * np.where(
+    _k[:, None] == 0, np.sqrt(1 / 8), 0.5
+)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality curve: 1..100 -> scaled Annex K tables."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_QT_LUMA, _QT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _canonical_codes(bits, huffval) -> dict[int, tuple[int, int]]:
+    """T.81 C.2: BITS/HUFFVAL -> {symbol: (code, length)}."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_lut(bits, huffval) -> np.ndarray:
+    """16-bit-prefix lookup: lut[peek16] = (symbol << 5) | code_length
+    (uint16; 0 = invalid prefix).  One array index decodes one symbol."""
+    lut = np.zeros(1 << 16, dtype=np.uint16)
+    for sym, (code, length) in _canonical_codes(bits, huffval).items():
+        start = code << (16 - length)
+        lut[start : start + (1 << (16 - length))] = (sym << 5) | length
+    return lut
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, nbits: int):
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def byte_align(self):
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # 1-fill
+
+
+def _blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Pad a 2D plane (edge replicate) to (bh*8, bw*8) and tile into
+    raster-ordered (bh*bw, 8, 8) float64 blocks."""
+    h, w = plane.shape
+    padded = np.pad(
+        plane.astype(np.float64),
+        ((0, bh * 8 - h), (0, bw * 8 - w)),
+        mode="edge",
+    )
+    return (
+        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(bh * bw, 8, 8)
+    )
+
+
+def _encode_component_coefs(plane: np.ndarray, qt: np.ndarray, bh: int, bw: int):
+    """Plane -> (bh*bw, 64) quantized zig-zag coefficient rows
+    (``qt`` in natural row-major order)."""
+    blocks = _blocks(plane, bh, bw) - 128.0
+    f = np.einsum("ux,bxy,vy->buv", _DCT, blocks, _DCT)
+    q = np.rint(f.reshape(-1, 64) / qt[None, :]).astype(np.int64)
+    return q[:, _ZIGZAG]
+
+
+def _size_cat(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) | (h, w, 3) uint8 -> baseline JFIF bytes.
+
+    ``subsample=True`` emits 4:2:0 (Y at 2x2 sampling, box-averaged
+    chroma) — the layout real web corpora overwhelmingly use and the
+    decoder's upsampling path needs exercised against;  the default is
+    4:4:4.  ``restart_interval`` > 0 inserts DRI/RSTn markers every
+    that many MCUs (what a parallel or fault-tolerant encoder emits).
+    """
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError(f"expected uint8 image, got {img.dtype}")
+    if img.ndim == 2:
+        comps_px = [img]
+        gray = True
+    elif img.ndim == 3 and img.shape[2] == 3:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps_px = [np.clip(c, 0, 255) for c in (y, cb, cr)]
+        gray = False
+    else:
+        raise ValueError(f"unsupported image shape {img.shape} (JPEG has no alpha)")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt_l, qt_c = _quality_tables(quality)
+    qt_lz, qt_cz = qt_l[_ZIGZAG], qt_c[_ZIGZAG]
+
+    if gray:
+        samp = [(1, 1)]
+    elif subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+
+    comp_coefs = []
+    for ci, (px, (sh, sv)) in enumerate(zip(comps_px, samp)):
+        if (sh, sv) != (hmax, vmax):
+            # box-average downsample to the component's grid
+            fy, fx = vmax // sv, hmax // sh
+            ph = -(-px.shape[0] // fy) * fy
+            pw = -(-px.shape[1] // fx) * fx
+            p = np.pad(px, ((0, ph - px.shape[0]), (0, pw - px.shape[1])), mode="edge")
+            px = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        bh, bw = mcy * sv, mcx * sh
+        qt = qt_l if ci == 0 else qt_c
+        comp_coefs.append(_encode_component_coefs(px, qt, bh, bw).reshape(bh, bw, 64))
+
+    dc_codes = [_canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA)]
+    ac_codes = [_canonical_codes(*_AC_LUMA), _canonical_codes(*_AC_CHROMA)]
+
+    bw_ = _BitWriter()
+    pred = [0] * len(comp_coefs)
+    mcu_i = 0
+    rst = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw_.byte_align()
+                bw_.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                pred = [0] * len(comp_coefs)
+            for ci, coefs in enumerate(comp_coefs):
+                tid = 0 if ci == 0 else 1
+                dc_t, ac_t = dc_codes[tid], ac_codes[tid]
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        blk = coefs[my * sv + by, mx * sh + bx]
+                        diff = int(blk[0]) - pred[ci]
+                        pred[ci] = int(blk[0])
+                        s = _size_cat(diff)
+                        code, ln = dc_t[s]
+                        bw_.put(code, ln)
+                        if s:
+                            bw_.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+                        nz = np.nonzero(blk[1:])[0]
+                        last = 0
+                        for pos in nz:
+                            run = int(pos) - last
+                            last = int(pos) + 1
+                            while run >= 16:
+                                code, ln = ac_t[0xF0]  # ZRL
+                                bw_.put(code, ln)
+                                run -= 16
+                            v = int(blk[1 + pos])
+                            s = _size_cat(v)
+                            code, ln = ac_t[(run << 4) | s]
+                            bw_.put(code, ln)
+                            bw_.put(v if v > 0 else v + (1 << s) - 1, s)
+                        if last < 63:
+                            code, ln = ac_t[0x00]  # EOB
+                            bw_.put(code, ln)
+            mcu_i += 1
+    bw_.byte_align()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x00]) + bytes(qt_lz.tolist())
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x01]) + bytes(qt_cz.tolist())
+    nc = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1])
+    hts = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if not gray:
+        hts += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tc, (bits, vals) in hts:
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals)) + bytes([tc])
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += bytes([0, 63, 0])
+    out += bw_.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decode
+
+
+def _require(cond: bool, msg: str):
+    if not cond:
+        raise ValueError(f"bad JPEG: {msg}")
+
+
+class _BitReader:
+    """MSB-first reader over one entropy segment: peeks 16 bits in O(1)
+    via a precomputed 32-bit sliding word per byte."""
+
+    def __init__(self, seg: np.ndarray):
+        b = np.concatenate([seg, np.full(4, 0xFF, np.uint8)]).astype(np.uint32)
+        self.words = (b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]
+        self.nbits = len(seg) * 8
+        self.pos = 0
+
+    def peek16(self) -> int:
+        p = self.pos
+        _require(p <= self.nbits + 7, "entropy segment truncated")
+        return int(self.words[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+
+    def read(self, n: int) -> int:
+        _require(self.pos + n <= self.nbits + 7, "entropy segment truncated")
+        v = self.peek16() >> (16 - n) if n else 0
+        self.pos += n
+        return v
+
+
+def _extend(v: int, n: int) -> int:
+    return v if n == 0 or v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _decode_block(br: _BitReader, dc_lut, ac_lut, pred: int, out: np.ndarray) -> int:
+    e = dc_lut[br.peek16()]
+    _require(e != 0, "invalid DC Huffman prefix")
+    br.pos += e & 31
+    s = e >> 5
+    pred += _extend(br.read(s), s)
+    out[0] = pred
+    k = 1
+    while k < 64:
+        e = ac_lut[br.peek16()]
+        _require(e != 0, "invalid AC Huffman prefix")
+        br.pos += e & 31
+        rs = e >> 5
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        s = rs & 15
+        _require(k < 64, "AC run past block end")
+        out[k] = _extend(br.read(s), s)
+        k += 1
+    return pred
+
+
+def _split_scan(data: bytes, start: int):
+    """Entropy bytes from ``start``: unstuff 0xFF00, split at RSTn,
+    stop at the first real marker.  Returns (segments, end_offset) —
+    ``end_offset`` points at the 0xFF of the terminating marker."""
+    buf = np.frombuffer(data, np.uint8)
+    ff = np.nonzero(buf[start:-1] == 0xFF)[0] + start
+    nxt = buf[ff + 1]
+    real = (nxt != 0x00) & ~((nxt >= 0xD0) & (nxt <= 0xD7))
+    end = int(ff[real][0]) if real.any() else len(data)
+    cut = ff < end
+    ff, nxt = ff[cut], nxt[cut]
+    bounds = [start] + [int(p) for p, x in zip(ff, nxt) if 0xD0 <= x <= 0xD7]
+    segments = []
+    for i, b in enumerate(bounds):
+        b0 = b if i == 0 else b + 2  # skip the RST marker itself
+        b1 = bounds[i + 1] if i + 1 < len(bounds) else end
+        seg = buf[b0:b1]
+        stuffed = np.nonzero(seg[:-1] == 0xFF)[0]
+        stuffed = stuffed[seg[stuffed + 1] == 0x00]
+        if len(stuffed):
+            seg = np.delete(seg, stuffed + 1)
+        segments.append(seg)
+    return segments, end
+
+
+def _parse(data: bytes):
+    """Marker pass: returns (qts, hts, frame, scan_comps, ri, scan_off)."""
+    _require(data[:2] == b"\xff\xd8", "missing SOI")
+    qts: dict[int, np.ndarray] = {}
+    hts: dict[tuple[int, int], np.ndarray] = {}
+    frame = None
+    ri = 0
+    p = 2
+    n = len(data)
+    while p < n - 1:
+        _require(data[p] == 0xFF, f"expected marker at {p}")
+        m = data[p + 1]
+        if m == 0xFF:  # fill byte
+            p += 1
+            continue
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            p += 2
+            continue
+        if m == 0xD9:  # EOI
+            break
+        _require(p + 4 <= n, "truncated marker segment")
+        ln = struct.unpack(">H", data[p + 2 : p + 4])[0]
+        seg = data[p + 4 : p + 2 + ln]
+        if m == 0xDB:  # DQT (possibly several tables)
+            q = 0
+            while q < len(seg):
+                pq, tq = seg[q] >> 4, seg[q] & 15
+                if pq:
+                    vals = np.frombuffer(seg[q + 1 : q + 129], ">u2").astype(np.int64)
+                    q += 129
+                else:
+                    vals = np.frombuffer(seg[q + 1 : q + 65], np.uint8).astype(np.int64)
+                    q += 65
+                _require(len(vals) == 64, "short DQT table")
+                qts[tq] = vals  # kept in zig-zag order (matches the coefs)
+        elif m == 0xC4:  # DHT (possibly several tables)
+            q = 0
+            while q < len(seg):
+                tc, th = seg[q] >> 4, seg[q] & 15
+                bits = list(seg[q + 1 : q + 17])
+                cnt = sum(bits)
+                vals = list(seg[q + 17 : q + 17 + cnt])
+                _require(len(vals) == cnt, "short DHT table")
+                hts[(tc, th)] = _decode_lut(bits, vals)
+                q += 17 + cnt
+        elif m in (0xC0, 0xC1):  # SOF0/1: baseline decoding
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            _require(prec == 8, f"unsupported precision {prec}")
+            _require(nc in (1, 3), f"unsupported component count {nc}")
+            comps = []
+            for ci in range(nc):
+                cid, sf, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, sf >> 4, sf & 15, tq))
+            frame = (fh, fw, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG coding process (SOF{m - 0xC0})")
+        elif m == 0xDD:  # DRI
+            ri = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS
+            _require(frame is not None, "SOS before SOF")
+            ns = seg[0]
+            scan = [(seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15) for i in range(ns)]
+            return qts, hts, frame, scan, ri, p + 2 + ln
+        p += 2 + ln
+    raise ValueError("bad JPEG: no scan found")
+
+
+def jpeg_info(data: bytes) -> tuple[int, int, int]:
+    """(width, height, n_components) from the SOF header only."""
+    _, _, frame, _, _, _ = _parse(data)
+    fh, fw, comps = frame
+    return fw, fh, len(comps)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (h, w) or (h, w, 3) uint8."""
+    qts, hts, frame, scan, ri, off = _parse(data)
+    fh, fw, comps = frame
+    _require(fh > 0 and fw > 0, "zero dimension")
+    if len(comps) == 1:
+        # a single-component frame is always non-interleaved: the data
+        # units traverse the component's own block grid, so declared
+        # sampling factors are irrelevant (normalize to 1x1, as real
+        # decoders do)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    by_id = {cid: (sh, sv, tq) for cid, sh, sv, tq in comps}
+    order = [cid for cid, _, _, _ in comps]
+    hmax = max(sh for _, sh, _, _ in comps)
+    vmax = max(sv for _, _, sv, _ in comps)
+    _require(
+        all(1 <= s <= 4 for _, sh, sv, _ in comps for s in (sh, sv)),
+        "bad sampling factor",
+    )
+    mcx = -(-fw // (8 * hmax))
+    mcy = -(-fh // (8 * vmax))
+
+    segments, _ = _split_scan(data, off)
+    _require(
+        len(scan) == len(comps),
+        "multi-scan (non-interleaved color) baseline not supported",
+    )
+    coefs = {}
+    units = []  # per-MCU decode plan: (cid, dc_lut, ac_lut, grid, sh, sv)
+    for cid, dct, act in scan:
+        _require(cid in by_id, f"scan references unknown component {cid}")
+        sh, sv, _ = by_id[cid]
+        _require((0, dct) in hts and (1, act) in hts, "missing Huffman table")
+        grid = np.zeros((mcy * sv, mcx * sh, 64), np.int64)
+        coefs[cid] = grid
+        units.append((cid, hts[(0, dct)], hts[(1, act)], grid, sh, sv))
+
+    seg_i = 0
+    br = _BitReader(segments[0])
+    pred = {cid: 0 for cid, *_ in units}
+    mcu_done = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if ri and mcu_done and mcu_done % ri == 0:
+                seg_i += 1
+                _require(seg_i < len(segments), "missing restart segment")
+                br = _BitReader(segments[seg_i])
+                pred = {c: 0 for c in pred}
+            for cid, dc_lut, ac_lut, grid, sh, sv in units:
+                for by in range(sv):
+                    for bx in range(sh):
+                        pred[cid] = _decode_block(
+                            br, dc_lut, ac_lut, pred[cid],
+                            grid[my * sv + by, mx * sh + bx],
+                        )
+            mcu_done += 1
+
+    planes = []
+    for cid in order:
+        sh, sv, tq = by_id[cid]
+        _require(tq in qts, f"missing quant table {tq}")
+        grid = coefs[cid]
+        gh, gw = grid.shape[:2]
+        # dequantize in zig-zag space, then un-zigzag into natural order
+        fz = (grid.reshape(-1, 64) * qts[tq][None, :]).astype(np.float64)
+        f = np.empty_like(fz)
+        f[:, _ZIGZAG] = fz
+        blocks = np.einsum("ux,buv,vy->bxy", _DCT, f.reshape(-1, 8, 8), _DCT)
+        plane = (
+            blocks.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        )
+        ch = -(-fh * sv // vmax)
+        cw = -(-fw * sh // hmax)
+        plane = plane[:ch, :cw]
+        if sv != vmax or sh != hmax:
+            plane = np.repeat(np.repeat(plane, vmax // sv, 0), hmax // sh, 1)
+        planes.append(plane[:fh, :fw] + 128.0)
+
+    if len(planes) == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)

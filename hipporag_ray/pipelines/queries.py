@@ -1992,10 +1992,10 @@ def q_media_decode(sf_dir: str):
 
 
 def q_media_decode_real(sf_dir: str):
-    """REAL image decode: a deterministic mixed corpus of valid PNG
-    and GIF payloads decoded by the pure-numpy codecs
-    (functions/png.py, functions/gif.py — dispatch on signature bytes)
-    in an actor pool — real pixels, real block-mean features, real 8x8
+    """REAL image decode: a deterministic mixed corpus of valid PNG,
+    JPEG and GIF payloads decoded by the pure-numpy codecs
+    (functions/{png,jpeg,gif}.py — dispatch on signature bytes) in an
+    actor pool — real pixels, real block-mean features, real 8x8
     average phash (decoded dims, not metadata)."""
     from ..stages.multimodal import ResizeImage, decode_pipeline, make_real_media
 

@@ -69,9 +69,12 @@ def make_fake_media(n: int, seed: int = 3) -> pa.Table:
 
 def make_real_media(n: int, seed: int = 11) -> pa.Table:
     """Deterministic synthetic corpus of REAL image payloads (gradient
-    + seeded noise images, greyscale/RGB alternating; every third row a
-    GIF, the rest PNG — exercising both codec dispatch paths)."""
+    + seeded noise images, greyscale/RGB alternating; rows cycle
+    PNG / JPEG / GIF — exercising all three codec dispatch paths).
+    JPEG rows alternate 4:4:4 and 4:2:0 so both chroma layouts flow
+    through the decode stage."""
     from ..functions.gif import encode_gif
+    from ..functions.jpeg import encode_jpeg
     from ..functions.png import encode_png
 
     rng = np.random.default_rng(seed)
@@ -92,6 +95,9 @@ def make_real_media(n: int, seed: int = 11) -> pa.Table:
         if i % 3 == 2:
             payloads.append(encode_gif(img))
             mimes.append("image/gif")
+        elif i % 3 == 1:
+            payloads.append(encode_jpeg(img, quality=90, subsample=bool(i % 2)))
+            mimes.append("image/jpeg")
         else:
             payloads.append(encode_png(img))
             mimes.append("image/png")
@@ -136,19 +142,24 @@ class DecodeImage:
 
     def _decode_real(self, payload: bytes) -> np.ndarray:
         from ..functions.gif import decode_gif
+        from ..functions.jpeg import decode_jpeg
         from ..functions.png import decode_png
 
         # container dispatch on signature bytes, not the mime column —
-        # web corpora routinely mislabel.  GIF always takes the numpy
-        # codec, even with PIL importable: PIL's convert('RGB') paints a
-        # 'P'-mode GIF's transparent pixels with their palette color
-        # while decode_gif composites them onto the GIF background, so
-        # features/phash would differ per environment otherwise
+        # web corpora routinely mislabel.  GIF and JPEG always take the
+        # numpy codecs, even with PIL importable: PIL's convert('RGB')
+        # paints a 'P'-mode GIF's transparent pixels with their palette
+        # color while decode_gif composites them onto the GIF
+        # background, and libjpeg's fixed-point IDCT + fancy chroma
+        # upsampling differ from the spec-float path — features/phash
+        # for the same payload would differ per environment otherwise
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             frames = decode_gif(payload, [0])
             if not frames:
                 raise ValueError("GIF payload with no frames")
             return frames[0]
+        if payload[:3] == b"\xff\xd8\xff":
+            return decode_jpeg(payload)
         if self._pil is not None:
             import io
 

@@ -115,7 +115,7 @@ def test_decode_image_stage_dispatches_gif(ray_session):
     from hipporag_ray.stages.multimodal import decode_pipeline, make_real_media
 
     media = make_real_media(12)
-    assert set(media["mime"].to_pylist()) == {"image/png", "image/gif"}
+    assert set(media["mime"].to_pylist()) == {"image/png", "image/jpeg", "image/gif"}
     out = (
         decode_pipeline(rd.from_arrow(media), batch_size=4, fake=False)
         .to_pandas()

@@ -1,0 +1,154 @@
+"""Pure-numpy baseline JPEG codec + decode-stage dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hipporag_ray.functions.jpeg import (
+    _canonical_codes,
+    _DC_LUMA,
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_info,
+)
+
+
+def _gradient(h: int, w: int, seed: int = 1, noise: float = 8.0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    gx = np.linspace(0, 255, w)[None, :]
+    gy = np.linspace(0, 255, h)[:, None]
+    return np.clip((gx + gy) / 2 + rng.normal(0, noise, (h, w)), 0, 255).astype(
+        np.uint8
+    )
+
+
+@pytest.mark.parametrize("shape", [(23, 37), (16, 16), (8, 9), (1, 1), (31, 3)])
+def test_jpeg_gray_roundtrip_close(shape):
+    img = _gradient(*shape)
+    payload = encode_jpeg(img, quality=90)
+    assert payload[:3] == b"\xff\xd8\xff" and payload[-2:] == b"\xff\xd9"
+    out = decode_jpeg(payload)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(np.int64) - img.astype(np.int64))
+    assert err.mean() < 5 and err.max() < 40
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_jpeg_rgb_roundtrip_close(subsample):
+    g = _gradient(21, 34, seed=2)
+    img = np.stack([g, np.flipud(g), np.fliplr(g)], axis=2)
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsample=subsample))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(np.int64) - img.astype(np.int64))
+    # 4:2:0 loses chroma detail; luma-dominant gradients stay close
+    assert err.mean() < (12 if subsample else 8)
+
+
+def test_jpeg_info_and_component_count():
+    g = _gradient(19, 27)
+    assert jpeg_info(encode_jpeg(g)) == (27, 19, 1)
+    rgb = np.stack([g] * 3, axis=2)
+    assert jpeg_info(encode_jpeg(rgb)) == (27, 19, 3)
+    assert jpeg_info(encode_jpeg(rgb, subsample=True)) == (27, 19, 3)
+
+
+def test_jpeg_restart_markers_identical_decode():
+    g = _gradient(24, 40, seed=3)
+    img = np.stack([g, g[::-1], g[:, ::-1]], axis=2)
+    plain = encode_jpeg(img, quality=85)
+    with_rst = encode_jpeg(img, quality=85, restart_interval=2)
+    assert b"\xff\xdd" in with_rst and b"\xff\xd0" in with_rst
+    np.testing.assert_array_equal(decode_jpeg(plain), decode_jpeg(with_rst))
+
+
+def test_jpeg_quality_monotone_size_and_error():
+    g = _gradient(32, 32, seed=4, noise=25.0)
+    sizes, errs = [], []
+    for q in (10, 50, 95):
+        p = encode_jpeg(g, quality=q)
+        sizes.append(len(p))
+        errs.append(np.abs(decode_jpeg(p).astype(float) - g).mean())
+    assert sizes[0] < sizes[1] < sizes[2]
+    assert errs[0] > errs[2]
+
+
+def test_jpeg_flat_image_exact():
+    img = np.full((17, 29), 137, np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=75))
+    # a constant block is pure DC — quantization round-trips it exactly
+    assert int(np.abs(out.astype(int) - 137).max()) <= 1
+
+
+def test_jpeg_rejects_bad_payloads():
+    g = _gradient(16, 16)
+    good = encode_jpeg(g)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:40])  # header truncated before any scan
+    # flip SOF0 -> SOF2 (progressive): explicit unsupported-process error
+    sof = good.index(b"\xff\xc0")
+    prog = good[:sof] + b"\xff\xc2" + good[sof + 2 :]
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4, 4), np.uint8))  # JPEG has no alpha
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((0, 4), np.uint8))
+
+
+def test_jpeg_truncated_scan_raises_valueerror():
+    g = _gradient(40, 40, seed=5, noise=30.0)
+    good = encode_jpeg(g, quality=95)
+    # cut deep into the entropy-coded scan
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) - len(good) // 3])
+
+
+def test_jpeg_huffman_canonical_codes():
+    codes = _canonical_codes(*_DC_LUMA)
+    # 12 DC categories, no code is a prefix of another
+    assert len(codes) == 12
+    as_bits = sorted(format(c, f"0{l}b") for c, l in codes.values())
+    for a, b in zip(as_bits, as_bits[1:]):
+        assert not b.startswith(a)
+
+
+def test_jpeg_pil_cross_decode():
+    """Spec conformance against libjpeg when PIL is available (skipped
+    in this sandbox): PIL must decode our payload to nearly the same
+    pixels, and our decoder must read a PIL-encoded payload."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    g = _gradient(33, 47, seed=6)
+    img = np.stack([g, np.flipud(g), np.fliplr(g)], axis=2)
+    ours = encode_jpeg(img, quality=90, subsample=False)
+    theirs = np.asarray(PIL.open(io.BytesIO(ours)).convert("RGB"))
+    assert np.abs(theirs.astype(int) - decode_jpeg(ours).astype(int)).mean() < 2
+    buf = io.BytesIO()
+    PIL.fromarray(img).save(buf, format="JPEG", quality=90)
+    got = decode_jpeg(buf.getvalue())
+    assert got.shape == img.shape
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 10
+
+
+def test_decode_stage_dispatches_jpeg(ray_session):
+    """make_real_media now cycles PNG/JPEG/GIF; DecodeImage dispatches
+    on signature bytes and reports decoded (not metadata) dims."""
+    import ray.data as rd
+
+    from hipporag_ray.stages.multimodal import decode_pipeline, make_real_media
+
+    media = make_real_media(12)
+    assert "image/jpeg" in set(media["mime"].to_pylist())
+    out = (
+        decode_pipeline(rd.from_arrow(media), batch_size=4, fake=False)
+        .to_pandas()
+        .set_index("media_id")
+    )
+    src = media.to_pandas().set_index("media_id")
+    for mid, row in src.iterrows():
+        assert out.loc[mid, "width"] == row["width"]
+        assert out.loc[mid, "height"] == row["height"]
