@@ -912,16 +912,33 @@ def q_lineitem_pricing(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         # map-side combine: one row per (flag, status) per batch — the
-        # final exchange moves O(groups x blocks) rows, not O(rows)
-        df = batch.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_revenue=("revenue", "sum"),
-            sum_disc=("l_discount", "sum"),
-            n=("l_discount", "size"),
+        # final exchange moves O(groups x blocks) rows, not O(rows).
+        # Pure-Arrow group_by: no pandas object conversion of the two
+        # string key columns in the per-batch hot path.
+        disc = batch["l_discount"]
+        revenue = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), disc)
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = batch.append_column("revenue", revenue).group_by(
+            ["l_returnflag", "l_linestatus"]
+        ).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("revenue", "sum"),
+                ("l_discount", "sum"),
+                ("l_discount", "count"),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_revenue",
+                "sum_disc",
+                "n",
+            ]
+        )
 
     parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
