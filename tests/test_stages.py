@@ -50,6 +50,23 @@ def test_minhash_matches_exact_jaccard():
     assert ((exact["a"] == 0) & (exact["b"] == 3)).any()
 
 
+def test_row_shingle_hashes_match_string_dedup():
+    # the MinHash hot path dedups on the 64-bit stable hash instead of
+    # the shingle string — same per-row distinct sets barring an md5-64
+    # collision, so rows/counts and the hash multiset must agree
+    from hipporag_ray.functions.hashing import stable_hash64
+
+    text = pa.array([d["text"] for d in DOCS] + ["... !!", ""])
+    rows_s, sh = dd._row_shingles(text, 3)
+    rows_h, h = dd._row_shingle_hashes(text, 3)
+    assert np.array_equal(rows_s, rows_h)
+    expect = stable_hash64(pa.array(sh.astype(str)))
+    # both grouped by row; within a row order differs (string vs hash
+    # sort) — compare as per-row sets
+    for r in np.unique(rows_s):
+        assert set(expect[rows_s == r]) == set(h[rows_h == r])
+
+
 def test_simhash_identical_and_near():
     out = dd.simhash(_docs(), "text", "doc_id").to_pandas().set_index("doc_id")
     assert out.loc[0, "simhash"] == out.loc[3, "simhash"]  # identical text
