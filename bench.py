@@ -210,6 +210,34 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     finally:
         sg.shutdown()
 
+    if os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY", "0") != "0":
+        # trimmed run for --scaling legs: the scaling metrics consume
+        # only the flagship-portion fields (graph_build / value /
+        # ppr_edges_per_sec), and a full 19-entry run per leg widens
+        # the window in which a co-located host load wave can land on
+        # one leg and skew the pair (BASELINE.md "quiet window" notes)
+        ray.shutdown()
+        return {
+            "metric": "flagship transcript-graph pipeline wall time (build + pagerank + "
+            "128-query PPR x3 + CC); ppr_edges_per_sec is the north-star throughput",
+            "value": round(
+                timings["graph_build"]
+                + timings["shard_load"]
+                + timings["pagerank"]
+                + timings["ppr_batch128_x3"]
+                + timings["connected_components"],
+                3,
+            ),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": sf,
+            "num_cpus": ncpu,
+            **{
+                k: (round(v, 1) if isinstance(v, float) else v)
+                for k, v in extra.items()
+            },
+        }
+
     # --- 6. relational pipelines on the real sf tables ---
     t0 = time.perf_counter()
     q_lineitem_pricing(sf_dir)
@@ -354,6 +382,12 @@ def run_scaling(sf_dir: str, levels=(2, 8)) -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=sf_dir,
             GRAFT_AFFINITY=str(ncpu),
+            # flagship portion only: shrinks each leg from minutes to
+            # tens of seconds so the pair fits inside one quiet window
+            # between co-located load waves (set to 0 for full legs)
+            GRAFT_BENCH_FLAGSHIP_ONLY=os.environ.get(
+                "GRAFT_BENCH_FLAGSHIP_ONLY", "1"
+            ),
         )
         if dense != "0":
             env["GRAFT_BENCH_DENSE"] = "1"
