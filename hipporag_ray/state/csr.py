@@ -1295,12 +1295,22 @@ class ShardedGraph:
         # cluster compile once each on first shard load)
         native()
         if n_shards is None:
-            # 2x oversharding: smaller shards keep the broadcast message
-            # slices cache-resident and smooth scheduling stragglers
-            # (measured ~1.8x over one-shard-per-CPU at 32 cores; 4x
-            # oversharding regresses — message count wins out)
+            # Shard-count default, re-measured after the compiled pull
+            # kernel landed (the pre-kernel 2x-oversharding figure is
+            # stale): small pools still want 2x oversharding to smooth
+            # scheduling stragglers (2 CPUs: 4 shards 3.69 B edges/s vs
+            # 2 shards 3.28 B on the dense graph), but once the wave's
+            # kernel cost shrinks the per-shard RPC floor dominates and
+            # extra shards only add dispatch (32 CPUs, sf0.1 quiet:
+            # 32 shards 16.2 B vs 63 shards 12.8 B; 8 CPUs: 12 shards
+            # 9.15 B vs 16 shards 8.0 B) — so cap the oversharding at
+            # ~12 shards: min(2 x cpus, max(cpus, 12)).  Single-box
+            # tune: a real multi-node pool amortizes the dispatch floor
+            # per node, so per-node 2x oversharding stays right there —
+            # pass n_shards/shards_per_host explicitly on a cluster.
             cpus = int(ray.cluster_resources().get("CPU", 8))
-            n_shards = max(1, min(2 * cpus, -(-n_vertices // min_shard_size)))
+            target = min(2 * cpus, max(cpus, 12))
+            n_shards = max(1, min(target, -(-n_vertices // min_shard_size)))
         bounds_kw = (
             {"stats_min_rows": bounds_stats_min_rows}
             if bounds_stats_min_rows is not None
