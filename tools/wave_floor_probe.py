@@ -73,9 +73,13 @@ def child(ncpu: int) -> None:
 
     # force the flagship's shard fan-out for this CPU level (the
     # default would collapse a 500-vertex graph to 1 shard and probe
-    # nothing): 2 x CPUs shards, min_shard_size=1 to allow the split
+    # nothing): the production default rule min(2 x cpus, max(cpus,
+    # 12)), min_shard_size=1 to allow the split
     sg = ShardedGraph(
-        g.adj_path, g.n_vertices, n_shards=2 * ncpu, min_shard_size=1
+        g.adj_path,
+        g.n_vertices,
+        n_shards=min(2 * ncpu, max(ncpu, 12)),
+        min_shard_size=1,
     )
     try:
         rng = np.random.default_rng(42)
