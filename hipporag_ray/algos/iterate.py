@@ -133,6 +133,47 @@ def route_reset_dataset(sg: ShardedGraph, reset_ds) -> list[list]:
     return [[per_block[i][t] for i in range(len(refs))] for t in range(P)]
 
 
+def _wave_dispatch(sg: ShardedGraph, method: str, returns_per_shard: int, *args):
+    """Submit one iteration wave of ``method(*args)`` to every shard;
+    returns ``returns_per_shard`` lists of per-shard ObjectRefs, in
+    shard order.
+
+    When the pool packs several shards per host process
+    (``shards_per_host>1``), the wave goes out as ONE ``call_wave`` RPC
+    per HOST instead of one per shard: with the compiled pull kernel
+    the per-wave cost is dominated by the fixed per-task control-plane
+    cost (~0.65 ms/RPC — BASELINE.md wave-floor probe), so cutting the
+    submission count k-fold cuts the iteration floor k-fold while the
+    hosted shards still compute in parallel on the host's threads (the
+    kernels release the GIL).  Dedicated pools (1 shard/host) keep the
+    exact per-shard dispatch they had."""
+    groups = getattr(sg, "wave_groups", None)
+    if not groups or all(len(subs) == 1 for _, subs in groups):
+        if returns_per_shard == 1:
+            return [[getattr(a, method).remote(*args) for a in sg.actors]]
+        outs = [
+            getattr(a, method).options(num_returns=returns_per_shard).remote(*args)
+            for a in sg.actors
+        ]
+        return [[o[r] for o in outs] for r in range(returns_per_shard)]
+    P = len(sg.actors)
+    slots = [[None] * P for _ in range(returns_per_shard)]
+    for host, subs in groups:
+        k = returns_per_shard * len(subs)
+        if k == 1:
+            rets = [
+                host.call_wave.remote(list(subs), method, returns_per_shard, *args)
+            ]
+        else:
+            rets = host.call_wave.options(num_returns=k).remote(
+                list(subs), method, returns_per_shard, *args
+            )
+        for j, s in enumerate(subs):
+            for r in range(returns_per_shard):
+                slots[r][s] = rets[returns_per_shard * j + r]
+    return slots
+
+
 def scores_dataset(sg: ShardedGraph, query_idx: int = 0):
     """(vid, score) Dataset assembled from the per-shard score tables —
     the dense (n, B) driver matrix never exists.  Blocks are actor-task
@@ -401,13 +442,10 @@ def personalized_pagerank(
                 _assemble_ppr_task.remote(pos, *[msg_refs[i] for i in grp])
                 for grp in groups
             ]
-        outs = [
-            a.ppr_step.options(num_returns=2).remote(
-                damping, active_now, active_now, *chunk_refs
-            )
-            for a in sg.actors
-        ]
-        return [o[0] for o in outs], [o[1] for o in outs]
+        delta_refs, contrib_refs = _wave_dispatch(
+            sg, "ppr_step", 2, damping, active_now, active_now, *chunk_refs
+        )
+        return delta_refs, contrib_refs
 
     def _record(it: int, n_active: int, delta: np.ndarray, wall: float) -> None:
         scanned = sg.edge_count * n_active  # traversals = records x active cols
@@ -436,7 +474,7 @@ def personalized_pagerank(
     # SEQUENTIAL: a mid-run save must capture iteration-consistent shard
     # state, and with a wave in flight the shards are already mutating.
     pipelined = not (checkpoint_dir and checkpoint_every)
-    msg_refs = [a.ppr_contrib.remote(damping, active) for a in sg.actors]
+    (msg_refs,) = _wave_dispatch(sg, "ppr_contrib", 1, damping, active)
     msg_active = active  # columns covered by msg_refs
     if pipelined:
         it = start_iter
@@ -533,7 +571,7 @@ def _label_fixpoint(
     metrics: list[dict] = []
     # one fused actor wave per iteration (step = pull + next message),
     # mirroring the PPR loop; the prologue publishes the initial labels
-    msg_refs = [getattr(a, msg_attr).remote() for a in sg.actors]
+    (msg_refs,) = _wave_dispatch(sg, msg_attr, 1)
     step_attr = pull_attr.replace("_pull", "_step")
     assemblers = getattr(sg, "assemblers", None)
 
@@ -545,11 +583,8 @@ def _label_fixpoint(
             if assemblers
             else _assemble_labels_task.remote(*refs)
         )
-        outs = [
-            getattr(a, step_attr).options(num_returns=2).remote(assembled)
-            for a in sg.actors
-        ]
-        return [o[0] for o in outs], [o[1] for o in outs]
+        changed_refs, label_refs = _wave_dispatch(sg, step_attr, 2, assembled)
+        return changed_refs, label_refs
 
     def _record(it: int, changed: int, wall: float) -> None:
         rec = {

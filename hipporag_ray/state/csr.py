@@ -1040,9 +1040,47 @@ class GraphShardHost:
             )
             for i in shard_ids
         }
+        # wave-coalescing pool (call_wave): hosted shards' step calls
+        # run on these threads inside ONE actor task — the compiled
+        # pull kernel (ctypes) and the large numpy kernels release the
+        # GIL, so hosted shards still compute in parallel
+        import concurrent.futures as _cf
+
+        self._wave_pool = _cf.ThreadPoolExecutor(
+            max_workers=max(1, len(self.shards))
+        )
 
     def call(self, sub: int, method: str, *args, **kw):
         return getattr(self.shards[sub], method)(*args, **kw)
+
+    def call_wave(self, subs: list, method: str, rps: int, *args, **kw):
+        """One RPC per host per iteration wave: run ``method`` on every
+        hosted shard in ``subs`` concurrently and return the outputs
+        flattened in ``subs`` order — ``rps`` (returns per shard) slots
+        each, so a per-shard tuple spreads across consecutive
+        ``num_returns`` positions (``rps`` is explicit because a
+        1-slot return may itself BE a tuple, e.g. ppr_contrib's
+        per-chunk message tuple).  The caller sets ``num_returns =
+        rps x len(subs)``, so the driver still sees per-shard
+        ObjectRefs — only the control-plane cost (task submissions,
+        arg serializations, queue hops) drops from one per SHARD to
+        one per HOST, which is the measured per-wave dispatch floor
+        once the pull kernel got cheap (BASELINE.md wave-floor
+        probe)."""
+        futs = [
+            self._wave_pool.submit(
+                getattr(self.shards[int(i)], method), *args, **kw
+            )
+            for i in subs
+        ]
+        flat: list = []
+        for f in futs:
+            out = f.result()
+            if rps == 1:
+                flat.append(out)
+            else:
+                flat.extend(out)
+        return tuple(flat) if len(flat) > 1 else flat[0]
 
 
 GraphShardHostActor = ray.remote(GraphShardHost)
@@ -1412,6 +1450,12 @@ class ShardedGraph:
             for i in ids:
                 by_shard[i] = ShardHandle(host, i)
         self.actors = [by_shard[i] for i in range(n_shards)]
+        # (host actor, hosted shard ids) pairs for coalesced wave
+        # dispatch (call_wave) — the iteration drivers use this to send
+        # ONE RPC per host per wave when shards are packed
+        self.wave_groups = [
+            (host, tuple(ids)) for host, ids in zip(self._hosts, assign)
+        ]
         # one persistent assembler per message chunk (see _ChunkAssembler)
         self.assemblers = [ChunkAssemblerActor.remote() for _ in self.msg_groups]
         # block until all shards loaded; also the total directed edge

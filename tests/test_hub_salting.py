@@ -219,32 +219,43 @@ def test_rowgroup_stats_bounds_partition_invariant(ray_session, tmp_path):
 
 def test_multi_shard_hosting_matches_flat(skew_graph):
     """shards_per_host=2 (packed host processes) is numerically
-    identical to the default dedicated-process pool across PPR, CC and
-    LP — hosting changes process placement only, never the math."""
+    identical to the default dedicated-process pool across PPR, CC, LP
+    and coreness — hosting changes process placement only, never the
+    math.  A packed pool dispatches each iteration wave as ONE
+    coalesced call_wave RPC per host (iterate._wave_dispatch), so this
+    is also the coalesced-dispatch equality gate."""
+    from hipporag_ray.algos.iterate import coreness
+
     path, n, src, dst, w, hub = skew_graph
     rng = np.random.default_rng(11)
     resets = [(rng.choice(n, size=4, replace=False), np.ones(4)) for _ in range(3)]
 
-    def run(**kw):
-        sg = ShardedGraph(path, n, n_shards=4, precise=True, **kw)
+    def run(n_shards=4, **kw):
+        sg = ShardedGraph(path, n, n_shards=n_shards, precise=True, **kw)
         try:
-            assert len({id(h) for h in getattr(sg, "_hosts")}) == (
-                4 if kw.get("shards_per_host", 1) == 1 else 2
-            )
             s, _ = personalized_pagerank(
                 sg, resets=resets, n_queries=3, max_iter=8, tol=0.0
             )
             c, _ = connected_components(sg)
             l, _ = label_propagation(sg, max_iter=5)
-            return s, c, l
+            k, _ = coreness(sg)
+            return s, c, l, k
         finally:
             sg.shutdown()
 
-    s1, c1, l1 = run()
-    s2, c2, l2 = run(shards_per_host=2)
-    np.testing.assert_array_equal(s1, s2)  # float64 precise: bit-identical
-    np.testing.assert_array_equal(c1, c2)
-    np.testing.assert_array_equal(l1, l2)
+    flat = run()
+    packed = run(shards_per_host=2)
+    # uneven packing: 5 shards over 3 hosts leaves one single-shard
+    # host, exercising the mixed k==rps / coalesced branches
+    uneven = run(n_shards=5, shards_per_host=2)
+    for got in (packed,):
+        for a, b in zip(flat, got):
+            np.testing.assert_array_equal(a, b)  # float64 precise: bit-identical
+    # different shard count -> different reduction order; allclose only
+    np.testing.assert_allclose(flat[0], uneven[0], atol=1e-9)
+    np.testing.assert_array_equal(flat[1], uneven[1])
+    np.testing.assert_array_equal(flat[2], uneven[2])
+    np.testing.assert_array_equal(flat[3], uneven[3])
 
 
 def test_pool_reservation_leaves_scheduler_headroom(skew_graph):
