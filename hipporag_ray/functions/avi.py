@@ -1,0 +1,274 @@
+"""Minimal RIFF-AVI container with Motion-JPEG ('MJPG') video frames —
+pure numpy/stdlib, built on :mod:`.jpeg` (the baseline JFIF codec).
+
+Why MJPEG-AVI: it is the one mainstream video container whose frames
+are INDEPENDENT (each '00dc' chunk is a complete JPEG), so sampled-
+frame decode is genuinely O(sampled frames) with random access via the
+'idx1' index — unlike GIF (canvas deltas force a sequential prefix
+decode) and general inter-frame codecs (H.264 needs ffmpeg, absent
+here and documented as the PIL/import-try plug in
+stages/multimodal.py).  That makes it the honest stand-in for the
+100-TB video path: a frame-sample stage reads the header + index, then
+pays for exactly ``max_frames`` JPEG decodes per clip.
+
+Layout written by :func:`encode_avi_mjpeg` (and the subset read back):
+
+    RIFF 'AVI '
+      LIST 'hdrl'
+        'avih' (56-byte main header: usec/frame, total frames, w, h)
+        LIST 'strl'
+          'strh' (56-byte stream header: 'vids'/'MJPG', rate/scale)
+          'strf' (40-byte BITMAPINFOHEADER, biCompression='MJPG')
+      LIST 'movi'
+        '00dc' <jpeg bytes> (word-aligned; pad byte not in the size)
+        ...
+      'idx1' (16 bytes/frame: ckid, flags, offset-from-'movi'-fourcc,
+              length)
+
+The reader prefers 'idx1' for random access and falls back to a linear
+'movi' scan when the index is absent or inconsistent (some muxers
+write offsets relative to the file start instead of the 'movi'
+fourcc — both conventions are auto-detected).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .jpeg import decode_jpeg, encode_jpeg
+
+_AVIIF_KEYFRAME = 0x10
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(list_type: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + payload)
+
+
+def encode_avi_mjpeg(
+    frames: np.ndarray, fps: int = 24, quality: int = 85
+) -> bytes:
+    """(n, h, w) grayscale or (n, h, w, 3) RGB uint8 -> MJPEG AVI bytes.
+
+    Every frame becomes one standalone baseline JPEG ('00dc' chunk),
+    all flagged keyframes in 'idx1'.  A single (h, w) / (h, w, 3)
+    image is treated as a one-frame clip (same reading as
+    :func:`..functions.gif.encode_gif` — a 3-d array ending in 3 is
+    the RGB still)."""
+    frames = np.asarray(frames, np.uint8)
+    if frames.ndim == 2 or (frames.ndim == 3 and frames.shape[-1] == 3):
+        frames = frames[None]
+    if frames.ndim not in (3, 4):
+        raise ValueError(f"expected (n,h,w[,3]) frames, got shape {frames.shape}")
+    n, h, w = frames.shape[:3]
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+
+    jpegs = [encode_jpeg(frames[i], quality=quality) for i in range(n)]
+    max_len = max((len(j) for j in jpegs), default=0)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_len * fps,  # dwMaxBytesPerSec (advisory)
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_len,  # dwSuggestedBufferSize
+        w,
+        h,
+        0,
+        0,
+        0,
+        0,  # dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids",
+        b"MJPG",
+        0,  # dwFlags
+        0,  # wPriority
+        0,  # wLanguage
+        0,  # dwInitialFrames
+        1,  # dwScale
+        fps,  # dwRate (fps = rate/scale)
+        0,  # dwStart
+        n,  # dwLength (frames)
+        max_len,  # dwSuggestedBufferSize
+        0,  # dwQuality
+        -1,  # dwSampleSize (-1: varying)
+        0,
+        0,
+        w,
+        h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        w,
+        h,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",  # biCompression
+        w * h * 3,  # biSizeImage (advisory)
+        0,
+        0,
+        0,
+        0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+
+    # 'idx1' offsets are relative to the position of the 'movi' fourcc
+    # (the de-facto convention): the first chunk's ckid sits 4 bytes
+    # after the fourcc
+    movi_payload = b""
+    index_entries = []
+    for j in jpegs:
+        index_entries.append((4 + len(movi_payload), len(j)))
+        movi_payload += _chunk(b"00dc", j)
+    movi = _list(b"movi", movi_payload)
+    idx1 = _chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", _AVIIF_KEYFRAME, off, ln)
+            for off, ln in index_entries
+        ),
+    )
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+# ---------------------------------------------------------------------------
+# reading
+# ---------------------------------------------------------------------------
+
+
+def _require(cond: bool, msg: str):
+    if not cond:
+        raise ValueError(f"bad AVI: {msg}")
+
+
+def _top_chunks(payload: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_len) for the chunks in
+    ``payload[start:end]`` (one nesting level; LISTs are yielded as
+    their list-type with the inner payload span)."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        _require(body + size <= len(payload), "chunk overruns file")
+        if fourcc == b"LIST":
+            _require(size >= 4, "LIST without a type")
+            yield payload[body : body + 4], body + 4, size - 4
+        else:
+            yield fourcc, body, size
+        pos = body + size + (size & 1)
+
+
+def _parse_avi(payload: bytes):
+    """-> (avih tuple, strh tuple|None, movi_span, idx1_span|None)."""
+    _require(payload[:4] == b"RIFF" and payload[8:12] == b"AVI ", "not a RIFF AVI")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(8 + riff_size, len(payload))
+    avih = strh = movi = idx1 = None
+    for fourcc, body, size in _top_chunks(payload, 12, end):
+        if fourcc == b"hdrl":
+            for f2, b2, s2 in _top_chunks(payload, body, body + size):
+                if f2 == b"avih" and s2 >= 40:
+                    avih = struct.unpack_from("<10I", payload, b2)
+                elif f2 == b"strl":
+                    for f3, b3, s3 in _top_chunks(payload, b2, b2 + s2):
+                        if f3 == b"strh" and s3 >= 36 and strh is None:
+                            if payload[b3 : b3 + 4] == b"vids":
+                                strh = struct.unpack_from("<4x4sIHHIIII", payload, b3)
+        elif fourcc == b"movi":
+            movi = (body, size)
+        elif fourcc == b"idx1":
+            idx1 = (body, size)
+    _require(avih is not None, "missing avih header")
+    _require(movi is not None, "missing movi list")
+    return avih, strh, movi, idx1
+
+
+def _is_video_ckid(ckid: bytes) -> bool:
+    # '##dc' / '##db' (compressed / uncompressed DIB) stream chunks
+    return ckid[2:4] in (b"dc", b"db") and ckid[:2].isdigit()
+
+
+def _frame_spans(payload: bytes, movi, idx1) -> list[tuple[int, int]]:
+    """(jpeg_start, jpeg_len) per video frame, in stream order."""
+    movi_body, movi_size = movi
+    if idx1 is not None:
+        body, size = idx1
+        spans = []
+        ok = True
+        # offsets may be relative to the 'movi' fourcc (movi_body - 4
+        # points at it) or absolute from the file start — detect on
+        # the first entry by checking where a plausible ckid lands
+        base = movi_body - 4
+        for off in range(body, body + size - 15, 16):
+            ckid = payload[off : off + 4]
+            if not _is_video_ckid(ckid):
+                continue
+            _, coff, clen = struct.unpack_from("<III", payload, off + 4)
+            for cand in (base + coff, coff):
+                if payload[cand : cand + 4] == ckid:
+                    spans.append((cand + 8, clen))
+                    break
+            else:
+                ok = False
+                break
+        if ok and spans:
+            return spans
+    # linear movi scan fallback
+    return [
+        (b2, s2)
+        for f2, b2, s2 in _top_chunks(payload, movi_body, movi_body + movi_size)
+        if _is_video_ckid(f2)
+    ]
+
+
+def avi_info(payload: bytes) -> tuple[int, int, int, int]:
+    """(n_frames, width, height, fps) from the headers only — no frame
+    chunk is touched (and no JPEG is decoded)."""
+    avih, strh, _, _ = _parse_avi(payload)
+    usec, _, _, _, total, _, _, _, w, h = avih
+    # strh = (handler, flags, priority, language, initial, scale, rate, start)
+    if strh is not None and strh[5] > 0:  # dwScale
+        fps = int(round(strh[6] / strh[5]))  # dwRate / dwScale
+    else:
+        fps = int(round(1_000_000 / usec)) if usec else 0
+    return total, w, h, fps
+
+
+def decode_avi(payload: bytes, frame_indices=None) -> list[np.ndarray]:
+    """Decoded frames as (h, w) or (h, w, 3) uint8 arrays.
+
+    ``frame_indices`` (any iterable; deduplicated + sorted) decodes
+    ONLY those frames — MJPEG frames are independent, so unlike
+    :func:`..functions.gif.decode_gif` there is no sequential-prefix
+    cost: the index seeks straight to each sampled chunk."""
+    avih, strh, movi, idx1 = _parse_avi(payload)
+    spans = _frame_spans(payload, movi, idx1)
+    if frame_indices is None:
+        want = range(len(spans))
+    else:
+        want = sorted(set(int(i) for i in frame_indices))
+        _require(
+            all(0 <= i < len(spans) for i in want),
+            f"frame index out of range (clip has {len(spans)} frames)",
+        )
+    return [
+        decode_jpeg(payload[spans[i][0] : spans[i][0] + spans[i][1]]) for i in want
+    ]

@@ -2915,7 +2915,40 @@ ORACLE_SQL = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
     """,
-    "tx_triangles": None,  # pytest oracle (triangles_oracle)
+    # tx_triangles: triangles of the simple undirected graph induced by
+    # the tx edge records (fact co-occurrence pairs + chunk<->entity
+    # passage edges — the same edge universe tx_graph_info counts).
+    # Canonicalize every edge to (s < d) over namespaced node keys,
+    # then the standard x<y<z three-way join counts each triangle once.
+    # Reads the sf0.01 synth cache like tx_extract (driver grades
+    # oracles at sf=0.01 only; queries() synthesizes the cache first).
+    "tx_triangles": f"""
+        WITH tx AS (
+          SELECT text
+          FROM read_parquet('/tmp/hipporag_ray/tx_sf0.01_v{_CACHE_VERSION}/*.parquet')
+        ), chunks AS (
+          SELECT DISTINCT text FROM tx
+        ), norm AS (
+          SELECT text, {_NORM_SQL} AS t FROM chunks
+        ), tok AS (
+          SELECT text, unnest(regexp_split_to_array(t, ' +')) AS tok
+          FROM norm WHERE t <> ''
+        ), ment AS (
+          SELECT DISTINCT text, tok FROM tok WHERE length(tok) >= 3
+        ), e AS (
+          SELECT DISTINCT 'e-' || m1.tok AS s, 'e-' || m2.tok AS d
+          FROM ment m1 JOIN ment m2
+            ON m1.text = m2.text AND m1.tok < m2.tok
+          UNION
+          SELECT DISTINCT least('c-' || md5(text), 'e-' || tok) AS s,
+                 greatest('c-' || md5(text), 'e-' || tok) AS d
+          FROM ment
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e ab
+        JOIN e bc ON ab.d = bc.s
+        JOIN e ac ON ac.s = ab.s AND ac.d = bc.d
+    """,
     # tx_graph_info: A9 node/edge counts by class as the SQL twin of
     # the full graph build (HippoRAG.py:1095-1148 semantics over the
     # stages/graph_build.py tables): chunks = distinct raw text,

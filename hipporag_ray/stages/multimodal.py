@@ -362,9 +362,11 @@ def make_fake_video(n: int, seed: int = 5) -> pa.Table:
 def make_real_video(n: int, seed: int = 7) -> pa.Table:
     """Deterministic corpus of REAL animation clips: a bright square
     moving across a gradient background, grayscale/RGB alternating,
-    varying size and frame count; every third clip an animated GIF,
-    the rest APNG.  Frame content differs per frame index, so
-    sampled-frame phashes actually discriminate."""
+    varying size and frame count; clips rotate through the three real
+    containers (APNG / MJPEG-AVI / animated GIF), exercising all three
+    frame-decode dispatch paths.  Frame content differs per frame
+    index, so sampled-frame phashes actually discriminate."""
+    from ..functions.avi import encode_avi_mjpeg
     from ..functions.gif import encode_gif
     from ..functions.png import encode_apng
 
@@ -390,6 +392,9 @@ def make_real_video(n: int, seed: int = 7) -> pa.Table:
         if i % 3 == 2:
             payloads.append(encode_gif(frames, fps=24))
             mimes.append("video/gif")
+        elif i % 3 == 1:
+            payloads.append(encode_avi_mjpeg(frames, fps=24))
+            mimes.append("video/avi")
         else:
             payloads.append(encode_apng(frames, fps=24))
             mimes.append("video/apng")
@@ -438,6 +443,7 @@ class SampleFrames:
             self.grid = grid
 
     def _real(self, batch: pa.Table) -> pa.Table:
+        from ..functions.avi import avi_info, decode_avi
         from ..functions.gif import decode_gif, gif_info
         from ..functions.png import (
             apng_info,
@@ -455,16 +461,29 @@ class SampleFrames:
         out_phash: list[int] = []
         for i, p in enumerate(payloads):
             # container dispatch by signature: APNG frames decompress
-            # independently (only sampled frames paid for); GIF frames
-            # are canvas deltas, so sampling pays a sequential decode
-            # up to the last sampled index (functions/gif.py docstring)
+            # independently (only sampled frames paid for); MJPEG-AVI
+            # frames are standalone JPEGs reached through the idx1
+            # index (true random access); GIF frames are canvas
+            # deltas, so sampling pays a sequential decode up to the
+            # last sampled index (functions/gif.py docstring)
             is_gif = p[:6] in (b"GIF87a", b"GIF89a")
-            nf = gif_info(p)[0] if is_gif else apng_info(p)[0]  # header scan only
+            is_avi = p[:4] == b"RIFF" and p[8:12] == b"AVI "
+            if is_gif:
+                nf = gif_info(p)[0]  # header scan only
+            elif is_avi:
+                nf = avi_info(p)[0]
+            else:
+                nf = apng_info(p)[0]
             k = int(min(self.max_frames, nf))
             if k == 0:
                 continue
             idxs = np.unique((np.arange(k) * nf) // k)
-            frames = decode_gif(p, idxs) if is_gif else decode_apng(p, idxs)
+            if is_gif:
+                frames = decode_gif(p, idxs)
+            elif is_avi:
+                frames = decode_avi(p, idxs)
+            else:
+                frames = decode_apng(p, idxs)
             for fi, frame in zip(idxs, frames):
                 gray = to_grayscale(frame)
                 out_mid.append(mids[i])

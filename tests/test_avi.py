@@ -1,0 +1,80 @@
+"""MJPEG-AVI container codec (functions/avi.py): round trip, header
+info without frame decode, idx1 random access, movi-scan fallback."""
+
+import numpy as np
+import pytest
+
+from hipporag_ray.functions.avi import avi_info, decode_avi, encode_avi_mjpeg
+from hipporag_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+
+def _clip(nf=7, h=14, w=22, rgb=False, seed=11):
+    gx = np.linspace(0, 200, w)[None, :]
+    gy = np.linspace(0, 200, h)[:, None]
+    base = ((gx + gy) / 2).astype(np.uint8)
+    frames = np.repeat(base[None], nf, axis=0).copy()
+    for f in range(nf):  # moving bright square: frames really differ
+        frames[f, f % (h - 4) : f % (h - 4) + 4, f % (w - 4) : f % (w - 4) + 4] = 255
+    if rgb:
+        frames = np.stack([frames, 255 - frames, np.flip(frames, axis=2)], axis=3)
+    return frames
+
+
+@pytest.mark.parametrize("rgb", [False, True])
+def test_avi_round_trip_matches_per_frame_jpeg(rgb):
+    frames = _clip(rgb=rgb)
+    payload = encode_avi_mjpeg(frames, fps=24)
+    assert avi_info(payload) == (7, 22, 14, 24)
+    out = decode_avi(payload)
+    assert len(out) == 7
+    for i in range(7):
+        ref = decode_jpeg(encode_jpeg(frames[i], quality=85))
+        np.testing.assert_array_equal(out[i], ref)
+
+
+def test_avi_random_access_equals_full_decode():
+    payload = encode_avi_mjpeg(_clip(nf=12), fps=30)
+    full = decode_avi(payload)
+    # duplicates collapse, order normalizes
+    samp = decode_avi(payload, [9, 2, 2, 11])
+    assert len(samp) == 3
+    np.testing.assert_array_equal(samp[0], full[2])
+    np.testing.assert_array_equal(samp[1], full[9])
+    np.testing.assert_array_equal(samp[2], full[11])
+    assert decode_avi(payload, []) == []
+
+
+def test_avi_info_never_touches_frame_bytes():
+    """Header scan only: corrupting a frame's JPEG payload bytes must
+    not change (or break) avi_info."""
+    import struct
+
+    payload = bytearray(encode_avi_mjpeg(_clip(nf=3), fps=24))
+    info = avi_info(bytes(payload))
+    first = bytes(payload).find(b"00dc")
+    (ln,) = struct.unpack_from("<I", payload, first + 4)
+    for i in range(first + 8, first + 8 + ln):
+        payload[i] ^= 0xFF
+    assert avi_info(bytes(payload)) == info
+
+
+def test_avi_movi_scan_fallback_without_idx1():
+    payload = bytearray(encode_avi_mjpeg(_clip(nf=4), fps=24))
+    i = bytes(payload).rfind(b"idx1")
+    payload[i : i + 4] = b"JUNK"
+    out = decode_avi(bytes(payload))
+    ref = decode_avi(encode_avi_mjpeg(_clip(nf=4), fps=24))
+    assert len(out) == 4
+    for a, b in zip(out, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_avi_single_image_and_errors():
+    p1 = encode_avi_mjpeg(np.zeros((8, 8), np.uint8))
+    assert avi_info(p1)[0] == 1
+    with pytest.raises(ValueError):
+        decode_avi(p1, [1])  # out of range
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg(np.zeros((2, 8, 8), np.uint8), fps=0)
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")  # not an AVI

@@ -128,15 +128,20 @@ def test_decode_image_stage_dispatches_gif(ray_session):
 
 
 def test_sample_frames_stage_dispatches_gif(ray_session):
-    """Mixed APNG + GIF clips through the real frame-sample pipeline:
-    every clip yields min(max_frames, n_frames) rows and the GIF rows'
-    phashes vary across frames (the moving square is really decoded)."""
+    """Mixed APNG + MJPEG-AVI + GIF clips through the real frame-sample
+    pipeline: every clip yields min(max_frames, n_frames) rows and the
+    GIF rows' phashes vary across frames (the moving square is really
+    decoded)."""
     import ray.data as rd
 
     from hipporag_ray.stages.multimodal import frame_sample_pipeline, make_real_video
 
     videos = make_real_video(9)
-    assert set(videos["mime"].to_pylist()) == {"video/apng", "video/gif"}
+    assert set(videos["mime"].to_pylist()) == {
+        "video/apng",
+        "video/avi",
+        "video/gif",
+    }
     out = frame_sample_pipeline(
         rd.from_arrow(videos), max_frames=4, batch_size=4, fake=False
     ).to_pandas()

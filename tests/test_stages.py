@@ -241,6 +241,8 @@ def test_frame_sampling_plumbing():
 def test_real_frame_sampling():
     import numpy as np
 
+    from hipporag_ray.functions.avi import decode_avi
+    from hipporag_ray.functions.gif import decode_gif
     from hipporag_ray.functions.png import decode_apng, to_grayscale, average_hash64
     from hipporag_ray.stages.multimodal import frame_sample_pipeline, make_real_video
 
@@ -252,11 +254,19 @@ def test_real_frame_sampling():
     for mid, g in frames.groupby("media_id"):
         assert g["frame_idx"].max() < meta.loc[mid, "n_frames"]
         assert g["frame_idx"].is_unique
-    # features are real: recompute one row's phash from the payload
-    row = frames.iloc[7]
-    payload = bytes(meta.loc[row["media_id"], "payload"])
-    frame = decode_apng(payload, [int(row["frame_idx"])])[0]
-    assert average_hash64(to_grayscale(frame)) == row["phash"]
+    # features are real: for each container, recompute one row's phash
+    # straight from the payload with the matching codec
+    decoders = {
+        "video/apng": decode_apng,
+        "video/avi": decode_avi,
+        "video/gif": decode_gif,
+    }
+    for mime, dec in decoders.items():
+        mids = meta.index[meta["mime"] == mime]
+        row = frames[frames["media_id"].isin(mids)].iloc[3]
+        payload = bytes(meta.loc[row["media_id"], "payload"])
+        frame = dec(payload, [int(row["frame_idx"])])[0]
+        assert average_hash64(to_grayscale(frame)) == row["phash"], mime
     # moving square -> phash varies across a clip's sampled frames
     nuniq = frames.groupby("media_id")["phash"].nunique()
     assert (nuniq > 1).mean() > 0.5
