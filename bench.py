@@ -61,6 +61,28 @@ def bench_transcripts_for(sf_dir: str) -> str:
     )
 
 
+def _result(timings: dict, extra: dict, sf: float, ncpu: int) -> dict:
+    """The one headline-result shape (full runs and --scaling legs both
+    build it here, so the flagship wall formula cannot drift)."""
+    return {
+        "metric": "flagship transcript-graph pipeline wall time (build + pagerank + "
+        "128-query PPR x3 + CC); ppr_edges_per_sec is the north-star throughput",
+        "value": round(
+            timings["graph_build"]
+            + timings["shard_load"]
+            + timings["pagerank"]
+            + timings["ppr_batch128_x3"]
+            + timings["connected_components"],
+            3,
+        ),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "num_cpus": ncpu,
+        **{k: (round(v, 1) if isinstance(v, float) else v) for k, v in extra.items()},
+    }
+
+
 def run_bench(sf_dir: str, ncpu: int) -> dict:
     # honest parallelism for the scaling comparison: Ray's num_cpus is
     # scheduler bookkeeping, not pinning — restrict the process tree's
@@ -220,26 +242,7 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         # the window in which a co-located host load wave can land on
         # one leg and skew the pair (BASELINE.md "quiet window" notes)
         ray.shutdown()
-        return {
-            "metric": "flagship transcript-graph pipeline wall time (build + pagerank + "
-            "128-query PPR x3 + CC); ppr_edges_per_sec is the north-star throughput",
-            "value": round(
-                timings["graph_build"]
-                + timings["shard_load"]
-                + timings["pagerank"]
-                + timings["ppr_batch128_x3"]
-                + timings["connected_components"],
-                3,
-            ),
-            "unit": "sec",
-            "queries": {k: round(v, 3) for k, v in timings.items()},
-            "sf": sf,
-            "num_cpus": ncpu,
-            **{
-                k: (round(v, 1) if isinstance(v, float) else v)
-                for k, v in extra.items()
-            },
-        }
+        return _result(timings, extra, sf, ncpu)
 
     # --- 6. relational pipelines on the real sf tables ---
     # the mid-bench session restart (post-build, see above) left the
@@ -354,23 +357,7 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     extra["sink_resume_skipped"] = st2["skipped"]
 
     ray.shutdown()
-    return {
-        "metric": "flagship transcript-graph pipeline wall time (build + pagerank + "
-        "128-query PPR x3 + CC); ppr_edges_per_sec is the north-star throughput",
-        "value": round(
-            timings["graph_build"]
-            + timings["shard_load"]
-            + timings["pagerank"]
-            + timings["ppr_batch128_x3"]
-            + timings["connected_components"],
-            3,
-        ),
-        "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
-        "sf": sf,
-        "num_cpus": ncpu,
-        **{k: (round(v, 1) if isinstance(v, float) else v) for k, v in extra.items()},
-    }
+    return _result(timings, extra, sf, ncpu)
 
 
 def run_scaling(sf_dir: str, levels=(2, 8)) -> dict:

@@ -599,7 +599,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         cw = -(-fw * sh // hmax)
         plane = plane[:ch, :cw]
         if sv != vmax or sh != hmax:
-            plane = np.repeat(np.repeat(plane, vmax // sv, 0), hmax // sh, 1)
+            # index-gather nearest-neighbor upsample: out[y, x] =
+            # plane[y*sv//vmax, x*sh//hmax] — exact for the common
+            # divisible ratios (degenerates to np.repeat) and correct
+            # for spec-valid non-divisible factors (e.g. 3-vs-4), where
+            # integer-floor repeat counts under-fill the plane
+            ys = (np.arange(fh, dtype=np.int64) * sv) // vmax
+            xs = (np.arange(fw, dtype=np.int64) * sh) // hmax
+            plane = plane[np.minimum(ys, ch - 1)[:, None], np.minimum(xs, cw - 1)[None, :]]
         planes.append(plane[:fh, :fw] + 128.0)
 
     if len(planes) == 1:

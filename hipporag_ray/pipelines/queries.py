@@ -929,7 +929,20 @@ def q_lineitem_pricing(sf_dir: str):
                 ("l_discount", "count"),
             ]
         )
-        return g.rename_columns(
+        # select by the GENERATED names, then rename positionally:
+        # TableGroupBy.aggregate's column ORDER moved across pyarrow
+        # majors (keys-last before 14), but the '{col}_{agg}' names are
+        # stable — a bare positional rename silently mislabels there
+        return g.select(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity_sum",
+                "revenue_sum",
+                "l_discount_sum",
+                "l_discount_count",
+            ]
+        ).rename_columns(
             [
                 "l_returnflag",
                 "l_linestatus",

@@ -61,9 +61,35 @@ def exact_dedup_keys(
     from .shuffle import multi_key_min
 
     hashed = add_content_hash(ds.select_columns([id_col, text_col]), text_col)
-    return multi_key_min(
+    out = multi_key_min(
         hashed.select_columns(["hash_id", id_col]), ["hash_id"], id_col, "keep_id"
-    ).select_columns(["hash_id", "keep_id"])
+    )
+    sch = out.schema(fetch_if_missing=True)
+    if sch is None or "keep_id" not in sch.names:
+        # empty input: map stages are elided on empty blocks, so the
+        # hash column never materializes and the exchange comes back
+        # schema-less — reconstruct the contract schema explicitly
+        in_sch = ds.schema(fetch_if_missing=True)
+        id_type = (
+            dict(zip(in_sch.names, in_sch.types))[id_col]
+            if in_sch is not None and id_col in in_sch.names
+            else pa.int64()
+        )
+        if not isinstance(id_type, pa.DataType):
+            # pandas-backed schemas report numpy dtypes / Python types
+            try:
+                id_type = pa.from_numpy_dtype(id_type)
+            except (TypeError, pa.ArrowNotImplementedError):
+                id_type = pa.string() if id_type in (str, object) else pa.int64()
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "hash_id": pa.array([], pa.string()),
+                    "keep_id": pa.array([], id_type),
+                }
+            )
+        )
+    return out.select_columns(["hash_id", "keep_id"])
 
 
 # ---------------------------------------------------------------------------

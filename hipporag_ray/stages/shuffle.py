@@ -47,6 +47,7 @@ def _partial_sum(codes: np.ndarray, weights: np.ndarray) -> tuple[np.ndarray, np
 
 @ray.remote
 def _map_split(tbl: pa.Table, key_col: str, weight_col: str, k: int):
+    tbl = _tbl(tbl)
     if key_col not in tbl.column_names:  # schema-less empty block
         codes = np.zeros(0, dtype=np.int64)
         weights = np.zeros(0, dtype=np.float64)
@@ -106,6 +107,7 @@ def _pair_hash(k1: np.ndarray, k2: np.ndarray) -> np.ndarray:
 
 @ray.remote
 def _pair_map_split(tbl: pa.Table, k1_col: str, k2_col: str, weight_col: str, k: int):
+    tbl = _tbl(tbl)
     if k1_col not in tbl.column_names:  # schema-less empty block
         k1 = np.zeros(0, dtype=np.int64)
         k2 = np.zeros(0, dtype=np.int64)
@@ -188,8 +190,21 @@ def _multi_split(
     the final combine in :func:`_multi_reduce` compose exactly."""
     import pandas as pd
 
-    if tbl.num_rows == 0 or any(c not in tbl.column_names for c in key_cols):
+    tbl = _tbl(tbl)
+    if any(c not in tbl.column_names for c in key_cols) or (
+        weight_col is not None and weight_col not in tbl.column_names
+    ):
+        # schema-less block: nothing to type the partial with
         empty = pa.table({})
+        return tuple([empty] * k) if k > 1 else (empty,)
+    if tbl.num_rows == 0:
+        # typed empty partial — keeps the aggregated schema observable
+        # downstream when EVERY block is empty (count is int64; sum/min/
+        # max keep the value column's dtype, matching pandas' combine)
+        out_type = pa.int64() if weight_col is None else tbl[weight_col].type
+        empty = tbl.select(list(key_cols)).slice(0, 0).append_column(
+            out_col, pa.array([], type=out_type)
+        )
         return tuple([empty] * k) if k > 1 else (empty,)
     df = tbl.select(
         list(key_cols) + ([weight_col] if weight_col else [])
@@ -215,9 +230,16 @@ def _multi_split(
 @ray.remote
 def _multi_reduce(key_cols: list, out_col: str, *shards, op: str = "sum") -> pa.Table:
     shards = [s[0] if isinstance(s, tuple) and len(s) == 1 else s for s in shards]
-    shards = [s for s in shards if s.num_rows]
-    if not shards:
+    nonempty = [s for s in shards if s.num_rows]
+    if not nonempty:
+        # all-empty partition: keep a TYPED empty (key_cols + out_col)
+        # if any shard carries schema, so empty-input pipelines still
+        # expose the aggregated columns to consumers
+        for s in shards:
+            if s.num_columns:
+                return s
         return _EMPTY_SENTINEL
+    shards = nonempty
     df = pa.concat_tables(shards).to_pandas()
     out = df.groupby(list(key_cols), as_index=False, sort=False)[out_col].agg(op)
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -260,10 +282,13 @@ def _multi_key_agg(
         for t in range(k)
     ]
     counts = ray.get([_block_rows.remote(r) for r in out_refs])
-    out_refs = [r for r, c in zip(out_refs, counts) if c]
-    if not out_refs:
-        return ds.limit(0)
-    return rd.from_arrow_refs(out_refs)
+    nonzero = [r for r, c in zip(out_refs, counts) if c]
+    if not nonzero:
+        # keep ONE (typed-empty) reduce output so the aggregated schema
+        # (key_cols + out_col) survives an empty input — ds.limit(0)
+        # here would leak the INPUT's schema instead
+        return rd.from_arrow_refs([out_refs[0]])
+    return rd.from_arrow_refs(nonzero)
 
 
 def multi_key_sum(
@@ -342,6 +367,7 @@ def _first_per_key(tbl: pa.Table, key_col: str) -> pa.Table:
 
 @ray.remote
 def _distinct_split(tbl: pa.Table, key_col: str, k: int):
+    tbl = _tbl(tbl)
     if tbl.num_rows == 0 or key_col not in tbl.column_names:
         return tuple([tbl] * k) if k > 1 else (tbl,)
     tbl = _first_per_key(tbl, key_col)
@@ -358,10 +384,13 @@ def _distinct_reduce(key_col: str, *shards) -> pa.Table:
     shards = [
         s[0] if isinstance(s, tuple) and len(s) == 1 else s for s in shards
     ]
-    shards = [s for s in shards if s.num_rows]
-    if not shards:
+    nonempty = [s for s in shards if s.num_rows]
+    if not nonempty:
+        for s in shards:  # typed empty keeps the input schema visible
+            if s.num_columns:
+                return s
         return _EMPTY_SENTINEL
-    return _first_per_key(pa.concat_tables(shards).combine_chunks(), key_col)
+    return _first_per_key(pa.concat_tables(nonempty).combine_chunks(), key_col)
 
 
 _EMPTY_SENTINEL = pa.table({})
@@ -508,7 +537,8 @@ def hash_distinct(
     counts = ray.get([_block_rows.remote(o) for o in outs])
     keep = [o for o, c in zip(outs, counts) if c]
     if not keep:
-        return rd.from_arrow(_EMPTY_SENTINEL)
+        # one typed-empty reduce output preserves the input schema
+        return rd.from_arrow_refs([outs[0]])
     return rd.from_arrow_refs(keep)
 
 
@@ -663,6 +693,7 @@ def _join_reduce(key_col: str, how: str, n_left: int, *shards) -> pa.Table:
 
 @ray.remote
 def _plain_split(tbl: pa.Table, key_col: str, k: int):
+    tbl = _tbl(tbl)
     if tbl.num_rows == 0 or key_col not in tbl.column_names:
         return tuple([tbl] * k) if k > 1 else (tbl,)
     h = (_hash_codes(tbl, key_col) % np.uint64(k)).astype(np.int64)

@@ -1300,9 +1300,8 @@ def edge_balanced_bounds(
     # one shard (pure edge quantiles gave one shard 39k of 102k
     # vertices on the dense bench graph — its per-vertex row plumbing
     # made it the 2.4x wave straggler)
-    deg_bal = deg.astype(np.int64)
+    deg_bal = deg.astype(np.int64)  # astype copies: safe to zero hubs in place
     if len(hubs):
-        deg_bal = deg_bal.copy()
         deg_bal[hubs] = 0
     cum = np.cumsum(deg_bal + VERTEX_EDGE_COST)
     targets = (np.arange(1, n_shards, dtype=np.int64) * int(cum[-1])) // n_shards
