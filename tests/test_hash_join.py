@@ -273,3 +273,62 @@ def test_leftsemi_join():
         _ds({"k": [1], "a": [1]}, 1), _ds({"k": [], "b": []}, 1), "k", how="leftsemi"
     ).to_pandas()
     assert len(got2) == 0
+
+
+def test_exchanges_handle_pandas_blocks_and_empty_inputs(ray_session):
+    """from_pandas-sourced datasets ship PANDAS internal blocks; the
+    raw-block split tasks must normalize them (regression: an empty
+    from_pandas input crashed _multi_split on tbl.num_rows).  Empty
+    inputs must come back with a typed, contract-shaped schema at the
+    Dataset level (Ray's to_pandas drops schema on zero-row datasets,
+    so the assertion reads Dataset.schema)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hipporag_ray.stages.dedup import exact_dedup_keys
+    from hipporag_ray.stages.shuffle import hash_distinct, multi_key_sum
+
+    empty = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "text": pd.Series([], dtype="object"),
+            }
+        )
+    )
+    out = exact_dedup_keys(empty, "text", "doc_id")
+    sch = out.schema(fetch_if_missing=True)
+    assert sch.names == ["hash_id", "keep_id"]
+    assert out.take_all() == []
+
+    # string-typed id column keeps its type in the empty contract
+    sempty = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="object"),
+                "text": pd.Series([], dtype="object"),
+            }
+        )
+    )
+    ssch = exact_dedup_keys(sempty, "text", "doc_id").schema(fetch_if_missing=True)
+    assert ssch.names == ["hash_id", "keep_id"]
+    assert str(ssch.types[1]) == "string"
+
+    # non-empty pandas-block inputs flow through every exchange family
+    full = rd.from_pandas(
+        pd.DataFrame({"doc_id": [3, 1, 2, 1], "text": ["a", "a", "b", "a"]})
+    )
+    mks = (
+        multi_key_sum(full, ["text"], None, out_col="n")
+        .to_pandas()
+        .sort_values("text")
+    )
+    assert mks["n"].tolist() == [3, 1]
+    hd = hash_distinct(full, "text").to_pandas()
+    assert sorted(hd["text"].tolist()) == ["a", "b"]
+    dd = (
+        exact_dedup_keys(full, "text", "doc_id")
+        .to_pandas()
+        .sort_values("keep_id")
+    )
+    assert dd["keep_id"].tolist() == [1, 2]
