@@ -52,20 +52,33 @@ def _list(list_type: bytes, payload: bytes) -> bytes:
 
 
 def encode_avi_mjpeg(
-    frames: np.ndarray, fps: int = 24, quality: int = 85
+    frames: np.ndarray, fps: int = 24, quality: int = 85,
+    gray: bool | None = None,
 ) -> bytes:
     """(n, h, w) grayscale or (n, h, w, 3) RGB uint8 -> MJPEG AVI bytes.
 
     Every frame becomes one standalone baseline JPEG ('00dc' chunk),
     all flagged keyframes in 'idx1'.  A single (h, w) / (h, w, 3)
-    image is treated as a one-frame clip (same reading as
-    :func:`..functions.gif.encode_gif` — a 3-d array ending in 3 is
-    the RGB still)."""
+    image is treated as a one-frame clip.  A 3-d array with last dim 3
+    is ambiguous — (h, w, 3) RGB still vs (n, h, 3) width-3 grayscale
+    clip; the default reads it as the RGB still.  Pass ``gray=True`` /
+    ``False`` to force the reading (same contract as
+    :func:`..functions.gif.encode_gif`)."""
     frames = np.asarray(frames, np.uint8)
-    if frames.ndim == 2 or (frames.ndim == 3 and frames.shape[-1] == 3):
+    if frames.ndim == 2:
         frames = frames[None]
-    if frames.ndim not in (3, 4):
-        raise ValueError(f"expected (n,h,w[,3]) frames, got shape {frames.shape}")
+    elif frames.ndim == 3 and frames.shape[-1] == 3 and gray is not True:
+        frames = frames[None]
+    if gray is None:
+        gray = frames.ndim == 3
+    if (
+        frames.ndim not in (3, 4)
+        or gray != (frames.ndim == 3)
+        or (not gray and frames.shape[-1] != 3)
+    ):
+        raise ValueError(
+            f"expected (n,h,w[,3]) frames, got shape {frames.shape} (gray={gray})"
+        )
     n, h, w = frames.shape[:3]
     if fps <= 0:
         raise ValueError("fps must be positive")

@@ -46,9 +46,11 @@ def grouped_partials(
     need_n = any(op == "count" for op, _ in spec.values())
 
     def partial(batch: pa.Table) -> pa.Table:
+        from .shuffle import _gb_pandas
+
         if pre is not None:
             batch = pre(batch)
-        df = batch.to_pandas()
+        df = _gb_pandas(batch, keys)
         kwargs = {}
         if need_n:
             kwargs["__n"] = (keys[0], "size")
@@ -60,7 +62,7 @@ def grouped_partials(
             kwargs[f"__min_{c}"] = (c, "min")
         for c in maxs:
             kwargs[f"__max_{c}"] = (c, "max")
-        g = df.groupby(keys, as_index=False, sort=False).agg(**kwargs)
+        g = df.groupby(keys, as_index=False, sort=False, dropna=False).agg(**kwargs)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
@@ -69,7 +71,7 @@ def grouped_partials(
         for name in parts.columns
         if name.startswith("__")
     }
-    g = parts.groupby(keys, as_index=False, sort=False).agg(**agg_kw)
+    g = parts.groupby(keys, as_index=False, sort=False, dropna=False).agg(**agg_kw)
     out = g[keys].copy()
     for alias, (op, c) in spec.items():
         if op == "count":

@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -206,14 +207,19 @@ def _multi_split(
             out_col, pa.array([], type=out_type)
         )
         return tuple([empty] * k) if k > 1 else (empty,)
-    df = tbl.select(
-        list(key_cols) + ([weight_col] if weight_col else [])
-    ).to_pandas()
+    df = _gb_pandas(
+        tbl.select(list(key_cols) + ([weight_col] if weight_col else [])),
+        key_cols,
+    )
     if weight_col:
-        part = df.groupby(list(key_cols), as_index=False, sort=False)[weight_col].agg(op)
+        part = df.groupby(
+            list(key_cols), as_index=False, sort=False, dropna=False
+        )[weight_col].agg(op)
         part = part.rename(columns={weight_col: out_col})
     else:
-        part = df.groupby(list(key_cols), as_index=False, sort=False).size()
+        part = df.groupby(
+            list(key_cols), as_index=False, sort=False, dropna=False
+        ).size()
         part = part.rename(columns={"size": out_col})
     ptbl = pa.Table.from_pandas(part, preserve_index=False)
     h = np.zeros(ptbl.num_rows, dtype=np.uint64)
@@ -240,8 +246,10 @@ def _multi_reduce(key_cols: list, out_col: str, *shards, op: str = "sum") -> pa.
                 return s
         return _EMPTY_SENTINEL
     shards = nonempty
-    df = pa.concat_tables(shards).to_pandas()
-    out = df.groupby(list(key_cols), as_index=False, sort=False)[out_col].agg(op)
+    df = _gb_pandas(pa.concat_tables(shards), key_cols)
+    out = df.groupby(
+        list(key_cols), as_index=False, sort=False, dropna=False
+    )[out_col].agg(op)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -335,12 +343,30 @@ def multi_key_max(
     return _multi_key_agg(ds, key_cols, val_col, out_col, "max", num_partitions)
 
 
+def _gb_pandas(tbl: pa.Table, key_cols) -> "pd.DataFrame":
+    """Arrow -> pandas for a key-grouped aggregation.  When any key
+    column carries nulls, convert with Arrow-backed dtypes so the null
+    group survives ``groupby(dropna=False)`` as a proper NA (SQL GROUP
+    BY semantics — DuckDB keeps the NULL group) AND the key column's
+    Arrow type round-trips exactly (the default conversion turns a
+    nullable int64 key into float64+NaN, corrupting the output schema
+    and large ids).  Null-free inputs — the common case for the
+    engine's generated keys — keep the faster numpy-dtype path."""
+    if any(tbl[c].null_count for c in key_cols if c in tbl.column_names):
+        return tbl.to_pandas(types_mapper=pd.ArrowDtype)
+    return tbl.to_pandas()
+
+
 def _hash_codes(tbl: pa.Table, key_col: str) -> np.ndarray:
     """Vectorized stable 64-bit hash of a key column (int via
     multiplicative mix; strings via polars' native hash — no Python
-    per-row loop)."""
+    per-row loop).  Nulls hash like 0 on the int path (a partition
+    collision, not a correctness issue — partitioning only needs
+    every null to land in ONE deterministic partition)."""
     col = tbl[key_col]
     if pa.types.is_integer(col.type):
+        if col.null_count:
+            col = pc.fill_null(col, 0)
         codes = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         return (codes * _MIX) >> np.uint64(13)
     import polars as pl

@@ -184,7 +184,12 @@ class OpenAICompatEmbedder:
         }
 
     def embed(self, texts) -> np.ndarray:
-        texts = [t or "" for t in texts]
+        # real /embeddings endpoints reject "" ("input must not be
+        # empty") with a deterministic 400 that retries cannot fix, and
+        # one bad row would abort its whole request_batch — substitute
+        # a single space for null/empty rows (the standard client-side
+        # workaround; the vector still exists so row alignment holds)
+        texts = [t if t else " " for t in texts]
         if not texts:
             return np.zeros((0, 0), dtype=np.float32)
         rows: list[list[float]] = []

@@ -78,3 +78,18 @@ def test_avi_single_image_and_errors():
         encode_avi_mjpeg(np.zeros((2, 8, 8), np.uint8), fps=0)
     with pytest.raises(ValueError):
         decode_avi(b"RIFF\x00\x00\x00\x00WAVE")  # not an AVI
+
+
+def test_avi_encode_gray_flag_disambiguates_width3():
+    """(n, h, 3) is ambiguous: default reads it as one RGB still;
+    gray=True forces the width-3 grayscale-clip reading (same contract
+    as encode_gif)."""
+    frames = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    assert avi_info(encode_avi_mjpeg(frames))[0] == 1  # documented default
+    p = encode_avi_mjpeg(frames, gray=True)
+    assert avi_info(p)[:3] == (5, 3, 4)
+    for src, got in zip(frames, decode_avi(p)):
+        ref = decode_jpeg(encode_jpeg(src, quality=85))
+        np.testing.assert_array_equal(got, ref)
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg(np.zeros((4, 4), np.uint8), gray=False)

@@ -332,3 +332,54 @@ def test_exchanges_handle_pandas_blocks_and_empty_inputs(ray_session):
         .sort_values("keep_id")
     )
     assert dd["keep_id"].tolist() == [1, 2]
+
+
+def test_null_group_keys_survive_exchanges(ray_session):
+    """SQL GROUP BY keeps the NULL group (DuckDB semantics); the
+    pandas-backed exchanges must not silently drop null-key rows
+    (pandas groupby defaults to dropna=True), and a nullable int64 key
+    must keep its int64 type through the round trip instead of
+    degrading to float64+NaN."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hipporag_ray.stages.agg import grouped_partials, salted_sum
+    from hipporag_ray.stages.shuffle import multi_key_min, multi_key_sum
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", None, "b", None, "a", None]),
+            "ki": pa.array([1, None, 2, None, 1, None], pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 8.0]),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3).materialize()
+
+    mks = multi_key_sum(ds, ["k"], "v", out_col="s").to_pandas()
+    got = {(None if pd.isna(k) else k): s for k, s in zip(mks["k"], mks["s"])}
+    assert got == {"a": 6.0, "b": 3.0, None: 14.0}
+
+    # nullable INT key: null group kept AND int64 schema preserved
+    mki = multi_key_sum(ds, ["ki"], "v", out_col="s")
+    sch = mki.schema(fetch_if_missing=True)
+    assert str(dict(zip(sch.names, sch.types))["ki"]) == "int64"
+    gi = {
+        (None if pd.isna(k) else int(k)): s
+        for k, s in zip(*(mki.to_pandas()[c] for c in ("ki", "s")))
+    }
+    assert gi == {1: 6.0, 2: 3.0, None: 14.0}
+
+    mkm = multi_key_min(ds, ["k"], "v", out_col="m").to_pandas()
+    gm = {(None if pd.isna(k) else k): m for k, m in zip(mkm["k"], mkm["m"])}
+    assert gm == {"a": 1.0, "b": 3.0, None: 2.0}
+
+    ss = salted_sum(ds, ["k"], "v", alias="s", salt=4).to_pandas()
+    gs = {(None if pd.isna(k) else k): s for k, s in zip(ss["k"], ss["s"])}
+    assert gs == {"a": 6.0, "b": 3.0, None: 14.0}
+
+    gp = grouped_partials(ds, ["k"], {"s": ("sum", "v"), "n": ("count", "v")})
+    gg = {
+        (None if pd.isna(k) else k): (s, n)
+        for k, s, n in zip(gp["k"], gp["s"], gp["n"])
+    }
+    assert gg == {"a": (6.0, 2), "b": (3.0, 1), None: (14.0, 3)}

@@ -26,12 +26,14 @@ from hipporag_ray.state.http_backends import (
 
 class _Stub(BaseHTTPRequestHandler):
     fail_next = 0  # class-level: number of requests to 500 before serving
+    last_body = None  # class-level: most recent request payload
 
     def log_message(self, *a):  # quiet
         pass
 
     def do_POST(self):
         body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        _Stub.last_body = body
         if _Stub.fail_next > 0:
             _Stub.fail_next -= 1
             self.send_response(500)
@@ -54,6 +56,16 @@ class _Stub(BaseHTTPRequestHandler):
                              "max_completion_tokens", "n")},
             }
         elif self.path.endswith("/embeddings"):
+            # real endpoints 400 on empty-string inputs ("input must
+            # not be empty") — emulate so the client's substitution is
+            # load-bearing in these tests
+            if any(t == "" for t in body["input"]):
+                payload = b'{"error": "input must not be empty"}'
+                self.send_response(400)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+                return
             # deterministic 4-dim vector from the text hash; REVERSED
             # index order to prove the client re-sorts by `index`
             data = []
@@ -91,28 +103,20 @@ def test_llm_roundtrip_and_metadata(stub_url):
 
 def test_llm_param_mapping(stub_url):
     # non-gpt model -> max_tokens; gpt model -> max_completion_tokens
-    # (openai_gpt.py:182-184 parity); seed/temperature pass through
-    import urllib.request
-
-    def call(model):
+    # (openai_gpt.py:182-184 parity); seed/temperature pass through.
+    # Drives the REAL client and inspects the body the stub recorded —
+    # a regression in __call__'s tok_key selection must fail here.
+    def call(model, **kw):
         llm = OpenAICompatLLM(stub_url, model=model, max_new_tokens=7)
-        body = json.dumps(
-            {"model": model, "messages": [{"role": "user", "content": "x"}],
-             "n": 1, ("max_completion_tokens" if "gpt" in model else "max_tokens"): 7}
-        )
-        # use the client itself and read the echo via a raw request to
-        # inspect what reached the server
-        req = urllib.request.Request(
-            f"{stub_url}/chat/completions", data=body.encode(),
-            headers={"Content-Type": "application/json"},
-        )
-        with urllib.request.urlopen(req, timeout=10) as r:
-            return json.loads(r.read())["_params"]
+        llm([{"role": "user", "content": "x"}], **kw)
+        return _Stub.last_body
 
-    p = call("llama-3")
-    assert p["max_tokens"] == 7 and p["max_completion_tokens"] is None
+    p = call("llama-3", seed=11, temperature=0.5)
+    assert p["max_tokens"] == 7 and "max_completion_tokens" not in p
+    assert p["seed"] == 11 and p["temperature"] == 0.5 and p["n"] == 1
     p = call("gpt-4o")
-    assert p["max_completion_tokens"] == 7 and p["max_tokens"] is None
+    assert p["max_completion_tokens"] == 7 and "max_tokens" not in p
+    assert "seed" not in p and "temperature" not in p
 
 
 def test_llm_auth_header(stub_url, monkeypatch):
@@ -212,3 +216,12 @@ def test_embedder_stage_batch(stub_url):
 def test_embedder_empty(stub_url):
     e = OpenAICompatEmbedder(stub_url, model="emb")
     assert e.embed([]).shape == (0, 0)
+
+
+def test_embedder_empty_strings_substituted(stub_url):
+    # the stub (like real endpoints) 400s on "" inputs; the client must
+    # substitute a space so null/empty rows don't abort the batch
+    e = OpenAICompatEmbedder(stub_url, model="emb", request_batch=8)
+    vecs = e.embed(["aa", "", None, "bb"])
+    assert vecs.shape == (4, 4)
+    assert _Stub.last_body["input"] == ["aa", " ", " ", "bb"]
