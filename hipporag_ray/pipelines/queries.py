@@ -2806,6 +2806,36 @@ ORACLE_SQL = {
         FROM documents d
         LEFT JOIN (SELECT doc_id, min(h) AS fp FROM sh GROUP BY doc_id) s USING (doc_id)
     """,
+    # simhash is deterministic (stable_hash64 = first 8 md5 bytes,
+    # little-endian), so the fingerprint is SQL-expressible: per
+    # (doc, token) counts over the proven tokenizer CTE, bit k of the
+    # token hash read straight out of DuckDB's md5 hex (byte k//8,
+    # bit k%8 — little-endian byte order), signed-count accumulation
+    # per bit, two's-complement pack via HUGEINT.
+    "doc_simhash": _TOK_CTE + """
+        , cnt AS (
+          SELECT doc_id, tok, count(*) AS c FROM tok WHERE tok <> '' GROUP BY doc_id, tok
+        ), hx AS (
+          SELECT doc_id, c, md5(tok) AS h FROM cnt
+        ), bitacc AS (
+          SELECT doc_id, t.k AS k,
+                 SUM(CASE WHEN ((16 * (strpos('0123456789abcdef', substr(h, 2*(t.k//8)+1, 1)) - 1)
+                                + (strpos('0123456789abcdef', substr(h, 2*(t.k//8)+2, 1)) - 1))
+                               // CAST(pow(2, t.k % 8) AS INTEGER)) % 2 = 1
+                          THEN c ELSE -c END) AS acc
+          FROM hx, generate_series(0, 63) AS t(k)
+          GROUP BY doc_id, t.k
+        ), packed AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN acc > 0 THEN CAST(pow(2, k) AS HUGEINT) ELSE 0 END) AS u
+          FROM bitacc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(CASE WHEN p.u >= CAST(pow(2, 63) AS HUGEINT)
+                                  THEN p.u - CAST(pow(2, 64) AS HUGEINT)
+                                  ELSE p.u END, 0) AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN packed p USING (doc_id)
+    """,
     "doc_langid": _langid_sql(),
     "doc_ngram_jaccard": f"""
         WITH norm AS (
