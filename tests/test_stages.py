@@ -75,6 +75,40 @@ def test_simhash_identical_and_near():
     assert ham < ham_far  # near-dup closer than unrelated
 
 
+def test_simhash_matches_sql_oracle():
+    # bit-exact parity with the DuckDB oracle (md5 bit extraction +
+    # signed per-bit counts + two's-complement pack), including the
+    # no-token zero path and a hash with bit 63 set (negative int64)
+    import duckdb
+
+    from hipporag_ray.pipelines.queries import ORACLE_SQL
+
+    df = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "text": ["", "?!.,;", "Hello hello WORLD", "the the the of"],
+        }
+    )
+    eng = (
+        dd.simhash(rd.from_pandas(df), "text", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    ora = (
+        con.sql(ORACLE_SQL["doc_simhash"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(eng["doc_id"]) == list(ora["doc_id"])
+    assert eng["simhash"].astype("int64").tolist() == ora["simhash"].astype("int64").tolist()
+    assert eng.set_index("doc_id").loc["a", "simhash"] == 0
+    assert (eng["simhash"] < 0).any()  # bit-63 pack exercised
+
+
 def test_knn_vs_lsh_ann():
     rng = np.random.default_rng(0)
     mat = rng.standard_normal((200, 16)).astype(np.float32)
