@@ -926,7 +926,10 @@ def q_lineitem_pricing(sf_dir: str):
                 ("l_quantity", "sum"),
                 ("revenue", "sum"),
                 ("l_discount", "sum"),
+                # avg's denominator counts non-null discounts (SQL AVG
+                # skips nulls); n is COUNT(*) — all rows
                 ("l_discount", "count"),
+                ([], "count_all"),
             ]
         )
         # select by the GENERATED names, then rename positionally:
@@ -941,6 +944,7 @@ def q_lineitem_pricing(sf_dir: str):
                 "revenue_sum",
                 "l_discount_sum",
                 "l_discount_count",
+                "count_all",
             ]
         ).rename_columns(
             [
@@ -949,6 +953,7 @@ def q_lineitem_pricing(sf_dir: str):
                 "sum_qty",
                 "sum_revenue",
                 "sum_disc",
+                "n_disc",
                 "n",
             ]
         )
@@ -958,10 +963,11 @@ def q_lineitem_pricing(sf_dir: str):
         sum_qty=("sum_qty", "sum"),
         sum_revenue=("sum_revenue", "sum"),
         sum_disc=("sum_disc", "sum"),
+        n_disc=("n_disc", "sum"),
         n=("n", "sum"),
     )
-    out["avg_disc"] = out["sum_disc"] / out["n"]
-    out = out.drop(columns=["sum_disc"])
+    out["avg_disc"] = out["sum_disc"] / out["n_disc"]
+    out = out.drop(columns=["sum_disc", "n_disc"])
     return _round(out, {"sum_qty": 2, "sum_revenue": 1, "avg_disc": 5})
 
 

@@ -222,6 +222,15 @@ def _multi_split(
         ).size()
         part = part.rename(columns={"size": out_col})
     ptbl = pa.Table.from_pandas(part, preserve_index=False)
+    # canonical partial schema: key columns keep the INPUT block's
+    # types; out_col is int64 for count and the value's type for
+    # min/max (sum's arithmetic widening is path-stable already)
+    fields = [pa.field(c, tbl[c].type) for c in key_cols]
+    if weight_col is None:
+        fields.append(pa.field(out_col, pa.int64()))
+    elif op in ("min", "max"):
+        fields.append(pa.field(out_col, tbl[weight_col].type))
+    ptbl = _cast_cols_like(ptbl, pa.schema(fields))
     h = np.zeros(ptbl.num_rows, dtype=np.uint64)
     for c in key_cols:
         h = (h * _MIX) ^ _hash_codes(ptbl, c)
@@ -250,7 +259,45 @@ def _multi_reduce(key_cols: list, out_col: str, *shards, op: str = "sum") -> pa.
     out = df.groupby(
         list(key_cols), as_index=False, sort=False, dropna=False
     )[out_col].agg(op)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    # re-canonicalize to the (already-canonical) partial schema so
+    # partitions that reduced through different conversion paths — and
+    # the typed-empty partitions — agree block-to-block downstream
+    return _cast_cols_like(
+        pa.Table.from_pandas(out, preserve_index=False), shards[0].schema
+    )
+
+
+def _arrow_type_of(t) -> pa.DataType:
+    """Normalize a Dataset.schema() entry (Arrow type, numpy dtype, or
+    Python type for pandas-backed schemas) to an Arrow DataType."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (TypeError, pa.ArrowNotImplementedError):
+        return pa.string() if t in (str, object) else pa.int64()
+
+
+def _typed_empty_agg(
+    ds: "rd.Dataset", key_cols: list, weight_col: str | None, out_col: str
+):
+    """Empty (key_cols + out_col) dataset typed from ds's schema, or
+    None when the schema is unavailable / missing the needed columns
+    (then the caller has nothing better than passing ds through)."""
+    sch = ds.schema(fetch_if_missing=True)
+    if sch is None:
+        return None
+    types = dict(zip(sch.names, sch.types))
+    if any(c not in types for c in key_cols) or (
+        weight_col is not None and weight_col not in types
+    ):
+        return None
+    cols = {c: pa.array([], _arrow_type_of(types[c])) for c in key_cols}
+    cols[out_col] = pa.array(
+        [],
+        pa.int64() if weight_col is None else _arrow_type_of(types[weight_col]),
+    )
+    return rd.from_arrow(pa.table(cols))
 
 
 def _multi_key_agg(
@@ -279,7 +326,12 @@ def _multi_key_agg(
 
     splits, k = _streaming_splits(ds, launch, num_partitions)
     if not splits:
-        return ds
+        # zero-block input: synthesize the TYPED empty result
+        # (key_cols + out_col) rather than leaking the input schema —
+        # consumers select out_col unconditionally (e.g. an empty
+        # corpus through fact_edge_weights still exposes 'weight')
+        empty = _typed_empty_agg(ds, key_cols, weight_col, out_col)
+        return empty if empty is not None else ds
     out_refs = [
         _multi_reduce.remote(
             list(key_cols),
@@ -344,17 +396,39 @@ def multi_key_max(
 
 
 def _gb_pandas(tbl: pa.Table, key_cols) -> "pd.DataFrame":
-    """Arrow -> pandas for a key-grouped aggregation.  When any key
-    column carries nulls, convert with Arrow-backed dtypes so the null
+    """Arrow -> pandas for a key-grouped aggregation.  When ANY column
+    carries nulls, convert with Arrow-backed dtypes so (a) a null key
     group survives ``groupby(dropna=False)`` as a proper NA (SQL GROUP
-    BY semantics — DuckDB keeps the NULL group) AND the key column's
-    Arrow type round-trips exactly (the default conversion turns a
-    nullable int64 key into float64+NaN, corrupting the output schema
-    and large ids).  Null-free inputs — the common case for the
-    engine's generated keys — keep the faster numpy-dtype path."""
-    if any(tbl[c].null_count for c in key_cols if c in tbl.column_names):
+    BY semantics — DuckDB keeps the NULL group) and (b) a nullable
+    int64 key/value round-trips exactly instead of degrading to
+    float64+NaN (which corrupts large ids and, for value columns,
+    flips the partial's dtype vs null-free blocks).  Null-free inputs
+    — the common case for the engine's generated keys — keep the
+    faster numpy-dtype path; :func:`_cast_cols_like` re-canonicalizes
+    the lossy round-trips (large_string -> string etc.) so partials
+    from both paths concat cleanly."""
+    if any(tbl[c].null_count for c in tbl.column_names):
         return tbl.to_pandas(types_mapper=pd.ArrowDtype)
     return tbl.to_pandas()
+
+
+def _cast_cols_like(tbl: pa.Table, target: pa.Schema) -> pa.Table:
+    """Cast tbl's columns to target's types where names match.  The
+    pandas round-trip in the exchange partials is lossy for some Arrow
+    types (large_string/string_view/dictionary keys come back as plain
+    string on the numpy path but exactly on the ArrowDtype path), and
+    ``pa.concat_tables`` in the reducer requires every shard to agree
+    — so every partial is canonicalized to the input block's types."""
+    for i, name in enumerate(tbl.column_names):
+        if target.get_field_index(name) == -1:
+            continue
+        f = target.field(name)
+        if f.type != tbl.column(i).type:
+            try:
+                tbl = tbl.set_column(i, f, tbl.column(i).cast(f.type))
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                pass
+    return tbl
 
 
 def _hash_codes(tbl: pa.Table, key_col: str) -> np.ndarray:
@@ -447,11 +521,11 @@ def _tbl(block) -> pa.Table:
 
 @ray.remote
 def _slice_block(tbl: pa.Table, n: int):
-    tbl = _tbl(tbl)
     """Cut one block into n zero-copy slices.  Ray's Arrow serializer
     truncates sliced buffers on serialization (verified: a 1k-row slice
     of a 1M-row table ships ~15KB, not the full backing buffer), so the
     pieces leave this task at their logical size."""
+    tbl = _tbl(tbl)
     step = -(-tbl.num_rows // n)
     outs = [tbl.slice(i * step, step) for i in range(n)]
     return tuple(outs) if n > 1 else (outs[0],)

@@ -188,7 +188,12 @@ class OpenAICompatEmbedder:
         # empty") with a deterministic 400 that retries cannot fix, and
         # one bad row would abort its whole request_batch — substitute
         # a single space for null/empty rows (the standard client-side
-        # workaround; the vector still exists so row alignment holds)
+        # workaround; the vector still exists so row alignment holds).
+        # CONTRACT NOTE: empty rows therefore get the embedding of
+        # " " here, while the local embedder plugs embed "" directly —
+        # empty-row vectors differ across plugs (two empty docs still
+        # score cosine 1.0 against each other on either path); filter
+        # empty rows upstream when that distinction matters
         texts = [t if t else " " for t in texts]
         if not texts:
             return np.zeros((0, 0), dtype=np.float32)

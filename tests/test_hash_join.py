@@ -383,3 +383,89 @@ def test_null_group_keys_survive_exchanges(ray_session):
         for k, s, n in zip(gp["k"], gp["s"], gp["n"])
     }
     assert gg == {"a": (6.0, 2), "b": (3.0, 1), None: (14.0, 3)}
+
+
+def test_mixed_null_blocks_lossy_key_types_concat(ray_session):
+    """Partials from the ArrowDtype conversion path (blocks whose keys
+    carry nulls) and the numpy path (null-free blocks) must agree on
+    Arrow types for the reducer's concat: large_string keys round-trip
+    as large_string on one path and plain string on the other, which
+    crashed pa.concat_tables mid-exchange before the partials were
+    canonicalized to the input block's types."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hipporag_ray.stages.shuffle import multi_key_min, multi_key_sum
+
+    t1 = pa.table(
+        {"g": pa.array(["a", None], pa.large_string()), "v": [1.0, 2.0]}
+    )
+    t2 = pa.table(
+        {"g": pa.array(["b", "a"], pa.large_string()), "v": [4.0, 5.0]}
+    )
+    ds = rd.from_arrow([t1, t2]).materialize()
+    out = multi_key_sum(ds, ["g"], "v", out_col="s").to_pandas()
+    got = {(None if pd.isna(k) else k): s for k, s in zip(out["g"], out["s"])}
+    assert got == {"a": 6.0, "b": 4.0, None: 2.0}
+
+    # min over a large_string VALUE column: out_col type canonicalized too
+    t3 = pa.table(
+        {
+            "h": pa.array(["x", "x", None], pa.large_string()),
+            "id": pa.array(["b", "a", "c"], pa.large_string()),
+        }
+    )
+    t4 = pa.table(
+        {
+            "h": pa.array(["x"], pa.large_string()),
+            "id": pa.array(["d"], pa.large_string()),
+        }
+    )
+    om = multi_key_min(
+        rd.from_arrow([t3, t4]).materialize(), ["h"], "id", "keep"
+    ).to_pandas()
+    gm = {(None if pd.isna(k) else k): m for k, m in zip(om["h"], om["keep"])}
+    assert gm == {"x": "a", None: "c"}
+
+    # int64 value with nulls in only SOME blocks: the null block's sum
+    # must not flip to float64 against the null-free block's int64
+    t5 = pa.table({"g": pa.array([1, 2], pa.int64()), "v": pa.array([1, None], pa.int64())})
+    t6 = pa.table({"g": pa.array([1, 2], pa.int64()), "v": pa.array([3, 4], pa.int64())})
+    o2 = multi_key_sum(
+        rd.from_arrow([t5, t6]).materialize(), ["g"], "v", out_col="s"
+    ).to_pandas().sort_values("g")
+    assert [(int(g), int(s)) for g, s in zip(o2["g"], o2["s"])] == [(1, 4), (2, 4)]
+
+
+def test_multi_key_agg_zero_block_input_typed_schema(ray_session):
+    """A zero-block input through multi_key_sum/min must come back as
+    the TYPED (key_cols + out_col) empty, not leak the input schema —
+    consumers select out_col unconditionally."""
+    import ray.data as rd
+
+    from hipporag_ray.stages.shuffle import multi_key_min, multi_key_sum
+
+    e = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "w": pa.array([], pa.float64()),
+            }
+        )
+    )
+    oe = multi_key_sum(e, ["src", "dst"], "w", out_col="weight")
+    sch = oe.schema(fetch_if_missing=True)
+    assert list(sch.names) == ["src", "dst", "weight"]
+    assert [str(t) for t in sch.types] == ["int64", "int64", "double"]
+    assert oe.count() == 0
+
+    on = multi_key_sum(e, ["src"], None, out_col="n")
+    sch2 = on.schema(fetch_if_missing=True)
+    assert list(sch2.names) == ["src", "n"]
+    assert [str(t) for t in sch2.types] == ["int64", "int64"]
+
+    om = multi_key_min(e, ["src"], "dst", out_col="keep")
+    sch3 = om.schema(fetch_if_missing=True)
+    assert list(sch3.names) == ["src", "keep"]
+    assert [str(t) for t in sch3.types] == ["int64", "int64"]

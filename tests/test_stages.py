@@ -1066,3 +1066,47 @@ def test_read_transcripts_csv_matches_parquet(small_transcripts, tmp_path):
     pd.testing.assert_series_equal(a["text"], b["text"])
     assert a["turn_idx"].dtype == b["turn_idx"].dtype
     pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_lineitem_pricing_count_star_with_null_discounts(ray_session, tmp_path):
+    """n must be COUNT(*) (all rows) while avg_disc is SQL AVG
+    (null-skipping): a null l_discount row counts toward n but not the
+    avg denominator — the pure-Arrow partial counts both separately."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from hipporag_ray.pipelines.queries import q_lineitem_pricing
+
+    t = pa.table(
+        {
+            "l_returnflag": ["A", "A", "A", "B"],
+            "l_linestatus": ["F", "F", "F", "O"],
+            "l_quantity": [1.0, 2.0, 3.0, 4.0],
+            "l_extendedprice": [10.0, 20.0, 30.0, 40.0],
+            "l_discount": pa.array([0.1, None, 0.3, 0.2], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    got = (
+        q_lineitem_pricing(str(tmp_path))
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            f"""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_revenue,
+               round(avg(l_discount), 5) AS avg_disc,
+               count(*) AS n
+        FROM read_parquet('{tmp_path}/lineitem.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert got["n"].tolist() == want["n"].tolist() == [3, 1]
+    for c in ("sum_qty", "sum_revenue", "avg_disc"):
+        assert got[c].tolist() == pytest.approx(want[c].tolist())
