@@ -469,3 +469,74 @@ def test_multi_key_agg_zero_block_input_typed_schema(ray_session):
     sch3 = om.schema(fetch_if_missing=True)
     assert list(sch3.names) == ["src", "keep"]
     assert [str(t) for t in sch3.types] == ["int64", "int64"]
+
+
+def test_exchange_agg_matches_duckdb_randomized(ray_session):
+    """Property sweep: multi_key_sum/min over randomized key types
+    (int64 / int32 / string / large_string), null-bearing keys, and
+    random block layouts must match DuckDB's GROUP BY (null group
+    kept) exactly.  Values are non-null by engine contract (pandas'
+    sum-of-empty = 0 vs SQL NULL for all-null groups is out of scope).
+    Deterministic seeds — a plain loop, not hypothesis, so the Ray
+    session fixture composes cleanly."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from hipporag_ray.stages.shuffle import multi_key_min, multi_key_sum
+
+    key_types = [pa.int64(), pa.int32(), pa.string(), pa.large_string()]
+    for seed in range(12):
+        rng = np.random.default_rng(seed)
+        kt = key_types[seed % len(key_types)]
+        n = int(rng.integers(1, 60))
+        if pa.types.is_integer(kt):
+            keys = rng.integers(-5, 6, n).astype(object)
+        else:
+            keys = np.array(
+                ["k" + str(i) for i in rng.integers(0, 8, n)], dtype=object
+            )
+        null_mask = rng.random(n) < 0.25
+        keys[null_mask] = None
+        vals = np.round(rng.standard_normal(n), 3)
+        tbl = pa.table(
+            {"g": pa.array(list(keys), type=kt), "v": pa.array(vals)}
+        )
+        # random block layout: split rows into 1-4 chunks
+        n_chunks = int(rng.integers(1, 5))
+        cuts = sorted(rng.integers(0, n + 1, n_chunks - 1).tolist())
+        bounds = [0] + cuts + [n]
+        blocks = [
+            tbl.slice(a, b - a) for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        ds = rd.from_arrow(blocks).materialize()  # empty slices included
+
+        df = tbl.to_pandas(types_mapper=pd.ArrowDtype)
+        want_sum = duckdb.sql(
+            "SELECT g, sum(v) AS s FROM df GROUP BY g ORDER BY g NULLS LAST"
+        ).df()
+        got_sum = (
+            multi_key_sum(ds, ["g"], "v", out_col="s")
+            .to_pandas()
+            .sort_values("g", na_position="last")
+            .reset_index(drop=True)
+        )
+        assert [
+            None if pd.isna(x) else x for x in got_sum["g"]
+        ] == [None if pd.isna(x) else x for x in want_sum["g"]], f"seed {seed}"
+        assert got_sum["s"].astype(float).tolist() == pytest.approx(
+            want_sum["s"].astype(float).tolist()
+        ), f"seed {seed}"
+
+        want_min = duckdb.sql(
+            "SELECT g, min(v) AS m FROM df GROUP BY g ORDER BY g NULLS LAST"
+        ).df()
+        got_min = (
+            multi_key_min(ds, ["g"], "v", out_col="m")
+            .to_pandas()
+            .sort_values("g", na_position="last")
+            .reset_index(drop=True)
+        )
+        assert got_min["m"].astype(float).tolist() == pytest.approx(
+            want_min["m"].astype(float).tolist()
+        ), f"seed {seed}"
