@@ -52,7 +52,7 @@ def bench_transcripts_for(sf_dir: str) -> str:
     from hipporag_ray.synth import write_transcripts
 
     sf = sf_of(sf_dir)
-    dense = bool(os.environ.get("GRAFT_BENCH_DENSE"))
+    dense = os.environ.get("GRAFT_BENCH_DENSE", "0") not in ("", "0")
     return write_transcripts(
         f"/tmp/hipporag_ray/btx_sf{sf}" + ("_dense" if dense else ""),
         n_convs=max(50, int(100_000 * sf)),

@@ -69,18 +69,14 @@ def exact_dedup_keys(
         # empty input: map stages are elided on empty blocks, so the
         # hash column never materializes and the exchange comes back
         # schema-less — reconstruct the contract schema explicitly
+        from .shuffle import _arrow_type_of
+
         in_sch = ds.schema(fetch_if_missing=True)
-        id_type = (
+        id_type = _arrow_type_of(
             dict(zip(in_sch.names, in_sch.types))[id_col]
             if in_sch is not None and id_col in in_sch.names
             else pa.int64()
         )
-        if not isinstance(id_type, pa.DataType):
-            # pandas-backed schemas report numpy dtypes / Python types
-            try:
-                id_type = pa.from_numpy_dtype(id_type)
-            except (TypeError, pa.ArrowNotImplementedError):
-                id_type = pa.string() if id_type in (str, object) else pa.int64()
         return rd.from_arrow(
             pa.table(
                 {

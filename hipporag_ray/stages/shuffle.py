@@ -192,17 +192,34 @@ def _multi_split(
     import pandas as pd
 
     tbl = _tbl(tbl)
-    if any(c not in tbl.column_names for c in key_cols) or (
-        weight_col is not None and weight_col not in tbl.column_names
-    ):
-        # schema-less block: nothing to type the partial with
+    missing = [c for c in key_cols if c not in tbl.column_names]
+    if weight_col is not None and weight_col not in tbl.column_names:
+        missing.append(weight_col)
+    if missing:
+        if tbl.num_rows:
+            # rows but no such column: a caller bug (misspelled /
+            # upstream-renamed column) must fail loudly, not quietly
+            # aggregate to an empty result
+            raise KeyError(
+                f"exchange input block is missing column(s) {missing}; "
+                f"block has {tbl.column_names}"
+            )
+        # schema-less ELIDED block (zero rows): nothing to type with
         empty = pa.table({})
         return tuple([empty] * k) if k > 1 else (empty,)
     if tbl.num_rows == 0:
         # typed empty partial — keeps the aggregated schema observable
         # downstream when EVERY block is empty (count is int64; sum/min/
-        # max keep the value column's dtype, matching pandas' combine)
-        out_type = pa.int64() if weight_col is None else tbl[weight_col].type
+        # max keep the value column's dtype, matching pandas' combine,
+        # except decimal sums which widen — see _sum_out_type)
+        if weight_col is None:
+            out_type = pa.int64()
+        elif op == "sum":
+            out_type = (
+                _sum_out_type(tbl[weight_col].type) or tbl[weight_col].type
+            )
+        else:
+            out_type = tbl[weight_col].type
         empty = tbl.select(list(key_cols)).slice(0, 0).append_column(
             out_col, pa.array([], type=out_type)
         )
@@ -223,13 +240,22 @@ def _multi_split(
         part = part.rename(columns={"size": out_col})
     ptbl = pa.Table.from_pandas(part, preserve_index=False)
     # canonical partial schema: key columns keep the INPUT block's
-    # types; out_col is int64 for count and the value's type for
-    # min/max (sum's arithmetic widening is path-stable already)
+    # types; out_col is int64 for count, the value's type for min/max,
+    # and the widened _sum_out_type for sum (int/float sums are
+    # path-stable — measured: int32->int32, uint8->uint64, f32->f32 on
+    # BOTH conversion paths — but decimal sums re-infer a
+    # value-dependent precision on the numpy path)
     fields = [pa.field(c, tbl[c].type) for c in key_cols]
     if weight_col is None:
         fields.append(pa.field(out_col, pa.int64()))
     elif op in ("min", "max"):
         fields.append(pa.field(out_col, tbl[weight_col].type))
+    elif op == "sum" and _sum_out_type(tbl[weight_col].type) is not None:
+        # only parametric types need pinning; for int/float sums any
+        # cast here could itself diverge per block (e.g. a uint64
+        # partial fitting uint8 in one block but overflowing in
+        # another), so they are left at their path-stable natural type
+        fields.append(pa.field(out_col, _sum_out_type(tbl[weight_col].type)))
     ptbl = _cast_cols_like(ptbl, pa.schema(fields))
     h = np.zeros(ptbl.num_rows, dtype=np.uint64)
     for c in key_cols:
@@ -279,7 +305,11 @@ def _arrow_type_of(t) -> pa.DataType:
 
 
 def _typed_empty_agg(
-    ds: "rd.Dataset", key_cols: list, weight_col: str | None, out_col: str
+    ds: "rd.Dataset",
+    key_cols: list,
+    weight_col: str | None,
+    out_col: str,
+    op: str = "min",
 ):
     """Empty (key_cols + out_col) dataset typed from ds's schema, or
     None when the schema is unavailable / missing the needed columns
@@ -293,10 +323,13 @@ def _typed_empty_agg(
     ):
         return None
     cols = {c: pa.array([], _arrow_type_of(types[c])) for c in key_cols}
-    cols[out_col] = pa.array(
-        [],
-        pa.int64() if weight_col is None else _arrow_type_of(types[weight_col]),
-    )
+    if weight_col is None:
+        out_type = pa.int64()
+    else:
+        out_type = _arrow_type_of(types[weight_col])
+        if op == "sum":
+            out_type = _sum_out_type(out_type) or out_type
+    cols[out_col] = pa.array([], out_type)
     return rd.from_arrow(pa.table(cols))
 
 
@@ -330,7 +363,7 @@ def _multi_key_agg(
         # (key_cols + out_col) rather than leaking the input schema —
         # consumers select out_col unconditionally (e.g. an empty
         # corpus through fact_edge_weights still exposes 'weight')
-        empty = _typed_empty_agg(ds, key_cols, weight_col, out_col)
+        empty = _typed_empty_agg(ds, key_cols, weight_col, out_col, op=op)
         return empty if empty is not None else ds
     out_refs = [
         _multi_reduce.remote(
@@ -412,6 +445,18 @@ def _gb_pandas(tbl: pa.Table, key_cols) -> "pd.DataFrame":
     return tbl.to_pandas()
 
 
+def _sum_out_type(t: pa.DataType):
+    """Canonical sum-output type for value types whose pandas-path sum
+    dtype is VALUE-dependent, else None (meaning: leave the partial's
+    natural, path-stable type alone).  Decimal sums re-infer precision
+    from the result values on the numpy path (decimal128(10,2) inputs
+    can come back decimal128(3,2)) while the ArrowDtype path keeps the
+    input type — pin them to the SQL-style widened decimal128(38, s)."""
+    if pa.types.is_decimal(t):
+        return pa.decimal128(38, t.scale)
+    return None
+
+
 def _cast_cols_like(tbl: pa.Table, target: pa.Schema) -> pa.Table:
     """Cast tbl's columns to target's types where names match.  The
     pandas round-trip in the exchange partials is lossy for some Arrow
@@ -427,6 +472,11 @@ def _cast_cols_like(tbl: pa.Table, target: pa.Schema) -> pa.Table:
             try:
                 tbl = tbl.set_column(i, f, tbl.column(i).cast(f.type))
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                # deliberately best-effort: when EVERY partial diverges
+                # the same way (all blocks took the same conversion
+                # path) the reducer's concat still succeeds, and a
+                # raise here would break that working case — only
+                # path-MIXED divergence fails, later, in concat
                 pass
     return tbl
 

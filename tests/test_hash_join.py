@@ -540,3 +540,51 @@ def test_exchange_agg_matches_duckdb_randomized(ray_session):
         assert got_min["m"].astype(float).tolist() == pytest.approx(
             want_min["m"].astype(float).tolist()
         ), f"seed {seed}"
+
+
+def test_exchange_missing_value_column_raises(ray_session):
+    """A misspelled / upstream-renamed value column must fail loudly
+    (KeyError in the split task), not silently aggregate to empty —
+    only zero-row schema-elided blocks take the silent-empty path."""
+    import ray.data as rd
+
+    from hipporag_ray.stages.shuffle import multi_key_sum
+
+    ds = rd.from_arrow(pa.table({"k": ["a"], "v": [1.0]}))
+    with pytest.raises(Exception, match="missing column"):
+        multi_key_sum(ds, ["k"], "wieght", out_col="s").to_pandas()
+
+
+def test_exchange_decimal_sum_mixed_null_blocks(ray_session):
+    """Decimal sums re-infer a value-dependent precision on the numpy
+    conversion path but keep the input precision on the ArrowDtype
+    path — mixed null/non-null blocks must still concat (out_col is
+    pinned to the widened decimal128(38, s))."""
+    import decimal
+
+    import pandas as pd
+    import ray.data as rd
+
+    from hipporag_ray.stages.shuffle import multi_key_sum
+
+    D = decimal.Decimal
+    t1 = pa.table(
+        {
+            "g": pa.array(["a", None]),
+            "v": pa.array([D("1.25"), D("2.50")], pa.decimal128(10, 2)),
+        }
+    )
+    t2 = pa.table(
+        {
+            "g": pa.array(["a", "b"]),
+            "v": pa.array([D("3.00"), D("4.75")], pa.decimal128(10, 2)),
+        }
+    )
+    out = multi_key_sum(
+        rd.from_arrow([t1, t2]).materialize(), ["g"], "v", out_col="s"
+    ).to_pandas()
+    got = sorted(
+        (("<null>" if pd.isna(k) else k), str(v))
+        for k, v in zip(out["g"], out["s"])
+    )
+    assert got == [("<null>", "2.50"), ("a", "4.25"), ("b", "4.75")]
