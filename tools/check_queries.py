@@ -72,6 +72,17 @@ def main():
             print(f"ok   {name}: rows={len(mine)} ({took:.1f}s) [rows-only]")
             n_pass += 1
             continue
+        if "tx_sf0.01" in oracles[name] and "sf0.01" not in sf_dir:
+            # the tx_* oracles pin the sf0.01 synth cache by design
+            # (the driver grades oracles at sf=0.01 only) — at any
+            # other scale the SQL side would read the wrong corpus, so
+            # degrade to a rows-only check instead of a bogus FAIL
+            print(
+                f"ok   {name}: rows={len(mine)} ({took:.1f}s)"
+                " [rows-only: oracle pinned to sf0.01]"
+            )
+            n_pass += 1
+            continue
         try:
             want = con.sql(oracles[name]).df()
         except Exception as ex:
