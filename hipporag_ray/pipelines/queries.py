@@ -902,6 +902,147 @@ def q_customer_orders_full_outer(sf_dir: str):
     return out[["c_custkey", "c_acctbal", "sum_spent"]]
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-flavored 3-table pipeline: segment-filtered customers
+    SEMI-join date-filtered orders (bucketed hash join), lineitem
+    revenue pre-aggregated per order through the streaming int-key
+    exchange BEFORE the join (the join moves order-cardinality rows,
+    never lineitem-cardinality), inner join, global top-10 by revenue
+    via per-block partial top-k + a driver merge of O(blocks x 10)
+    rows.  Filters are pushed into the scans' first map so only
+    surviving rows enter any exchange."""
+    from ..stages.shuffle import hash_join, int_key_sum
+
+    cutoff = np.datetime64("1998-01-01", "us")
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b["c_mktsegment"], pa.scalar("BUILDING"))
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "c_custkey": b["o_custkey"],
+                "o_orderdate": b["o_orderdate"],
+            }
+        ).filter(pc.less(b["o_orderdate"], pa.scalar(cutoff, pa.timestamp("us")))),
+        batch_format="pyarrow",
+    )
+    kept = hash_join(orders, cust, "c_custkey", how="leftsemi")
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev": pc.multiply(
+                    b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+                ),
+            }
+        ).filter(pc.greater(b["l_shipdate"], pa.scalar(cutoff, pa.timestamp("us")))),
+        batch_format="pyarrow",
+    )
+    rev = int_key_sum(li, "l_orderkey", "rev").map_batches(
+        lambda b: pa.table({"o_orderkey": b["l_orderkey"], "rev": b["rev"]})
+        if b.num_rows and "l_orderkey" in b.column_names
+        else pa.table(
+            {"o_orderkey": pa.array([], pa.int64()), "rev": pa.array([], pa.float64())}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(rev, kept, "o_orderkey")
+
+    K = 10
+
+    def topk_partial(b: pa.Table) -> pa.Table:
+        e = _empty_or(
+            b,
+            ("o_orderkey", "rev", "o_orderdate"),
+            {
+                "l_orderkey": pa.int64(),
+                "revenue": pa.float64(),
+                "o_orderdate": pa.timestamp("us"),
+            },
+        )
+        if e is not None:
+            return e
+        okey = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        r = b["rev"].to_numpy(zero_copy_only=False).astype(np.float64)
+        od = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -r))[:K]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(okey[order], pa.int64()),
+                "revenue": pa.array(r[order], pa.float64()),
+                "o_orderdate": pa.array(od[order], pa.timestamp("us")),
+            }
+        )
+
+    out = joined.map_batches(
+        topk_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "revenue": pd.Series([], dtype="float64"),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+    out = (
+        out.sort_values(["revenue", "l_orderkey"], ascending=[False, True])
+        .head(K)
+        .reset_index(drop=True)
+    )
+    return _round(out, {"revenue": 2})
+
+
+def q_events_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters (the HAVING shape): users with >= 70 events
+    — per-key counts through the general-key hash exchange, threshold
+    filter applied inside the reduce partitions, only survivors reach
+    the driver."""
+    from ..stages.shuffle import multi_key_sum
+
+    counts = multi_key_sum(
+        _events(sf_dir, ["user_id"]), ["user_id"], None, out_col="n"
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        e = _empty_or(b, ("user_id", "n"), {"user_id": pa.int64(), "n": pa.int64()})
+        if e is not None:
+            return e
+        return b.filter(pc.greater_equal(b["n"], pa.scalar(70, b["n"].type))).select(
+            ["user_id", "n"]
+        )
+
+    return counts.map_batches(keep, batch_format="pyarrow")
+
+
+def q_events_heavy_hitters_sketch(sf_dir: str):
+    """Misra-Gries heavy-hitter summary over user_id with k=32 counters
+    (below the 150-user cardinality, so compression actually fires):
+    k+1-sized partials per block, no per-item exchange — the
+    frequency-sketch path for item universes too large to count
+    exactly.  Rows-only (estimates are layout-dependent within the
+    ±N/(k+1) bound); the bound itself is pytest-checked in
+    tests/test_heavy_hitters.py."""
+    from ..stages.agg import heavy_hitters_sketch
+
+    return heavy_hitters_sketch(_events(sf_dir, ["user_id"]), "user_id", k=32)
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-flavored grouped aggregate with per-batch computed
     column (revenue) — the canonical partial-aggregation pattern."""
@@ -2385,6 +2526,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "orders_by_nation": q_orders_by_nation,
     "orders_by_segment": q_orders_by_segment,
+    "shipping_priority": q_shipping_priority,
     "customers_no_orders": q_customers_no_orders,
     "customer_orders_full_outer": q_customer_orders_full_outer,
     "customers_with_orders": q_customers_with_orders,
@@ -2433,6 +2575,8 @@ QUERIES = {
     "events_stratified_sample": q_events_stratified_sample,
     "events_distinct_users": q_events_distinct_users,
     "events_distinct_users_sketch": q_events_distinct_users_sketch,
+    "events_heavy_hitters": q_events_heavy_hitters,
+    "events_heavy_hitters_sketch": q_events_heavy_hitters_sketch,
     "events_pivot": q_events_pivot,
 }
 
@@ -2952,6 +3096,20 @@ ORACLE_SQL = {
                count(*) AS n
         FROM lineitem GROUP BY 1, 2
     """,
+    "shipping_priority": """
+        SELECT l.l_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
     "emb_knn": """
         SELECT e.vec_id
         FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
@@ -3186,6 +3344,10 @@ ORACLE_SQL = {
     "events_distinct_users": """
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY 1
+    """,
+    "events_heavy_hitters": """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id HAVING count(*) >= 70
     """,
     "events_pivot": """
         SELECT user_id,

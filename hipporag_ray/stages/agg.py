@@ -837,6 +837,103 @@ def grouped_distinct_sketch(
 
 
 # ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries mergeable summary
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters_sketch(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    k: int = 64,
+) -> "pd.DataFrame":
+    """Approximate most-frequent items (heavy hitters) over an
+    UNBOUNDED item universe via the Misra-Gries summary — the
+    frequency-sketch companion to the KMV distinct sketch and the
+    bottom-k quantile sketch (Misra & Gries 1982; mergeability per
+    Agarwal et al., "Mergeable Summaries", PODS 2012).
+
+    Per block: exact item counts (one ``np.unique``), compressed to at
+    most ``k`` counters by subtracting the (k+1)-th largest count from
+    every counter and dropping the non-positive ones.  Each partial is
+    therefore <= k+1 rows no matter how large the block, so the final
+    merge (sum per item, one more compress) sees only
+    O(blocks * k) rows — nothing corpus-sized reaches the driver, and
+    no per-item exchange is needed at all (the whole point vs the
+    exact ``multi_key_sum`` path).
+
+    Guarantee: for every item, ``est <= true_count <= est + N/(k+1)``
+    with N the total row count; hence every item whose true count
+    exceeds N/(k+1) survives in the output.  Deterministic for a given
+    input AND block layout (like any MG summary, the estimates — not
+    the bound — depend on how the stream is split).
+
+    Returns a pandas DataFrame (item:str, est_count:int64, n:int64)
+    sorted by est_count desc then item, where ``n`` is the exact total
+    row count (the bound's denominator, so callers can compute
+    N/(k+1) without a second pass)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def _compress(items: np.ndarray, cnt: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if len(items) <= k:
+            return items, cnt
+        # (k+1)-th largest count; subtracting it keeps <= k counters
+        cstar = np.partition(cnt, len(cnt) - (k + 1))[len(cnt) - (k + 1)]
+        est = cnt - cstar
+        keep = est > 0
+        return items[keep], est[keep]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "item": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        col = batch[value_col].combine_chunks()
+        valid = pc.is_valid(col)
+        vals = pc.cast(col.filter(valid), pa.string()).to_numpy(zero_copy_only=False)
+        n_block = batch.num_rows  # NULL rows count toward N (the bound's
+        # denominator is the stream length; null items are never hitters)
+        items, cnt = np.unique(vals.astype(str), return_counts=True)
+        items, cnt = _compress(items, cnt.astype(np.int64))
+        # one null-item row per block carries the exact block size
+        return pa.table(
+            {
+                "item": pa.array(list(items) + [None], pa.string()),
+                "cnt": pa.array(np.concatenate([cnt, [n_block]]), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    if parts.empty or "item" not in parts.columns:
+        return pd.DataFrame(
+            {
+                "item": pd.Series([], dtype=object),
+                "est_count": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+    total = int(parts.loc[parts["item"].isna(), "cnt"].sum())
+    data = parts[parts["item"].notna()]
+    summed = data.groupby("item", as_index=False, sort=False)["cnt"].sum()
+    items, cnt = _compress(
+        summed["item"].to_numpy(), summed["cnt"].to_numpy(dtype=np.int64)
+    )
+    out = pd.DataFrame({"item": items, "est_count": cnt.astype("int64")})
+    out["n"] = total
+    return (
+        out.sort_values(["est_count", "item"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distributed prefix scan (global running sum)
 # ---------------------------------------------------------------------------
 

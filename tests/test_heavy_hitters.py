@@ -1,0 +1,113 @@
+"""Misra-Gries heavy-hitter sketch: error bound, exactness below k,
+and the TPC-H-Q3-shaped shipping_priority catalog query vs DuckDB.
+
+The MG guarantee under merging (Agarwal et al., Mergeable Summaries):
+for every item, est <= true <= est + N/(k+1), and every item with
+true count > N/(k+1) survives compression.  Estimates are
+layout-dependent; the bound is not — both are asserted across
+different block layouts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from hipporag_ray.stages.agg import heavy_hitters_sketch
+
+
+def _skewed(n_rows: int, seed: int) -> pd.DataFrame:
+    """Zipf-flavored item stream: a few dominant items + a long tail."""
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, 401)
+    probs = 1.0 / ranks**1.3
+    probs /= probs.sum()
+    items = rng.choice(ranks, size=n_rows, p=probs)
+    return pd.DataFrame({"item_id": items.astype(np.int64)})
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_mg_bound_holds(blocks):
+    df = _skewed(20_000, seed=3)
+    true = df["item_id"].astype(str).value_counts()
+    k = 16
+    out = heavy_hitters_sketch(
+        rd.from_pandas(df).repartition(blocks), "item_id", k=k
+    )
+    n = len(df)
+    assert (out["n"] == n).all()
+    bound = n / (k + 1)
+    assert len(out) <= k
+    for item, est in zip(out["item"], out["est_count"]):
+        t = int(true.get(item, 0))
+        assert est <= t <= est + bound, (item, est, t, bound)
+    # every true heavy hitter (count > N/(k+1)) must survive
+    hitters = set(true[true > bound].index)
+    assert hitters <= set(out["item"])
+    # dominant items come out on top with non-trivial estimates
+    top_true = true.index[0]
+    assert out.iloc[0]["item"] == top_true
+
+
+def test_mg_exact_below_k():
+    # fewer distinct items than counters: MG degenerates to exact counts
+    df = pd.DataFrame({"item_id": np.repeat(np.arange(10), [50, 40, 30, 20, 10, 9, 8, 7, 6, 5])})
+    out = heavy_hitters_sketch(rd.from_pandas(df).repartition(4), "item_id", k=64)
+    true = df["item_id"].astype(str).value_counts()
+    assert len(out) == 10
+    got = dict(zip(out["item"], out["est_count"]))
+    for item, t in true.items():
+        assert got[item] == t
+
+
+def test_mg_nulls_and_empty():
+    df = pd.DataFrame({"item_id": pd.array([1, 1, None, 2, None], dtype="Int64")})
+    out = heavy_hitters_sketch(rd.from_pandas(df), "item_id", k=8)
+    # nulls count toward N but are never items
+    assert (out["n"] == 5).all()
+    assert set(out["item"]) == {"1", "2"}
+    empty = heavy_hitters_sketch(
+        rd.from_pandas(pd.DataFrame({"item_id": pd.Series([], dtype="int64")})),
+        "item_id",
+        k=8,
+    )
+    assert len(empty) == 0
+    with pytest.raises(ValueError):
+        heavy_hitters_sketch(rd.from_pandas(df), "item_id", k=0)
+
+
+def test_shipping_priority_vs_duckdb():
+    import duckdb
+
+    from hipporag_ray.pipelines.queries import ORACLE_SQL, q_shipping_priority
+
+    sf = "/root/testdata/sf0.001"
+    got = q_shipping_priority(sf)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.sql(ORACLE_SQL["shipping_priority"]).df()
+    assert list(got.columns) == ["l_orderkey", "revenue", "o_orderdate"]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_events_heavy_hitters_vs_duckdb():
+    import duckdb
+
+    from hipporag_ray.pipelines.queries import ORACLE_SQL, q_events_heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_heavy_hitters(sf).to_pandas().sort_values("user_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = (
+        con.sql(ORACLE_SQL["events_heavy_hitters"]).df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
