@@ -1043,6 +1043,25 @@ def q_events_heavy_hitters_sketch(sf_dir: str):
     return heavy_hitters_sketch(_events(sf_dir, ["user_id"]), "user_id", k=32)
 
 
+def q_events_heavy_hitters_verified(sf_dir: str):
+    """Exact top-10 users by event count via the two-pass
+    sketch-then-verify pattern (`stages/agg.py::heavy_hitters_topk`):
+    MG candidates first, then exact counts over candidate rows only —
+    the full per-item exchange never runs.  The result is provably the
+    exact top-10 (guaranteed flag asserted), so it is SQL-oracle
+    checkable even though a sketch picked the candidates."""
+    from ..stages.agg import heavy_hitters_topk
+
+    out, guaranteed = heavy_hitters_topk(
+        _events(sf_dir, ["user_id"]), "user_id", top=10, k_sketch=1024
+    )
+    if not guaranteed:
+        raise RuntimeError(
+            "sketch bound too loose for an exact top-10; raise k_sketch"
+        )
+    return out
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-flavored grouped aggregate with per-batch computed
     column (revenue) — the canonical partial-aggregation pattern."""
@@ -2577,6 +2596,7 @@ QUERIES = {
     "events_distinct_users_sketch": q_events_distinct_users_sketch,
     "events_heavy_hitters": q_events_heavy_hitters,
     "events_heavy_hitters_sketch": q_events_heavy_hitters_sketch,
+    "events_heavy_hitters_verified": q_events_heavy_hitters_verified,
     "events_pivot": q_events_pivot,
 }
 
@@ -3348,6 +3368,11 @@ ORACLE_SQL = {
     "events_heavy_hitters": """
         SELECT user_id, CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY user_id HAVING count(*) >= 70
+    """,
+    "events_heavy_hitters_verified": """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
     """,
     "events_pivot": """
         SELECT user_id,

@@ -933,6 +933,70 @@ def heavy_hitters_sketch(
     )
 
 
+def heavy_hitters_topk(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    top: int = 10,
+    k_sketch: int = 1024,
+) -> tuple["pd.DataFrame", bool]:
+    """EXACT top-``top`` most frequent items via the two-pass
+    sketch-then-verify pattern (the 100-TB shape: a full exact count
+    would exchange every distinct item; this exchanges only candidate
+    rows).
+
+    Pass 1: a Misra-Gries summary with ``k_sketch`` counters — its
+    output is a superset of every item whose true count exceeds
+    N/(k_sketch+1).  Pass 2: exact counts restricted to that candidate
+    set (broadcast membership filter pushed into the scan, one
+    general-key exchange over candidate rows only), then the top-N by
+    (count desc, item asc).
+
+    Returns ``(df, guaranteed)`` where df has (value_col, n) in its
+    original column type and ``guaranteed`` is True iff every reported
+    count exceeds the sketch bound — in which case the result provably
+    equals the full exact top-N (any item outside the candidate set has
+    true count <= N/(k_sketch+1) < the reported minimum).  When False,
+    items below the bound may be missing; raise ``k_sketch``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray
+
+    from .shuffle import multi_key_sum
+
+    sk = heavy_hitters_sketch(ds, value_col, k=k_sketch)
+    empty = pd.DataFrame(
+        {value_col: pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+    )
+    if sk.empty:
+        return empty, True
+    n_total = int(sk["n"].iloc[0])
+    bound = n_total / (k_sketch + 1)
+    cand_ref = ray.put(pa.array(sk["item"].to_numpy().astype(str), pa.string()))
+
+    def keep_cands(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        col = batch[value_col].combine_chunks()
+        mask = pc.is_in(pc.cast(col, pa.string()), value_set=ray.get(cand_ref))
+        return batch.filter(pc.fill_null(mask, False))
+
+    counts = multi_key_sum(
+        ds.map_batches(keep_cands, batch_format="pyarrow"),
+        [value_col],
+        None,
+        out_col="n",
+    ).to_pandas()
+    if counts.empty or value_col not in counts.columns:
+        return empty, True
+    out = (
+        counts.sort_values(["n", value_col], ascending=[False, True])
+        .head(top)
+        .reset_index(drop=True)
+    )
+    return out, bool((out["n"] > bound).all())
+
+
 # ---------------------------------------------------------------------------
 # Distributed prefix scan (global running sum)
 # ---------------------------------------------------------------------------

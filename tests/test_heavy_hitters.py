@@ -79,6 +79,48 @@ def test_mg_nulls_and_empty():
         heavy_hitters_sketch(rd.from_pandas(df), "item_id", k=0)
 
 
+def test_topk_verified_matches_exact():
+    from hipporag_ray.stages.agg import heavy_hitters_topk
+
+    # 5000 distinct items >> k_sketch: compression fires on every block,
+    # yet the verified top-10 must equal the full exact top-10
+    rng = np.random.default_rng(11)
+    ranks = np.arange(1, 5001)
+    probs = 1.0 / ranks**1.2
+    probs /= probs.sum()
+    df = pd.DataFrame(
+        {"item_id": rng.choice(ranks, size=60_000, p=probs).astype(np.int64)}
+    )
+    out, guaranteed = heavy_hitters_topk(
+        rd.from_pandas(df).repartition(6), "item_id", top=10, k_sketch=256
+    )
+    assert guaranteed
+    true = (
+        df.groupby("item_id", as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["n", "item_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"item_id": "int64", "n": "int64"}), true.astype({"n": "int64"})
+    )
+
+
+def test_topk_verified_not_guaranteed_flag():
+    from hipporag_ray.stages.agg import heavy_hitters_topk
+
+    # near-uniform stream, tiny sketch: nothing clears the N/(k+1)
+    # bound, so the helper must NOT claim the result is exact
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"item_id": rng.integers(0, 2000, size=20_000)})
+    out, guaranteed = heavy_hitters_topk(
+        rd.from_pandas(df).repartition(4), "item_id", top=10, k_sketch=8
+    )
+    assert not guaranteed
+
+
 def test_shipping_priority_vs_duckdb():
     import duckdb
 
