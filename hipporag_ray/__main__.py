@@ -32,13 +32,20 @@ def _ray_session(num_cpus: int | None):
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        # honor a cluster address (`ray job submit` sets RAY_ADDRESS in
+        # the job environment); default to a fresh local session, the
+        # sandbox / laptop mode every BASELINE.md number was measured in
+        addr = os.environ.get("RAY_ADDRESS") or "local"
+        if addr == "local":
+            ray.init(
+                address="local",
+                num_cpus=num_cpus,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+        else:
+            ray.init(address=addr, ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
