@@ -978,7 +978,11 @@ def q_shipping_priority(sf_dir: str):
         if e is not None:
             return e
         okey = b["o_orderkey"].to_numpy(zero_copy_only=False)
-        r = b["rev"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # round BEFORE ranking: the oracle's ORDER BY resolves `revenue`
+        # to the rounded alias, so near-ties must rank post-rounding
+        r = _round_away(
+            b["rev"].to_numpy(zero_copy_only=False).astype(np.float64), 2
+        )
         od = b["o_orderdate"].to_numpy(zero_copy_only=False)
         order = np.lexsort((okey, -r))[:K]
         return pa.table(
@@ -1000,12 +1004,11 @@ def q_shipping_priority(sf_dir: str):
                 "o_orderdate": pd.Series([], dtype="datetime64[us]"),
             }
         )
-    out = (
+    return (
         out.sort_values(["revenue", "l_orderkey"], ascending=[False, True])
         .head(K)
         .reset_index(drop=True)
     )
-    return _round(out, {"revenue": 2})
 
 
 def q_events_heavy_hitters(sf_dir: str):

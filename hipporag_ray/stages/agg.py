@@ -50,7 +50,7 @@ def grouped_partials(
 
         if pre is not None:
             batch = pre(batch)
-        df = _gb_pandas(batch, keys)
+        df = _gb_pandas(batch)
         kwargs = {}
         if need_n:
             kwargs["__n"] = (keys[0], "size")
@@ -65,7 +65,23 @@ def grouped_partials(
         g = df.groupby(keys, as_index=False, sort=False, dropna=False).agg(**kwargs)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # driver-side combine over O(groups x blocks) partial rows — concat
+    # as ARROW and convert through the same nullable-aware path as the
+    # map side (_gb_pandas): a bare Dataset.to_pandas() would degrade a
+    # nullable int64 key to float64+NaN, corrupting ids above 2^53 and
+    # flipping the output dtype vs null-free inputs
+    import ray as _ray
+
+    from .shuffle import _gb_pandas as _gb
+
+    part_tbls = _ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    )
+    part_tbls = [t for t in part_tbls if t.num_rows] or part_tbls[:1]
+    if not part_tbls:
+        parts = pd.DataFrame({k: pd.Series([], dtype=object) for k in keys})
+    else:
+        parts = _gb(pa.concat_tables(part_tbls, promote_options="default"))
     agg_kw = {
         name: (name, "min" if name.startswith("__min") else "max" if name.startswith("__max") else "sum")
         for name in parts.columns
@@ -952,11 +968,16 @@ def heavy_hitters_topk(
     (count desc, item asc).
 
     Returns ``(df, guaranteed)`` where df has (value_col, n) in its
-    original column type and ``guaranteed`` is True iff every reported
-    count exceeds the sketch bound — in which case the result provably
-    equals the full exact top-N (any item outside the candidate set has
-    true count <= N/(k_sketch+1) < the reported minimum).  When False,
-    items below the bound may be missing; raise ``k_sketch``."""
+    original column type and ``guaranteed`` is True iff a full ``top``
+    rows came back AND every reported count exceeds the sketch bound —
+    only then does the result provably equal the full exact top-N (any
+    item outside the candidate set has true count <= N/(k_sketch+1) <
+    the reported minimum; with fewer than ``top`` surviving candidates
+    a dropped item could belong in the answer, so that case is never
+    guaranteed).  When False, items below the bound may be missing;
+    raise ``k_sketch``.  An empty candidate set is only guaranteed when
+    the input itself is empty (checked with one count); full
+    compression loss on a near-uniform stream reports False."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -969,7 +990,9 @@ def heavy_hitters_topk(
         {value_col: pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
     )
     if sk.empty:
-        return empty, True
+        # no surviving candidates: exact only for a truly empty input
+        # (a near-uniform stream can compress every counter to zero)
+        return empty, ds.count() == 0
     n_total = int(sk["n"].iloc[0])
     bound = n_total / (k_sketch + 1)
     cand_ref = ray.put(pa.array(sk["item"].to_numpy().astype(str), pa.string()))
@@ -988,13 +1011,13 @@ def heavy_hitters_topk(
         out_col="n",
     ).to_pandas()
     if counts.empty or value_col not in counts.columns:
-        return empty, True
+        return empty, False
     out = (
         counts.sort_values(["n", value_col], ascending=[False, True])
         .head(top)
         .reset_index(drop=True)
     )
-    return out, bool((out["n"] > bound).all())
+    return out, len(out) == top and bool((out["n"] > bound).all())
 
 
 # ---------------------------------------------------------------------------

@@ -171,7 +171,10 @@ def int_pair_key_sum(
 
     split_refs, k = _streaming_splits(ds, launch, num_partitions)
     if not split_refs:
-        return ds
+        # zero blocks: emit the typed AGGREGATE schema, not the input's
+        # (consumers select (k1, k2, weight) unconditionally)
+        empty = _typed_empty_agg(ds, [k1_col, k2_col], weight_col, weight_col, "sum")
+        return empty if empty is not None else ds
     out_refs = [
         _pair_reduce.remote(
             k1_col, k2_col, weight_col, *[split_refs[i][t] for i in range(len(split_refs))]
@@ -225,8 +228,7 @@ def _multi_split(
         )
         return tuple([empty] * k) if k > 1 else (empty,)
     df = _gb_pandas(
-        tbl.select(list(key_cols) + ([weight_col] if weight_col else [])),
-        key_cols,
+        tbl.select(list(key_cols) + ([weight_col] if weight_col else []))
     )
     if weight_col:
         part = df.groupby(
@@ -281,7 +283,7 @@ def _multi_reduce(key_cols: list, out_col: str, *shards, op: str = "sum") -> pa.
                 return s
         return _EMPTY_SENTINEL
     shards = nonempty
-    df = _gb_pandas(pa.concat_tables(shards), key_cols)
+    df = _gb_pandas(pa.concat_tables(shards))
     out = df.groupby(
         list(key_cols), as_index=False, sort=False, dropna=False
     )[out_col].agg(op)
@@ -428,7 +430,7 @@ def multi_key_max(
     return _multi_key_agg(ds, key_cols, val_col, out_col, "max", num_partitions)
 
 
-def _gb_pandas(tbl: pa.Table, key_cols) -> "pd.DataFrame":
+def _gb_pandas(tbl: pa.Table) -> "pd.DataFrame":
     """Arrow -> pandas for a key-grouped aggregation.  When ANY column
     carries nulls, convert with Arrow-backed dtypes so (a) a null key
     group survives ``groupby(dropna=False)`` as a proper NA (SQL GROUP
@@ -1028,7 +1030,10 @@ def int_key_sum(
 
     split_refs, k = _streaming_splits(ds, launch, num_partitions)
     if not split_refs:
-        return ds
+        # zero blocks: emit the typed AGGREGATE schema, not the input's
+        # (consumers select (key, weight) unconditionally)
+        empty = _typed_empty_agg(ds, [key_col], weight_col, weight_col, "sum")
+        return empty if empty is not None else ds
     out_refs = [
         _reduce.remote(key_col, weight_col, *[split_refs[i][t] for i in range(len(split_refs))])
         for t in range(k)

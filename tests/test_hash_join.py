@@ -588,3 +588,59 @@ def test_exchange_decimal_sum_mixed_null_blocks(ray_session):
         for k, v in zip(out["g"], out["s"])
     )
     assert got == [("<null>", "2.50"), ("a", "4.25"), ("b", "4.75")]
+
+
+def test_grouped_partials_nullable_int_key_driver_combine(ray_session):
+    """The DRIVER-side combine of grouped_partials must keep a nullable
+    int64 key exact: a bare Dataset.to_pandas() would degrade it to
+    float64+NaN, silently corrupting ids above 2^53.  big is chosen so
+    float64(big) == float64(big+1) — the combine only stays correct on
+    the Arrow-backed path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hipporag_ray.stages.agg import grouped_partials
+
+    big = (1 << 53) + 1
+    t = pa.table(
+        {
+            "ki": pa.array([big, big + 1, None, big, None], pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3).materialize()
+    gp = grouped_partials(ds, ["ki"], {"s": ("sum", "v"), "n": ("count", "v")})
+    got = {
+        (None if pd.isna(k) else int(k)): (s, int(n))
+        for k, s, n in zip(gp["ki"], gp["s"], gp["n"])
+    }
+    assert got == {big: (5.0, 2), big + 1: (2.0, 1), None: (8.0, 2)}
+
+
+def test_int_key_sum_empty_input_typed_schema(ray_session):
+    """Zero-block inputs through int_key_sum / int_pair_key_sum emit the
+    typed AGGREGATE schema (key + weight only), not the input's full
+    schema — consumers select those columns unconditionally."""
+    import ray.data as rd
+
+    from hipporag_ray.stages.shuffle import int_key_sum, int_pair_key_sum
+
+    empty = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "w": pa.array([], pa.float64()),
+            "extra": pa.array([], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(empty).materialize()
+
+    out = int_key_sum(ds, "src", "w")
+    sch = out.schema(fetch_if_missing=True)
+    assert sch is not None and sch.names == ["src", "w"]
+    assert out.count() == 0
+
+    out2 = int_pair_key_sum(ds, "src", "dst", "w")
+    sch2 = out2.schema(fetch_if_missing=True)
+    assert sch2 is not None and sch2.names == ["src", "dst", "w"]
+    assert out2.count() == 0
