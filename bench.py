@@ -290,6 +290,17 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     _gq(ev, "event_type", "value", [0.5, 0.9, 0.99])
     timings["events_quantiles"] = time.perf_counter() - t0
 
+    # verified exact top-k frequent (MG sketch candidates + candidate-
+    # restricted exact counts — the two-pass heavy-hitter shape)
+    from hipporag_ray.stages.agg import heavy_hitters_topk
+
+    ev_uid = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    t0 = time.perf_counter()
+    heavy_hitters_topk(ev_uid, "user_id", top=10, k_sketch=1024)
+    timings["heavy_hitters_topk"] = time.perf_counter() - t0
+
     embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).materialize()
     t0 = time.perf_counter()
     dd.embedding_neardup_pairs(embs, "embedding", "vec_id", threshold=0.45)
