@@ -91,7 +91,7 @@ def _resets_to_dense(sg: ShardedGraph, resets, n_queries: int) -> np.ndarray | N
 
 
 @ray.remote
-def _route_reset_block(tbl, bounds: np.ndarray, k: int):
+def _route_reset_block(tbl, bounds: np.ndarray, k: int, n_queries: int | None = None):
     """Split one (vid, query_idx, weight) block into per-shard triples."""
     vids = tbl["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
     qidx = tbl["query_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -106,6 +106,17 @@ def _route_reset_block(tbl, bounds: np.ndarray, k: int):
             f"{int(bounds[-1])}) — seeds do not match this graph "
             f"(e.g. {vids[bad][:5].tolist()})"
         )
+    # query_idx needs the same loud gate: a negative index (upstream
+    # join-miss sentinel) would WRAP in ppr_init_sparse's np.add.at,
+    # adding seed mass to the last query's column, and normalization
+    # would mask the corruption; an overflow would die as an opaque
+    # IndexError inside the shard actor
+    badq = (qidx < 0) | ((qidx >= n_queries) if n_queries is not None else False)
+    if badq.any():
+        raise ValueError(
+            f"{int(badq.sum())} reset query_idx outside [0, {n_queries}) "
+            f"(e.g. {qidx[badq][:5].tolist()})"
+        )
     shard = np.searchsorted(bounds, vids, side="right") - 1
     order = np.argsort(shard, kind="stable")
     vids, qidx, w, shard = vids[order], qidx[order], w[order], shard[order]
@@ -117,19 +128,28 @@ def _route_reset_block(tbl, bounds: np.ndarray, k: int):
     return tuple(outs) if k > 1 else (outs[0],)
 
 
-def route_reset_dataset(sg: ShardedGraph, reset_ds) -> list[list]:
+def route_reset_dataset(
+    sg: ShardedGraph, reset_ds, n_queries: int | None = None
+) -> list[list]:
     """Shard-route a (vid, query_idx, weight) Dataset — or a list of
     arrow-table ObjectRefs (the serving path hands its task-wave outputs
     straight through, no Dataset wrapper needed); returns, per shard,
-    the list of its triple refs (never materialized on the driver)."""
+    the list of its triple refs (never materialized on the driver).
+    ``n_queries`` enables the loud query_idx range gate."""
     refs = list(reset_ds) if isinstance(reset_ds, list) else reset_ds.to_arrow_refs()
     P = sg.n_shards
     per_block = []
     for r in refs:
         if P > 1:
-            per_block.append(list(_route_reset_block.options(num_returns=P).remote(r, sg.bounds, P)))
+            per_block.append(
+                list(
+                    _route_reset_block.options(num_returns=P).remote(
+                        r, sg.bounds, P, n_queries
+                    )
+                )
+            )
         else:
-            per_block.append([_route_reset_block.remote(r, sg.bounds, P)])
+            per_block.append([_route_reset_block.remote(r, sg.bounds, P, n_queries)])
     return [[per_block[i][t] for i in range(len(refs))] for t in range(P)]
 
 
@@ -341,10 +361,15 @@ def personalized_pagerank(
     ``collect=False`` skips assembling the dense score matrix on the
     driver — consume results via the actors' ``topk_chunk_scores`` /
     ``scores_table`` instead."""
+    if resets is not None and reset_dataset is not None:
+        # conflicting seed specifications: silently preferring one would
+        # answer a different query than the caller described (and the
+        # dense path would also materialize the (n, B) matrix for nothing)
+        raise ValueError("pass either resets or reset_dataset, not both")
     dense = _resets_to_dense(sg, resets, n_queries)
 
     if reset_dataset is not None:
-        routed = route_reset_dataset(sg, reset_dataset)
+        routed = route_reset_dataset(sg, reset_dataset, n_queries)
         sums = ray.get(
             [
                 a.ppr_init_sparse.remote(n_queries, routed[t])
@@ -477,12 +502,22 @@ def personalized_pagerank(
     (msg_refs,) = _wave_dispatch(sg, "ppr_contrib", 1, damping, active)
     msg_active = active  # columns covered by msg_refs
     if pipelined:
+        # metrics semantics in the pipelined loop: each iteration's
+        # wall_s is the delta-read-to-delta-read interval — the honest
+        # steady-state wave time INCLUDING the overlapped driver-side
+        # dispatch/intersect work (which is the point of pipelining);
+        # the sequential branch times submit->delta per wave instead
         it = start_iter
         in_flight = None  # (iter, active_used, delta_refs)
-        t_prev = time.perf_counter()
+        t_prev = None
         while True:
             if it < max_iter and len(active) > 0:
                 delta_refs, msg_refs = _submit_wave(msg_active, active, msg_refs)
+                if t_prev is None:
+                    # clock starts when the FIRST wave is in flight, so
+                    # iteration 0 does not absorb the pre-loop contrib
+                    # dispatch on top of its own
+                    t_prev = time.perf_counter()
                 new_flight = (it, active, delta_refs)
                 msg_active = active
                 it += 1

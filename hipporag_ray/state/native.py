@@ -15,7 +15,10 @@ escalation is needed).
 
 This is an optional acceleration: the kernels are compiled once per
 node with the system C compiler into a content-addressed cache under
-/tmp (node-local — ``-march=native`` never crosses machines) and
+/tmp (the tag covers source + compiler + machine + node name, so a
+``-march=native`` object never survives a CPU/toolchain change or a
+shared-TMPDIR cluster; the cache dir is created 0o700 and ownership-
+checked before any CDLL — /tmp is world-writable) and
 loaded via ctypes.  Any failure (no compiler, sandboxed /tmp, load
 error) silently falls back to the numpy path in ``csr.GraphShard``;
 set ``HIPPORAG_RAY_NO_NATIVE=1`` to force the fallback.  Results are
@@ -124,9 +127,33 @@ void segmin_i64(const int64_t *starts, const int64_t *uniq, int64_t nseg,
 }
 """
 
-_CACHE_DIR = os.path.join(
-    tempfile.gettempdir(), f"hipporag_ray_native_{os.getuid()}"
-)
+def _cache_dir() -> str:
+    # computed lazily (inside _compile's try/except): a platform without
+    # os.getuid must degrade to the numpy fallback, not break import
+    uid = os.getuid() if hasattr(os, "getuid") else "nouid"
+    return os.path.join(tempfile.gettempdir(), f"hipporag_ray_native_{uid}")
+
+
+def _secure_dir(path: str) -> bool:
+    """Create the kernel cache dir 0o700 and verify we own it and no
+    one else can write it.  /tmp is world-writable: without this check
+    a pre-planted directory (or .so) under the predictable path would
+    be loaded via CDLL — arbitrary code execution.  Any anomaly means
+    'no native kernels', never 'trust the file'."""
+    os.makedirs(path, mode=0o700, exist_ok=True)
+    st = os.lstat(path)
+    import stat as _stat
+
+    if not _stat.S_ISDIR(st.st_mode) or _stat.S_ISLNK(st.st_mode):
+        return False
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        return False
+    if st.st_mode & 0o022:  # group/other writable: ours, so tighten it
+        os.chmod(path, 0o700)
+        if os.lstat(path).st_mode & 0o022:
+            return False
+    return True
+
 
 _i64p = ctypes.POINTER(ctypes.c_int64)
 _f32p = ctypes.POINTER(ctypes.c_float)
@@ -182,8 +209,16 @@ class _Kernels:
         ):
             self._check(a, dt, name)
         self._check(nxt, np.float64, "nxt", writable=True)
+        # cross-array coherence (all O(1)): the C loop trusts these —
+        # a mismatch would read/scatter out of bounds with no exception
+        if msg.ndim != 2 or nxt.ndim != 2:
+            raise ValueError(f"msg/nxt must be 2-D: {msg.shape} / {nxt.shape}")
         if nxt.shape[1] != msg.shape[1]:
             raise ValueError(f"column mismatch: nxt {nxt.shape} vs msg {msg.shape}")
+        if len(starts) != len(uniq):
+            raise ValueError(f"starts/uniq length mismatch: {len(starts)} vs {len(uniq)}")
+        if len(w) != len(other):
+            raise ValueError(f"w/other length mismatch: {len(w)} vs {len(other)}")
         if msg.dtype == np.float32:
             self._lib.spmm_f32(
                 self._pp(starts, _i64p), self._pp(uniq, _i64p), len(starts),
@@ -208,6 +243,8 @@ class _Kernels:
         for a, name in ((starts, "starts"), (uniq, "uniq"), (other, "other"), (msg, "msg")):
             self._check(a, np.int64, name)
         self._check(nxt, np.int64, "nxt", writable=True)
+        if len(starts) != len(uniq):
+            raise ValueError(f"starts/uniq length mismatch: {len(starts)} vs {len(uniq)}")
         self._lib.segmin_i64(
             self._pp(starts, _i64p), self._pp(uniq, _i64p), len(starts),
             self._pp(other, _i64p), len(other),
@@ -227,11 +264,29 @@ def _compile() -> _Kernels | None:
     )
     if cc is None:
         return None
-    tag = hashlib.sha256(_SRC.encode()).hexdigest()[:16]
-    so_path = os.path.join(_CACHE_DIR, f"kernels-{tag}.so")
+    cache_dir = _cache_dir()
+    if not _secure_dir(cache_dir):
+        logger.debug("native kernel cache dir failed ownership checks; numpy fallback")
+        return None
+    # content-address on source AND toolchain AND machine: -march=native
+    # objects must not survive a compiler upgrade, a CPU change (VM
+    # migration), or a shared-TMPDIR cluster where nodes differ — a
+    # stale .so would SIGILL instead of falling back
+    import platform
+
+    try:
+        cc_id = subprocess.run(
+            [cc, "--version"], capture_output=True, timeout=10
+        ).stdout[:200]
+    except Exception:
+        cc_id = cc.encode()
+    tag = hashlib.sha256(
+        _SRC.encode() + b"\0" + cc_id + b"\0" + platform.machine().encode()
+        + b"\0" + platform.node().encode()
+    ).hexdigest()[:16]
+    so_path = os.path.join(cache_dir, f"kernels-{tag}.so")
     if not os.path.exists(so_path):
-        os.makedirs(_CACHE_DIR, exist_ok=True)
-        src_path = os.path.join(_CACHE_DIR, f"kernels-{tag}.c")
+        src_path = os.path.join(cache_dir, f"kernels-{tag}.c")
         tmp_so = f"{so_path}.tmp.{os.getpid()}"
         tmp_src = f"{src_path}.tmp.{os.getpid()}"
         with open(tmp_src, "w") as f:
@@ -253,6 +308,16 @@ def _compile() -> _Kernels | None:
         # atomic publish: concurrent compilers each rename their own tmp;
         # identical content, last writer wins
         os.replace(tmp_so, so_path)
+    # final pre-load check: regular file, ours, not writable by others
+    # (belt-and-braces on top of the directory ownership gate)
+    import stat as _stat
+
+    st = os.lstat(so_path)
+    if not _stat.S_ISREG(st.st_mode) or (st.st_mode & 0o022) or (
+        hasattr(os, "getuid") and st.st_uid != os.getuid()
+    ):
+        logger.debug("native kernel .so failed ownership checks; numpy fallback")
+        return None
     return _Kernels(ctypes.CDLL(so_path))
 
 

@@ -562,3 +562,60 @@ def test_coreness_h_index_vs_peeling_oracle(tmp_path):
             assert metrics[-1]["changed"] == 0
         finally:
             sg.shutdown()
+
+
+def test_reset_dataset_guards(graph):
+    """Loud gates on streaming resets: a negative query_idx (upstream
+    join-miss sentinel) would WRAP in ppr_init_sparse's np.add.at and
+    silently seed the wrong query; conflicting resets+reset_dataset
+    would silently answer the dataset's query."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hipporag_ray.algos.iterate import personalized_pagerank
+
+    g, _ = graph
+    sg = ShardedGraph(g.adj_path, g.n_vertices, n_shards=2)
+    try:
+        bad_q = rd.from_arrow(
+            pa.table(
+                {
+                    "vid": pa.array([0, 1], pa.int64()),
+                    "query_idx": pa.array([0, -1], pa.int64()),
+                    "weight": pa.array([1.0, 1.0]),
+                }
+            )
+        )
+        with pytest.raises(Exception, match="query_idx"):
+            personalized_pagerank(sg, reset_dataset=bad_q, n_queries=2)
+
+        overflow = rd.from_arrow(
+            pa.table(
+                {
+                    "vid": pa.array([0], pa.int64()),
+                    "query_idx": pa.array([5], pa.int64()),
+                    "weight": pa.array([1.0]),
+                }
+            )
+        )
+        with pytest.raises(Exception, match="query_idx"):
+            personalized_pagerank(sg, reset_dataset=overflow, n_queries=2)
+
+        ok = rd.from_arrow(
+            pa.table(
+                {
+                    "vid": pa.array([0], pa.int64()),
+                    "query_idx": pa.array([0], pa.int64()),
+                    "weight": pa.array([1.0]),
+                }
+            )
+        )
+        with pytest.raises(ValueError, match="not both"):
+            personalized_pagerank(
+                sg,
+                resets=np.eye(g.n_vertices)[:, :1],
+                reset_dataset=ok,
+                n_queries=1,
+            )
+    finally:
+        sg.shutdown()
