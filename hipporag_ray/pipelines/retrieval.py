@@ -79,6 +79,19 @@ from ..state.embedding_store import EmbeddingStore, HashEmbedder
 # Dataset-everywhere rule, like the CSR shard pool.
 
 
+def _empty_link() -> pd.DataFrame:
+    """The canonical empty linking frame — ONE definition for every
+    no-candidates path so the (vid, query_idx, weight) schema cannot
+    silently diverge between them."""
+    return pd.DataFrame(
+        {
+            "vid": pd.Series([], dtype="int64"),
+            "query_idx": pd.Series([], dtype="int64"),
+            "weight": pd.Series([], dtype="float64"),
+        }
+    )
+
+
 def _emb_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     """list<float32> embedding column -> (n, d) float64 dense matrix,
     via flatten (zero-copy) + one reshape + one cast — np.stack over n
@@ -101,6 +114,15 @@ def _densify_block(tbl: pa.Table, kind: str, n_slices: int) -> list:
     """
     n = tbl.num_rows
     has_emb = "embedding" in tbl.column_names
+    if n and not has_emb:
+        # rows without an embedding column mean schema drift upstream
+        # (store part written without embeddings / renamed join column);
+        # silently emitting an empty pack would vanish this block from
+        # fact scoring and linking — data loss with no error
+        raise ValueError(
+            f"view block ({kind}, {n} rows) lacks 'embedding': "
+            f"columns {tbl.column_names}"
+        )
     if n and has_emb:
         m = _emb_matrix(tbl["embedding"])
         if kind == "ent":
@@ -482,6 +504,7 @@ class HippoRagEngine:
             self._sg = None
         self._kinds_loaded = False
         self._joined_views = None
+        self._view_refs = None
         self._fact_view = None
         manifest = os.path.join(self.graph_dir, "manifest.json")
         if os.path.exists(manifest) and not self.synonymy:
@@ -599,6 +622,7 @@ class HippoRagEngine:
             self._sg = None
         self._kinds_loaded = False
         self._joined_views = None
+        self._view_refs = None
         self._fact_view = None
         shutil.rmtree(self.graph_dir, ignore_errors=True)
         g = build_graph(
@@ -706,6 +730,7 @@ class HippoRagEngine:
                 self._sg = None
             self._kinds_loaded = False
             self._joined_views = None
+            self._view_refs = None
             self._fact_view = None
             g = delete_chunks_from_graph(
                 texts,
@@ -815,22 +840,18 @@ class HippoRagEngine:
         q_ref = ray.put(q_mat)
 
         self._build_views(g)
-        ent_full, chunk_joined = self._joined_views
 
         # --- linking: facts (HippoRAG.py:1290-1328 fact scores ->
         # 1446-1481 fact->entity phrase weights) or direct entities ---
+        # (both helpers serve from the densified _view_refs packs)
         fallback: set[int] = set(range(B))
-        link = pd.DataFrame(
-            {"vid": pd.Series([], dtype="int64"),
-             "query_idx": pd.Series([], dtype="int64"),
-             "weight": pd.Series([], dtype="float64")}
-        )
+        link = _empty_link()
         if self.facts:
             fact_view = self._fact_joined()
             if fact_view is not None:
-                link, fallback = self._fact_link(q_ref, B, ent_full, queries)
+                link, fallback = self._fact_link(q_ref, B, queries)
         else:
-            link = self._entity_link(q_ref, ent_full)
+            link = self._entity_link(q_ref)
             fallback = set(range(B)) - set(link["query_idx"].tolist())
         link_triples = pa.table(
             {
@@ -976,7 +997,6 @@ class HippoRagEngine:
             batch_format="pyarrow",
         )
         ent_full = hash_join(ent_joined, counts, "vid", how="left").materialize()
-        self._joined_views = (ent_full, chunk_joined)
         # pinned PRE-DENSIFIED packs for the per-call serving waves:
         # numpy key/vid arrays + the (n, d) embedding matrix, converted
         # ONCE per (re)index on the pool workers (the per-call np.stack
@@ -984,10 +1004,16 @@ class HippoRagEngine:
         # retrieve budget) and split into ~pool-size row ranges so one
         # big materialized block cannot serialize a wave on a single
         # worker.  Driver holds only refs; pack bytes stay in plasma.
+        # ORDER MATTERS: _joined_views is the cache sentinel and must be
+        # set LAST — a failure mid-densify would otherwise leave the
+        # sentinel set with _view_refs still pointing at the PREVIOUS
+        # graph's packs, and the next retrieve() would silently link
+        # stale vids against the new graph.
         self._view_refs = (
             self._densify_refs(ent_full.to_arrow_refs(), "ent"),
             self._densify_refs(chunk_joined.to_arrow_refs(), "chunk"),
         )
+        self._joined_views = (ent_full, chunk_joined)
 
     def _densify_refs(self, block_refs: list, kind: str) -> list:
         """Convert view blocks into serving packs on the worker pool:
@@ -1064,7 +1090,7 @@ class HippoRagEngine:
         return calls
 
     def _fact_link(
-        self, q_ref, B: int, ent_full, queries: list[str] | None = None
+        self, q_ref, B: int, queries: list[str] | None = None
     ) -> tuple[pd.DataFrame, set[int]]:
         """Query -> fact candidates -> phrase (entity) reset weights:
 
@@ -1089,11 +1115,7 @@ class HippoRagEngine:
                 )
             )
         ).to_pandas()
-        empty = pd.DataFrame(
-            {"vid": pd.Series([], dtype="int64"),
-             "query_idx": pd.Series([], dtype="int64"),
-             "weight": pd.Series([], dtype="float64")}
-        )
+        empty = _empty_link()
         if cand.empty:
             return empty, set(range(B))
         lo = cand.groupby("query_idx")["blo"].min()
@@ -1185,7 +1207,7 @@ class HippoRagEngine:
         linked_q = set(per_phrase["query_idx"].tolist())
         return per_phrase[["vid", "query_idx", "weight"]], set(range(B)) - linked_q
 
-    def _entity_link(self, q_ref, ent_full) -> pd.DataFrame:
+    def _entity_link(self, q_ref) -> pd.DataFrame:
         """Direct entity linking (facts=False): per-block per-query
         top-k similarity candidates, merged and damped by
         1/|chunks(entity)| (A5, HippoRAG.py:1463-1464)."""
@@ -1195,11 +1217,7 @@ class HippoRagEngine:
             ray.get(self._pool_map("link_tile", [(r, q_ref, k) for r in ent_refs]))
         ).to_pandas() if ent_refs else pd.DataFrame()
         if "query_idx" not in link.columns:  # all-empty view drops schema
-            return pd.DataFrame(
-                {"vid": pd.Series([], dtype="int64"),
-                 "query_idx": pd.Series([], dtype="int64"),
-                 "weight": pd.Series([], dtype="float64")}
-            )
+            return _empty_link()
         link = link.sort_values(["query_idx", "score", "vid"], ascending=[True, False, True])
         link = link.groupby("query_idx", as_index=False).head(self.link_top_k)
         # per-phrase damping 1/|chunks(entity)| (A5, HippoRAG.py:1463-1464)
@@ -1346,8 +1364,10 @@ class HippoRagEngine:
         (normalized EM / max-F1, qa_scores) and rounded to 4 decimals
         like the reference.
 
-        Returns ``(solutions, responses, metadata)`` and, when
-        ``gold_answers`` is given, additionally
+        Returns ``(solutions, responses, metadata)``; with
+        ``gold_docs`` alone additionally ``(overall_retrieval_result,)``
+        (the computed Recall@k must be reachable for retrieval-only
+        evaluation); with ``gold_answers`` additionally
         ``(overall_retrieval_result, overall_qa_results)``.
         """
         from ..stages.evalops import qa_scores, recall_at_k
@@ -1378,6 +1398,11 @@ class HippoRagEngine:
         )
 
         if gold_answers is None:
+            if gold_docs is not None:
+                # retrieval-only evaluation: the Recall@k just computed
+                # must not be discarded (reference parity: scores are
+                # returned whenever golds were supplied)
+                return solutions, responses, metadata, overall_retrieval_result
             return solutions, responses, metadata
         qa_ds = rd.from_arrow(
             pa.table(
@@ -1409,4 +1434,5 @@ class HippoRagEngine:
         self._link_pool = None
         self._kinds_loaded = False
         self._joined_views = None
+        self._view_refs = None
         self._fact_view = None

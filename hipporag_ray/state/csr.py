@@ -350,15 +350,30 @@ class GraphShard:
         """Per-shard top-k for MANY query columns in one actor call
         (one RPC per shard instead of one per (query, shard) — a
         32-query retrieve over P shards was 32 x P control messages).
+        The chunk mask scan and score gather are hoisted ONCE per batch
+        (per-query they were O(Q x local_n) on the serving hot path).
         Returns (qidx_rep, vids, scores) concatenated across queries."""
-        qs, vs, ss = [], [], []
-        for qi in query_idxs:
-            v, s = self.topk_chunk_scores(int(qi), k)
-            qs.append(np.full(len(v), int(qi), dtype=np.int64))
-            vs.append(v)
-            ss.append(s)
-        if not qs:
+        query_idxs = list(query_idxs)
+        if not query_idxs:
             return np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0)
+        mask = getattr(self, "_is_chunk", None)
+        if mask is None or not mask.any():
+            return np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0)
+        vids_local = np.nonzero(mask)[0]
+        cols = self.scores[vids_local][:, np.asarray(query_idxs, dtype=np.int64)]
+        qs, vs, ss = [], [], []
+        for j, qi in enumerate(query_idxs):
+            s = cols[:, j]
+            kk = min(k, len(s))
+            if kk < len(s):
+                part = np.argpartition(-s, kk - 1)
+                cand = np.nonzero(s >= s[part[kk - 1]])[0]
+            else:
+                cand = np.arange(len(s))
+            sel = cand[np.lexsort((vids_local[cand], -s[cand]))[:kk]]
+            qs.append(np.full(len(sel), int(qi), dtype=np.int64))
+            vs.append(vids_local[sel] + self.lo)
+            ss.append(s[sel])
         return np.concatenate(qs), np.concatenate(vs), np.concatenate(ss)
 
     def ppr_normalize_reset(self, totals: np.ndarray) -> None:
@@ -621,10 +636,26 @@ class GraphShard:
             # .take keeps C-order (fancy axis-1 indexing would go F-order
             # and trip the kernel's layout guard)
             pos = np.searchsorted(active_prev, active_now)
+            # membership gate: searchsorted returns INSERTION points, so
+            # a column of active_now absent from active_prev would
+            # silently consume a different query's messages — the same
+            # silent-wrap class the reset-routing gates refuse loudly
+            if (pos >= len(active_prev)).any() or not np.array_equal(
+                np.asarray(active_prev)[np.minimum(pos, len(active_prev) - 1)],
+                np.asarray(active_now),
+            ):
+                raise ValueError(
+                    "ppr_step: active_now is not a subset of active_prev"
+                )
             Ms = [m.take(pos, axis=1) for m in Ms]
             dangling = dangling[pos]
             hub_total = hub_total.take(pos, axis=1)
             self._perf["subset_s"] += _t.perf_counter() - _tsub
+        elif not np.array_equal(np.asarray(active_prev), np.asarray(active_now)):
+            # equal lengths are taken as "same columns" on the fast
+            # path — verify it (O(B), B <= batch size) instead of
+            # silently pairing each column with a different query
+            raise ValueError("ppr_step: active sets differ but have equal size")
         delta = self._pull_chunks(damping, active_now, Ms, dangling, hub_total)
         out = delta, self.ppr_contrib(damping, active_now)
         self._perf["step_s"] += _t.perf_counter() - _ts
@@ -1433,7 +1464,13 @@ class ShardedGraph:
         if n_hosts < cpus:
             cpu_per_host = 1
         else:
-            cpu_per_host = max(cpus - 1, 1) / n_hosts
+            # (cpus - 1) split across hosts keeps the total reservation
+            # STRICTLY below the cluster at every size — at cpus == 1
+            # this is zero (reservations don't bind threads, so hosts
+            # still compute; the single core stays schedulable for the
+            # default 1.0-CPU readback/routing tasks that would
+            # otherwise deadlock behind a full reservation)
+            cpu_per_host = (cpus - 1) / n_hosts
         self.cpu_per_host = cpu_per_host  # introspectable (tests assert headroom)
         self._hosts = [
             GraphShardHostActor.options(
