@@ -9,6 +9,15 @@ giant file").  The graph build has a specialized version of this
 input shard); this is the generic key-partitioned sink for query
 outputs.
 
+Resume soundness requires bucket membership to be stable across runs
+AND library versions: string keys are therefore routed through the
+repo's md5-based ``stable_hash64`` (pinned, process-stable) rather
+than the exchange layer's polars hash (documented as unstable across
+polars versions — a resume after an upgrade would silently lose rows
+to already-complete buckets and duplicate others).  The manifest
+records the hash scheme and refuses to resume a sink written under a
+different one.
+
 Reference analog: none — the reference writes single files via pandas
 (/root/reference/src/hipporag/embedding_store.py:109-115).
 """
@@ -20,6 +29,9 @@ import os
 
 import ray
 import ray.data as rd
+
+_HASH_SCHEME = "stable64-v1"
+_BUCKET_KEY = "__bucket_key"
 
 
 @ray.remote
@@ -33,6 +45,8 @@ def _write_bucket(tbl, out_dir: str, bucket: int) -> int:
 
     if isinstance(tbl, pd.DataFrame):
         tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+    if _BUCKET_KEY in tbl.column_names:
+        tbl = tbl.drop_columns([_BUCKET_KEY])
     final = os.path.join(out_dir, f"bucket={bucket}")
     if os.path.isdir(final):  # raced with a concurrent writer: done
         return 0
@@ -50,6 +64,34 @@ def _write_bucket(tbl, out_dir: str, bucket: int) -> int:
     return tbl.num_rows
 
 
+def _with_stable_bucket_key(ds: "rd.Dataset", key_col: str) -> tuple["rd.Dataset", str]:
+    """Return (ds, partition_key) where the partition key's hash is
+    stable across runs and library versions.  Integer keys already
+    route through the exchange's in-repo multiplicative mix; every
+    other type gets an explicit md5-based int64 key column."""
+    import pyarrow as pa
+
+    sch = ds.schema(fetch_if_missing=True)
+    if sch is not None and key_col in sch.names:
+        t = dict(zip(sch.names, sch.types))[key_col]
+        if pa.types.is_integer(t):
+            return ds, key_col
+
+    def add_key(batch):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..functions.hashing import stable_hash64
+
+        col = batch[key_col].combine_chunks()
+        h = stable_hash64(pc.cast(pc.fill_null(col, ""), pa.string()))
+        return batch.append_column(
+            _BUCKET_KEY, pa.array(h.view(np.int64), pa.int64())
+        )
+
+    return ds.map_batches(add_key, batch_format="pyarrow"), _BUCKET_KEY
+
+
 def write_partitioned_resumable(
     ds: "rd.Dataset",
     out_dir: str,
@@ -58,12 +100,13 @@ def write_partitioned_resumable(
 ) -> dict:
     """Hash-partition ``ds`` by ``key_col`` into ``num_buckets``
     bucket dirs under ``out_dir``, skipping buckets that already exist
-    (a previous run's finished work).  Bucket membership is the
-    deterministic key hash of the exchange layer, and the bucket count
-    is pinned in ``manifest.json`` on first write, so a resume
+    (a previous run's finished work).  Bucket membership is the pinned
+    stable key hash (see module docstring) and the bucket count is
+    pinned in ``manifest.json`` on first write, so a resume
     repartitions identically and the skip is sound.  Each bucket
     publishes by atomic rename — a killed run leaves only ``*.tmp.*``
-    dirs (ignored on read) and complete buckets.
+    dirs (ignored on read) and complete buckets.  A fully-complete
+    sink returns after one directory listing — the shuffle never runs.
 
     Returns ``{"written": k, "skipped": k, "rows_written": n}``.
     """
@@ -78,8 +121,26 @@ def write_partitioned_resumable(
             raise ValueError(
                 f"resume with key_col={key_col!r}, manifest has {m['key_col']!r}"
             )
+        if m.get("hash_scheme") != _HASH_SCHEME:
+            # a sink written under a different (or unrecorded) hash
+            # scheme cannot be resumed soundly: rows would re-bucket,
+            # losing some to already-complete buckets — refuse loudly
+            raise ValueError(
+                f"resume with hash_scheme={_HASH_SCHEME!r}, manifest has "
+                f"{m.get('hash_scheme')!r} — rewrite to a fresh directory"
+            )
         num_buckets = m["num_buckets"]
-    parts = hash_partition(ds, key_col, num_partitions=num_buckets)
+        done = all(
+            os.path.isdir(os.path.join(out_dir, f"bucket={i}"))
+            for i in range(num_buckets)
+        )
+        if done:
+            # every bucket already published: skip the whole exchange
+            # (at 100-TB scale re-running the shuffle only to skip all
+            # buckets would be hours of wasted work)
+            return {"written": 0, "skipped": num_buckets, "rows_written": 0}
+    keyed, part_key = _with_stable_bucket_key(ds, key_col)
+    parts = hash_partition(keyed, part_key, num_partitions=num_buckets)
     refs = [
         bref
         for bundle in parts.iter_internal_ref_bundles()
@@ -88,7 +149,14 @@ def write_partitioned_resumable(
     if not os.path.exists(manifest_path):
         tmp = f"{manifest_path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
-            json.dump({"key_col": key_col, "num_buckets": len(refs)}, f)
+            json.dump(
+                {
+                    "key_col": key_col,
+                    "num_buckets": len(refs),
+                    "hash_scheme": _HASH_SCHEME,
+                },
+                f,
+            )
         os.replace(tmp, manifest_path)
     written = skipped = 0
     pending = []
@@ -104,7 +172,9 @@ def write_partitioned_resumable(
 
 def read_partitioned(out_dir: str) -> "rd.Dataset":
     """Read back a :func:`write_partitioned_resumable` directory
-    (complete buckets only; in-flight ``*.tmp.*`` dirs are excluded)."""
+    (complete buckets only; in-flight ``*.tmp.*`` dirs are excluded).
+    Zero completed buckets (a run killed right after the manifest)
+    return an empty dataset rather than raising."""
     files = sorted(
         os.path.join(out_dir, d, f)
         for d in os.listdir(out_dir)
@@ -112,6 +182,10 @@ def read_partitioned(out_dir: str) -> "rd.Dataset":
         for f in os.listdir(os.path.join(out_dir, d))
         if f.endswith(".parquet")
     )
+    if not files:
+        import pyarrow as pa
+
+        return rd.from_arrow(pa.table({}))
     ds = rd.read_parquet(files)
     # the hive-style dir names let external readers prune by bucket;
     # drop the inferred partition column to return the written schema

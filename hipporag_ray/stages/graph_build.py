@@ -31,7 +31,6 @@ import os
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -40,7 +39,6 @@ import ray
 import ray.data as rd
 
 from ..functions.hashing import entity_key, md5_hex
-from ..functions import pool_size
 from ..functions.pairs import segment_pairs
 from ..functions.text import distinct_tokens_per_row, text_processing
 
@@ -608,6 +606,55 @@ def _write_table_dir(ds: "rd.Dataset", path: str, which: str) -> None:
         pq.write_table(sch.empty_table(), os.path.join(path, "part-0.parquet"))
 
 
+def _write_edges_adj_manifest(
+    edges: "rd.Dataset",
+    out_dir: str,
+    n_vertices: int,
+    n_edges: int,
+    min_token_len: int,
+    edge_source: str,
+) -> "GraphTables":
+    """Shared build tail (build_graph / delete / incremental): write
+    edges/, expand each undirected record into both directions, range-
+    sort by src for the CSR shards' row-group pruning
+    (SimpleGraph.kt:141-147 undirected walk), write adj/, dump the
+    manifest.  ONE definition — three hand-synced copies of this block
+    drifted apart once already."""
+    from .shuffle import range_sort
+
+    _write_table_dir(edges, os.path.join(out_dir, "edges"), "edges")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        rev = pa.table(
+            {
+                "src": batch["dst"],
+                "dst": batch["src"],
+                "weight": batch["weight"],
+                "etype": batch["etype"],
+            }
+        )
+        return pa.concat_tables([batch, rev])
+
+    # no materialize: range_sort consumes the lazy expansion via ref
+    # bundles and holds only its own (sliced) refs — materializing
+    # first would pin a second full copy of the adjacency in plasma
+    adj = range_sort(edges.map_batches(expand, batch_format="pyarrow"), "src")
+    _write_table_dir(adj, os.path.join(out_dir, "adj"), "adj")
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(
+            {
+                "n_vertices": int(n_vertices),
+                "n_edges": int(n_edges),
+                "min_token_len": min_token_len,
+                "edge_source": edge_source,
+            },
+            f,
+        )
+    return GraphTables(
+        out_dir=out_dir, n_vertices=int(n_vertices), n_edges=int(n_edges)
+    )
+
+
 def dedup_chunks(transcripts: "rd.Dataset") -> "rd.Dataset":
     """transcripts -> distinct (chunk_key, text): exact first-wins
     dedup on the content hash (rows in a group are byte-identical since
@@ -646,6 +693,11 @@ def _extract_shard(in_file: str, part_dir: str, text_col: str) -> dict:
     import time as _time
 
     t0 = _time.perf_counter()
+    # fingerprint BEFORE reading: stat-after-read could pair version-A
+    # rows with version-B's size/mtime if the producer replaces the
+    # file mid-extraction, and the stale partition would then be
+    # silently skipped forever
+    fp = _file_fingerprint(in_file)
     tbl = pq.read_table(in_file, columns=[text_col])
     if text_col != "text":
         tbl = tbl.rename_columns(["text"])
@@ -659,7 +711,7 @@ def _extract_shard(in_file: str, part_dir: str, text_col: str) -> dict:
     pq.write_table(chunks, os.path.join(tmp, "part-0.parquet"))
     meta = {
         "input": in_file,
-        "fingerprint": _file_fingerprint(in_file),
+        "fingerprint": fp,
         "rows_in": int(rows_in),
         "rows_out": int(chunks.num_rows),
         "wall_sec": round(_time.perf_counter() - t0, 4),
@@ -671,7 +723,16 @@ def _extract_shard(in_file: str, part_dir: str, text_col: str) -> dict:
 
         _shutil.rmtree(tmp)
     else:
-        os.rename(tmp, part_dir)
+        try:
+            os.rename(tmp, part_dir)
+        except OSError:
+            # lost the publish race to a concurrent extraction between
+            # the isdir check and the rename — the winner's partition
+            # is complete; an uncaught raise here would abort the whole
+            # run's ray.get
+            import shutil as _shutil
+
+            _shutil.rmtree(tmp, ignore_errors=True)
     return meta
 
 
@@ -856,38 +917,9 @@ def build_graph(
         lambda b: _decode_edges_table(b, n, struct), batch_format="pyarrow"
     ).materialize()
     n_edges = edges.count()
-    _write_table_dir(edges, os.path.join(out_dir, "edges"), "edges")
-
-    # --- adjacency: directed expansion, sorted by src for row-group
-    # pruning by CSR shard actors (SimpleGraph.kt:141-147 undirected walk) ---
-    def expand(batch: pa.Table) -> pa.Table:
-        rev = pa.table(
-            {
-                "src": batch["dst"],
-                "dst": batch["src"],
-                "weight": batch["weight"],
-                "etype": batch["etype"],
-            }
-        )
-        return pa.concat_tables([batch, rev])
-
-    # no materialize: range_sort consumes the lazy expansion via ref
-    # bundles and holds only its own (sliced) refs — materializing
-    # first would pin a second full copy of the adjacency in plasma
-    adj = range_sort(edges.map_batches(expand, batch_format="pyarrow"), "src")
-    _write_table_dir(adj, os.path.join(out_dir, "adj"), "adj")
-
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(
-            {
-                "n_vertices": int(n_vertices),
-                "n_edges": int(n_edges),
-                "min_token_len": min_token_len,
-                "edge_source": edge_source,
-            },
-            f,
-        )
-    return GraphTables(out_dir=out_dir, n_vertices=int(n_vertices), n_edges=int(n_edges))
+    return _write_edges_adj_manifest(
+        edges, out_dir, int(n_vertices), n_edges, min_token_len, edge_source
+    )
 
 
 def build_graph_resumable(
@@ -979,6 +1011,13 @@ def delete_chunks_from_graph(
             for sub in ("vertices", "edges", "adj", "manifest.json"):
                 src = os.path.join(graph.out_dir, sub)
                 dst = os.path.join(out_dir, sub)
+                # idempotent retry: a previous (crashed or finished)
+                # run's tables in out_dir must be replaced, not crash
+                # copytree with FileExistsError
+                if os.path.isdir(dst):
+                    _sh.rmtree(dst)
+                elif os.path.exists(dst):
+                    os.unlink(dst)
                 (_sh.copytree if os.path.isdir(src) else _sh.copy)(src, dst)
         return load_graph(out_dir)
 
@@ -1183,30 +1222,9 @@ def delete_chunks_from_graph(
         os.path.join(out_dir, "vertices"),
         "vertices",
     )
-    _write_table_dir(edges, os.path.join(out_dir, "edges"), "edges")
-
-    def expand(batch: pa.Table) -> pa.Table:
-        rev = pa.table(
-            {"src": batch["dst"], "dst": batch["src"], "weight": batch["weight"], "etype": batch["etype"]}
-        )
-        return pa.concat_tables([batch, rev])
-
-    # no materialize: range_sort consumes the lazy expansion via ref
-    # bundles and holds only its own (sliced) refs — materializing
-    # first would pin a second full copy of the adjacency in plasma
-    adj = range_sort(edges.map_batches(expand, batch_format="pyarrow"), "src")
-    _write_table_dir(adj, os.path.join(out_dir, "adj"), "adj")
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(
-            {
-                "n_vertices": int(n_vertices),
-                "n_edges": int(n_edges),
-                "min_token_len": min_token_len,
-                "edge_source": edge_source,
-            },
-            f,
-        )
-    return GraphTables(out_dir=out_dir, n_vertices=int(n_vertices), n_edges=int(n_edges))
+    return _write_edges_adj_manifest(
+        edges, out_dir, int(n_vertices), n_edges, min_token_len, edge_source
+    )
 
 
 def build_graph_incremental(
@@ -1299,6 +1317,13 @@ def build_graph_incremental(
             for sub in ("vertices", "edges", "adj", "manifest.json"):
                 src = os.path.join(graph.out_dir, sub)
                 dst = os.path.join(out_dir, sub)
+                # idempotent retry: a previous (crashed or finished)
+                # run's tables in out_dir must be replaced, not crash
+                # copytree with FileExistsError
+                if os.path.isdir(dst):
+                    _sh.rmtree(dst)
+                elif os.path.exists(dst):
+                    os.unlink(dst)
                 (_sh.copytree if os.path.isdir(src) else _sh.copy)(src, dst)
         return load_graph(out_dir)
 
@@ -1382,27 +1407,6 @@ def build_graph_incremental(
         import shutil as _sh
 
         _sh.rmtree(d, ignore_errors=True)
-    _write_table_dir(edges, os.path.join(out_dir, "edges"), "edges")
-
-    def expand(batch: pa.Table) -> pa.Table:
-        rev = pa.table(
-            {"src": batch["dst"], "dst": batch["src"], "weight": batch["weight"], "etype": batch["etype"]}
-        )
-        return pa.concat_tables([batch, rev])
-
-    # no materialize: range_sort consumes the lazy expansion via ref
-    # bundles and holds only its own (sliced) refs — materializing
-    # first would pin a second full copy of the adjacency in plasma
-    adj = range_sort(edges.map_batches(expand, batch_format="pyarrow"), "src")
-    _write_table_dir(adj, os.path.join(out_dir, "adj"), "adj")
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(
-            {
-                "n_vertices": int(n_vertices),
-                "n_edges": int(n_edges),
-                "min_token_len": min_token_len,
-                "edge_source": edge_source,
-            },
-            f,
-        )
-    return GraphTables(out_dir=out_dir, n_vertices=int(n_vertices), n_edges=int(n_edges))
+    return _write_edges_adj_manifest(
+        edges, out_dir, int(n_vertices), n_edges, min_token_len, edge_source
+    )

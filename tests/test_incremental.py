@@ -269,3 +269,27 @@ def test_incremental_leftanti_fallback_matches_broadcast(corpora, tmp_path):
     vb = g_bc.vertices().to_pandas().set_index("node_key")["vid"].sort_index()
     vl = g_la.vertices().to_pandas().set_index("node_key")["vid"].sort_index()
     assert (vb == vl).all()
+
+
+def test_noop_copy_through_is_idempotent(corpora):
+    """Copy-through paths (incremental build with nothing new; delete
+    of texts not in the graph) must tolerate an out_dir already holding
+    tables from a previous run — the idempotent-retry scenario — rather
+    than crash copytree with FileExistsError."""
+    from hipporag_ray.stages.graph_build import delete_chunks_from_graph
+
+    base, a, _b = corpora
+    g_a = build_graph(rd.read_parquet(a), f"{base}/graph_noop_src")
+
+    # incremental with an already-indexed corpus: no new chunks
+    out_inc = f"{base}/graph_noop_inc"
+    g1 = build_graph_incremental(rd.read_parquet(a), g_a, out_inc)
+    g2 = build_graph_incremental(rd.read_parquet(a), g_a, out_inc)  # retry
+    assert g2.n_vertices == g1.n_vertices and g2.n_edges == g1.n_edges
+
+    # delete of texts that are not in the graph: copy-through twice
+    out_del = f"{base}/graph_noop_del"
+    d1 = delete_chunks_from_graph(["not in the corpus at all"], g_a, out_del)
+    d2 = delete_chunks_from_graph(["not in the corpus at all"], g_a, out_del)
+    assert d2.n_vertices == d1.n_vertices == g_a.n_vertices
+    assert d2.n_edges == d1.n_edges == g_a.n_edges

@@ -1050,6 +1050,49 @@ def test_write_partitioned_resumable_skips_finished_buckets(tmp_path):
         write_partitioned_resumable(ds, out, "rid")
 
 
+def test_write_partitioned_resumable_string_keys_and_hash_scheme(tmp_path):
+    """String keys route through the repo's pinned stable hash (not
+    polars' version-unstable one), a sink recorded under a different
+    hash scheme refuses to resume (silent row loss otherwise), a
+    fully-complete resume returns without running the shuffle, and a
+    zero-bucket directory reads back as an empty dataset."""
+    import json as _json
+    import os as _os
+
+    from hipporag_ray.sources.writers import (
+        read_partitioned,
+        write_partitioned_resumable,
+    )
+
+    df = pd.DataFrame(
+        {"k": [f"key-{i % 37}" for i in range(1500)], "rid": np.arange(1500)}
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = str(tmp_path / "sink_str")
+    r1 = write_partitioned_resumable(ds, out, "k", num_buckets=4)
+    assert r1["rows_written"] == 1500
+    # the internal bucket-key column must not leak into the output
+    back = read_partitioned(out).to_pandas()
+    assert sorted(back.columns) == ["k", "rid"]
+    assert len(back) == 1500
+    # full re-run short-circuits (manifest says complete)
+    r2 = write_partitioned_resumable(ds, out, "k")
+    assert r2 == {"written": 0, "skipped": 4, "rows_written": 0}
+    # a foreign/legacy hash scheme refuses to resume
+    mpath = _os.path.join(out, "manifest.json")
+    with open(mpath) as f:
+        m = _json.load(f)
+    m["hash_scheme"] = "polars-legacy"
+    with open(mpath, "w") as f:
+        _json.dump(m, f)
+    with pytest.raises(ValueError, match="hash_scheme"):
+        write_partitioned_resumable(ds, out, "k")
+    # zero completed buckets: empty dataset, not a crash
+    empty_dir = str(tmp_path / "sink_empty")
+    _os.makedirs(empty_dir)
+    assert read_partitioned(empty_dir).count() == 0
+
+
 def test_read_transcripts_csv_matches_parquet(small_transcripts, tmp_path):
     """CSV ingest coerces to the canonical TRANSCRIPTS schema and
     round-trips the parquet reader's rows (per-turn text equality under
