@@ -1,6 +1,18 @@
 """Shared helpers for the functions package."""
 
 
+def codec_require(fmt: str):
+    """Return a format-tagged validator for the pure-numpy codecs —
+    ONE failure contract (``ValueError('bad <FMT>: ...')``) shared by
+    jpeg/avi/gif instead of three hand-synced copies."""
+
+    def _require(cond: bool, msg: str):
+        if not cond:
+            raise ValueError(f"bad {fmt}: {msg}")
+
+    return _require
+
+
 def pool_size() -> tuple[int, int]:
     """Autoscaling actor-pool bounds sized to the cluster — a fixed
     (1, 4) cap silently serialized stages at 32 CPUs (the edge-partial

@@ -37,6 +37,8 @@ import struct
 
 import numpy as np
 
+from . import codec_require
+
 from .jpeg import decode_jpeg, encode_jpeg
 
 _AVIIF_KEYFRAME = 0x10
@@ -89,7 +91,9 @@ def encode_avi_mjpeg(
     avih = struct.pack(
         "<14I",
         1_000_000 // fps,  # dwMicroSecPerFrame
-        max_len * fps,  # dwMaxBytesPerSec (advisory)
+        # advisory field, uint32: clamp — huge frames x high fps must
+        # not struct.error after every frame is already encoded
+        min(max_len * fps, 0xFFFFFFFF),  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
         0x10,  # dwFlags: AVIF_HASINDEX
         n,  # dwTotalFrames
@@ -166,9 +170,7 @@ def encode_avi_mjpeg(
 # ---------------------------------------------------------------------------
 
 
-def _require(cond: bool, msg: str):
-    if not cond:
-        raise ValueError(f"bad AVI: {msg}")
+_require = codec_require("AVI")
 
 
 def _top_chunks(payload: bytes, start: int, end: int):

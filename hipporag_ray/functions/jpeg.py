@@ -32,6 +32,8 @@ import struct
 
 import numpy as np
 
+from . import codec_require
+
 # ---------------------------------------------------------------- tables
 
 # zig-zag scan: position i of the scan reads flat index _ZIGZAG[i] of
@@ -264,6 +266,11 @@ def encode_jpeg(
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if h > 65535 or w > 65535:
+        # SOF dimensions are uint16; checked BEFORE the encode so the
+        # failure is immediate and a ValueError, not a struct.error
+        # after the full DCT + entropy pass
+        raise ValueError(f"image {h}x{w} exceeds JPEG's 65535 dimension limit")
     qt_l, qt_c = _quality_tables(quality)
     qt_lz, qt_cz = qt_l[_ZIGZAG], qt_c[_ZIGZAG]
 
@@ -368,9 +375,7 @@ def encode_jpeg(
 # ---------------------------------------------------------------- decode
 
 
-def _require(cond: bool, msg: str):
-    if not cond:
-        raise ValueError(f"bad JPEG: {msg}")
+_require = codec_require("JPEG")
 
 
 class _BitReader:
@@ -525,8 +530,16 @@ def jpeg_info(data: bytes) -> tuple[int, int, int]:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w) or (h, w, 3) uint8."""
-    qts, hts, frame, scan, ri, off = _parse(data)
+    """Baseline JFIF bytes -> (h, w) or (h, w, 3) uint8.  Every failure
+    on corrupt/truncated input is a ``ValueError('bad JPEG: ...')`` —
+    short marker segments would otherwise leak struct.error/IndexError
+    out of the parser."""
+    import struct as _struct
+
+    try:
+        qts, hts, frame, scan, ri, off = _parse(data)
+    except (_struct.error, IndexError) as exc:
+        raise ValueError(f"bad JPEG: truncated or corrupt header ({exc})") from exc
     fh, fw, comps = frame
     _require(fh > 0 and fw > 0, "zero dimension")
     if len(comps) == 1:

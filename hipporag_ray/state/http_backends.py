@@ -72,6 +72,13 @@ def _post_json(url: str, payload: dict, headers: dict, timeout: float) -> dict:
         raise HttpEndpointError(exc.code, body, url) from exc
     except urllib.error.URLError as exc:  # DNS/conn-refused/timeout
         raise HttpEndpointError(None, str(exc.reason), url) from exc
+    except OSError as exc:
+        # mid-body read timeout / connection reset AFTER headers: these
+        # escape urlopen's URLError wrapping — without this, a stalled
+        # server kills a whole Ray task with a context-free 'timed out'
+        raise HttpEndpointError(None, f"transport failure: {exc}", url) from exc
+    except json.JSONDecodeError as exc:  # truncated/garbage 200 body
+        raise HttpEndpointError(None, f"malformed JSON response: {exc}", url) from exc
 
 
 def _auth_headers(api_key: str | None, api_key_env: str | None) -> dict:

@@ -127,9 +127,11 @@ class CachedLLM:
         hit = self.cache.lookup(messages, self.model, self.seed, self.temperature)
         if hit is not None:
             return hit[0], hit[1], True
+        # counts cache MISSES (one per infer), not retry attempts — a
+        # flaky endpoint must not inflate the miss rate
+        self.n_llm_calls += 1
         for attempt in range(self.max_retries):
             try:
-                self.n_llm_calls += 1
                 message, metadata = self.llm_fn(
                     messages,
                     model=self.model,

@@ -157,7 +157,9 @@ def test_cached_llm_retries_through_transients(stub_url, tmp_path):
     c = CachedLLM(inner, str(tmp_path / "c.sqlite"), model="m",
                   max_retries=4, retry_wait=0.01)
     msg, meta, hit = c.infer([{"role": "user", "content": "retry me"}])
-    assert msg == "echo:retry me" and not hit and c.n_llm_calls == 3
+    # n_llm_calls counts MISSES (one per infer), not retry attempts —
+    # a flaky endpoint must not inflate the miss rate
+    assert msg == "echo:retry me" and not hit and c.n_llm_calls == 1
     # second call: cache hit, no HTTP
     msg2, _, hit2 = c.infer([{"role": "user", "content": "retry me"}])
     assert msg2 == msg and hit2
