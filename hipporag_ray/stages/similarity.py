@@ -55,6 +55,21 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _merge_topk(
+    partial: pd.DataFrame, k: int, excl: set, id_col: str
+) -> pd.DataFrame:
+    """The shared final merge of every top-k entry point: drop excluded
+    ids, order (score desc, id asc — the deterministic tie contract),
+    keep k per query.  ONE definition so a tie/exclusion fix cannot
+    drift between knn/ivf/lsh."""
+    if excl:
+        partial = partial[~partial[id_col].isin(excl)]
+    partial = partial.sort_values(
+        ["query_idx", "score", id_col], ascending=[True, False, True]
+    )
+    return partial.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+
+
 def knn_topk(
     ds: "rd.Dataset",
     query_vecs: np.ndarray,
@@ -65,7 +80,12 @@ def knn_topk(
     exclude_ids: set | None = None,
 ) -> pd.DataFrame:
     """Brute-force top-k: returns (query_idx, id, score) rows,
-    k per query, ordered by score desc then id asc (deterministic)."""
+    k per query, ordered by score desc then id asc (deterministic).
+    ``metric``: 'cosine' (normalized) or 'dot' (raw inner product) —
+    anything else raises rather than silently scoring a raw dot
+    product under the requested metric's name."""
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"unsupported metric {metric!r} (use 'cosine' or 'dot')")
     q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
     if metric == "cosine":
         q = _norm_rows(q)
@@ -89,13 +109,8 @@ def knn_topk(
         )
 
     partial = ds.map_batches(tile, batch_format="pyarrow").to_pandas()
-    if exclude_ids:
-        partial = partial[~partial[id_col].isin(excl)]
     # final top-k merge (small: tiles x k rows)
-    partial = partial.sort_values(
-        ["query_idx", "score", id_col], ascending=[True, False, True]
-    )
-    return partial.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+    return _merge_topk(partial, k, excl, id_col)
 
 
 def train_ivf_centroids(
@@ -110,6 +125,10 @@ def train_ivf_centroids(
     to ``sample_rows``) + fixed-iteration Lloyd k-means on normalized
     vectors.  Centroid training is sample-sized, never corpus-sized."""
     sample = ds.limit(sample_rows).to_pandas()
+    if sample.empty or emb_col not in sample.columns:
+        # empty training set: no cells — callers get the empty-result
+        # path instead of an opaque np.stack crash
+        return np.zeros((0, 1), dtype=np.float64)
     m = _norm_rows(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(m))
@@ -145,6 +164,14 @@ def ivf_ann_topk(
         centroids = train_ivf_centroids(
             ds, n_centroids=n_centroids, emb_col=emb_col, seed=seed
         )
+    if len(centroids) == 0:  # empty dataset: nothing to probe
+        return pd.DataFrame(
+            {
+                "query_idx": pd.Series([], dtype="int64"),
+                id_col: pd.Series([], dtype=object),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
     probe = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]  # (Q, P)
     state_ref = ray.put((q, centroids, probe))
     excl = exclude_ids or set()
@@ -176,12 +203,7 @@ def ivf_ann_topk(
         )
 
     partial = ds.map_batches(tile, batch_format="pyarrow").to_pandas()
-    if exclude_ids:
-        partial = partial[~partial[id_col].isin(excl)]
-    partial = partial.sort_values(
-        ["query_idx", "score", id_col], ascending=[True, False, True]
-    )
-    return partial.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+    return _merge_topk(partial, k, excl, id_col)
 
 
 class HyperplaneLsh:
@@ -242,9 +264,4 @@ def lsh_ann_topk(
         )
 
     partial = ds.map_batches(tile, batch_format="pyarrow").to_pandas()
-    if exclude_ids:
-        partial = partial[~partial[id_col].isin(excl)]
-    partial = partial.sort_values(
-        ["query_idx", "score", id_col], ascending=[True, False, True]
-    )
-    return partial.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+    return _merge_topk(partial, k, excl, id_col)

@@ -50,24 +50,30 @@ def _syn_prep(tbl: pa.Table):
 @ray.remote
 def _syn_tile(q, k, threshold: float) -> pa.Table:
     """One (query-block, key-block) tile of the similarity join: rows
-    (src, dst, weight) with weight >= threshold, self/ineligible
-    dropped (HippoRAG.py:859-882 acceptance rules)."""
+    (src, dst, weight, ok) with weight >= threshold and an ELIGIBLE
+    source.  Self pairs and ineligible destinations are kept (ok=False)
+    rather than dropped: the reference's knn_k window is cut over the
+    RAW top candidates (retrieve_knn, embed_utils.py:6-94), so those
+    rows must still occupy window slots in the cap — the acceptance
+    filter (HippoRAG.py:859-882) applies after the cut."""
     qv, qe, qm = q
     kv, ke, km = k
     if len(qv) == 0 or len(kv) == 0:
         return pa.table(
             {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
-             "weight": pa.array([], pa.float64())}
+             "weight": pa.array([], pa.float64()), "ok": pa.array([], pa.bool_())}
         )
     sims = qm @ km.T
     rows, cols = np.nonzero(sims >= threshold)
-    keep = qe[rows] & ke[cols] & (qv[rows] != kv[cols])
+    keep = qe[rows]
     rows, cols = rows[keep], cols[keep]
+    ok = ke[cols] & (qv[rows] != kv[cols])
     return pa.table(
         {
             "src": pa.array(qv[rows], pa.int64()),
             "dst": pa.array(kv[cols], pa.int64()),
             "weight": pa.array(sims[rows, cols]),
+            "ok": pa.array(ok, pa.bool_()),
         }
     )
 
@@ -114,15 +120,20 @@ def synonymy_edges_ds(
         m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
             np.float64
         )
-        rng = np.random.default_rng(seed)  # same planes in every task
-        planes = rng.standard_normal((n_bits, m.shape[1]))
-        code = ((m @ planes.T) > 0) @ (1 << np.arange(n_bits, dtype=np.int64))
+        # the ONE hyperplane bucketer (similarity.HyperplaneLsh) —
+        # seeded, so every task derives identical planes
+        from .similarity import HyperplaneLsh
+
+        code = HyperplaneLsh(m.shape[1], n_bits, seed).bucket(m)
         return batch.select(["vid", "content", "embedding"]).append_column(
             "bucket", pa.array(code, type=pa.int64())
         )
 
+    # no inner materialize: hash_partition consumes the signed blocks
+    # streaming — materializing first would pin a second full copy of
+    # the embedding table in plasma
     clustered = hash_partition(
-        joined.map_batches(sign, batch_format="pyarrow").materialize(), "bucket"
+        joined.map_batches(sign, batch_format="pyarrow"), "bucket"
     )
     mat = clustered.materialize()
     blocks = []
@@ -174,14 +185,23 @@ def synonymy_edges_ds(
         s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         w = batch["weight"].to_numpy(zero_copy_only=False)
+        ok = batch["ok"].to_numpy(zero_copy_only=False).astype(bool)
+
+        def ranks(src: np.ndarray) -> np.ndarray:
+            new = np.concatenate([[True], src[1:] != src[:-1]])
+            starts = np.nonzero(new)[0]
+            return np.arange(len(src)) - starts[np.cumsum(new) - 1]
+
         order = np.lexsort((d, -w, s))
-        s, d, w = s[order], d[order], w[order]
-        new = np.concatenate([[True], s[1:] != s[:-1]])
-        starts = np.nonzero(new)[0]
-        grp = np.cumsum(new) - 1
-        rank = np.arange(len(s)) - starts[grp]
-        keep = rank < min(max_accepted, knn_k)
+        s, d, w, ok = s[order], d[order], w[order], ok[order]
+        # two-stage cut, reference semantics: the knn_k window is over
+        # the RAW score-ranked candidates (self and ineligible rows
+        # occupy slots), THEN the acceptance filter, THEN max_accepted
+        # over the survivors
+        keep = (ranks(s) < knn_k) & ok
         s, d, w = s[keep], d[keep], w[keep]
+        keep2 = ranks(s) < max_accepted
+        s, d, w = s[keep2], d[keep2], w[keep2]
         o2 = np.lexsort((d, s))
         return pa.table(
             {
@@ -230,8 +250,11 @@ def synonymy_edges(
                 continue
             s = sims[i]
             k = min(knn_k, len(s))
-            cand = np.argpartition(-s, k - 1)[:k] if k < len(s) else np.arange(len(s))
-            cand = cand[np.argsort(-s[cand], kind="stable")]
+            # deterministic raw window: score desc with dst-vid asc
+            # tiebreak (argpartition picks arbitrary members of a tied
+            # boundary, which made the accepted set depend on numpy
+            # internals and diverge from synonymy_edges_ds's cap order)
+            cand = np.lexsort((vids, -s))[:k]
             acc_src, acc_dst, acc_w = [], [], []
             num = 0
             for j in cand:

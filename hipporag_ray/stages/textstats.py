@@ -91,7 +91,7 @@ def quality_score(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
     """(id, n_chars, n_tokens, avg_token_len, stopword_ratio,
     alnum_ratio): cheap quality heuristics (length / punctuation /
     stopword-density family)."""
-    stop_en = _STOPWORDS["en"]
+    stop_arr = pa.array(sorted(_STOPWORDS["en"]), pa.string())
 
     def fn(batch: pa.Table) -> pa.Table:
         text = batch[text_col]
@@ -101,13 +101,21 @@ def quality_score(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        words = toks.flatten().to_numpy(zero_copy_only=False)
-        # whole-array token stats, then segment-reduce per row; splitting
-        # '' yields [''] so count only non-empty tokens
-        wlen = np.array([len(w) for w in words], dtype=np.float64)
+        flat = toks.flatten()
+        # whole-array token stats via Arrow kernels (a Python loop over
+        # every token was O(total tokens) interpreter work on the
+        # hottest path), then segment-reduce per row; splitting '' yields
+        # [''] so count only non-empty tokens
+        wlen = (
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
+        )
         nonempty = (wlen > 0).astype(np.int64)
         counts = _segment_sums(nonempty, offs).astype(np.int64)
-        isstop = np.array([w in stop_en for w in words], dtype=np.float64)
+        isstop = (
+            pc.is_in(flat, value_set=stop_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
         tot_len = _segment_sums(wlen, offs)
         tot_stop = _segment_sums(isstop, offs)
         tot_len[counts == 0] = 0
@@ -315,7 +323,10 @@ def tfidf(
         cnt = np.diff(np.concatenate([starts, [len(r)]]))
         return pa.table(
             {
-                id_col: pa.array(ids[r[starts]]),
+                # pin the INPUT id type: re-inference would emit plain
+                # string for a large_string/dictionary id column and the
+                # reducer's concat across blocks would schema-mismatch
+                id_col: pa.array(ids[r[starts]], type=batch[id_col].type),
                 "term": pa.array(t[starts], pa.string()),
                 "tf": pa.array(cnt, pa.int64()),
             }

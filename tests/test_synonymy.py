@@ -106,3 +106,45 @@ def test_syn_prep_empty_block_meta_is_none(ray_session):
     _, meta2 = _syn_prep.remote(tbl)
     c, r = ray.get(meta2)
     assert c.shape == (4,) and r >= 0.0
+
+
+def test_synonymy_ds_matches_array_path_binding_knn_k_and_ties(ray_session):
+    """Parity when knn_k BINDS and scores tie: the raw top-knn_k window
+    counts self and ineligible rows (reference retrieve_knn semantics),
+    and tied scores break deterministically by dst vid in both
+    implementations."""
+    import ray.data as rd
+
+    from hipporag_ray.stages.synonymy import synonymy_edges_ds
+
+    n = 40
+    base = np.zeros((n, 6))
+    # 30 EXACT duplicates of direction 0 (maximal tie pressure), the
+    # rest orthogonal-ish
+    base[:30, 0] = 1.0
+    for i in range(30, n):
+        base[i, 1 + (i % 5)] = 1.0
+    vids = np.arange(200, 200 + n, dtype=np.int64)
+    names = np.array([f"entity{i:03d}" for i in range(n)], dtype=object)
+    names[3] = "ab"  # ineligible: occupies raw window slots only
+    kw = dict(threshold=0.8, max_accepted=4, knn_k=7)
+    want = synonymy_edges(vids, names, base, **kw).to_pandas()
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(vids),
+                "content": pa.array(names, type=pa.string()),
+                "embedding": pa.array(
+                    list(base.astype(np.float32)), type=pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(3)
+    got = synonymy_edges_ds(ds, **kw).to_pandas()
+    cols = ["src", "dst"]
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    assert w.equals(g), (len(w), len(g))
+    # the cap bound: raw window 7 minus self leaves at most 6 accepted,
+    # further capped at 4
+    assert got.groupby("src").size().max() <= 4
