@@ -67,16 +67,38 @@ def segment_windows_dedup(
     must stay byte-equivalent for the build paths to agree (tests
     assert the equality).  Works on int64 and object (string) value
     arrays (np.lexsort handles object dtype)."""
+    seg, s, p, o = segment_windows(values, counts)
+    return dedup_triples(seg, s, p, o)
+
+
+def segment_windows(
+    values: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """RAW consecutive 3-windows per segment (window-major order, no
+    dedup) — the expansion half of :func:`segment_windows_dedup`, split
+    out so consumers that filter windows BETWEEN expansion and dedup
+    (the OpenIE triple stage's NER-membership gate) still ride the one
+    shared index arithmetic."""
     counts = np.asarray(counts, dtype=np.int64)
     offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     wc = np.maximum(counts - 2, 0)
     M = int(wc.sum())
     if M == 0:
-        return np.zeros(0, dtype=np.int64), values[:0], values[:0], values[:0]
+        z = np.zeros(0, dtype=np.int64)
+        return z, values[:0], values[:0], values[:0]
     seg = np.repeat(np.arange(len(counts), dtype=np.int64), wc)
     wstart = np.concatenate([[0], np.cumsum(wc)[:-1]]).astype(np.int64)
     base = offs[:-1][seg] + (np.arange(M, dtype=np.int64) - wstart[seg])
-    s, p, o = values[base], values[base + 1], values[base + 2]
+    return seg, values[base], values[base + 1], values[base + 2]
+
+
+def dedup_triples(
+    seg: np.ndarray, s: np.ndarray, p: np.ndarray, o: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Exact per-segment (s, p, o) dedup with ONE global lexsort — the
+    reduce half of :func:`segment_windows_dedup`."""
+    if len(seg) == 0:
+        return seg, s, p, o
     order = np.lexsort((o, p, s, seg))
     g2, s2, p2, o2 = seg[order], s[order], p[order], o[order]
     first = np.concatenate(

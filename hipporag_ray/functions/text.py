@@ -99,10 +99,29 @@ def normalize_answer(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedAr
     exactly ``string.punctuation`` (the reference's remove_punc): the
     four ASCII ranges below — NOT ``[^\\w\\s]``, which would also strip
     non-ASCII letters ('café' -> 'caf') and keep underscores."""
+    import re as _re
+
     out = pc.utf8_lower(arr)
     out = pc.replace_substring_regex(out, pattern=r"[!-/:-@\[-`{-~]", replacement="")
-    out = pc.replace_substring_regex(
+    # article removal: RE2's \b is ASCII-only, so a non-ASCII letter
+    # counts as a boundary and article-shaped substrings inside accented
+    # words get stripped ('anécdota' -> 'écdota') — diverging from the
+    # reference's Python-re unicode \b.  Pure-ASCII rows (the
+    # overwhelming majority) keep the vectorized kernel; rows with any
+    # non-ASCII char re-run the article pass with Python re.
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    kernel = pc.replace_substring_regex(
         out, pattern=rf"\b{_ARTICLES}\b", replacement=" "
     )
-    out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
+    ascii_mask = pc.fill_null(pc.string_is_ascii(out), True)
+    if not pc.all(ascii_mask).as_py():
+        art_re = _re.compile(rf"\b{_ARTICLES}\b")
+        vals = kernel.to_numpy(zero_copy_only=False).astype(object)
+        orig = out.to_numpy(zero_copy_only=False)
+        for i in np.nonzero(~ascii_mask.to_numpy(zero_copy_only=False))[0]:
+            if orig[i] is not None:
+                vals[i] = art_re.sub(" ", orig[i])
+        kernel = pa.array(vals, pa.string())
+    out = pc.replace_substring_regex(kernel, pattern=r"\s+", replacement=" ")
     return pc.utf8_trim_whitespace(out)

@@ -143,12 +143,22 @@ def _densify_block(tbl: pa.Table, kind: str, n_slices: int) -> list:
         else:  # fact
             sk = tbl["subj_key"].to_numpy(zero_copy_only=False)
             ok = tbl["obj_key"].to_numpy(zero_copy_only=False)
-            cols = (m, sk, ok)
+            fc = (
+                tbl["content"].to_numpy(zero_copy_only=False)
+                if "content" in tbl.column_names
+                else np.full(n, "", dtype=object)
+            )
+            cols = (m, sk, ok, fc)
     else:
         empties = {
             "ent": (np.zeros(0, object), np.zeros(0, np.int64), np.zeros(0), np.zeros((0, 0))),
             "chunk": (np.zeros(0, np.int64), np.zeros((0, 0))),
-            "fact": (np.zeros((0, 0)), np.zeros(0, object), np.zeros(0, object)),
+            "fact": (
+                np.zeros((0, 0)),
+                np.zeros(0, object),
+                np.zeros(0, object),
+                np.zeros(0, object),
+            ),
         }
         cols = empties[kind]
         n = 0
@@ -163,9 +173,10 @@ def _densify_block(tbl: pa.Table, kind: str, n_slices: int) -> list:
 def _fact_tile(pack, qm: np.ndarray, k: int) -> pa.Table:
     """Per-block fact scoring (get_fact_scores, HippoRAG.py:1290-1328):
     per-query block top-k on raw similarity + block extrema.  ``pack``
-    is the pre-densified (emb_matrix, subj_key, obj_key) slice built
-    once at view time (see _fact_joined)."""
-    m, sk, ok = pack
+    is the pre-densified (emb_matrix, subj_key, obj_key, content) slice
+    built once at view time (see _fact_joined); ``fact`` carries the
+    human-readable triple string for the rerank hook."""
+    m, sk, ok, fc = pack
     if m.shape[0] == 0:
         return pa.table(
             {
@@ -173,6 +184,7 @@ def _fact_tile(pack, qm: np.ndarray, k: int) -> pa.Table:
                 "score": pa.array([], pa.float64()),
                 "subj_key": pa.array([], pa.string()),
                 "obj_key": pa.array([], pa.string()),
+                "fact": pa.array([], pa.string()),
                 "blo": pa.array([], pa.float64()),
                 "bhi": pa.array([], pa.float64()),
             }
@@ -186,6 +198,7 @@ def _fact_tile(pack, qm: np.ndarray, k: int) -> pa.Table:
             "score": pa.array(sims[qid, flat]),
             "subj_key": pa.array(sk[flat], pa.string()),
             "obj_key": pa.array(ok[flat], pa.string()),
+            "fact": pa.array(fc[flat], pa.string()),
             "blo": pa.array(blo[qid]),
             "bhi": pa.array(bhi[qid]),
         }
@@ -1045,7 +1058,11 @@ class HippoRagEngine:
 
                 meta = hash_distinct(
                     rd.read_parquet(
-                        parts, columns=["fact_key", "subj_key", "obj_key"]
+                        # content = the human-readable fact string: the
+                        # rerank hook must show a real triple to the
+                        # LLM, not md5 endpoint keys
+                        parts,
+                        columns=["fact_key", "subj_key", "obj_key", "content"],
                     ).materialize(),
                     "fact_key",
                 )

@@ -48,7 +48,11 @@ def recall_at_k(
     out = ds.map_batches(fn, batch_format="pyarrow").aggregate(
         *[Mean(f"recall_{k}", alias_name=f"recall_{k}") for k in ks]
     )
-    return {k: float(v) for k, v in out.items()}
+    # empty input: Ray's Mean aggregate returns None per column — NaN,
+    # not a TypeError, is the honest "no rows to score" result
+    return {
+        k: (float(v) if v is not None else float("nan")) for k, v in out.items()
+    }
 
 
 def _f1(pred_tokens: list[str], gold_tokens: list[str]) -> float:
@@ -102,4 +106,7 @@ def qa_scores(
     out = ds.map_batches(fn, batch_format="pyarrow").aggregate(
         Mean("em", alias_name="em"), Mean("f1", alias_name="f1")
     )
-    return {"em": float(out["em"]), "f1": float(out["f1"])}
+    return {
+        "em": float(out["em"]) if out["em"] is not None else float("nan"),
+        "f1": float(out["f1"]) if out["f1"] is not None else float("nan"),
+    }

@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from ..functions import pool_size
+from ..functions.pairs import dedup_triples, segment_windows
 from ..functions.text import distinct_tokens_per_row, text_processing, tokenize
 
 
@@ -97,17 +97,10 @@ class TripleStage:
         flat = toks.flatten().to_numpy(zero_copy_only=False)
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         n_rows = len(offsets) - 1
-        counts = np.diff(offsets)
-        wc = np.maximum(counts - 2, 0)
-        M = int(wc.sum())
-        if M == 0:
+        # the ONE shared window-expansion arithmetic (functions/pairs.py)
+        row_of, s, p, o = segment_windows(flat, np.diff(offsets))
+        if len(row_of) == 0:
             return empty()
-
-        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), wc)
-        wstart = np.concatenate([[0], np.cumsum(wc)[:-1]]).astype(np.int64)
-        within = np.arange(M, dtype=np.int64) - wstart[row_of]
-        base = offsets[:-1][row_of] + within
-        s, p, o = flat[base], flat[base + 1], flat[base + 2]
 
         # conditioning on the NER column: (row, token) membership
         ent_col = batch["entities"]
@@ -126,27 +119,17 @@ class TripleStage:
         if len(s) == 0:
             return empty()
 
-        order = np.lexsort((o, p, s, row_of))
-        r2, s2, p2, o2 = row_of[order], s[order], p[order], o[order]
-        first = np.concatenate(
-            [
-                [True],
-                (r2[1:] != r2[:-1])
-                | (s2[1:] != s2[:-1])
-                | (p2[1:] != p2[:-1])
-                | (o2[1:] != o2[:-1]),
-            ]
-        )
-        r3 = r2[first]
+        # shared dedup half (functions/pairs.py)
+        r3, s3, p3, o3 = dedup_triples(row_of, s, p, o)
         return pa.table(
             {
                 **{
                     c: pa.array(v[r3], type=batch[c].type)
                     for c, v in id_arrays.items()
                 },
-                "subj": pa.array(s2[first], pa.string()),
-                "pred": pa.array(p2[first], pa.string()),
-                "obj": pa.array(o2[first], pa.string()),
+                "subj": pa.array(s3, pa.string()),
+                "pred": pa.array(p3, pa.string()),
+                "obj": pa.array(o3, pa.string()),
             }
         )
 

@@ -177,24 +177,48 @@ def dspy_rerank_fn(llm_fn, dspy_program: dict | None = None,
     """Engine-hook adapter: returns ``fn(cand_df, queries)`` for
     ``HippoRagEngine(rerank_fn=...)``.
 
-    Per query the candidate rows become ``(subj_key, obj_key)`` items
-    (the engine links facts by their endpoint phrases; the predicate
-    is not part of the linking state), the filter reranks them, and
-    the surviving rows come back in filter order — queries whose facts
-    are all dropped disappear from the frame and fall back to DPR,
-    matching the reference's empty-rerank path.
+    Per query the candidate rows become the HUMAN-READABLE (subj, pred,
+    obj) triples parsed from the frame's ``fact`` column (the fact
+    store's content string — the reference filter prompts with real
+    triples, rerank.py:113; an LLM shown md5 endpoint keys could never
+    match its few-shot demos).  Rows without a parseable fact string
+    fall back to the (subj_key, obj_key) pair so the difflib snap still
+    has a stable item identity.  The filter reranks, and the surviving
+    rows come back in filter order — queries whose facts are all
+    dropped disappear from the frame and fall back to DPR, matching the
+    reference's empty-rerank path.
     """
+    import ast
+
     filt = DSPyFilter(llm_fn, dspy_program)
+
+    def _items_of(grp: pd.DataFrame) -> list:
+        if "fact" in grp.columns:
+            out = []
+            for f, sk, ok_ in zip(grp["fact"], grp["subj_key"], grp["obj_key"]):
+                try:
+                    t = ast.literal_eval(f) if f else None
+                    out.append(
+                        tuple(t) if isinstance(t, (tuple, list)) else (sk, ok_)
+                    )
+                except (ValueError, SyntaxError):
+                    out.append((sk, ok_))
+            return out
+        return list(zip(grp["subj_key"], grp["obj_key"]))
 
     def rerank_hook(cand: pd.DataFrame, queries: list[str]) -> pd.DataFrame:
         keep: list[pd.DataFrame] = []
         for qi, grp in cand.groupby("query_idx", sort=True):
-            items = list(zip(grp["subj_key"], grp["obj_key"]))
             idx, _items, _meta = filt.rerank(
-                queries[int(qi)], items, list(grp.index), len_after_rerank
+                queries[int(qi)], _items_of(grp), list(grp.index), len_after_rerank
             )
             if idx:
-                keep.append(grp.loc[idx])
+                # first-occurrence dedup: a repeated fact in the LLM
+                # response would duplicate candidate rows and double-
+                # weight the phrase averages downstream
+                seen: set = set()
+                uniq = [i for i in idx if not (i in seen or seen.add(i))]
+                keep.append(grp.loc[uniq])
         if not keep:
             return cand.iloc[0:0]
         return pd.concat(keep, ignore_index=False)

@@ -52,7 +52,12 @@ def triple_content(subj, pred, obj) -> np.ndarray:
     needs_repr = np.zeros(n, dtype=bool)
     for col in (s, p, o):
         needs_repr |= (
-            col.str.contains("'", regex=False) | col.str.contains("\\", regex=False)
+            col.str.contains("'", regex=False)
+            | col.str.contains("\\", regex=False)
+            # repr also escapes control chars (\n, \t, \x00-\x1f, \x7f):
+            # a newline inside an LLM-extracted entity must take the
+            # exact-repr path or fact_key diverges from str(tuple)
+            | col.str.contains(r"[\x00-\x1f\x7f]", regex=True)
         ).to_numpy()
     out = ("('" + s.str.cat([p, o], sep="', '") + "')").to_numpy(dtype=object)
     if needs_repr.any():

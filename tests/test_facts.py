@@ -253,3 +253,28 @@ def test_mixed_batch_per_query_fallback(ray_session, tmp_path):
     assert res[0]["docs"][0] == "zebra quokka wombat"
     assert res[2]["docs"][0] == "falcon osprey kestrel"
     eng.close()
+
+
+def test_triple_content_exact_repr_parity():
+    """triple_content == str(tuple) for EVERY element — including
+    control characters, which repr escapes (a newline in an
+    LLM-extracted entity must not silently change the fact_key)."""
+    import numpy as np
+
+    from hipporag_ray.stages.triples import triple_content
+
+    cases = [
+        ("plain", "pred", "obj"),
+        ("with'quote", "p", "o"),
+        ("back\\slash", "p", "o"),
+        ("new\nline", "p", "o"),
+        ("tab\tchar", "p", "o"),
+        ("nul\x00byte", "p", "o"),
+        ("café", "p", "o"),
+    ]
+    s = np.array([c[0] for c in cases], dtype=object)
+    p = np.array([c[1] for c in cases], dtype=object)
+    o = np.array([c[2] for c in cases], dtype=object)
+    got = triple_content(s, p, o)
+    for i, c in enumerate(cases):
+        assert got[i] == str(tuple(c)), (got[i], str(tuple(c)))

@@ -401,6 +401,42 @@ def test_dspy_rerank_fn_dataframe_hook():
     assert hook_none(cand, ["alpha?", "beta?"]).empty
 
 
+def test_dspy_rerank_fn_sends_real_triples_and_dedups():
+    """With the engine's fact column present, the LLM prompt carries the
+    human-readable (subj, pred, obj) triples (reference rerank.py:113 —
+    md5 endpoint keys could never match the few-shot demos), and a
+    repeated fact in the response keeps one candidate row, not two."""
+    cand = pd.DataFrame(
+        {
+            "query_idx": [0, 0],
+            "score": [0.9, 0.8],
+            "subj_key": ["entity-3f2a", "entity-9bc1"],
+            "obj_key": ["entity-77aa", "entity-88bb"],
+            "fact": ["('alpha', 'likes', 'beta')", "('gamma', 'hates', 'delta')"],
+        },
+        index=[5, 6],
+    )
+    prompts = []
+
+    def llm_fn(messages):
+        prompts.append(messages[-1]["content"])
+        # repeat the same fact twice: the hook must dedup, and match the
+        # REAL triple (not endpoint hashes)
+        keep = [["alpha", "likes", "beta"], ["alpha", "likes", "beta"]]
+        return (
+            "[[ ## fact_after_filter ## ]]\n"
+            + json.dumps({"fact": keep})
+            + "\n[[ ## completed ## ]]"
+        )
+
+    hook = dspy_rerank_fn(llm_fn)
+    out = hook(cand, ["who likes beta?"])
+    assert list(out.index) == [5]  # the alpha fact, once
+    joined = "\n".join(prompts)
+    assert "alpha" in joined and "likes" in joined
+    assert "entity-3f2a" not in joined  # no md5 keys shown to the LLM
+
+
 def test_engine_two_arg_rerank_hook_receives_queries(ray_session, tmp_path):
     """The engine hook passes query texts to two-parameter hooks (the
     DSPyFilter shape needs the question, rerank.py:108-117)."""

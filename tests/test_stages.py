@@ -445,6 +445,13 @@ def test_normalize_answer_reference_parity():
         "100%",
         "ümlaut ÜBER",
         "",
+        # RE2's ASCII \b treats non-ASCII letters as boundaries — these
+        # probe the unicode article edge the Python-re fallback covers
+        # ('anécdota' must NOT lose its leading 'an'; 'La Niña' must
+        # keep its trailing 'a')
+        "anécdota",
+        "La Niña",
+        "the naïve théa an idea",
     ]
     got = normalize_answer(pa.array(cases)).to_pylist()
     assert got == [ref(c) for c in cases]
