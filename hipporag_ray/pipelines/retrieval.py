@@ -450,9 +450,10 @@ class HippoRagEngine:
         self.facts = facts
         self.fact_score_threshold = fact_score_threshold
         self.edge_source = edge_source
-        self.embedder = (embedder_cls or HashEmbedder)(
-            **dict(embedder_kwargs or {"dim": dim})
-        )
+        from ..state.embedding_store import embedder_defaults
+
+        _ecls = embedder_cls or HashEmbedder
+        self.embedder = _ecls(**embedder_defaults(_ecls, embedder_kwargs, dim))
         self.rerank_fn = rerank_fn
         # reader-model plug for qa()/rag_qa() (like rerank_fn, a
         # callable is not config-serializable so it is constructor-only)

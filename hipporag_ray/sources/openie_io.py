@@ -70,9 +70,11 @@ def openie_results_ds(
         triples_col = pa.ListArray.from_arrays(
             pa.array(outer_offsets, type=pa.int32()), inner
         )
+        from ..functions.hashing import chunk_key
+
         return pa.table(
             {
-                "idx": md5_hex(batch[text_col], prefix="chunk-"),
+                "idx": chunk_key(batch[text_col]),
                 "passage": batch[text_col],
                 "extracted_entities": with_ents["entities"],
                 "extracted_triples": triples_col,
@@ -86,12 +88,25 @@ def write_openie_json(results: "rd.Dataset", path: str) -> dict:
     """Stream a (idx, passage, extracted_entities, extracted_triples)
     Dataset into the reference's JSON document (atomic tmp+rename).
     Returns the stats dict also embedded in the file."""
+    # pid-suffixed tmp (concurrent writers to one path must not share a
+    # tmp name), removed on failure so aborted runs leave no debris
+    tmp = f"{path}.tmp.{os.getpid()}"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        return _write_openie_tmp(results, tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def _write_openie_tmp(results: "rd.Dataset", tmp: str, path: str) -> dict:
     sum_chars = 0
     sum_words = 0
     n_phrases = 0
     n_docs = 0
-    tmp = path + ".tmp"
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(tmp, "w") as f:
         f.write('{"docs": [')
         first = True

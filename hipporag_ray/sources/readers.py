@@ -59,7 +59,18 @@ def read_corpus_json(path: str) -> "rd.Dataset":
         "text": [it.get("text", "") for it in items],
     }
     rows["doc"] = [f"{t}\n{x}" for t, x in zip(rows["title"], rows["text"])]
-    return rd.from_arrow(pa.table(rows))
+    # explicit schema: an empty corpus ([]) would otherwise infer Arrow
+    # type `null` for every column, breaking downstream string kernels
+    return rd.from_arrow(
+        pa.table(
+            {
+                "idx": pa.array(rows["idx"], pa.int64()),
+                "title": pa.array(rows["title"], pa.string()),
+                "text": pa.array(rows["text"], pa.string()),
+                "doc": pa.array(rows["doc"], pa.string()),
+            }
+        )
+    )
 
 
 def read_samples_jsonl(path: str, limit: int | None = None) -> list[dict]:

@@ -45,10 +45,22 @@ from ..functions.text import text_processing
 from ..functions.hashing import splitmix64 as _splitmix64
 
 # mixing constants for the per-dimension base hash (the finalizer
-# itself is the shared functions.hashing.splitmix64)
-_SM1 = np.uint64(0xBF58476D1CE4E5B9)
-_SM2 = np.uint64(0x94D049BB133111EB)
-_GOLD = np.uint64(0x9E3779B97F4A7C15)
+# itself is the shared functions.hashing.splitmix64; ONE definition of
+# the constants lives there too)
+from ..functions.hashing import _SM_GOLD as _GOLD
+from ..functions.hashing import _SM_M1 as _SM1
+from ..functions.hashing import _SM_M2 as _SM2
+
+
+def embedder_defaults(cls: type, kwargs: dict | None, dim: int) -> dict:
+    """Constructor kwargs for an embedder class: the ``{"dim": dim}``
+    default applies ONLY to HashEmbedder (whose signature takes it) —
+    injecting it into an arbitrary model-backed class raised TypeError
+    inside the Ray actor; an explicitly-passed ``{}`` stays empty (the
+    old falsy-``or`` turned it back into the dim default)."""
+    if kwargs is not None:
+        return dict(kwargs)
+    return {"dim": dim} if cls is HashEmbedder else {}
 
 
 class HashEmbedder:
@@ -232,7 +244,9 @@ class EmbeddingStore:
         self.prefix = f"{namespace}-"
         self.dim = dim
         self.embedder_cls = embedder_cls or HashEmbedder
-        self.embedder_kwargs = dict(embedder_kwargs or {"dim": dim})
+        self.embedder_kwargs = embedder_defaults(
+            self.embedder_cls, embedder_kwargs, dim
+        )
         self.num_gpus = num_gpus
         self.embed_batch_size = embed_batch_size
         os.makedirs(self.dir, exist_ok=True)

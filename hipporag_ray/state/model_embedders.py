@@ -129,7 +129,22 @@ import math as _math
 import os as _os
 import unicodedata as _ud
 
-_erf = np.vectorize(_math.erf, otypes=[np.float32])
+def _erf(x: np.ndarray) -> np.ndarray:
+    """Vectorized erf (Abramowitz & Stegun 7.1.26, max abs error
+    1.5e-7 — well inside the 1e-4 torch cross-validation tolerance).
+    ``np.vectorize(math.erf)`` was a Python-level loop over the
+    (B, T, intermediate) GELU activation — the hottest tensor in the
+    forward pass — and made the numpy path unusable beyond the test
+    fixture; scipy (which ships a C erf) is absent in this container."""
+    x = np.asarray(x, dtype=np.float64)
+    sign = np.sign(x)
+    ax = np.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return (sign * (1.0 - poly * np.exp(-ax * ax))).astype(np.float32)
 
 
 def load_safetensors(path: str) -> dict[str, np.ndarray]:
@@ -166,8 +181,13 @@ class _WordPiece:
     longest-match WordPiece with ``##`` continuations."""
 
     def __init__(self, vocab_path: str, do_lower_case: bool = True):
+        # enumerate EVERY line like HF's load_vocab: skipping blank
+        # lines would shift all later token ids off the embedding rows
+        # they index; rstrip("\r\n") tolerates CRLF vocab files
         with open(vocab_path, encoding="utf-8") as f:
-            words = [w.rstrip("\n") for w in f if w.rstrip("\n")]
+            words = [w.rstrip("\r\n") for w in f]
+        if words and words[-1] == "":  # trailing newline artifact only
+            words.pop()
         self.vocab = {w: i for i, w in enumerate(words)}
         self.do_lower_case = do_lower_case
         for tok in ("[PAD]", "[UNK]", "[CLS]", "[SEP]"):
@@ -178,8 +198,25 @@ class _WordPiece:
         self.cls_id = self.vocab["[CLS]"]
         self.sep_id = self.vocab["[SEP]"]
 
+    @staticmethod
+    def _is_cjk(cp: int) -> bool:
+        # BertTokenizer._is_chinese_char's exact block list
+        return (
+            0x4E00 <= cp <= 0x9FFF
+            or 0x3400 <= cp <= 0x4DBF
+            or 0x20000 <= cp <= 0x2A6DF
+            or 0x2A700 <= cp <= 0x2B73F
+            or 0x2B740 <= cp <= 0x2B81F
+            or 0x2B820 <= cp <= 0x2CEAF
+            or 0xF900 <= cp <= 0xFAFF
+            or 0x2F800 <= cp <= 0x2FA1F
+        )
+
     def _basic(self, text: str) -> list[str]:
-        # control chars -> drop, whitespace -> space (BertTokenizer._clean_text)
+        # control chars -> drop, whitespace -> space (BertTokenizer._clean_text);
+        # CJK chars get surrounding spaces (_tokenize_chinese_chars) so
+        # each becomes its own token — without this a CJK run greedy-
+        # WordPieces as one long word and collapses to [UNK]
         cleaned = []
         for ch in text:
             cat = _ud.category(ch)
@@ -187,6 +224,8 @@ class _WordPiece:
                 cleaned.append(" ")
             elif cat.startswith("C") or ch == "\x00" or ch == "�":
                 continue
+            elif self._is_cjk(ord(ch)):
+                cleaned.append(f" {ch} ")
             else:
                 cleaned.append(ch)
         tokens = "".join(cleaned).split()
@@ -308,9 +347,16 @@ class NumpyBertEmbedder:
         self.eps = float(cfg.get("layer_norm_eps", 1e-12))
         self.max_length = min(max_length, int(cfg["max_position_embeddings"]))
         self.text_col = text_col
+        # casing follows the CHECKPOINT, not a hardcoded default: a
+        # cased BERT silently diverges from AutoTokenizer otherwise
+        lower = True
+        tcfg_path = _os.path.join(model_name, "tokenizer_config.json")
+        if _os.path.exists(tcfg_path):
+            with open(tcfg_path) as f:
+                lower = bool(_json.load(f).get("do_lower_case", True))
         self.tok = _WordPiece(
             _os.path.join(model_name, "vocab.txt"),
-            do_lower_case=True,
+            do_lower_case=lower,
         )
         w = load_safetensors(_os.path.join(model_name, "model.safetensors"))
         # strip an optional "bert." prefix (BertModel-with-head checkpoints)
