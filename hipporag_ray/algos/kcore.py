@@ -40,9 +40,13 @@ def kcore_members(
     vertex ids; isolated vertices are never in the core for k >= 1.
 
     Converges when a peel round deletes nothing; ``max_rounds`` bounds
-    pathological chains (a path graph peels one layer per round)."""
+    pathological chains (a path graph peels one layer per round) and
+    RAISES if exhausted before the fixpoint — a truncated peel would
+    silently return a superset of the true core."""
     if k < 1:
         raise ValueError("k-core requires k >= 1")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
     from ..stages.shuffle import hash_join, multi_key_sum
 
     cur = edges.select_columns([src_col, dst_col]).materialize()
@@ -69,4 +73,8 @@ def kcore_members(
             lambda b: pa.table({dst_col: b[src_col]}), batch_format="pyarrow"
         )
         cur = hash_join(cur, dst_side, dst_col, how="leftsemi").materialize()
-    return survivors
+    raise RuntimeError(
+        f"k-core did not reach a fixpoint in {max_rounds} rounds "
+        f"({n_surv} survivors still shrinking); raise max_rounds — a "
+        "path-shaped graph peels one layer per round"
+    )

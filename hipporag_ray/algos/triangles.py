@@ -71,6 +71,15 @@ def triangle_count(
     # slower on the transcript graph
     from ..stages.shuffle import int_key_sum
 
+    if n_vertices >= 3_037_000_499:  # isqrt(2^63): a*n+b must fit int64
+        # silent int64 wraparound would produce a WRONG count; the
+        # struct-key pair exchange (shuffle.int_pair_key_sum, the
+        # graph build's >2.1e9-vertex path) is the template for lifting
+        # this if a >3e9-vertex triangle count is ever needed
+        raise ValueError(
+            f"triangle_count packs vertex pairs into int64 codes; "
+            f"n_vertices={n_vertices} would overflow (limit ~3.03e9)"
+        )
     n0 = n_vertices
 
     def to_codes(batch: pa.Table) -> pa.Table:
@@ -108,8 +117,6 @@ def triangle_count(
     if m > broadcast_limit:
         return _triangle_count_distributed(distinct, n_vertices)
     pairs = distinct.to_pandas()
-    if len(pairs) == 0:
-        return 0, np.zeros(n_vertices, dtype=np.int64)
     a = pairs["a"].to_numpy(np.int64)
     b = pairs["b"].to_numpy(np.int64)
 
@@ -126,9 +133,10 @@ def triangle_count(
     indptr = np.zeros(n_vertices + 1, dtype=np.int64)
     np.add.at(indptr, u + 1, 1)
     indptr = np.cumsum(indptr)
-    # sorted edge codes for O(log m) membership of (u, w) pairs
+    # sorted edge codes for O(log m) membership of (u, w) pairs —
+    # already sorted: codes are monotone in the (u, v) lexsort above
     codes = u.astype(np.int64) * n_vertices + v
-    csr_ref = ray.put((indptr, v, np.sort(codes)))
+    csr_ref = ray.put((indptr, v, codes))
 
     # one table -> one block -> ONE map task; repartition so the
     # O(m*sqrt(m)) wedge-count stage (the dominant cost) parallelizes
@@ -173,8 +181,6 @@ def triangle_count(
                 "cnt": pa.array(acc[nz], type=pa.int64()),
             }
         )
-
-    from ..stages.shuffle import int_key_sum
 
     partials = oriented.map_batches(count_batch, batch_format="pyarrow")
     agg = int_key_sum(partials, "vid", "cnt").to_pandas()

@@ -133,6 +133,11 @@ class DecodeImage:
         self.feature_dim = feature_dim
         self._pil = None
         if not fake:
+            grid = int(np.sqrt(feature_dim))
+            if grid * grid != feature_dim:
+                # same contract as SampleFrames: a non-square dim would
+                # silently zero-pad the tail features
+                raise ValueError("real decode needs a square feature_dim (grid**2)")
             try:  # optional accelerator; the numpy codec is the fallback
                 from PIL import Image  # noqa: F401
 
@@ -160,6 +165,15 @@ class DecodeImage:
             return frames[0]
         if payload[:3] == b"\xff\xd8\xff":
             return decode_jpeg(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            # PNG also always takes the numpy codec: the PIL branch
+            # would decode palette/16-bit/interlaced variants that
+            # decode_png rejects, so the same payload would yield
+            # features on a PIL worker and a crash on a bare one —
+            # the per-environment divergence this dispatch exists to
+            # prevent.  Unsupported PNG flavors fail IDENTICALLY
+            # everywhere instead.
+            return decode_png(payload)
         if self._pil is not None:
             import io
 
