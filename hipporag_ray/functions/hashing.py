@@ -31,33 +31,42 @@ def _as_string_array(values) -> pa.Array:
     return pa.array(values, type=pa.string())
 
 
-def md5_hex(values, prefix: str = "") -> pa.Array:
-    """Vectorized ``prefix + md5(v)`` over a string array -> string
-    array.  Nulls hash as the empty string (the normalizers upstream
-    fill nulls the same way, and a null-keyed ingest row must not kill
-    the whole insert with an IndexError from the dictionary path)."""
+def _hash_unique_gather(values, hash_unique, empty):
+    """Shared scaffolding of :func:`md5_hex` / :func:`stable_hash64`:
+    null fill, the avg-length dictionary-unique gate, and the
+    hash-then-gather.  ``hash_unique(np_values) -> np array`` runs on
+    the (possibly deduplicated) value array; ONE definition so the
+    gate/fill policy cannot drift between the two hash outputs."""
     arr = _as_string_array(values)
     n = len(arr)
     if n == 0:
-        return pa.array([], type=pa.string())
+        return empty
     if arr.null_count:
         import pyarrow.compute as pc
 
+        # nulls hash as "" (normalizers upstream fill the same way; a
+        # null-keyed ingest row must not kill the whole insert)
         arr = pc.fill_null(arr, "")
-    md5 = hashlib.md5
-    avg_len = arr.nbytes / n
-    if avg_len <= _DICT_MAX_AVG_LEN:
+    if arr.nbytes / n <= _DICT_MAX_AVG_LEN:
         de = arr.dictionary_encode()
         uniq = de.dictionary.to_numpy(zero_copy_only=False)
-        hashed = np.array(
-            [prefix + md5(v.encode()).hexdigest() for v in uniq], dtype=object
-        )
         idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.array(hashed[idx], type=pa.string())
-    vals = arr.to_numpy(zero_copy_only=False)
-    return pa.array(
-        [prefix + md5(v.encode()).hexdigest() for v in vals], type=pa.string()
-    )
+        return hash_unique(uniq)[idx]
+    return hash_unique(arr.to_numpy(zero_copy_only=False))
+
+
+def md5_hex(values, prefix: str = "") -> pa.Array:
+    """Vectorized ``prefix + md5(v)`` over a string array -> string
+    array (see :func:`_hash_unique_gather` for the null/dedup policy)."""
+    md5 = hashlib.md5
+
+    def hash_unique(vals):
+        return np.array(
+            [prefix + md5(v.encode()).hexdigest() for v in vals], dtype=object
+        )
+
+    out = _hash_unique_gather(values, hash_unique, np.zeros(0, object))
+    return pa.array(out, type=pa.string())
 
 
 def entity_key(values) -> pa.Array:
@@ -74,34 +83,18 @@ def stable_hash64(values) -> np.ndarray:
     """Deterministic unsigned 64-bit hash of a string array (salting,
     bucketing, fingerprints).  Uses the first 8 bytes of md5 so it is
     stable across processes (unlike ``hash()``); same dictionary-unique
-    fast path as :func:`md5_hex`."""
-    arr = _as_string_array(values)
-    n = len(arr)
-    if n == 0:
-        return np.zeros(0, np.uint64)
-    if arr.null_count:
-        import pyarrow.compute as pc
-
-        arr = pc.fill_null(arr, "")  # nulls hash as "" (see md5_hex)
+    fast path and null policy as :func:`md5_hex`."""
     md5 = hashlib.md5
     fb = int.from_bytes
-    avg_len = arr.nbytes / n
-    if avg_len <= _DICT_MAX_AVG_LEN:
-        de = arr.dictionary_encode()
-        uniq = de.dictionary.to_numpy(zero_copy_only=False)
-        h = np.fromiter(
-            (fb(md5(v.encode()).digest()[:8], "little") for v in uniq),
+
+    def hash_unique(vals):
+        return np.fromiter(
+            (fb(md5(v.encode()).digest()[:8], "little") for v in vals),
             dtype=np.uint64,
-            count=len(uniq),
+            count=len(vals),
         )
-        idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        return h[idx]
-    vals = arr.to_numpy(zero_copy_only=False)
-    return np.fromiter(
-        (fb(md5(v.encode()).digest()[:8], "little") for v in vals),
-        dtype=np.uint64,
-        count=n,
-    )
+
+    return _hash_unique_gather(values, hash_unique, np.zeros(0, np.uint64))
 
 
 # splitmix64 (public-domain constants) — ONE definition for every
@@ -112,8 +105,12 @@ _SM_M2 = np.uint64(0x94D049BB133111EB)
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer over a uint64 array."""
+    """Vectorized splitmix64 finalizer over a uint64 array.  Signed
+    input is reinterpreted as uint64 AT ENTRY: ``int64 + uint64`` would
+    promote to float64 and destroy the low bits — every output landed
+    on one constant value, silently collapsing sketch priorities."""
     with np.errstate(over="ignore"):
+        x = np.asarray(x).astype(np.uint64)
         x = (x + _SM_GOLD).astype(np.uint64)
         x ^= x >> np.uint64(30)
         x *= _SM_M1

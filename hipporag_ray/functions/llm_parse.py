@@ -174,8 +174,11 @@ _FIELD_HEADER = re.compile(r"\[\[ ## (\w+) ## \]\]")
 def _validate_fact(parsed_value) -> list[list[str]]:
     """``TypeAdapter(Fact).validate_python`` analog (reference
     ``rerank.py:11-12, 76``): requires ``{"fact": [[s, s, s], ...]}``
-    with string-coercible scalar items; raises ``ValueError``
-    otherwise."""
+    with STRING items — pydantic's strict ``list[list[str]]`` rejects
+    unquoted numbers/bools (LLMs routinely emit years as ints), so
+    coercing them here would keep facts the reference discards and
+    silently change retrieval vs the analog.  Raises ``ValueError``
+    on any non-conforming shape."""
     if not isinstance(parsed_value, dict) or "fact" not in parsed_value:
         raise ValueError("expected an object with a 'fact' field")
     fact = parsed_value["fact"]
@@ -185,12 +188,10 @@ def _validate_fact(parsed_value) -> list[list[str]]:
     for item in fact:
         if not isinstance(item, (list, tuple)):
             raise ValueError("each fact must be a list")
-        coerced = []
         for x in item:
-            if isinstance(x, (dict, list, tuple)) or x is None:
-                raise ValueError("fact items must be scalars")
-            coerced.append(x if isinstance(x, str) else str(x))
-        out.append(coerced)
+            if not isinstance(x, str):
+                raise ValueError("fact items must be strings")
+        out.append(list(item))
     return out
 
 

@@ -60,23 +60,67 @@ def load_reference_templates() -> dict[str, list]:
 # files) plus two engine stand-ins — "qa" (plain string shape) and
 # "rag_qa" (the deterministic reader's compact system turn; swap in
 # "rag_qa_musique" for the reference's full one-shot reader prompt).
-DEFAULT_TEMPLATES: dict[str, object] = {
-    **load_reference_templates(),
-    "qa": Template("Question: ${question}\nContext:\n${context}\nAnswer:"),
-    # rag_qa stand-in (reference prompts/rag_qa_* few-shot templates,
-    # HippoRAG.py:698-707: the rendered user turn carries the passage
-    # block + question and the model is asked for Thought then Answer)
-    "rag_qa": [
-        {
-            "role": "system",
-            "content": (
-                "Answer the question using the passages. Reply with your "
-                "reasoning, then a final line 'Answer: <short answer>'."
-            ),
-        },
-        {"role": "user", "content": "${prompt_user}"},
-    ],
-}
+# Loaded LAZILY: import of this module must not pay prompt_data disk
+# I/O (Ray workers that only render columns never touch chat
+# templates), and a corrupt data file should fail at first use, not at
+# import of the whole package.
+_DEFAULT_TEMPLATES_CACHE: dict[str, object] | None = None
+
+
+def default_templates() -> dict[str, object]:
+    global _DEFAULT_TEMPLATES_CACHE
+    if _DEFAULT_TEMPLATES_CACHE is None:
+        _DEFAULT_TEMPLATES_CACHE = {
+            **load_reference_templates(),
+            "qa": Template("Question: ${question}\nContext:\n${context}\nAnswer:"),
+            # rag_qa stand-in (reference prompts/rag_qa_* few-shot
+            # templates, HippoRAG.py:698-707: the rendered user turn
+            # carries the passage block + question and the model is
+            # asked for Thought then Answer)
+            "rag_qa": [
+                {
+                    "role": "system",
+                    "content": (
+                        "Answer the question using the passages. Reply with your "
+                        "reasoning, then a final line 'Answer: <short answer>'."
+                    ),
+                },
+                {"role": "user", "content": "${prompt_user}"},
+            ],
+        }
+    return _DEFAULT_TEMPLATES_CACHE
+
+
+class _LazyTemplates(dict):
+    """Backwards-compatible DEFAULT_TEMPLATES name: materializes on
+    first real access."""
+
+    def _load(self):
+        if not self:
+            self.update(default_templates())
+
+    def __getitem__(self, k):
+        self._load()
+        return super().__getitem__(k)
+
+    def items(self):
+        self._load()
+        return super().items()
+
+    def keys(self):
+        self._load()
+        return super().keys()
+
+    def __iter__(self):
+        self._load()
+        return super().__iter__()
+
+    def __contains__(self, k):
+        self._load()
+        return super().__contains__(k)
+
+
+DEFAULT_TEMPLATES: dict[str, object] = _LazyTemplates()
 
 
 class PromptTemplateManager:
@@ -86,7 +130,7 @@ class PromptTemplateManager:
                  templates: dict | None = None):
         self.role_mapping = dict(role_mapping or {})
         self.templates: dict[str, object] = {}
-        for name, t in (templates if templates is not None else DEFAULT_TEMPLATES).items():
+        for name, t in (templates if templates is not None else default_templates()).items():
             self.register(name, t)
 
     def register(self, name: str, template) -> None:
@@ -176,11 +220,22 @@ def render_template_column(template: str, batch: pa.Table) -> pa.Array:
             if val not in batch.column_names:
                 raise ValueError(f"Missing variable for template: '{val}'")
             col = batch[val]
-            if not pa.types.is_string(col.type):
+            if pa.types.is_boolean(col.type):
+                # Template.substitute renders str(True) — Arrow's cast
+                # would emit 'true'/'false' and the scalar/vector paths
+                # would produce different prompt text (and cache keys)
+                col = pc.if_else(
+                    col, pa.scalar("True", pa.string()), pa.scalar("False", pa.string())
+                )
+            elif not pa.types.is_string(col.type):
                 # large_string included: binary_join_element_wise has no
                 # mixed string/large_string kernel, so normalize to the
                 # literals' type
                 col = pc.cast(col, pa.string())
+            # Template.substitute renders a null value as 'None'; the
+            # join kernel's default would emit a NULL row instead,
+            # silently propagating null prompts downstream
+            col = pc.fill_null(col, "None")
             args.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
     if not args:
         args = [pa.scalar("", pa.string())]

@@ -24,11 +24,15 @@ def text_processing(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArr
 
 
 def tokenize(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
-    """Whitespace-split of already-normalized text -> list<string>.
+    """Space-split of already-NORMALIZED text -> list<string>.
 
-    Matches Python ``str.split()`` semantics (runs of whitespace collapse,
-    empty string -> empty list).
-    """
+    NOT Python ``str.split()``: the input contract is
+    :func:`text_processing` output (single spaces, no tabs/newlines),
+    and the splitter emits PHANTOM EMPTY tokens for an empty string
+    (``[''] ``) and at leading/trailing spaces — every consumer filters
+    or segment-counts non-empty tokens explicitly (see
+    distinct_tokens_per_row, textstats.token_count).  Raw external text
+    must go through text_processing first."""
     return pc.split_pattern_regex(arr, pattern=" +")
 
 
@@ -114,14 +118,20 @@ def normalize_answer(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedAr
     kernel = pc.replace_substring_regex(
         out, pattern=rf"\b{_ARTICLES}\b", replacement=" "
     )
+    kernel = pc.replace_substring_regex(kernel, pattern=r"\s+", replacement=" ")
+    kernel = pc.utf8_trim_whitespace(kernel)
     ascii_mask = pc.fill_null(pc.string_is_ascii(out), True)
     if not pc.all(ascii_mask).as_py():
+        # non-ASCII rows re-run article removal AND whitespace collapse
+        # with Python (unicode) semantics: RE2's \b AND \s are
+        # ASCII-only, so accented words lost article-shaped prefixes
+        # and U+00A0-style whitespace never collapsed — both diverging
+        # from the reference's Python-re normalization
         art_re = _re.compile(rf"\b{_ARTICLES}\b")
         vals = kernel.to_numpy(zero_copy_only=False).astype(object)
         orig = out.to_numpy(zero_copy_only=False)
         for i in np.nonzero(~ascii_mask.to_numpy(zero_copy_only=False))[0]:
             if orig[i] is not None:
-                vals[i] = art_re.sub(" ", orig[i])
-        kernel = pa.array(vals, pa.string())
-    out = pc.replace_substring_regex(kernel, pattern=r"\s+", replacement=" ")
-    return pc.utf8_trim_whitespace(out)
+                vals[i] = " ".join(art_re.sub(" ", orig[i]).split())
+        return pa.array(vals, pa.string())
+    return kernel

@@ -142,8 +142,13 @@ def test_parse_dspy_sections_invalid_and_precedence():
 
 
 def test_parse_dspy_scalar_coercion_and_shape_rejection():
+    # pydantic v2's list[list[str]] (reference rerank.py:11-12) REJECTS
+    # non-string scalars — an unquoted year must drop the section, not
+    # coerce (the reference keeps zero facts for this response)
     resp = '[[ ## fact_after_filter ## ]]\n{"fact": [[1, "b", "c"]]}'
-    assert parse_dspy_filter_response(resp) == [["1", "b", "c"]]
+    assert parse_dspy_filter_response(resp) == []
+    resp_ok = '[[ ## fact_after_filter ## ]]\n{"fact": [["1", "b", "c"]]}'
+    assert parse_dspy_filter_response(resp_ok) == [["1", "b", "c"]]
     assert parse_dspy_filter_response(
         '[[ ## fact_after_filter ## ]]\n{"fact": "nope"}'
     ) == []
