@@ -676,14 +676,28 @@ def q_events_minmax(sf_dir: str):
     ev = _events(sf_dir, ["event_id", "value"])
     stats = ev.aggregate(Min("value"), Max("value"))
     lo, hi = stats["min(value)"], stats["max(value)"]
-    rng = hi - lo
+    # all values NULL: Min/Max come back None — every normalized value
+    # is NULL (SQL arithmetic on NULL), not a TypeError on hi - lo
+    rng = None if lo is None else hi - lo
 
     def fn(batch: pa.Table) -> pa.Table:
         v = batch["value"].to_numpy(zero_copy_only=False)
-        norm = np.ones_like(v) if rng == 0 else (v - lo) / rng
-        norm = np.floor(np.abs(norm) * 1e6 + 0.5) / 1e6 * np.where(norm < 0, -1, 1)
+        if rng is None:
+            norm = np.full(len(v), np.nan)
+        elif rng == 0:
+            norm = np.where(np.isnan(v), np.nan, np.ones_like(v))
+        else:
+            norm = (v - lo) / rng
+        norm = _round_away(norm, 6)
+        # NULL input -> NULL output (the oracle's round() of NULL is
+        # NULL; a NaN stored as a VALID float would hash-mismatch)
         return pa.table(
-            {"event_id": batch["event_id"], "norm_value": pa.array(norm)}
+            {
+                "event_id": batch["event_id"],
+                "norm_value": pa.array(
+                    norm, pa.float64(), from_pandas=True  # NaN -> null
+                ),
+            }
         )
 
     return ev.map_batches(fn, batch_format="pyarrow")
@@ -1773,7 +1787,10 @@ def q_events_user_cumsum(sf_dir: str):
         order = np.lexsort((e, t, u))
         u, e, v = u[order], e[order], v[order]
         valid = ~np.isnan(v)
-        iv = np.where(valid, np.rint(v * 1000), 0.0).astype(np.int64)
+        # half-away-from-zero (DECIMAL cast rule), like agg.py's scan
+        iv = np.where(
+            valid, np.sign(v) * np.floor(np.abs(v) * 1000 + 0.5), 0.0
+        ).astype(np.int64)
         pos = pos_in_group(u)
         start = np.arange(len(u)) - pos  # index of each row's group head
         c = np.cumsum(iv)
@@ -2502,7 +2519,8 @@ def q_tx_eval_recall(sf_dir: str):
 
 
 def _round_half(v: float, nd: int = 6) -> float:
-    return float(np.floor(abs(v) * 10**nd + 0.5) / 10**nd * (1 if v >= 0 else -1))
+    # scalar shim over the ONE rounding-rule definition (_round_away)
+    return float(_round_away(np.array([v]), nd)[0])
 
 
 def q_tx_extract(sf_dir: str):

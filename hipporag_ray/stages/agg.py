@@ -39,8 +39,10 @@ def grouped_partials(
 
     sums = sorted({c for op, c in spec.values() if op in ("sum", "mean")})
     # AVG's SQL semantics exclude NULLs: means divide by the per-column
-    # non-null count, not the group row count
-    cnts = sorted({c for op, c in spec.values() if op == "mean"})
+    # non-null count, not the group row count.  SUM needs the count too:
+    # SQL SUM over an all-NULL group is NULL, while pandas' sum of an
+    # all-NaN group is 0.0 — the combine nulls those groups out.
+    cnts = sorted({c for op, c in spec.values() if op in ("sum", "mean")})
     mins = sorted({c for op, c in spec.values() if op == "min"})
     maxs = sorted({c for op, c in spec.values() if op == "max"})
     need_n = any(op == "count" for op, _ in spec.values())
@@ -79,9 +81,16 @@ def grouped_partials(
     )
     part_tbls = [t for t in part_tbls if t.num_rows] or part_tbls[:1]
     if not part_tbls:
-        parts = pd.DataFrame({k: pd.Series([], dtype=object) for k in keys})
-    else:
-        parts = _gb(pa.concat_tables(part_tbls, promote_options="default"))
+        # zero block refs: synthesize the typed EMPTY RESULT directly —
+        # a keys-only frame would crash the combine below (no __
+        # partial columns to aggregate)
+        out = pd.DataFrame({k: pd.Series([], dtype=object) for k in keys})
+        for alias, (op, _c) in spec.items():
+            out[alias] = pd.Series(
+                [], dtype="int64" if op == "count" else "float64"
+            )
+        return out
+    parts = _gb(pa.concat_tables(part_tbls, promote_options="default"))
     agg_kw = {
         name: (name, "min" if name.startswith("__min") else "max" if name.startswith("__max") else "sum")
         for name in parts.columns
@@ -93,7 +102,9 @@ def grouped_partials(
         if op == "count":
             out[alias] = g["__n"]
         elif op == "sum":
-            out[alias] = g[f"__sum_{c}"]
+            # SQL SUM semantics: NULL (not 0.0) when the group's value
+            # column held no non-null rows
+            out[alias] = g[f"__sum_{c}"].where(g[f"__cnt_{c}"] > 0)
         elif op == "mean":
             out[alias] = g[f"__sum_{c}"] / g[f"__cnt_{c}"]
         elif op == "min":
@@ -224,6 +235,7 @@ def grouping_sets_sum_count(
                     **{k: pa.array([], pa.string()) for k in keys},
                     alias: pa.array([], pa.float64()),
                     count_alias: pa.array([], pa.int64()),
+                    "_nn": pa.array([], pa.int64()),
                     "_rk": pa.array([], pa.string()),
                 }
             )
@@ -232,22 +244,34 @@ def grouping_sets_sum_count(
         for lv, cols in enumerate(sets):
             # count = count(*) row count (pandas "size"), NOT non-null
             # value count — else sets disagree with the grand total
-            # (and with SQL) whenever the value column has nulls
+            # (and with SQL) whenever the value column has nulls.  The
+            # non-null count ("_nn") rides along so the combine can
+            # emit SQL's NULL (not pandas' 0.0) for an all-NULL group's
+            # sum.
             if cols:
                 g = (
                     df.groupby(cols, sort=False, dropna=False)
-                    .agg(sum=(value, "sum"), count=(value, "size"))
+                    .agg(
+                        sum=(value, "sum"),
+                        count=(value, "size"),
+                        nn=(value, "count"),
+                    )
                     .reset_index()
                 )
             else:
                 g = pd.DataFrame(
-                    {"sum": [df[value].sum()], "count": [len(df)]}
+                    {
+                        "sum": [df[value].sum()],
+                        "count": [len(df)],
+                        "nn": [int(df[value].count())],
+                    }
                 )
             part = pd.DataFrame(index=range(len(g)))
             for k in keys:
                 part[k] = g[k].to_numpy() if k in cols else None
             part[alias] = g["sum"].astype(float).to_numpy()
             part[count_alias] = g["count"].astype("int64").to_numpy()
+            part["_nn"] = g["nn"].astype("int64").to_numpy()
             # length-prefixed composite key: "set|len:value|len:value" —
             # unambiguous for ANY key contents (no separator escaping)
             rk = np.full(len(g), str(lv), dtype=object)
@@ -268,6 +292,7 @@ def grouping_sets_sum_count(
                 **{k: pa.array(out[k], type=pa.string()) for k in keys},
                 alias: pa.array(out[alias], type=pa.float64()),
                 count_alias: pa.array(out[count_alias], type=pa.int64()),
+                "_nn": pa.array(out["_nn"], type=pa.int64()),
                 "_rk": pa.array(out["_rk"], type=pa.string()),
             }
         )
@@ -286,12 +311,15 @@ def grouping_sets_sum_count(
         g = df.groupby("_rk", sort=True, dropna=False)
         agg = g.agg(
             **{alias: (alias, "sum"), count_alias: (count_alias, "sum")},
+            _nn=("_nn", "sum"),
             **{k: (k, "first") for k in keys},
         ).reset_index(drop=True)
+        # SQL SUM of an all-NULL group is NULL, not 0.0
+        sums = agg[alias].where(agg["_nn"] > 0)
         return pa.table(
             {
                 **{k: pa.array(agg[k], type=pa.string()) for k in keys},
-                alias: pa.array(agg[alias], type=pa.float64()),
+                alias: pa.array(sums, type=pa.float64()),
                 count_alias: pa.array(agg[count_alias], type=pa.int64()),
             }
         )
@@ -802,6 +830,13 @@ def grouped_distinct_sketch(
         )
         if batch.num_rows == 0:
             return empty
+        # SQL COUNT(DISTINCT) excludes NULLs — drop them up front (the
+        # hash layer's null-as-"" policy would otherwise count NULL as
+        # a distinct value and conflate it with a real empty string,
+        # diverging from the exact twin q_events_distinct_users)
+        batch = batch.filter(pc.is_valid(batch[value_col]))
+        if batch.num_rows == 0:
+            return empty
         g = batch[group_col].to_numpy(zero_copy_only=False).astype(str)
         # one vectorized C cast straight into the hash kernel (which
         # also keeps its dictionary-encoding fast path), not a numpy
@@ -916,7 +951,10 @@ def heavy_hitters_sketch(
         vals = pc.cast(col.filter(valid), pa.string()).to_numpy(zero_copy_only=False)
         n_block = batch.num_rows  # NULL rows count toward N (the bound's
         # denominator is the stream length; null items are never hitters)
-        items, cnt = np.unique(vals.astype(str), return_counts=True)
+        # object dtype, NOT .astype(str): numpy fixed-width unicode
+        # strips trailing \x00 bytes, silently merging distinct items
+        # (and later failing the candidate membership filter)
+        items, cnt = np.unique(vals, return_counts=True)
         items, cnt = _compress(items, cnt.astype(np.int64))
         # one null-item row per block carries the exact block size
         return pa.table(
@@ -937,10 +975,16 @@ def heavy_hitters_sketch(
         )
     total = int(parts.loc[parts["item"].isna(), "cnt"].sum())
     data = parts[parts["item"].notna()]
-    summed = data.groupby("item", as_index=False, sort=False)["cnt"].sum()
-    items, cnt = _compress(
-        summed["item"].to_numpy(), summed["cnt"].to_numpy(dtype=np.int64)
-    )
+    # np.unique, NOT pandas groupby: pandas hashes object strings with
+    # C-string semantics, so items differing only past an embedded
+    # \x00 byte silently merge (verified) — np.unique compares the
+    # full Python strings
+    items_all = data["item"].to_numpy()
+    u, inv = np.unique(items_all, return_inverse=True)
+    summed_cnt = np.bincount(
+        inv, weights=data["cnt"].to_numpy(dtype=np.float64)
+    ).astype(np.int64)
+    items, cnt = _compress(u, summed_cnt)
     out = pd.DataFrame({"item": items, "est_count": cnt.astype("int64")})
     out["n"] = total
     return (
@@ -995,7 +1039,19 @@ def heavy_hitters_topk(
         return empty, ds.count() == 0
     n_total = int(sk["n"].iloc[0])
     bound = n_total / (k_sketch + 1)
-    cand_ref = ray.put(pa.array(sk["item"].to_numpy().astype(str), pa.string()))
+    if any("\x00" in it for it in sk["item"]):
+        # the exact-verify pass rides the pandas-backed exchange, and
+        # pandas' object-string hashing truncates at embedded NUL bytes
+        # (keys differing only past a \x00 silently merge — verified on
+        # pandas 2.2) — the "exact" counts would be wrong, so refuse
+        # loudly rather than return a false guarantee.  The MG sketch
+        # itself is NUL-safe.
+        raise ValueError(
+            "heavy_hitters_topk: items with embedded NUL bytes are not "
+            "supported by the exact-verify exchange (pandas groupby "
+            "merges them); pre-sanitize the column"
+        )
+    cand_ref = ray.put(pa.array(sk["item"].tolist(), pa.string()))
 
     def keep_cands(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -1047,7 +1103,12 @@ def _prefix_local_scan(
     order = np.lexsort((t, o))
     t, v = t[order], v[order]
     nonnull = ~np.isnan(v)
-    iv = np.where(nonnull, np.rint(v * scale), 0.0).astype(np.int64)
+    # half-AWAY-from-zero, matching the oracle's DECIMAL(18,s) cast:
+    # np.rint is half-to-even and disagrees on exact .5 boundaries
+    # (0.0625 * 1000 = 62.5 -> 63 in SQL, 62 under rint)
+    iv = np.where(
+        nonnull, np.sign(v) * np.floor(np.abs(v) * scale + 0.5), 0.0
+    ).astype(np.int64)
     cum = np.cumsum(iv)
     cnt = np.cumsum(nonnull.astype(np.int64))
     out = pa.table(

@@ -11,6 +11,13 @@ exchange expressed as raw Ray tasks with numpy segment sums:
          (num_returns=K; Ray moves each shard to its reducer directly)
   reduce: per partition — concat shards, segment-sum again
 
+KNOWN LIMIT — embedded NUL bytes in STRING keys: the general-key
+aggregations reduce with pandas groupby, whose object-string hash
+table truncates at ``\\x00`` (keys differing only past a NUL silently
+merge; verified on pandas 2.2).  Every engine-generated key is NUL-free
+(md5 hex, normalized tokens, int ids); callers feeding raw external
+strings should sanitize first (heavy_hitters_topk refuses loudly).
+
 The multiplicative hash decorrelates partition assignment from key
 structure (our edge codes are ``src*n + dst`` — plain modulo would
 alias src ranges).  Hot KEYS are already collapsed by the map-side

@@ -153,3 +153,44 @@ def test_events_heavy_hitters_vs_duckdb():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_mg_sketch_nul_bytes_and_topk_refusal():
+    """Items differing only past an embedded NUL stay distinct in the
+    sketch (pandas' object-string hash truncates at \\x00 — the sketch
+    merge uses np.unique instead), and the exact-verify top-k refuses
+    loudly rather than returning merged 'exact' counts."""
+    from hipporag_ray.stages.agg import heavy_hitters_sketch, heavy_hitters_topk
+
+    df = pd.DataFrame({"k": ["a", "a\x00", "a\x00", "b"]})
+    hh = heavy_hitters_sketch(rd.from_pandas(df), "k", k=8)
+    assert dict(zip(hh["item"], hh["est_count"])) == {"a": 1, "a\x00": 2, "b": 1}
+    with pytest.raises(ValueError, match="NUL"):
+        heavy_hitters_topk(rd.from_pandas(df), "k", top=3, k_sketch=8)
+
+
+def test_grouped_aggregates_all_null_group_sum_is_null():
+    """SQL SUM over an all-NULL group is NULL, not pandas' 0.0 — both
+    grouped_partials and the grouping-sets machinery."""
+    import pyarrow as pa
+
+    from hipporag_ray.stages.agg import grouped_partials, grouping_sets_sum_count
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "b", "b", "c"]),
+            "v": pa.array([1.0, 2.0, None, None, 3.0]),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(2).materialize()
+    gp = grouped_partials(ds, ["g"], {"s": ("sum", "v"), "n": ("count", None)})
+    got = {r.g: (None if pd.isna(r.s) else r.s, r.n) for r in gp.itertuples()}
+    assert got == {"a": (3.0, 2), "b": (None, 2), "c": (3.0, 1)}
+
+    gs = grouping_sets_sum_count(
+        ds, ["g"], "v", sets=[["g"], []], alias="s", count_alias="n"
+    ).to_pandas()
+    brow = gs[gs["g"] == "b"]
+    assert len(brow) == 1 and pd.isna(brow["s"].iloc[0]) and brow["n"].iloc[0] == 2
+    total = gs[gs["g"].isna()]
+    assert len(total) == 1 and total["s"].iloc[0] == 6.0 and total["n"].iloc[0] == 5
