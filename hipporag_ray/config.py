@@ -57,6 +57,17 @@ class EngineConfig:
     max_hubs: int = 1024
     checkpoint_every: int = 0  # iterations between rank checkpoints (0 = off)
 
+    def __post_init__(self):
+        # enum-valued fields fail loudly, matching from_dict's
+        # strictness about field NAMES: consumers branch on
+        # edge_source == "cooccur" with a bare else, so a typo would
+        # silently build the triples-mode graph
+        if self.edge_source not in ("cooccur", "triples"):
+            raise ValueError(
+                f"edge_source must be 'cooccur' or 'triples', "
+                f"got {self.edge_source!r}"
+            )
+
     def to_dict(self) -> dict:
         return asdict(self)
 

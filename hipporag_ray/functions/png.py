@@ -78,14 +78,15 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w) or (h, w, c) uint8 array."""
-    if data[:8] != _SIG:
-        raise ValueError("not a PNG (bad signature)")
+def _chunks(data: bytes):
+    """Yield (tag, payload memoryview) for every chunk after the
+    signature, with the truncated-declared-length ValueError guard —
+    the ONE framing walker shared by decode_png / apng_info /
+    decode_apng (three hand-copies had already drifted on the IHDR
+    length check).  memoryview payloads are zero-copy; consumers that
+    need bytes slice explicitly."""
     pos = 8
-    width = height = None
-    color_type = bit_depth = None
-    idat = bytearray()
+    view = memoryview(data)
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
@@ -94,13 +95,23 @@ def decode_png(data: bytes) -> np.ndarray:
             # a short payload slice would otherwise surface as
             # struct.error, breaking the decode contract (ValueError)
             raise ValueError(f"truncated PNG chunk {tag!r}")
-        payload = data[pos + 8 : pos + 8 + length]
+        yield tag, view[pos + 8 : pos + 8 + length]
         pos += 12 + length
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w) or (h, w, c) uint8 array."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    width = height = None
+    color_type = bit_depth = None
+    idat = bytearray()
+    for tag, payload in _chunks(data):
         if tag == b"IHDR":
-            if length < 13:
+            if len(payload) < 13:
                 raise ValueError("truncated PNG IHDR")
             width, height, bit_depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", payload
+                ">IIBBBBB", payload[:13]
             )
             if bit_depth != 8 or color_type not in _CHANNELS:
                 raise ValueError(
@@ -124,7 +135,14 @@ def decode_png(data: bytes) -> np.ndarray:
 def _unfilter(stream: bytes, width: int, height: int, c: int) -> np.ndarray:
     """One zlib-compressed filtered scanline stream -> uint8 image."""
     stride = width * c
-    raw = np.frombuffer(zlib.decompress(stream), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(stream)
+    except zlib.error as exc:
+        # corrupt/empty IDAT with intact chunk framing: keep the
+        # decode-family ValueError contract (zlib.error would kill the
+        # whole actor batch with an unexpected exception type)
+        raise ValueError(f"bad PNG: corrupt deflate stream ({exc})") from exc
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG data length mismatch")
     raw = raw.reshape(height, stride + 1)
@@ -240,28 +258,23 @@ def encode_apng(frames: np.ndarray, fps: int = 24) -> bytes:
 
 def apng_info(data: bytes) -> tuple[int, int, int]:
     """APNG/PNG bytes -> (num_frames, width, height) from the header
-    chunks only (no frame decompression)."""
+    chunks only (no frame decompression; the walker's memoryview
+    payloads keep this a header scan)."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
-    pos = 8
     width = height = None
     n_frames = 1
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack_from(">I", data, pos)
-        tag = data[pos + 4 : pos + 8]
-        if pos + 8 + length > len(data):
-            raise ValueError(f"truncated PNG chunk {tag!r}")
+    for tag, payload in _chunks(data):
         if tag == b"IHDR":
-            if length < 8:
+            if len(payload) < 8:
                 raise ValueError("truncated PNG IHDR")
-            width, height = struct.unpack_from(">II", data, pos + 8)
+            width, height = struct.unpack_from(">II", payload)
         elif tag == b"acTL":
-            if length < 4:
+            if len(payload) < 4:
                 raise ValueError("truncated APNG acTL")
-            (n_frames,) = struct.unpack_from(">I", data, pos + 8)
+            (n_frames,) = struct.unpack_from(">I", payload)
         elif tag in (b"IDAT", b"fdAT", b"IEND"):
             break
-        pos += 12 + length
     if width is None:
         raise ValueError("PNG missing IHDR")
     return n_frames, int(width), int(height)
@@ -277,20 +290,13 @@ def decode_apng(data: bytes, indices=None) -> list[np.ndarray]:
     """
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
-    pos = 8
     width = height = color_type = None
     streams: list[bytearray] = []  # per-frame zlib streams, in order
     idat = bytearray()
     idat_is_frame0 = False
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack_from(">I", data, pos)
-        tag = data[pos + 4 : pos + 8]
-        if pos + 8 + length > len(data):
-            raise ValueError(f"truncated PNG chunk {tag!r}")
-        payload = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
+    for tag, payload in _chunks(data):
         if tag == b"IHDR":
-            if length < 13:
+            if len(payload) < 13:
                 raise ValueError("truncated PNG IHDR")
             width, height, bit_depth, color_type = struct.unpack_from(
                 ">IIBB", payload
@@ -300,7 +306,7 @@ def decode_apng(data: bytes, indices=None) -> list[np.ndarray]:
                     f"unsupported PNG (bit depth {bit_depth}, color type {color_type})"
                 )
         elif tag == b"fcTL":
-            if length < 26:
+            if len(payload) < 26:
                 raise ValueError("truncated APNG fcTL")
             _, fw, fh, fx, fy = struct.unpack_from(">IIIII", payload)
             blend = payload[25]
@@ -330,6 +336,12 @@ def decode_apng(data: bytes, indices=None) -> list[np.ndarray]:
     out = []
     for i in want:
         if i < 0 or i >= len(streams):
-            raise IndexError(f"frame {i} out of range (APNG has {len(streams)})")
+            # ValueError, not IndexError: acTL's declared frame count
+            # can exceed the actual fcTL count in a corrupt APNG, and
+            # SampleFrames builds indices from the declared count — the
+            # decode contract is ValueError on bad payloads
+            raise ValueError(
+                f"bad APNG: frame {i} out of range (has {len(streams)})"
+            )
         out.append(_unfilter(bytes(streams[i]), width, height, c))
     return out

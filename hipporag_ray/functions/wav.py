@@ -28,7 +28,17 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """WAV bytes -> (mono float64 samples in [-1, 1], sample_rate)."""
+    """WAV bytes -> (mono float64 samples in [-1, 1], sample_rate).
+    Every failure on corrupt/truncated input is a ``ValueError`` (the
+    decode-family contract) — short chunk bodies would otherwise leak
+    struct.error."""
+    try:
+        return _decode_wav(data)
+    except struct.error as exc:
+        raise ValueError(f"bad WAV: truncated chunk ({exc})") from exc
+
+
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV (bad RIFF header)")
     pos = 12
@@ -49,7 +59,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError("WAV data chunk before fmt")
             if fmt_code == 1:  # integer PCM
                 if bits == 16:
-                    raw = np.frombuffer(body, dtype="<i2").astype(np.float64) / 32767.0
+                    # -32768/32767 lands just below -1: clamp to honor
+                    # the documented [-1, 1] return contract (the float
+                    # path clips for the same reason)
+                    raw = np.maximum(
+                        np.frombuffer(body, dtype="<i2").astype(np.float64) / 32767.0,
+                        -1.0,
+                    )
                 elif bits == 8:  # unsigned
                     raw = (
                         np.frombuffer(body, dtype=np.uint8).astype(np.float64) - 128.0
@@ -92,7 +108,12 @@ def audio_features(samples: np.ndarray, sample_rate: int, n_bands: int = 8) -> d
             "band_energy": np.zeros(n_bands, dtype=np.float32),
         }
     rms = float(np.sqrt(np.mean(samples**2)))
-    zcr = float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+    # n == 1: no sample pairs — zcr is 0, not mean-of-empty (NaN)
+    zcr = (
+        float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+        if n > 1
+        else 0.0
+    )
     spec = np.abs(np.fft.rfft(samples))
     # one effective rate for BOTH the frequency grid and the band
     # edges: a declared rate < 2 would otherwise put the upper bands

@@ -27,20 +27,19 @@ def walk_parts(root: str) -> list[str]:
 
 
 def next_batch_dir(root: str) -> str:
-    """Path for the next ``batch-NNNNN`` append directory.  Counts only
-    subDIRECTORIES: a stray file (e.g. a leftover .tmp) must not skew
-    the numbering into colliding with an existing batch."""
-    n = (
-        len(
-            [
-                d
-                for d in os.listdir(root)
-                if os.path.isdir(os.path.join(root, d))
-            ]
-        )
-        if os.path.isdir(root)
-        else 0
-    )
+    """Path for the next ``batch-NNNNN`` append directory: max existing
+    batch number + 1, NOT a directory count — a removed batch (failed-
+    write cleanup, compaction) or any stray subdirectory would make the
+    count collide with an existing batch and silently append new part
+    files beside older rows in the first-wins store."""
+    n = 0
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d.startswith("batch-") and os.path.isdir(os.path.join(root, d)):
+                try:
+                    n = max(n, int(d[6:]) + 1)
+                except ValueError:
+                    continue
     return os.path.join(root, f"batch-{n:05d}")
 
 

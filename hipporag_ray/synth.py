@@ -97,7 +97,10 @@ def write_transcripts(
         return out_dir
     tmp = f"{out_dir}.tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
-    per_shard = max(1, n_convs // shards)
+    # ceil division: floor wrote MORE part files than the requested
+    # shard count whenever shards didn't divide n_convs (content is
+    # seeded per global conv_offset, so the layout never changes rows)
+    per_shard = max(1, -(-n_convs // shards))
     off = 0
     shard_i = 0
     while off < n_convs:

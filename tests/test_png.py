@@ -147,7 +147,10 @@ def test_apng_roundtrip_and_sampling():
     sub = decode_apng(b, [0, 3, 5])
     np.testing.assert_array_equal(sub[1], fr[3])
     np.testing.assert_array_equal(sub[2], fr[5])
-    with pytest.raises(IndexError):
+    # ValueError (the decode-family contract), not IndexError: a corrupt
+    # APNG can DECLARE more frames than it carries, and SampleFrames
+    # builds indices from the declared count
+    with pytest.raises(ValueError, match="out of range"):
         decode_apng(b, [6])
     # RGB frames
     rgb = rng.integers(0, 256, (3, 8, 8, 3), dtype=np.uint8)
