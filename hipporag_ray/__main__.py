@@ -36,6 +36,12 @@ def _ray_session(num_cpus: int | None):
         # the job environment); default to a fresh local session, the
         # sandbox / laptop mode every BASELINE.md number was measured in
         addr = os.environ.get("RAY_ADDRESS") or "local"
+        if addr != "local" and num_cpus is not None:
+            print(
+                f"warning: --num-cpus={num_cpus} ignored — RAY_ADDRESS={addr} "
+                "connects to an existing cluster",
+                file=sys.stderr,
+            )
         if addr == "local":
             ray.init(
                 address="local",
@@ -175,8 +181,6 @@ def main(argv: list[str] | None = None) -> int:
     ray = _ray_session(args.num_cpus)
     try:
         if args.cmd == "build-graph":
-            import ray.data as rd
-
             from hipporag_ray.stages.graph_build import (
                 build_graph,
                 build_graph_resumable,
@@ -214,8 +218,6 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.cmd == "index":
-            import ray.data as rd
-
             from hipporag_ray.pipelines.retrieval import HippoRagEngine
 
             from hipporag_ray.sources.readers import read_transcripts

@@ -271,10 +271,6 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _stable_u64(s: str) -> int:
-    return int(stable_hash64(np.array([s], dtype=object))[0])
-
-
 class MinHasher:
     """Stateful batch stage: text -> minhash signature.  The
     permutation family is uint64 xor-multiply ``((h ^ a) * b)`` with
@@ -335,6 +331,13 @@ def minhash_lsh_pairs(
     the candidate set, which is output-sized).
     Returns verified pairs (a < b, jaccard >= threshold).
     """
+    if bands < 1 or num_perm % bands != 0:
+        # rows_per_band = 0 would silently degenerate LSH to an
+        # all-pairs cross product (every row collides in every band);
+        # a non-dividing bands count silently discards permutations
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm})"
+        )
     rows_per_band = num_perm // bands
     # stateless tasks (the "model" here is two tiny parameter vectors —
     # an actor pool's launch latency would dominate at this setup cost)
@@ -383,13 +386,19 @@ def minhash_lsh_pairs(
 
     def pair_key(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "a" not in batch.column_names:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "_pk": pa.array([], pa.string())}
-            )
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        pk = np.char.add(np.char.add(a.astype(str), "|"), b.astype(str))
+            # zero-column sentinel (the file's convention): consumers
+            # guard on missing columns, and a typed int64 empty would
+            # schema-diverge from string-id runs
+            return pa.table({})
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+        # length-prefixed: a bare "a|b" join would collide ('x|y','z')
+        # with ('x','y|z') for string ids containing the separator,
+        # silently dropping a real candidate pair at the distinct
+        alen = np.char.str_len(a).astype(str)
+        pk = np.char.add(
+            np.char.add(np.char.add(alen, ":"), a), np.char.add("|", b)
+        )
         return pa.table(
             {"a": batch["a"], "b": batch["b"], "_pk": pa.array(pk, pa.string())}
         )
@@ -409,8 +418,6 @@ def minhash_lsh_pairs(
     # set is output-sized), then pair expansion runs through the
     # vectorized grouped hash exchange — no per-group Python calls and
     # no driver-side shingle sets
-    from .shuffle import grouped_pairs
-
     cand_pairs = cands[["a", "b"]].reset_index(drop=True)
     cand_ids = np.unique(
         np.concatenate([cand_pairs["a"].to_numpy(), cand_pairs["b"].to_numpy()])
@@ -598,11 +605,9 @@ class _HyperplaneSigner:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {"table": pa.array([], pa.int32()), "code": pa.array([], pa.int64()),
-                 self.id_col: pa.array([], pa.int64()),
-                 self.emb_col: pa.array([], pa.list_(pa.float32()))}
-            )
+            # zero-column sentinel: a typed int64 id empty would
+            # schema-diverge from string hash-id runs (file convention)
+            return pa.table({})
         mat = np.stack(batch[self.emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
         planes = self._planes_for(mat.shape[1])
         R = len(mat)

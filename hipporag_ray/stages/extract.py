@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ..functions.hashing import entity_key, md5_hex
+from ..functions.hashing import chunk_key, entity_key, md5_hex
 from ..functions.text import distinct_tokens_per_row, text_processing
 
 
@@ -49,7 +49,7 @@ class ExtractMentions:
 
         conv = batch["conv_id"].to_numpy(zero_copy_only=False)
         tidx = batch["turn_idx"].to_numpy(zero_copy_only=False)
-        ckey = md5_hex(text, prefix="chunk-").to_numpy(zero_copy_only=False)
+        ckey = chunk_key(text).to_numpy(zero_copy_only=False)
 
         rep = np.repeat(np.arange(len(batch)), counts)
         out_conv = conv[rep]

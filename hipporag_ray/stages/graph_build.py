@@ -51,7 +51,9 @@ from ..functions.text import distinct_tokens_per_row, text_processing
 def _to_chunk_rows(batch: pa.Table) -> pa.Table:
     """transcripts batch -> (chunk_key, text): project early, key by content."""
     text = batch["text"]
-    return pa.table({"chunk_key": md5_hex(text, prefix="chunk-"), "text": text})
+    from ..functions.hashing import chunk_key
+
+    return pa.table({"chunk_key": chunk_key(text), "text": text})
 
 
 
